@@ -1,0 +1,55 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the no-op sink (full physical
+execution, no driver collect — same shape a cluster write would have).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES  # noqa: E402
+from neotree_data_pipeline_kedro_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="neotree-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)  # build (lazy) outside the timed region? No:
+        # plan construction is part of the query cost, but JVM/py4j warmup is
+        # not — so build once to warm, then time a fresh build + execution.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""String/numeric repair scalar family (SURVEY.md §2.8 "Strings"/"Numeric").
+
+All pure column expressions (regexp_extract / when-chains) — the reference
+implements these as row-at-a-time Python; here they stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .nulls import nullify
+
+_INT_TOKEN = r"(?:^|\s)(\d+)(?:\s|$)"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _first_int_token(c: Column) -> Column:
+    """First standalone integer token after '-' removal — mirrors
+    ``[int(s) for s in age.replace('-','').split() if s.isdigit()][0]``."""
+    x = F.regexp_extract(F.regexp_replace(c, "-", ""), _INT_TOKEN, 1)
+    return F.when(x == "", F.lit(None)).otherwise(x).cast("int")
+
+
+def duration_to_hours(col: Column | str) -> Column:
+    """Text-duration → hours: '3 days, 4 hours' → 76, 'an hour' → 1,
+    '45 minutes' → 1, '2 days' → 48, null/'nan' → 0.
+
+    Reference: parse_age_hours
+    (tidy_admissions_discharges_and_create_mcl_tables.py:116-142; duplicate
+    derive_data/create_union_views.py:13-56). Unparseable → 0, faithful to
+    the reference's default.
+    """
+    raw = _col(col)
+    s = F.lower(F.trim(raw.cast("string")))
+    p1 = F.trim(F.split(s, ",").getItem(0))
+    p2 = F.trim(F.split(s, ",").getItem(1))
+    n_parts = F.size(F.split(s, ","))
+
+    one_part = (
+        F.when(
+            p1.contains("hour"),
+            F.coalesce(
+                _first_int_token(p1),
+                F.when(p1.contains("an"), F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+        .when(p1.contains("day"), F.coalesce(_first_int_token(p1) * 24, F.lit(0)))
+        .when(p1.contains("second") | p1.contains("minute"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    two_part = F.when(
+        p1.contains("day") & p2.contains("hour"),
+        F.coalesce(_first_int_token(p1) * 24 + _first_int_token(p2), F.lit(0)),
+    ).otherwise(F.lit(0))
+
+    return (
+        F.when(raw.isNull() | s.isin("nan", ""), F.lit(0))
+        .when(n_parts == 1, one_part)
+        .when(n_parts == 2, two_part)
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+
+
+def extract_first_number(col: Column | str) -> Column:
+    """First number in a junk string: '2100g' → 2100.0, 'unknown' → NULL
+    (utils/data_label_fixes.py:7-21 ``re.search(r'\\d+(\\.\\d+)?')``)."""
+    x = F.regexp_extract(_col(col).cast("string"), r"(\d+(\.\d+)?)", 1)
+    return F.when(x == "", F.lit(None)).otherwise(x).cast("double")
+
+
+def extract_years(col: Column | str) -> Column:
+    """'23 years' / '23.5 years old' / '23' → 23 (int); else NULL
+    (utils/assorted_fixes.py:4-21: anchored number[+years] first, then
+    embedded 'N years' search)."""
+    s = F.trim(_col(col).cast("string"))
+    anchored = F.regexp_extract(s, r"(?i)^(\d+(\.\d+)?)\s*(years?)?$", 1)
+    embedded = F.regexp_extract(s, r"(?i)(\d+(\.\d+)?)\s*years?", 1)
+    pick = F.when(anchored != "", anchored).when(embedded != "", embedded)
+    return F.floor(pick.cast("double")).cast("int")
+
+
+def maternal_age_years(col: Column | str) -> Column:
+    """Maternal-age repair (queries/data_fix.py:243-301 ``update_mat_age``):
+    strip non-numeric chars, drop thousands commas, >100000 ⇒ value is hours
+    → ÷8766, FLOOR, unparseable → 200 sentinel. The caller applies the ≤85
+    acceptance filter, as the reference does in its UPDATE's WHERE."""
+    cleaned = F.regexp_replace(_col(col).cast("string"), r"[^0-9.,]", "")
+    num = F.replace(
+        F.when(cleaned == "", F.lit(None)).otherwise(cleaned),
+        F.lit(","),
+        F.lit(""),
+    ).cast("double")
+    years = F.when(num > 100000, num / 8766).otherwise(num)
+    return F.coalesce(F.floor(years), F.lit(200)).cast("bigint")
+
+
+def sanitize_field_name(name: str) -> str:
+    """Repeatables/diagnoses child-key sanitizer ``re.sub(r'\\W+','_')``
+    (extract_key_values.py:257-258)."""
+    return re.sub(r"\W+", "_", name)
+
+
+def sanitize_sql_name(name: str) -> str:
+    """Column-name normalization ``[()-] → _``
+    (tidy_admissions_discharges_and_create_mcl_tables.py:440)."""
+    return re.sub(r"[()\-]", "_", name)
+
+
+def sanitize_json_key(name: str) -> str:
+    """JSON key sanitizer ``re.sub(r'[^A-Za-z0-9_ ]+','')``
+    (json_restructure.py:72-81)."""
+    return re.sub(r"[^A-Za-z0-9_ ]+", "", name)

@@ -1,0 +1,249 @@
+"""Join operator family (SURVEY.md §2.4, J1-J10).
+
+Plain equi/anti/semi joins are one-liners Catalyst already optimizes; the
+custom pieces the reference needs are:
+
+- ``best_match_join`` (J2): fuzzy 1:N -> best-scoring-1:1 resolution via a
+  window, replacing the reference's pandas idxmax loop
+  (create_joined_table_and_derived_columns.py:268-394).
+- ``asof_join`` (J3 fallback / W6): nearest-preceding match implemented with
+  the union+last-non-null window trick — O(n log n) per key, NO join
+  explosion, survives 100 TB (a naive join+filter would materialize every
+  candidate pair).
+- ``tiered_asof_assignment`` (J3): the reference's greedy, order-dependent
+  1:1 admission<->discharge assignment (merge_all.py:143-511). The greedy
+  scan is inherently sequential *within* a (uid, facility) group but groups
+  are tiny (a patient's episodes), so it runs as applyInPandas — full
+  cross-group parallelism, deterministic within-group order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def anti_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """NOT EXISTS (J4; assorted_queries.py:425-472)."""
+    return left.join(right.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """EXISTS (J5; assorted_queries.py:446-472,509-550)."""
+    return left.join(right.select(*keys).dropDuplicates(list(keys)), list(keys), "left_semi")
+
+
+def best_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    score: Callable[[DataFrame], Column],
+    tiebreak: Sequence[Column],
+    how: str = "left",
+) -> DataFrame:
+    """J1+J2: left join that may fan out, then keep the best-scoring right
+    row per left row.
+
+    ``score`` builds the match-score column from the joined frame (the
+    reference's OFC/Gestation/BirthWeight closeness,
+    create_joined_table_and_derived_columns.py:268-394); ``tiebreak`` makes
+    the argmax deterministic where the reference relied on pandas frame
+    order ("all-(-1) => keep first").
+    """
+    left_idx = left.withColumn("__lid", F.monotonically_increasing_id())
+    joined = left_idx.join(right, list(keys), how)
+    scored = joined.withColumn("__score", score(joined))
+    w = Window.partitionBy("__lid").orderBy(F.desc("__score"), *tiebreak)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__lid", "__score")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` per key (direction='backward'; 'forward' gives
+    earliest right_ts >= left_ts).
+
+    Implemented by unioning both sides on a common time axis and carrying
+    the last non-null right value forward with
+    ``last(..., ignorenulls=True)`` over an ordered window — one shuffle on
+    (keys, ts), no pairwise candidate explosion (reference's row loop:
+    merge_all.py:345-365).
+    """
+    passthru = [c for c in left.columns if c not in keys and c != left_ts]
+    side_r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthru],
+    )
+    side_l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
+            for v in right_vals
+        ],
+        *[F.col(c) for c in passthru],
+    )
+    unioned = side_r.unionByName(side_l)
+
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # right rows sort before left rows at equal ts => inclusive (<= / >=)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals
+    ]
+
+    out = unioned.select(
+        *keys,
+        F.col("__ts"),
+        F.col("__is_right"),
+        *passthru,
+        *carried,
+    ).filter(F.col("__is_right") == 0)
+    return out.withColumnRenamed("__ts", left_ts).drop("__is_right")
+
+
+# ---------------------------------------------------------------------------
+# J3: the ALL-table greedy tiered assignment (merge_all.py:143-511)
+# ---------------------------------------------------------------------------
+
+_MATCH_STATUS = {
+    "matched": "matched",
+    "ambiguous": "ambiguous",
+    "unmatched": "unmatched_discharge",
+}
+
+
+def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(uid, facility) greedy matching, reference order
+    (merge_all.py:343-460): iterate discharges sorted by discharge datetime
+    (the reference's input order after its sort at :287), consume admissions;
+    tiers: unique OFC equality -> unique BirthWeight equality -> nearest
+    non-negative (discharge_dt - admission_dt).
+    """
+    adms = pdf[pdf["__side"] == "a"].sort_values("__ts", kind="mergesort")
+    diss = pdf[pdf["__side"] == "d"].sort_values("__ts", kind="mergesort")
+    free = dict(adms[["__rid", "__ts"]].values.tolist())  # rid -> adm ts
+    adm_attr = adms.set_index("__rid")[["ofc", "bw"]].to_dict("index")
+    out = []
+    for _, d in diss.iterrows():
+        cand = list(free.keys())
+        status, pick = "unmatched_discharge", None
+        if cand:
+            ofc_eq = [
+                r
+                for r in cand
+                if pd.notna(d["ofc"])
+                and pd.notna(adm_attr[r]["ofc"])
+                and adm_attr[r]["ofc"] == d["ofc"]
+            ]
+            bw_eq = [
+                r
+                for r in cand
+                if pd.notna(d["bw"])
+                and pd.notna(adm_attr[r]["bw"])
+                and adm_attr[r]["bw"] == d["bw"]
+            ]
+            if len(ofc_eq) == 1:
+                pick, status = ofc_eq[0], "matched"
+            elif len(bw_eq) == 1:
+                pick, status = bw_eq[0], "matched"
+            else:
+                # as-of fallback: nearest admission with delta >= 0
+                best = None
+                for r in cand:
+                    a_ts = free[r]
+                    if pd.isna(a_ts) or pd.isna(d["__ts"]):
+                        continue
+                    delta = (d["__ts"] - a_ts).total_seconds()
+                    if delta >= 0 and (best is None or delta < best[0]):
+                        best = (delta, r)
+                if best is not None:
+                    pick = best[1]
+                    status = "ambiguous" if (len(ofc_eq) > 1 or len(bw_eq) > 1) else "matched"
+        if pick is not None:
+            free.pop(pick)
+        out.append((d["__rid"], pick, status))
+    res = pd.DataFrame(out, columns=["discharge_rid", "admission_rid", "match_status"])
+    res["uid"] = pdf["uid"].iloc[0] if len(pdf) else None
+    res["facility"] = pdf["facility"].iloc[0] if len(pdf) else None
+    return res
+
+
+_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("discharge_rid", T.LongType()),
+        T.StructField("admission_rid", T.LongType()),
+        T.StructField("match_status", T.StringType()),
+        T.StructField("uid", T.StringType()),
+        T.StructField("facility", T.StringType()),
+    ]
+)
+
+
+def tiered_asof_assignment(
+    admissions: DataFrame,
+    discharges: DataFrame,
+    uid_col: str = "uid",
+    facility_col: str = "facility",
+    adm_ts: str = "admission_ts",
+    dis_ts: str = "discharge_ts",
+    adm_id: str = "admission_rid",
+    dis_id: str = "discharge_rid",
+    ofc_col: str = "ofc",
+    bw_col: str = "bw",
+) -> DataFrame:
+    """Greedy tiered 1:1 assignment (J3). Returns
+    (discharge_rid, admission_rid|NULL, match_status, uid, facility).
+
+    Deterministic: discharges processed in discharge-datetime order within
+    each (uid, facility) group (the reference sorts at merge_all.py:287 then
+    iterates). Group-level parallelism via applyInPandas — the only operator
+    family in this engine where per-group imperative logic is genuinely
+    required (SURVEY §7 hard part #1).
+    """
+    a = admissions.select(
+        F.col(uid_col).alias("uid"),
+        F.col(facility_col).alias("facility"),
+        F.col(adm_id).cast("long").alias("__rid"),
+        F.col(adm_ts).alias("__ts"),
+        F.col(ofc_col).cast("double").alias("ofc"),
+        F.col(bw_col).cast("double").alias("bw"),
+        F.lit("a").alias("__side"),
+    )
+    d = discharges.select(
+        F.col(uid_col).alias("uid"),
+        F.col(facility_col).alias("facility"),
+        F.col(dis_id).cast("long").alias("__rid"),
+        F.col(dis_ts).alias("__ts"),
+        F.col(ofc_col).cast("double").alias("ofc"),
+        F.col(bw_col).cast("double").alias("bw"),
+        F.lit("d").alias("__side"),
+    )
+    return (
+        a.unionByName(d)
+        .groupBy("uid", "facility")
+        .applyInPandas(_greedy_assign, schema=_ASSIGN_SCHEMA)
+    )

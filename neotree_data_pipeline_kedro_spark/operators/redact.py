@@ -1,0 +1,73 @@
+"""Confidential-column removal (SURVEY.md §2.2 P6).
+
+One shared redact() covering the reference's four mechanisms:
+(a) JSONB key deletion (assorted_queries.py:870-908), (b) keyword-matched
+DataFrame column drop (sql_functions.py:1592-1610), (c) ILIKE column drop
+(queries/data_fix.py:77-103), (d) metadata ``confidential: true``
+(sql_functions.py:1140-1145).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# union of the reference's keyword lists (sql_functions.py:1592-1610 +
+# data_fix.py:77-103 ILIKE patterns)
+CONFIDENTIAL_KEYWORDS = (
+    "dobtob",
+    "firstname",
+    "lastname",
+    "kincell",
+    "motherfirstname",
+    "mothersurname",
+    "nameprefix",
+    "phone",
+    "address",
+)
+
+
+def confidential_columns(
+    columns: Sequence[str],
+    extra: Sequence[str] = (),
+    keywords: Sequence[str] = CONFIDENTIAL_KEYWORDS,
+) -> list[str]:
+    kws = tuple(k.lower() for k in keywords)
+    extra_l = {e.lower() for e in extra}
+    return [
+        c
+        for c in columns
+        if c.lower() in extra_l or any(k in c.lower() for k in kws)
+    ]
+
+
+def redact(
+    df: DataFrame,
+    metadata_confidential: Sequence[str] = (),
+    keywords: Sequence[str] = CONFIDENTIAL_KEYWORDS,
+    map_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Drop confidential columns by keyword + metadata list; for map-typed
+    columns (the parsed session ``entries``), remove confidential keys with
+    ``map_filter`` instead of dropping the column."""
+    drop = confidential_columns(df.columns, metadata_confidential, keywords)
+    out = df.drop(*drop)
+    kws = tuple(k.lower() for k in keywords)
+    meta_l = [m.lower() for m in metadata_confidential]
+    for mc in map_cols:
+        if mc in out.columns:
+            out = out.withColumn(
+                mc,
+                F.map_filter(
+                    F.col(mc),
+                    lambda k, _v: ~F.lower(k).isin(*meta_l)
+                    if not kws
+                    else ~(
+                        F.lower(k).isin(*(meta_l or ["\x00"]))
+                        | F.lower(k).rlike("|".join(kws))
+                    ),
+                ),
+            )
+    return out

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (BASELINE.json north-star
+extension): brute-force cosine top-k baseline + IVF/LSH-bucketed scale path.
+
+Scale shape: queries are small (broadcast), the corpus is the 100 TB side —
+a single map pass computes scores, a top-k window per query reduces. The
+IVF variant prunes the corpus pass to the probed cells: corpus is
+pre-assigned to centroids (one narrow column), queries probe nprobe cells,
+and the join on cell id cuts scanned vectors by ~ncells/nprobe.
+
+Every op preps each side once (cast/quantize + squared norm,
+``neardup.prep_vectors``) below the pairwise join, so per-pair work is the
+dot product only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .neardup import _hyperplane_bucket, pair_cosine, prep_vectors
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (default: integer-quantized
+    cosine for cross-engine-exact scoring; ``scale=None`` for raw float).
+
+    Broadcast the (small) query side; the corpus is scanned once, no
+    shuffle until the per-query top-k reduction. Deterministic: ties broken
+    by neighbor id.
+    """
+    q = prep_vectors(queries, query_id_col or id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    c = prep_vectors(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"), "__v", "__n"
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"),
+            integer=scale is not None,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (IVF cell).
+
+    ``centroids`` is small (k-means output; broadcast). Persist/bucket the
+    result by cell for repeated query workloads.
+    """
+    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
+        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    cv = prep_vectors(corpus, id_col, vec_col, scale, keep=(vec_col,))
+    scored = cv.join(F.broadcast(cc)).select(
+        F.col("id").alias(id_col),
+        F.col(vec_col),
+        "cell",
+        pair_cosine(
+            F.col("__v"), F.col("__n"), F.col("__cv"), F.col("__cn"),
+            integer=scale is not None,
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim")
+    )
+
+
+def ivf_topk(
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str | None = None,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest cells per query, then
+    exact cosine within the probed cells only."""
+    integer = scale is not None
+    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
+        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    q = prep_vectors(queries, query_id_col or id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    probes = q.join(F.broadcast(cc)).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        "cell",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn"), integer=integer
+        ).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    probed = (
+        probes.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "__qn", "cell")
+    )
+    cv = prep_vectors(indexed_corpus, id_col, vec_col, scale, keep=("cell",))
+    cand = cv.join(F.broadcast(probed), "cell").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=integer
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 8,
+    query_id_col: str | None = None,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane sign bucket as the
+    IVF cell (no trained centroids needed). Same-bucket candidates only."""
+    integer = scale is not None
+    c = prep_vectors(corpus, id_col, vec_col, scale, keep=(vec_col,)).select(
+        F.col("id").alias("neighbor_id"),
+        "__v",
+        "__n",
+        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = prep_vectors(
+        queries, query_id_col or id_col, vec_col, scale, keep=(vec_col,)
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=integer
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

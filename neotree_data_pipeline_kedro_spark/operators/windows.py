@@ -1,0 +1,94 @@
+"""Window / sessionization operator family (SURVEY.md §2.6, W1-W6).
+
+The reference's episode machinery is a pandas shift/cumsum row loop; here it
+is the standard Spark lag + conditional cumsum — one shuffle on the
+partition key, linear in partition size, no driver involvement.
+
+Every window takes explicit tiebreak columns: pandas relies on frame order
+for equal keys, which does not exist distributed; a total order is part of
+the operator contract (SURVEY §7 "keep first" hard part).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order(ts_col: str, tiebreak: Sequence[str]) -> list[Column]:
+    return [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+
+
+def episode_sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    out_col: str = "episode",
+    change_expr: Column | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """W3: new episode whenever the (date of the) ordering column changes
+    within a key (tidy_...mcl_tables.py:293-315 — neolab culture-date
+    cumsum). Default change test: calendar date of ``ts_col`` differs from
+    the previous row's.
+    """
+    w_order = Window.partitionBy(*key_cols).orderBy(*_order(ts_col, tiebreak))
+    basis = F.to_date(F.col(ts_col)) if change_expr is None else change_expr
+    prev = F.lag(basis).over(w_order)
+    is_new = F.when(prev.isNull() | (basis != prev), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(is_new).over(w_cum))
+
+
+def gap_sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    out_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization (LLM/eventstream extension of W3): a new
+    session starts when the time since the previous event exceeds
+    ``gap_seconds`` (whole-second granularity, matching unix_timestamp)."""
+    w_order = Window.partitionBy(*key_cols).orderBy(*_order(ts_col, tiebreak))
+    u = F.unix_timestamp(F.col(ts_col))
+    prev_u = F.lag(u).over(w_order)
+    is_new = F.when(prev_u.isNull() | ((u - prev_u) > gap_seconds), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(is_new).over(w_cum))
+
+
+def episode_labels(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    result_col: str,
+    final_tokens: Sequence[str] = ("Pos", "Neg", "PC"),
+    out_col: str = "bc_type",
+) -> DataFrame:
+    """W4: BCType ordinal labeling within (uid, episode) ordered by DateBCR
+    (tidy_...mcl_tables.py:317-339): non-final rows get ``PRELIMINARY-n``
+    (running counter); the LAST row whose result is in ``final_tokens`` gets
+    ``FINAL``.
+    """
+    w_order = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    w_all = Window.partitionBy(*key_cols)
+    rn = F.row_number().over(w_order)
+    is_final_candidate = F.col(result_col).isin(*final_tokens)
+    df2 = df.withColumn("__rn", rn).withColumn(
+        "__last_final", F.max(F.when(is_final_candidate, F.col("__rn"))).over(w_all)
+    )
+    return (
+        df2.withColumn(
+            out_col,
+            F.when(
+                is_final_candidate & (F.col("__rn") == F.col("__last_final")), "FINAL"
+            ).otherwise(F.concat(F.lit("PRELIMINARY-"), F.col("__rn"))),
+        )
+        .drop("__rn", "__last_final")
+    )

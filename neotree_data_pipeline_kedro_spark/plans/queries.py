@@ -1,0 +1,1197 @@
+"""Driver-facing query registry: one entry per SURVEY.md §2 operator family
+plus the LLM-pipeline extensions, each with a DuckDB oracle twin.
+
+Naming: keys are prefixed with the §2 operator id(s) they cover
+(d1_* = §2.3 D1, j2_* = §2.4 J2, w3_* = §2.6 W3, f_* = §2.8 scalar
+families, dd_/ann_/ta_/mm_ = the LLM-data extensions). Queries without an
+oracle entry (genuinely non-SQL-expressible: greedy stateful assignment,
+LSH candidate generation) get the driver's rows-only check.
+
+Cross-engine exactness rules used throughout (see tests/test_oracle_parity):
+- double aggregates go through DECIMAL partial sums, cast back to double;
+- similarity scores use integer-quantized vectors (exact dot/norms);
+- every window ORDER BY spells out a total order; oracle SQL pins
+  NULLS FIRST/LAST to Spark's defaults (asc→first, desc→last);
+- DuckDB integer SUMs are cast from HUGEINT back to BIGINT;
+- events.ts is TIMESTAMP(NANOS) in parquet: Spark reads nanos-as-long and
+  converts (sources/tables.py); oracle SQL uses CAST(ts AS TIMESTAMP).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.booleans import bool_map
+from ..functions.buckets import (
+    age_category,
+    aw_group,
+    bw_group,
+    gest_group,
+    lbw_binary,
+    temp_group,
+    temp_thermia,
+    under_28wks_1kg,
+)
+from ..functions.nulls import nullify
+from ..functions.strings import duration_to_hours, extract_first_number, extract_years
+from ..functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score_components,
+    token_count,
+)
+from ..functions.timestamps import parse_timestamp_multi
+from ..operators.dedup import dedupe_keep_latest, dedupe_prefix_key, review_numbering
+from ..operators.explode import explode_delimited
+from ..operators.joins import (
+    anti_join,
+    asof_join,
+    best_match_join,
+    semi_join,
+    tiered_asof_assignment,
+)
+from ..operators.neardup import (
+    exact_dedupe,
+    minhash_lsh_candidates,
+    ngram_jaccard_on_pairs,
+    ngram_jaccard_pairs,
+    quantized_cosine,
+    simhash_candidates,
+)
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.validation import null_rates
+from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# A: aggregation family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped rollup — the A1/A2 conditional-aggregation family
+    (reference: queries/create_summary_counts_sql.py:4-37). DECIMAL partial
+    sums make the aggregate order-independent, then one cast back to double.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    dec_qty = F.col("l_quantity").cast("decimal(12,2)")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec_qty).cast("double").alias("sum_qty"),
+            F.sum(dec_price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec_qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec_price).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(12,4)")).cast("double") / n).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "a2_monthly_indicator_rollup",
+    """
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month_year,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a2_monthly_indicator_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly indicator rollup = conditional-count aggregation (A2,
+    create_summary_counts_sql.py:4-37: CASE-WHEN-1 indicator columns
+    summed per month/facility)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def ind(t: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month_year")
+    ).agg(
+        F.count("*").alias("n_total"),
+        ind("purchase"),
+        ind("signup"),
+        ind("error"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+    )
+
+
+@_register(
+    "a4_census",
+    """
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def a4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script census A4 (assorted_queries.py:800-801)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
+    "a6_null_rates",
+    """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_n,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props_n
+      FROM events
+    )
+    SELECT 'value_n' AS column_name,
+           CAST(SUM(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS null_rate
+    FROM src
+    UNION ALL
+    SELECT 'props_n',
+           CAST(SUM(CASE WHEN props_n IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           CAST(SUM(CASE WHEN props_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE)
+    FROM src
+    """,
+)
+def a6_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/§2.11 quality metrics: per-column null rates in one pass
+    (validate.py:660-674) over a frame with injected nulls."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("value_n"),
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("props")).alias("props_n"),
+    )
+    return null_rates(ev)
+
+
+# ---------------------------------------------------------------------------
+# P: projection / filter / predicate
+# ---------------------------------------------------------------------------
+
+@_register(
+    "p1_p5_filter_map_tag",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                ELSE 'normal' END AS priority_class
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    """,
+)
+def p1_p5_filter_map_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 isin predicate (catalog.py:104-118) + P5 facility tagging as a
+    literal map lookup (catalog.py:69-95 CASE synthesized from
+    hospitals.ini → F.create_map)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    tag_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v))
+            for k, v in {"1-URGENT": "urgent", "2-HIGH": "high"}.items()
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(tag_map[F.col("o_orderpriority")], F.lit("normal")).alias(
+            "priority_class"
+        ),
+    )
+
+
+@_register(
+    "p2_p4_json_projection",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+      AND CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+    GROUP BY 1
+    """,
+)
+def p2_p4_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 env predicate (ingested_at + app_mode JSON filter,
+    catalog.py:52-53) + P4 JSON projection (assorted_queries.py:332-392)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp")) & (k < 50)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(k).alias("k_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D: dedup family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "d1_dedup_last_writer",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, o_orderstatus
+        ORDER BY o_orderkey DESC NULLS LAST) = 1
+    """,
+)
+def d1_dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 generic last-writer-wins (assorted_queries.py:235-289:
+    GROUP BY keys → MAX(id) join-back, collapsed to one window) with the
+    derived year/month columns."""
+    o = _t(spark, sf_dir, "orders")
+    kept = dedupe_keep_latest(o, ["o_custkey", "o_orderstatus"], [F.desc("o_orderkey")])
+    return kept.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+    )
+
+
+@_register(
+    "d4_review_numbering",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+      QUALIFY row_number() OVER (
+          PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY event_id DESC NULLS LAST) = 1
+    )
+    SELECT user_id, event_id, ts,
+           CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS INTEGER
+           ) AS review_number
+    FROM latest
+    """,
+)
+def d4_review_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/W1 review-numbered dedup (assorted_queries.py:98-233): keep latest
+    per (uid, day), then number reviews per uid."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return review_numbering(ev, "user_id", "ts", "event_id")
+
+
+@_register(
+    "d6_prefix_dedup",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS unique_key
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_suppkey, unique_key
+    FROM src
+    QUALIFY row_number() OVER (
+        PARTITION BY substring(unique_key, 1, 10), l_suppkey
+        ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST) = 1
+    """,
+)
+def d6_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/D7/W2 prefix-key dedup (data_fix.py:49-62: PARTITION BY
+    LEFT(unique_key,10), uid)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("unique_key"),
+    )
+    return dedupe_prefix_key(
+        li, "l_suppkey", "unique_key", [F.asc("l_orderkey"), F.asc("l_linenumber")]
+    )
+
+
+@_register(
+    "d9_key_regeneration",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 1
+                THEN strftime(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+           END AS unique_key
+    FROM events
+    """,
+)
+def d9_key_regeneration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 unique-key regeneration (regenerate_unique_key.py:10-53):
+    coalesce over candidate date fields parsed with the multi-format parser,
+    reformatted ISO. Candidates synthesized deterministically from ts."""
+    ev = _t(spark, sf_dir, "events")
+    c1 = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("not-a-date"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "d MMMM yyyy"))
+        .otherwise(F.lit("NaT"))
+    )
+    c2 = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    regen = F.coalesce(parse_timestamp_multi(c1), parse_timestamp_multi(c2))
+    return ev.select(
+        "event_id", F.date_format(regen, "yyyy-MM-dd HH:mm:ss").alias("unique_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J: join family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "j1_j2_fuzzy_best_match",
+    """
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    QUALIFY row_number() OVER (
+        PARTITION BY o.o_orderkey
+        ORDER BY (10 - abs(l.l_quantity - 25)) DESC NULLS LAST,
+                 l.l_linenumber ASC NULLS FIRST,
+                 l.l_quantity ASC NULLS FIRST) = 1
+    """,
+)
+def j1_j2_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left join fan-out + J2 fuzzy best-match resolution (W5/A7):
+    score closeness, keep argmax per left row with deterministic tiebreak
+    (create_joined_table_and_derived_columns.py:268-394)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    return best_match_join(
+        o,
+        li,
+        ["o_orderkey"],
+        score=lambda j: 10 - F.abs(F.col("l_quantity") - 25),
+        tiebreak=[F.asc("l_linenumber"), F.asc("l_quantity")],
+    ).select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
+
+
+@_register(
+    "j3_asof_nearest",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS sts, event_id AS signup_id
+      FROM events WHERE event_type = 'signup'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC NULLS LAST) = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, s.signup_id, s.sts AS signup_ts
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.sts
+    """,
+)
+def j3_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-fallback/W6 as-of join: latest signup at-or-before each purchase
+    per user (merge_all.py:345-365 nearest-preceding-admission), via the
+    union + last-non-null window — no pairwise explosion."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = dedupe_keep_latest(
+        ev.filter(F.col("event_type") == "signup"), ["user_id", "ts"], [F.desc("event_id")]
+    ).select("user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("sts"))
+    return asof_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="sts",
+        right_vals=["signup_id", "sts"],
+    ).select(
+        "event_id", "user_id", "ts", "signup_id", F.col("sts").alias("signup_ts")
+    )
+
+
+@_register(
+    "j4_anti_incremental",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+    """,
+)
+def j4_anti_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 incremental NOT-EXISTS anti-join (assorted_queries.py:425-472):
+    customers with no recent orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(c, recent, ["c_custkey"])
+
+
+@_register(
+    "j5_semi_exists",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.07)
+    """,
+)
+def j5_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 semi-join (assorted_queries.py:446-472)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.07)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return semi_join(o, hi, ["o_orderkey"])
+
+
+@_register(
+    "j6_exists_null_outcome",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+)
+def j6_exists_null_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 existence-with-null-outcome (assorted_queries.py:474-507): rows
+    joined but missing the outcome → re-join trigger."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag"
+    )
+    joined = semi_join(o, li, ["o_orderkey"])
+    return anti_join(
+        joined, li.filter(F.col("l_returnflag") == "R"), ["o_orderkey"]
+    )
+
+
+@_register(
+    "j8_latest_record",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+    """,
+)
+def j8_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/A3 latest-record + per-group count — the reference's CTE-MAX
+    join-back + correlated COUNT subquery (create_summary_neolab_sql.py:3-65)
+    collapsed into one window (no join)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("n_events", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "j9_dim_broadcast_rollup",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def j9_dim_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 dim lookup join (create_combined_diagnoses_sql.py:1-10) —
+    explicitly broadcast: the dim side is small, the fact side never
+    shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W: windows / sessionization
+# ---------------------------------------------------------------------------
+
+@_register(
+    "w3_sessionize_date_change",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_day IS NULL OR day <> prev_day THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+           ) AS episode
+    FROM (
+      SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+             lag(CAST(ts AS DATE)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_day
+      FROM events
+    )
+    """,
+)
+def w3_sessionize_date_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 episode sessionization (tidy_...mcl_tables.py:293-315): new
+    episode whenever the calendar date changes, lag + conditional cumsum."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = episode_sessionize(ev, ["user_id"], "ts", "episode", tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "episode")
+
+
+@_register(
+    "w3b_sessionize_gap",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_u IS NULL OR u - prev_u > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+           ) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS u,
+             lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_u
+      FROM events
+    )
+    """,
+)
+def w3b_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), the eventstream
+    extension of W3."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = gap_sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+@_register(
+    "w4_episode_ordinal_labels",
+    """
+    WITH numbered AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'purchase'
+                 AND rn = MAX(CASE WHEN event_type = 'purchase' THEN rn END)
+                          OVER (PARTITION BY user_id)
+                THEN 'FINAL'
+                ELSE 'PRELIMINARY-' || CAST(rn AS VARCHAR) END AS bc_type
+    FROM numbered
+    """,
+)
+def w4_episode_ordinal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 BCType ordinal labeling (tidy_...mcl_tables.py:317-339):
+    PRELIMINARY-n running counter; last qualifying row = FINAL."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    out = episode_labels(
+        ev,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        result_col="event_type",
+        final_tokens=("purchase",),
+    )
+    return out.select("event_id", "user_id", "bc_type")
+
+
+# ---------------------------------------------------------------------------
+# set ops / unnest
+# ---------------------------------------------------------------------------
+
+@_register(
+    "u1_union_by_name",
+    """
+    SELECT event_id, 'purchase' AS kind, value FROM events WHERE event_type = 'purchase'
+    UNION ALL BY NAME
+    SELECT event_id, 'signup' AS kind, NULL AS value FROM events WHERE event_type = 'signup'
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 UNION ALL with schema alignment — unionByName(allowMissing)
+    (create_union_views.py:415-480 pd.concat semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("purchase").alias("kind"), "value"
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", F.lit("signup").alias("kind")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@_register(
+    "e1_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token IS NOT NULL AND trim(token) <> ''
+    GROUP BY 1
+    """,
+)
+def e1_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 unnest: explode(split(col)) + rollup
+    (create_summary_discharge_diagnosis_sql.py:3-12)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_delimited(docs, [], "text", " ", out_col="token")
+    return toks.groupBy("token").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# F: scalar families
+# ---------------------------------------------------------------------------
+
+_TS_ORACLE = """
+    WITH src AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS tsx, event_id % 9 AS cls
+      FROM events
+    ), dirty AS (
+      SELECT event_id, cls,
+        CASE cls
+          WHEN 0 THEN strftime(tsx, '%Y-%m-%d %H:%M:%S')
+          WHEN 1 THEN strftime(tsx, '%Y/%m/%d')
+          WHEN 2 THEN strftime(tsx, '%-d %B %Y')
+          WHEN 3 THEN strftime(tsx, '%m/%d/%Y')
+          WHEN 4 THEN strftime(tsx, '%d.%m.%Y')
+          WHEN 5 THEN CAST(CAST(floor(epoch(tsx)) AS BIGINT) AS VARCHAR)
+          WHEN 6 THEN strftime(tsx, '%Y%m%d')
+          WHEN 7 THEN strftime(tsx, '%Y-%m-%dT%H:%M:%S') || '.'
+          ELSE 'nan'
+        END AS dirty
+      FROM src
+    )
+    SELECT event_id, dirty,
+      CASE cls
+        WHEN 0 THEN try_strptime(dirty, '%Y-%m-%d %H:%M:%S')
+        WHEN 1 THEN try_strptime(dirty, '%Y/%m/%d')
+        WHEN 2 THEN try_strptime(dirty, '%-d %B %Y')
+        WHEN 3 THEN try_strptime(dirty, '%m/%d/%Y')
+        WHEN 4 THEN try_strptime(dirty, '%d.%m.%Y')
+        WHEN 5 THEN make_timestamp(CAST(dirty AS BIGINT) * 1000000)
+        WHEN 6 THEN try_strptime(dirty, '%Y%m%d')
+        WHEN 7 THEN try_strptime(rtrim(dirty, '.'), '%Y-%m-%dT%H:%M:%S')
+        ELSE NULL
+      END AS parsed
+    FROM dirty
+"""
+
+
+@_register("f_timestamp_multiparse", _TS_ORACLE)
+def f_timestamp_multiparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 the 20-branch timestamp parser
+    (sql_functions.py:173-293) over a deterministic dirty corpus spanning
+    ISO/slash/dot/textual/unix/compact/trailing-dot/null-token formats."""
+    ev = _t(spark, sf_dir, "events")
+    cls = F.col("event_id") % 9
+    dirty = (
+        F.when(cls == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(cls == 1, F.date_format("ts", "yyyy/MM/dd"))
+        .when(cls == 2, F.date_format("ts", "d MMMM yyyy"))
+        .when(cls == 3, F.date_format("ts", "MM/dd/yyyy"))
+        .when(cls == 4, F.date_format("ts", "dd.MM.yyyy"))
+        .when(cls == 5, F.unix_timestamp("ts").cast("string"))
+        .when(cls == 6, F.date_format("ts", "yyyyMMdd"))
+        .when(cls == 7, F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".")))
+        .otherwise(F.lit("nan"))
+    )
+    return ev.select(
+        "event_id",
+        dirty.alias("dirty"),
+        parse_timestamp_multi(dirty).alias("parsed"),
+    )
+
+
+@_register(
+    "f_nullify_boolmap",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 8 = 6 THEN 'yes'
+                WHEN event_id % 8 = 7 THEN 'NO'
+                ELSE NULL END AS cleaned,
+           CASE WHEN event_id % 8 = 6 THEN TRUE
+                WHEN event_id % 8 = 7 THEN FALSE
+                ELSE NULL END AS bool_val
+    FROM events
+    """,
+)
+def f_nullify_boolmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 null-token normalization (sql_functions.py:988,1377-1402) +
+    boolean token map (:955-958) over an injected token corpus."""
+    ev = _t(spark, sf_dir, "events")
+    tok = F.element_at(
+        F.array(*[F.lit(x) for x in ["", "nan", "NaT", "None", "<NA>", "null", "yes", "NO"]]),
+        (F.col("event_id") % 8 + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id",
+        nullify(tok).alias("cleaned"),
+        bool_map(tok).alias("bool_val"),
+    )
+
+
+@_register(
+    "f_duration_numeric_extract",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             l_orderkey % 5 AS cls,
+             l_orderkey % 9 AS d, l_orderkey % 23 AS h, l_orderkey % 59 AS m
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE cls WHEN 0 THEN d * 24 + h
+                         WHEN 1 THEN 1
+                         WHEN 2 THEN 1
+                         WHEN 3 THEN d * 24
+                         ELSE 0 END AS DOUBLE) AS dur_hours,
+           CAST(l_linenumber * 100 AS DOUBLE) AS first_num,
+           CAST(CAST(l_suppkey % 85 AS INTEGER) AS INTEGER) AS years
+    FROM src
+    """,
+)
+def f_duration_numeric_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 text-duration parser (parse_age_hours,
+    tidy_...mcl_tables.py:116-142), first-number extraction
+    (data_label_fixes.py:7-21), years extractor (assorted_fixes.py:4-21)
+    over synthesized dirty strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    cls = F.col("l_orderkey") % 5
+    d = (F.col("l_orderkey") % 9).cast("string")
+    h = (F.col("l_orderkey") % 23).cast("string")
+    m = (F.col("l_orderkey") % 59).cast("string")
+    dur = (
+        F.when(cls == 0, F.concat(d, F.lit(" days, "), h, F.lit(" hours")))
+        .when(cls == 1, F.lit("an hour"))
+        .when(cls == 2, F.concat(m, F.lit(" minutes")))
+        .when(cls == 3, F.concat(d, F.lit(" days")))
+        .otherwise(F.lit("nan"))
+    )
+    junk_num = F.concat((F.col("l_linenumber") * 100).cast("string"), F.lit("g"))
+    years_s = F.concat((F.col("l_suppkey") % 85).cast("string"), F.lit(" years old"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        duration_to_hours(dur).alias("dur_hours"),
+        extract_first_number(junk_num).alias("first_num"),
+        extract_years(years_s).alias("years"),
+    )
+
+
+@_register(
+    "f_bucketize_ladders",
+    """
+    SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_quantity IS NULL THEN 'Unknowwn'
+           WHEN l_quantity < 28 THEN '<28'
+           WHEN l_quantity < 33 THEN '28-32 wks'
+           WHEN l_quantity < 37 THEN '33-36 wks'
+           WHEN l_quantity < 42 THEN '37-41 wks'
+           ELSE '42 wks or above' END AS gest_zim,
+      CASE WHEN l_quantity IS NULL THEN NULL
+           WHEN l_quantity < 28 THEN '<28'
+           WHEN l_quantity < 32 THEN '28-32 wks'
+           WHEN l_quantity < 34 THEN '32-34 wks'
+           WHEN l_quantity < 37 THEN '34-36+6 wks'
+           ELSE 'Term' END AS gest_mwi,
+      CASE WHEN l_extendedprice IS NULL THEN 'Unknown'
+           WHEN l_extendedprice < 1000 THEN 'ELBW'
+           WHEN l_extendedprice < 1500 THEN 'VLBW'
+           WHEN l_extendedprice < 2500 THEN 'LBW'
+           WHEN l_extendedprice < 4000 THEN 'NBW'
+           ELSE 'HBW' END AS bwg,
+      CASE WHEN l_extendedprice IS NULL THEN 'Unknown'
+           WHEN l_extendedprice < 1000 THEN '<1000g'
+           WHEN l_extendedprice < 1500 THEN '1000-1500g'
+           WHEN l_extendedprice < 2500 THEN '1500-2500g'
+           WHEN l_extendedprice < 4000 THEN '2500-4000g'
+           ELSE '>4000g' END AS awg,
+      CASE WHEN 30.0 + l_tax * 100 IS NULL THEN 'Unknown'
+           WHEN 30.0 + l_tax * 100 <= 32.0 THEN 'Severe Hypothermia'
+           WHEN 30.0 + l_tax * 100 >= 32.1 AND 30.0 + l_tax * 100 <= 35.9 THEN 'Moderate Hypothermia'
+           WHEN 30.0 + l_tax * 100 >= 36.0 AND 30.0 + l_tax * 100 <= 36.4 THEN 'Mild Hypothermia'
+           WHEN 30.0 + l_tax * 100 >= 36.5 AND 30.0 + l_tax * 100 <= 37.5 THEN 'Normothermia'
+           WHEN 30.0 + l_tax * 100 > 37.5 THEN 'Fever'
+           ELSE NULL END AS thermia_zim,
+      CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN NULL
+           WHEN l_quantity < 2 THEN 'Fresh Newborn (< 2 hours old)'
+           WHEN l_quantity <= 23 THEN 'Newborn (2 - 23 hrs old)'
+           WHEN l_quantity <= 47 THEN 'Newborn (1 day - 1 day 23 hrs old)'
+           WHEN l_quantity <= 71 THEN 'Infant (2 days - 2 days 23 hrs old)'
+           ELSE 'Infant (> 3 days old)' END AS agecat,
+      COALESCE(l_extendedprice > 0 AND l_extendedprice < 2500, FALSE) AS lbw,
+      COALESCE(l_extendedprice > 0 AND l_extendedprice < 1000, FALSE) AS u28
+    FROM lineitem
+    """,
+)
+def f_bucketize_ladders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 country-parameterized bucketing CASE ladders
+    (create_derived_columns.py:7-229) — cascading-overwrite semantics
+    encoded as first-match when-chains; includes the reference's quirks
+    (the 'Unknowwn' typo, gap intervals → NULL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    temp = F.lit(30.0) + F.col("l_tax") * 100
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gest_group("l_quantity", "zimbabwe").alias("gest_zim"),
+        gest_group("l_quantity", "malawi").alias("gest_mwi"),
+        bw_group("l_extendedprice").alias("bwg"),
+        aw_group("l_extendedprice").alias("awg"),
+        temp_thermia(temp, "zimbabwe").alias("thermia_zim"),
+        age_category("l_quantity").alias("agecat"),
+        lbw_binary("l_extendedprice").alias("lbw"),
+        under_28wks_1kg("l_extendedprice").alias("u28"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_SHINGLE_DUCK = f"""
+      SELECT doc_id, source,
+             CASE WHEN len(string_split({_NORM_DUCK}, ' ')) < 3
+                  THEN [{_NORM_DUCK}]
+                  ELSE list_distinct(list_transform(
+                         range(1, len(string_split({_NORM_DUCK}, ' ')) - 1),
+                         i -> array_to_string(
+                               list_slice(string_split({_NORM_DUCK}, ' '), i, i + 2), ' ')))
+             END AS sh
+      FROM documents
+"""
+
+
+@_register(
+    "dd_exact_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5({_NORM_DUCK})
+                               ORDER BY doc_id ASC NULLS FIRST) = 1
+    """,
+)
+def dd_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5-of-normalized-text hash-groupBy (keep lowest id)
+    + document fingerprinting."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedupe(docs, "text", "doc_id")
+    return kept.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@_register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK})
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity join, blocked by source — exact shingle-set
+    verification, no unblocked self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, block_col="source"
+    ).select("id_a", "id_b", "jaccard")
+
+
+_QVEC_DUCK = """
+      SELECT vec_id, label,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+"""
+
+_QNORM_DUCK = """
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+      FROM q
+"""
+
+
+@_register(
+    "dd_embedding_cosine",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK})
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine_sim
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.2
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label; integer-quantized
+    cosine for cross-engine exactness (operators/neardup.quantized_cosine)."""
+    from ..operators.neardup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.2,
+        block_col="label",
+        scale=1_000_000,
+    )
+
+
+@_register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                                               i -> qs.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cosine_sim
+      FROM n qs, n c
+      WHERE qs.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC NULLS LAST,
+                                            neighbor_id ASC NULLS FIRST) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k similarity search: broadcast the query vectors,
+    one corpus scan, per-query top-k window (quantized-cosine scoring)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=10, scale=1_000_000
+    )
+
+
+@_register(
+    "ta_text_metrics",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','is','in','it','a'))) AS en,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des','un','une','est'))) AS fr,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist','ein','nicht','mit'))) AS de,
+             len(list_filter(toks, x -> lower(x) IN ('el','los','de','y','que','en','un','es'))) AS es,
+             n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           (n_chars - (n_tokens - 1)) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_token_len,
+           n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+           en / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN GREATEST(en, fr, de, es) = 0 THEN 'und'
+                WHEN en = GREATEST(en, fr, de, es) THEN 'en'
+                WHEN fr = GREATEST(en, fr, de, es) THEN 'fr'
+                WHEN de = GREATEST(en, fr, de, es) THEN 'de'
+                ELSE 'es' END AS lang_pred,
+           md5({_NORM_DUCK}) AS fingerprint
+    FROM m
+    """,
+)
+def ta_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting, quality-score components, stopword
+    language-ID, md5 document fingerprint — all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = quality_score_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        comp["n_chars"].alias("n_chars"),
+        comp["n_tokens"].alias("n_tokens"),
+        comp["mean_token_len"].alias("mean_token_len"),
+        comp["punct_ratio"].alias("punct_ratio"),
+        comp["stopword_ratio"].alias("stopword_ratio"),
+        language_id(F.col("text")).alias("lang_pred"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@_register(
+    "mm_binary_plumbing",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: text → binary payload column → byte-level
+    metadata (operators/multimodal handles sniffing + mapInPandas feature
+    extraction; decode itself is stubbed per environment)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle: stateful/greedy/LSH internals)
+# ---------------------------------------------------------------------------
+
+@_register("dd_minhash_lsh")
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard ≥ 0.5.
+    Rows-only check: banding internals aren't SQL-expressible, but the
+    verified output is tested against dd_ngram_jaccard in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
+    verified = ngram_jaccard_on_pairs(cand, docs, "doc_id", "text", n=3)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+@_register("dd_simhash")
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming ≤ 10 of 64 bits via band join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=10, bands=4)
+
+
+@_register("j3_tiered_greedy_assignment")
+def j3_tiered_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full greedy tiered 1:1 assignment (merge_all.py:143-511) via
+    applyInPandas, on an admission/discharge shape synthesized from orders
+    ('O' rows = admissions, 'F' rows = discharges, custkey = uid)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").cast("string").alias("uid"),
+        (F.col("o_custkey") % 5).cast("string").alias("facility"),
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_orderdate").alias("ts"),
+        (F.col("o_orderkey") % 20).cast("double").alias("ofc"),
+        (F.col("o_orderkey") % 35).cast("double").alias("bw"),
+        F.col("o_orderstatus"),
+    )
+    adms = base.filter(F.col("o_orderstatus") == "O").withColumnRenamed("rid", "admission_rid")
+    diss = base.filter(F.col("o_orderstatus") == "F").withColumnRenamed("rid", "discharge_rid")
+    return tiered_asof_assignment(
+        adms,
+        diss,
+        adm_ts="ts",
+        dis_ts="ts",
+        ofc_col="ofc",
+        bw_col="bw",
+    )
+
+
+@_register("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (hyperplane sign buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=10, planes=6)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
+    return q1_pricing_summary(spark, sf_dir)

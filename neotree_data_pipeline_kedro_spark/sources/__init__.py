@@ -1,0 +1,5 @@
+"""Sources: table registry + JSON session-envelope parsing."""
+
+from .tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

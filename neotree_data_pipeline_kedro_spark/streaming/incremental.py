@@ -1,0 +1,71 @@
+"""Incremental / "streaming" semantics (SURVEY.md §2.9).
+
+The reference has no streaming runtime — a cron re-runs the pipeline every
+N hours with hand-rolled NOT-EXISTS incremental predicates and lifecycle
+flags (assorted_queries.py:241-252,849-855; merge_all.py:598-677). Two
+Spark mappings, both preserved here:
+
+1. batch-incremental: ``incremental_sink`` = anti-join against the sink key
+   set then append (exact reference semantics; late data handled by the
+   NOT-EXISTS, not watermarks).
+2. Structured Streaming ``Trigger.AvailableNow`` over the same
+   transformation for users who want checkpointed incrementality.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import incremental_append
+
+
+def incremental_sink(
+    spark: SparkSession,
+    incoming: DataFrame,
+    sink_path: str,
+    keys: Sequence[str],
+) -> int:
+    """Append rows whose key is not yet in the parquet sink; returns the
+    number of appended rows. The sink read projects only ``keys`` (column
+    pruning keeps the anti-join narrow at scale)."""
+    if _sink_exists(sink_path):
+        existing = spark.read.parquet(sink_path).select(*keys)
+        fresh = incremental_append(incoming, existing, keys)
+    else:
+        fresh = incoming
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(sink_path)
+    return n
+
+
+def _sink_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    checkpoint: str,
+) -> None:
+    """Structured Streaming equivalent: process all available files once
+    (Trigger.AvailableNow), checkpointed, then stop — the Spark-native form
+    of the reference's cron batch."""
+    src = spark.readStream.schema(schema).parquet(source_path)
+    out = transform(src)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
