@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 
 def _num(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    # pd.to_numeric(errors='coerce') equivalence: non-ANSI cast → NULL
-    return c.cast("double")
+    # pd.to_numeric(errors='coerce') equivalence: try_cast → NULL on junk,
+    # regardless of the session's ANSI setting
+    return c.try_cast("double")
 
 
 def gest_group(col: Column | str, country: str = "zimbabwe") -> Column:

@@ -24,7 +24,9 @@ def _first_int_token(c: Column) -> Column:
     """First standalone integer token after '-' removal — mirrors
     ``[int(s) for s in age.replace('-','').split() if s.isdigit()][0]``."""
     x = F.regexp_extract(F.regexp_replace(c, "-", ""), _INT_TOKEN, 1)
-    return F.when(x == "", F.lit(None)).otherwise(x).cast("int")
+    # try_cast: digit runs longer than int range must coerce to NULL, not
+    # raise, even under ANSI
+    return F.when(x == "", F.lit(None)).otherwise(x).try_cast("int")
 
 
 def duration_to_hours(col: Column | str) -> Column:
@@ -96,7 +98,7 @@ def maternal_age_years(col: Column | str) -> Column:
         F.when(cleaned == "", F.lit(None)).otherwise(cleaned),
         F.lit(","),
         F.lit(""),
-    ).cast("double")
+    ).try_cast("double")  # "1.2.3"-style residue → NULL → 200 sentinel, ANSI-safe
     years = F.when(num > 100000, num / 8766).otherwise(num)
     return F.coalesce(F.floor(years), F.lit(200)).cast("bigint")
 

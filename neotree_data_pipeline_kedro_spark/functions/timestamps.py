@@ -133,6 +133,7 @@ def parse_timestamp_multi(col: Column | str) -> Column:
         .when(t.rlike(_RX_COMPACT), _try(t, "yyyyMMdd"))
         .when(t.rlike(_RX_UNIX_S), F.timestamp_seconds(t.cast("bigint")))
         .when(t.rlike(_RX_UNIX_MS), F.timestamp_millis(t.cast("bigint")))
-        # ELSE: plain cast (non-ANSI → NULL on failure)
-        .otherwise(t.cast("timestamp"))
+        # ELSE: tolerant cast — try_cast yields NULL on failure even under
+        # ANSI mode (the driver's vanilla session has ANSI on by default)
+        .otherwise(t.try_cast("timestamp"))
     )

@@ -26,9 +26,10 @@ def get_spark(
     """Build (or fetch) the session.
 
     - ``spark.sql.session.timeZone=UTC``: the DuckDB oracle is UTC-naive.
-    - ``spark.sql.ansi.enabled=false``: the reference treats every malformed
-      value as NULL (Postgres CASE guards + pandas ``errors='coerce'``);
-      non-ANSI casts reproduce that contract engine-wide.
+    - ANSI mode is left at the Spark default (ON in Spark 4) so local runs
+      behave like the driver's vanilla session; the reference's
+      malformed-value→NULL contract is encoded per-expression with
+      ``try_cast``/``try_to_timestamp``, not by a session-wide switch.
     - AQE + skew join: at 100 TB the hot keys in session/uid-shaped data skew;
       AQE re-plans shuffles at runtime and splits skewed partitions.
     """
@@ -36,7 +37,6 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

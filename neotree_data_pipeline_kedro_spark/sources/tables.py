@@ -42,6 +42,14 @@ _SPLIT_MAX_BYTES = 128 << 20
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     d = sf_dir or DEFAULT_SF_DIR
     path = f"{d}/{name}.parquet"
+    # Self-sufficient: events.parquet stores ts as TIMESTAMP(NANOS), which
+    # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). The conf is
+    # runtime-settable, so set it here rather than relying on whoever built
+    # the session (session.py sets it too, but the verify harness doesn't).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # unknown conf on some Spark builds; the read will then surface it
     df = spark.read.parquet(path)
     try:
         size = os.path.getsize(path)
