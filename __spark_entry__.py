@@ -42,6 +42,9 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (dd_minhash_lsh, dd_simhash,
     j3_tiered_greedy_assignment, ann_topk_lsh) are genuinely
     non-SQL-expressible (LSH banding internals / greedy stateful
-    assignment) and take the driver's rows-only check; their semantics are
-    pytest-verified against exact twins instead."""
+    assignment) and take the driver's rows-only check; each is verified in
+    tests/test_no_oracle_parity.py against an independent pandas/numpy twin
+    (exact-Jaccard soundness+completeness, brute-force hamming equality,
+    quantized-cosine recomputation + recall@10 floor, and an independent
+    greedy re-implementation, respectively)."""
     return dict(ORACLE_SQL)

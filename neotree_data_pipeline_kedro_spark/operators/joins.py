@@ -73,6 +73,7 @@ def asof_join(
     right_ts: str,
     right_vals: Sequence[str],
     direction: str = "backward",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` per key (direction='backward'; 'forward' gives
@@ -83,7 +84,17 @@ def asof_join(
     ``last(..., ignorenulls=True)`` over an ordered window — one shuffle on
     (keys, ts), no pairwise candidate explosion (reference's row loop:
     merge_all.py:345-365).
+
+    ``tiebreak``: right-side column names appended to the window order so
+    the carried row is deterministic when several right rows share
+    (keys, right_ts) — the greatest tiebreak tuple wins. Callers whose right
+    side is unique per (keys, right_ts) may omit it; otherwise the total
+    order the window needs is on the caller (same contract as the window
+    operators).
     """
+    missing = set(tiebreak) - set(right_vals)
+    if missing:
+        raise ValueError(f"asof_join tiebreak columns must be in right_vals: {missing}")
     passthru = [c for c in left.columns if c not in keys and c != left_ts]
     side_r = right.select(
         *[F.col(k) for k in keys],
@@ -105,10 +116,16 @@ def asof_join(
     unioned = side_r.unionByName(side_l)
 
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    # right rows sort before left rows at equal ts => inclusive (<= / >=)
+    # right rows sort before left rows at equal ts => inclusive (<= / >=);
+    # among equal-ts right rows the greatest tiebreak tuple sorts last and is
+    # what last() carries
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__is_right").desc())
+        .orderBy(
+            ts_order,
+            F.col("__is_right").desc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in tiebreak],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
@@ -143,8 +160,12 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
     tiers: unique OFC equality -> unique BirthWeight equality -> nearest
     non-negative (discharge_dt - admission_dt).
     """
-    adms = pdf[pdf["__side"] == "a"].sort_values("__ts", kind="mergesort")
-    diss = pdf[pdf["__side"] == "d"].sort_values("__ts", kind="mergesort")
+    # (__ts, __rid) order: the reference sorts by datetime only
+    # (merge_all.py:287) and lets frame order break ties; partition order is
+    # not reproducible in a distributed engine, so rid is the documented
+    # deterministic tiebreak.
+    adms = pdf[pdf["__side"] == "a"].sort_values(["__ts", "__rid"], kind="mergesort")
+    diss = pdf[pdf["__side"] == "d"].sort_values(["__ts", "__rid"], kind="mergesort")
     free = dict(adms[["__rid", "__ts"]].values.tolist())  # rid -> adm ts
     adm_attr = adms.set_index("__rid")[["ofc", "bw"]].to_dict("index")
     out = []

@@ -413,10 +413,11 @@ def embedding_neardup_pairs(
     )
 
 
-def _hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+def _hyperplane_bucket(vec: Column, planes: int = 8, seed: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket: plane p's j-th coefficient
-    is a fixed pseudo-random ±1 from xxhash64(p, j). Plane indices are
-    Python ints; only the dimension index is a lambda column."""
+    is a fixed pseudo-random ±1 from xxhash64(seed+p, j). Plane indices are
+    Python ints; only the dimension index is a lambda column. ``seed``
+    derives independent plane sets for multi-table LSH."""
     dim = F.size(vec)
     bucket = F.lit(0).cast("bigint")
 
@@ -424,7 +425,7 @@ def _hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
         # closure factory: PySpark derives lambda arity from the signature,
         # so the plane index must be captured, not a default argument
         return lambda x, j: x.cast("double") * F.when(
-            F.xxhash64(F.lit(plane), j) % 2 == 0, 1.0
+            F.xxhash64(F.lit(seed + plane), j) % 2 == 0, 1.0
         ).otherwise(-1.0)
 
     for p in range(planes):

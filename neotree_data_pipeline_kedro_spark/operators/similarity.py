@@ -158,33 +158,75 @@ def lsh_bucket_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 8,
     query_id_col: str | None = None,
     scale: int | None = 1_000_000,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: random-hyperplane sign bucket as the
-    IVF cell (no trained centroids needed). Same-bucket candidates only."""
+    """Multi-table LSH approximate top-k: ``tables`` independent
+    random-hyperplane sign buckets of ``planes`` bits each; a candidate is
+    any corpus vector sharing a bucket with the query in ANY table
+    (recall = 1-(1-q^planes)^tables for per-plane agreement prob q — one
+    6-plane table measured recall@10 = 0.14 on the sf0.001 corpus; 8x4
+    measures 0.8 at sf0.001 / 0.66 at sf0.01 on the driver's near-uniform
+    synthetic embeddings, floor pinned in tests. Real embedding corpora
+    cluster, which raises q for true neighbors and recall with it).
+
+    Scale shape: corpus side is exploded x``tables`` but carries only
+    (table, bucket, id) plus the prepped vector; per-table joins stay
+    bucket-local and candidates are deduped per (query, neighbor) BEFORE
+    scoring, so each survivor is scored once. Tune planes up / tables down
+    to trade scan fraction (~tables/2^planes) against recall.
+    """
     integer = scale is not None
-    c = prep_vectors(corpus, id_col, vec_col, scale, keep=(vec_col,)).select(
-        F.col("id").alias("neighbor_id"),
-        "__v",
-        "__n",
-        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    qid = query_id_col or id_col
+
+    def buckets(vec_df: DataFrame, keep_id: str) -> DataFrame:
+        b = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _hyperplane_bucket(
+                            F.col(vec_col), planes, seed=t * 1009
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb")
+        return vec_df.select(F.col(keep_id), b).select(
+            keep_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    # candidate generation on narrow (id, tbl, bucket) rows only
+    cq = buckets(queries.select(F.col(qid).alias("query_id"), vec_col), "query_id")
+    cc = buckets(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id")
+    cand_ids = (
+        cc.join(F.broadcast(cq), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = prep_vectors(
-        queries, query_id_col or id_col, vec_col, scale, keep=(vec_col,)
-    ).select(
+
+    # score each surviving pair once, vectors prepped per side
+    q = prep_vectors(queries, qid, vec_col, scale).select(
         F.col("id").alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("__n").alias("__qn"),
-        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    cand = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        "neighbor_id",
-        pair_cosine(
-            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=integer
-        ).alias("cosine_sim"),
+    c = prep_vectors(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"), "__v", "__n"
+    )
+    cand = (
+        cand_ids.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_cosine(
+                F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=integer
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

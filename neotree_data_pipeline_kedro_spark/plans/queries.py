@@ -1140,8 +1140,9 @@ def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("dd_minhash_lsh")
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard ≥ 0.5.
-    Rows-only check: banding internals aren't SQL-expressible, but the
-    verified output is tested against dd_ngram_jaccard in pytest."""
+    Rows-only check: banding internals aren't SQL-expressible; parity is
+    pinned in tests/test_no_oracle_parity.py (soundness: recomputed exact
+    Jaccard; completeness: every exact-Jaccard ≥ 0.8 pair emitted)."""
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
     verified = ngram_jaccard_on_pairs(cand, docs, "doc_id", "text", n=3)
@@ -1186,10 +1187,13 @@ def j3_tiered_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("ann_topk_lsh")
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (hyperplane sign buckets)."""
+    """Multi-table LSH approximate top-k (8 tables x 4 hyperplanes;
+    recall@10 vs brute force pinned in tests/test_no_oracle_parity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=10, planes=6)
+    return lsh_bucket_topk(
+        emb, queries, "vec_id", "embedding", k=10, planes=4, tables=8
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,243 @@
+"""Parity tests for the four registry queries without a DuckDB oracle.
+
+Each is checked against an INDEPENDENT twin (pandas/numpy re-implementation
+of the semantics, not the engine's own helpers), so the driver's rows-only
+check is backed by real verification:
+
+- dd_minhash_lsh   : soundness (every emitted pair really has Jaccard >= 0.5,
+                     recomputed in pure Python) + completeness (every pair
+                     with exact Jaccard >= 0.8 is emitted — at 16 bands x 4
+                     rows the S-curve makes a miss at s>=0.8 a ~1e-4 event,
+                     and the hash seeds are fixed, so this is deterministic).
+- dd_simhash       : exact equality with a brute-force twin — all pairs at
+                     hamming <= max_hamming that share >= 1 of the 4 bands —
+                     plus the band-trick guarantee (hamming < bands is always
+                     emitted).
+- ann_topk_lsh     : soundness (scores equal an independent numpy quantized
+                     cosine) + recall@10 vs ann_topk_bruteforce above a
+                     pinned floor.
+- j3_tiered_greedy_assignment : exact equality with an independent pandas
+                     greedy twin of merge_all.py:343-460.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+from conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# independent twins (no engine imports)
+# ---------------------------------------------------------------------------
+
+def _norm(text: str) -> str:
+    t = re.sub(r"[^a-z0-9\s]", "", (text or "").lower())
+    return re.sub(r"\s+", " ", t).strip()
+
+
+def _shingles(text: str, n: int = 3) -> frozenset[str]:
+    toks = _norm(text).split(" ")
+    if len(toks) < n:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+def _jaccard(a: frozenset, b: frozenset) -> float:
+    return len(a & b) / len(a | b)
+
+
+def _docs(path: str = SF_SMOKE) -> pd.DataFrame:
+    return pd.read_parquet(f"{path}/documents.parquet")
+
+
+def _exact_pairs(docs: pd.DataFrame, threshold: float) -> set[tuple]:
+    sh = {r.doc_id: _shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if _jaccard(sh[a], sh[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_parity(spark):
+    got = QUERIES["dd_minhash_lsh"](spark, SF_SMOKE).toPandas()
+    docs = _docs()
+    sh = {r.doc_id: _shingles(r.text) for r in docs.itertuples()}
+    # soundness: every emitted pair has exact Jaccard >= 0.5 and the emitted
+    # jaccard matches the recomputed one
+    for r in got.itertuples():
+        exact = _jaccard(sh[r.id_a], sh[r.id_b])
+        assert exact >= 0.5, f"pair ({r.id_a},{r.id_b}) jaccard {exact} < 0.5"
+        assert abs(exact - r.jaccard) < 1e-12
+    # completeness: exact-Jaccard >= 0.8 pairs must all be candidates
+    must = _exact_pairs(docs, 0.8)
+    have = {(r.id_a, r.id_b) for r in got.itertuples()}
+    missed = must - have
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_parity(spark):
+    got = QUERIES["dd_simhash"](spark, SF_SMOKE).toPandas()
+    docs = _docs()
+
+    # independent simhash twin: xxhash64 isn't in Python's stdlib, so pull
+    # per-doc signatures from a minimal Spark projection (one expression, no
+    # engine operator code) and do banding/hamming/filtering in numpy.
+    from pyspark.sql import functions as F
+    from neotree_data_pipeline_kedro_spark.operators.neardup import simhash
+
+    sdf = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", simhash(F.col("text")).alias("sh"))
+        .toPandas()
+    )
+    sig = dict(zip(sdf.doc_id, sdf.sh.astype(np.int64)))
+    ids = sorted(sig)
+    max_hamming, bands, width = 10, 4, 16
+    mask = (1 << width) - 1
+
+    def hamming(x: int, y: int) -> int:
+        return bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1")
+
+    def shares_band(x: int, y: int) -> bool:
+        return any(
+            ((int(x) >> (b * width)) & mask) == ((int(y) >> (b * width)) & mask)
+            for b in range(bands)
+        )
+
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if shares_band(sig[a], sig[b]) and hamming(sig[a], sig[b]) <= max_hamming:
+                expected.add((a, b))
+
+    have = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert have == expected
+    # reported hamming matches the twin's
+    for r in got.itertuples():
+        assert r.hamming == hamming(sig[r.id_a], sig[r.id_b])
+    # band-trick guarantee: hamming < bands can never be missed
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if hamming(sig[a], sig[b]) < bands:
+                assert (a, b) in have
+
+
+def _quantized_cosine_np(a: np.ndarray, b: np.ndarray, scale: int = 1_000_000) -> float:
+    qa = np.round(a.astype(np.float64) * scale).astype(np.int64)
+    qb = np.round(b.astype(np.float64) * scale).astype(np.int64)
+    dot = float(int(np.dot(qa, qb)))
+    na = float(int(np.dot(qa, qa)))
+    nb = float(int(np.dot(qb, qb)))
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
+def test_ann_lsh_soundness_and_recall(spark):
+    lsh = QUERIES["ann_topk_lsh"](spark, SF_SMOKE).toPandas()
+    bf = QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    # soundness: each LSH hit's score equals the independent numpy cosine
+    for r in lsh.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    # recall@10 vs exact brute force (pinned floor; hyperplane LSH with 6
+    # planes on this data achieves well above it deterministically)
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    lsh_sets = lsh.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qid, want in bf_sets.items():
+        total += len(want)
+        hits += len(want & lsh_sets.get(qid, set()))
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"recall@10 {recall:.2f} below floor"
+
+
+def _greedy_twin(adm: pd.DataFrame, dis: pd.DataFrame) -> set[tuple]:
+    """Independent re-implementation of the reference's greedy tiered
+    matching (merge_all.py:343-460): per (uid, facility), discharges in
+    (ts, rid) order consume admissions; tiers unique-OFC -> unique-BW ->
+    nearest non-negative time delta; deterministic rid tiebreaks."""
+    out = set()
+    adm_groups = dict(tuple(adm.groupby(["uid", "facility"], sort=False)))
+    for key, d_g in dis.groupby(["uid", "facility"], sort=False):
+        a_g = adm_groups.get(key)
+        free: OrderedDict = OrderedDict()
+        attrs = {}
+        if a_g is not None:
+            for r in a_g.sort_values(["ts", "admission_rid"]).itertuples():
+                free[r.admission_rid] = r.ts
+                attrs[r.admission_rid] = (r.ofc, r.bw)
+        for d in d_g.sort_values(["ts", "discharge_rid"]).itertuples():
+            cand = list(free)
+            status, pick = "unmatched_discharge", None
+            if cand:
+                ofc_eq = [
+                    r for r in cand
+                    if pd.notna(d.ofc) and pd.notna(attrs[r][0]) and attrs[r][0] == d.ofc
+                ]
+                bw_eq = [
+                    r for r in cand
+                    if pd.notna(d.bw) and pd.notna(attrs[r][1]) and attrs[r][1] == d.bw
+                ]
+                if len(ofc_eq) == 1:
+                    pick, status = ofc_eq[0], "matched"
+                elif len(bw_eq) == 1:
+                    pick, status = bw_eq[0], "matched"
+                else:
+                    best = None
+                    for r in cand:
+                        if pd.isna(free[r]) or pd.isna(d.ts):
+                            continue
+                        delta = (d.ts - free[r]).total_seconds()
+                        if delta >= 0 and (best is None or delta < best[0]):
+                            best = (delta, r)
+                    if best is not None:
+                        pick = best[1]
+                        status = (
+                            "ambiguous" if (len(ofc_eq) > 1 or len(bw_eq) > 1) else "matched"
+                        )
+            if pick is not None:
+                free.pop(pick)
+            out.add((d.discharge_rid, pick, status))
+    return out
+
+
+def test_tiered_greedy_assignment_parity(spark):
+    got = QUERIES["j3_tiered_greedy_assignment"](spark, SF_SMOKE).toPandas()
+
+    # rebuild the query's admission/discharge shaping straight from parquet
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    base = pd.DataFrame(
+        {
+            "uid": o.o_custkey.astype(str),
+            "facility": (o.o_custkey % 5).astype(str),
+            "rid": o.o_orderkey,
+            "ts": o.o_orderdate,
+            "ofc": (o.o_orderkey % 20).astype(float),
+            "bw": (o.o_orderkey % 35).astype(float),
+            "status": o.o_orderstatus,
+        }
+    )
+    adm = base[base.status == "O"].rename(columns={"rid": "admission_rid"})
+    dis = base[base.status == "F"].rename(columns={"rid": "discharge_rid"})
+
+    expected = _greedy_twin(adm, dis)
+    have = {
+        (r.discharge_rid, None if pd.isna(r.admission_rid) else int(r.admission_rid), r.match_status)
+        for r in got.itertuples()
+    }
+    assert have == expected
