@@ -90,18 +90,15 @@ def test_simhash_parity(spark):
     got = QUERIES["dd_simhash"](spark, SF_SMOKE).toPandas()
     docs = _docs()
 
-    # independent simhash twin: xxhash64 isn't in Python's stdlib, so pull
-    # per-doc signatures from a minimal Spark projection (one expression, no
-    # engine operator code) and do banding/hamming/filtering in numpy.
-    from pyspark.sql import functions as F
-    from neotree_data_pipeline_kedro_spark.operators.neardup import simhash
+    # signatures come from the engine's kernel (the twin verifies the
+    # banding / candidate generation, not the hash function); banding,
+    # hamming and filtering are recomputed independently in numpy.
+    from neotree_data_pipeline_kedro_spark.operators.neardup import simhash_signatures
 
-    sdf = (
-        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-        .select("doc_id", simhash(F.col("text")).alias("sh"))
-        .toPandas()
-    )
-    sig = dict(zip(sdf.doc_id, sdf.sh.astype(np.int64)))
+    sdf = simhash_signatures(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), "doc_id", "text"
+    ).toPandas()
+    sig = dict(zip(sdf.id, sdf.sh.astype(np.int64)))
     ids = sorted(sig)
     max_hamming, bands, width = 10, 4, 16
     mask = (1 << width) - 1
@@ -241,3 +238,32 @@ def test_tiered_greedy_assignment_parity(spark):
         for r in got.itertuples()
     }
     assert have == expected
+
+
+def test_ngram_jaccard_length_blocking_recall(spark):
+    """The no-block-col length-bucket path must find EXACTLY the pairs an
+    unblocked all-pairs Jaccard finds (bucket recall = 1.0 by construction:
+    each doc emits every bucket in [floor(t*nsh/w), floor(nsh/w)])."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for threshold in (0.3, 0.5, 0.8):
+        got = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=threshold, length_bucket=8
+        ).toPandas()
+        pdocs = _docs()
+        sh = {r.doc_id: _shingles(r.text) for r in pdocs.itertuples()}
+        ids = sorted(sh)
+        expected = {
+            (a, b): _jaccard(sh[a], sh[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if _jaccard(sh[a], sh[b]) >= threshold
+        }
+        have = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+        assert set(have) == set(expected), (
+            f"t={threshold}: missed {set(expected) - set(have)}, "
+            f"extra {set(have) - set(expected)}"
+        )
+        for k, v in expected.items():
+            assert abs(have[k] - v) < 1e-12
