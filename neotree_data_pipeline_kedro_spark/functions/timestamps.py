@@ -77,7 +77,14 @@ def parse_timestamp_multi(col: Column | str) -> Column:
     ti = F.initcap(t)  # Java month-name parsing is case-sensitive
     iso = F.try_to_timestamp(_iso_canonical(t), F.lit("yyyy-M-d H:mm:ss"))
 
-    return (
+    # Fast path: clean `yyyy-M-d H:mm:ss` (the overwhelmingly common shape
+    # in practice) parses in ONE attempt; any miss falls through to the
+    # branch-ordered chain, whose ISO branches produce the identical result,
+    # so this is a pure short-circuit, not a semantic branch.
+    fast = F.try_to_timestamp(t, F.lit("yyyy-M-d H:mm:ss"))
+
+    return F.coalesce(
+        fast,
         F.when(t.isNull(), F.lit(None).cast("timestamp"))
         # trailing-dot variants (branches 2-3): rtrim '.' then ISO parse
         .when(t.rlike(_RX_TRAIL_DOT_T), iso)
@@ -135,5 +142,5 @@ def parse_timestamp_multi(col: Column | str) -> Column:
         .when(t.rlike(_RX_UNIX_MS), F.timestamp_millis(t.cast("bigint")))
         # ELSE: tolerant cast — try_cast yields NULL on failure even under
         # ANSI mode (the driver's vanilla session has ANSI on by default)
-        .otherwise(t.try_cast("timestamp"))
+        .otherwise(t.try_cast("timestamp")),
     )
