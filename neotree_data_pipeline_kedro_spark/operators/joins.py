@@ -153,64 +153,104 @@ _MATCH_STATUS = {
 }
 
 
-def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-(uid, facility) greedy matching, reference order
-    (merge_all.py:343-460): iterate discharges sorted by discharge datetime
-    (the reference's input order after its sort at :287), consume admissions;
-    tiers: unique OFC equality -> unique BirthWeight equality -> nearest
-    non-negative (discharge_dt - admission_dt).
+def _greedy_partition(batches) -> pd.DataFrame:
+    """Greedy matching over a whole key-partition in ONE linear scan.
+
+    Reference order (merge_all.py:343-460): per (uid, facility), discharges
+    in discharge-datetime order consume admissions; tiers: unique OFC
+    equality -> unique BirthWeight equality -> nearest non-negative
+    (discharge_dt - admission_dt). The reference sorts by datetime only
+    (merge_all.py:287) and lets frame order break ties; rid is the
+    documented deterministic tiebreak here.
+
+    Shape note: groupBy().applyInPandas pays per-GROUP python/pandas
+    overhead, which dominates when groups are tiny (a patient's episodes);
+    this runs per PARTITION (repartition by key upstream), sorts once, and
+    walks plain python lists — measured ~10x on the sf0.1 assignment query.
     """
-    # (__ts, __rid) order: the reference sorts by datetime only
-    # (merge_all.py:287) and lets frame order break ties; partition order is
-    # not reproducible in a distributed engine, so rid is the documented
-    # deterministic tiebreak.
-    adms = pdf[pdf["__side"] == "a"].sort_values(["__ts", "__rid"], kind="mergesort")
-    diss = pdf[pdf["__side"] == "d"].sort_values(["__ts", "__rid"], kind="mergesort")
-    free = dict(adms[["__rid", "__ts"]].values.tolist())  # rid -> adm ts
-    adm_attr = adms.set_index("__rid")[["ofc", "bw"]].to_dict("index")
-    out = []
-    for _, d in diss.iterrows():
-        cand = list(free.keys())
-        status, pick = "unmatched_discharge", None
-        if cand:
-            ofc_eq = [
-                r
-                for r in cand
-                if pd.notna(d["ofc"])
-                and pd.notna(adm_attr[r]["ofc"])
-                and adm_attr[r]["ofc"] == d["ofc"]
-            ]
-            bw_eq = [
-                r
-                for r in cand
-                if pd.notna(d["bw"])
-                and pd.notna(adm_attr[r]["bw"])
-                and adm_attr[r]["bw"] == d["bw"]
-            ]
-            if len(ofc_eq) == 1:
-                pick, status = ofc_eq[0], "matched"
-            elif len(bw_eq) == 1:
-                pick, status = bw_eq[0], "matched"
-            else:
-                # as-of fallback: nearest admission with delta >= 0
-                best = None
-                for r in cand:
-                    a_ts = free[r]
-                    if pd.isna(a_ts) or pd.isna(d["__ts"]):
-                        continue
-                    delta = (d["__ts"] - a_ts).total_seconds()
-                    if delta >= 0 and (best is None or delta < best[0]):
-                        best = (delta, r)
-                if best is not None:
-                    pick = best[1]
-                    status = "ambiguous" if (len(ofc_eq) > 1 or len(bw_eq) > 1) else "matched"
-        if pick is not None:
-            free.pop(pick)
-        out.append((d["__rid"], pick, status))
-    res = pd.DataFrame(out, columns=["discharge_rid", "admission_rid", "match_status"])
-    res["uid"] = pdf["uid"].iloc[0] if len(pdf) else None
-    res["facility"] = pdf["facility"].iloc[0] if len(pdf) else None
-    return res
+    pdf = pd.concat(list(batches), ignore_index=True)
+    if not len(pdf):
+        return
+    # normalize DateType/None to datetime64+NaT so the int64 view below holds
+    pdf["__ts"] = pd.to_datetime(pdf["__ts"], errors="coerce")
+    pdf = pdf.sort_values(["uid", "facility", "__ts", "__rid"], kind="mergesort")
+    uid_a = pdf["uid"].tolist()
+    fac_a = pdf["facility"].tolist()
+    side_a = pdf["__side"].tolist()
+    rid_a = pdf["__rid"].tolist()
+    ofc_a = pdf["ofc"].tolist()
+    bw_a = pdf["bw"].tolist()
+    # int64 epoch view: NaT becomes INT64_MIN (sentinel), comparisons stay
+    # exact and ~10x cheaper than Timestamp arithmetic
+    nat = -(1 << 63)
+    ts_a = pdf["__ts"].to_numpy().view("i8").tolist()
+
+    o_rid, o_adm, o_status, o_uid, o_fac = [], [], [], [], []
+    n = len(rid_a)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and uid_a[j] == uid_a[i] and fac_a[j] == fac_a[i]:
+            j += 1
+        # group [i, j): rows already in (__ts NaT-last, __rid) order
+        free: dict = {}  # rid -> row index
+        for k in range(i, j):
+            if side_a[k] == "a":
+                free[rid_a[k]] = k
+        for k in range(i, j):
+            if side_a[k] != "d":
+                continue
+            d_ofc, d_bw, d_ts = ofc_a[k], bw_a[k], ts_a[k]
+            status, pick = "unmatched_discharge", None
+            if free:
+                ofc_eq = (
+                    [r for r, m in free.items() if ofc_a[m] == d_ofc]
+                    if d_ofc == d_ofc  # not-NaN
+                    else []
+                )
+                bw_eq = (
+                    [r for r, m in free.items() if bw_a[m] == d_bw]
+                    if d_bw == d_bw
+                    else []
+                )
+                if len(ofc_eq) == 1:
+                    pick, status = ofc_eq[0], "matched"
+                elif len(bw_eq) == 1:
+                    pick, status = bw_eq[0], "matched"
+                elif d_ts != nat:
+                    # as-of fallback: nearest admission with delta >= 0
+                    best = None
+                    for r, m in free.items():
+                        a_ts = ts_a[m]
+                        if a_ts == nat:
+                            continue
+                        delta = d_ts - a_ts
+                        if delta >= 0 and (best is None or delta < best[0]):
+                            best = (delta, r)
+                    if best is not None:
+                        pick = best[1]
+                        status = (
+                            "ambiguous"
+                            if (len(ofc_eq) > 1 or len(bw_eq) > 1)
+                            else "matched"
+                        )
+            if pick is not None:
+                free.pop(pick)
+            o_rid.append(rid_a[k])
+            o_adm.append(pick)
+            o_status.append(status)
+            o_uid.append(uid_a[k])
+            o_fac.append(fac_a[k])
+        i = j
+    yield pd.DataFrame(
+        {
+            "discharge_rid": pd.array(o_rid, dtype="Int64"),
+            "admission_rid": pd.array(o_adm, dtype="Int64"),
+            "match_status": o_status,
+            "uid": o_uid,
+            "facility": o_fac,
+        }
+    )
 
 
 _ASSIGN_SCHEMA = T.StructType(
@@ -239,11 +279,13 @@ def tiered_asof_assignment(
     """Greedy tiered 1:1 assignment (J3). Returns
     (discharge_rid, admission_rid|NULL, match_status, uid, facility).
 
-    Deterministic: discharges processed in discharge-datetime order within
-    each (uid, facility) group (the reference sorts at merge_all.py:287 then
-    iterates). Group-level parallelism via applyInPandas — the only operator
+    Deterministic: discharges processed in (discharge-datetime, rid) order
+    within each (uid, facility) group (the reference sorts at
+    merge_all.py:287 then iterates). The greedy scan is the only operator
     family in this engine where per-group imperative logic is genuinely
-    required (SURVEY §7 hard part #1).
+    required (SURVEY §7 hard part #1); it runs partition-parallel —
+    repartition on the group key, one mapInPandas scan per partition —
+    because per-group applyInPandas overhead dominates with tiny groups.
     """
     a = admissions.select(
         F.col(uid_col).alias("uid"),
@@ -265,6 +307,6 @@ def tiered_asof_assignment(
     )
     return (
         a.unionByName(d)
-        .groupBy("uid", "facility")
-        .applyInPandas(_greedy_assign, schema=_ASSIGN_SCHEMA)
+        .repartition("uid", "facility")
+        .mapInPandas(_greedy_partition, schema=_ASSIGN_SCHEMA)
     )
