@@ -27,14 +27,16 @@ def main() -> None:
     spark = get_spark(app_name="neotree-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # one untimed end-to-end execution absorbs JVM/codegen/Arrow warmup so it
+    # doesn't land on whichever query happens to run first
+    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)  # build (lazy) outside the timed region? No:
-        # plan construction is part of the query cost, but JVM/py4j warmup is
-        # not — so build once to warm, then time a fresh build + execution.
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

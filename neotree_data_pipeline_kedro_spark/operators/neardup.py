@@ -207,28 +207,45 @@ def shingle_sets(
     text_col: str,
     n: int = 3,
     keep: tuple[str, ...] = (),
+    hashed: bool = True,
 ) -> DataFrame:
-    """(id, *keep, sh array<string>, nsh int) distinct word-n-gram shingle
-    sets via the vectorized pandas kernel (identical set contents to the
-    ``shingles`` expression; array order is unspecified — only set ops are
-    meaningful)."""
+    """(id, *keep, sh array, nsh int) distinct word-n-gram shingle sets via
+    the vectorized pandas kernel.
+
+    ``hashed=True`` (default) emits 64-bit blake2b shingle hashes — set
+    intersections on bigints are several times cheaper than on strings in
+    the pairwise-verify join, and at ~100 shingles/doc a within-pair
+    collision is a ~1e-16 event, so Jaccard counts are exact in practice.
+    ``hashed=False`` emits the raw shingle strings.
+    """
     out_schema = T.StructType(
         [
             T.StructField("id", df.schema[id_col].dataType),
             *[T.StructField(c, df.schema[c].dataType) for c in keep],
-            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField(
+                "sh", T.ArrayType(T.LongType() if hashed else T.StringType())
+            ),
             T.StructField("nsh", T.IntegerType()),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sh = [_py_shingles(t, n) for t in pdf[text_col]]
+            sh_str = [_py_shingles(t, n) for t in pdf[text_col]]
+            if hashed:
+                sh = [
+                    np.fromiter(
+                        (_base_hash_u64(s) for s in row), np.uint64, len(row)
+                    ).astype(np.int64)
+                    for row in sh_str
+                ]
+            else:
+                sh = sh_str
             out = {"id": pdf[id_col]}
             for c in keep:
                 out[c] = pdf[c]
             out["sh"] = sh
-            out["nsh"] = [len(s) for s in sh]
+            out["nsh"] = [len(s) for s in sh_str]
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col, *keep).mapInPandas(batches, schema=out_schema)
@@ -295,6 +312,12 @@ def ngram_jaccard_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
+        # necessary size condition for Jaccard >= t: t*max(na,nb) <= min(na,nb)
+        # — prunes most pairs before the set intersection
+        .filter(
+            F.least("a.nsh", "b.nsh")
+            >= F.lit(threshold) * F.greatest("a.nsh", "b.nsh")
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -14,10 +14,62 @@ dot product only.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .neardup import _hyperplane_bucket, pair_cosine, prep_vectors
+from .neardup import _splitmix64, pair_cosine, prep_vectors
+
+
+def _hyperplane_buckets_df(
+    df: DataFrame, id_col: str, vec_col: str, planes: int, tables: int
+) -> DataFrame:
+    """(id, tbl, bucket) sign-buckets for ``tables`` independent hyperplane
+    sets, computed as one numpy GEMM per Arrow batch — the expression-tree
+    version paid planes x dim hash calls per row. Coefficients are
+    deterministic (splitmix64 of (table, plane, dim)), so corpus and query
+    sides always agree."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coef = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if coef is None:
+                dim = x.shape[1]
+                coef = np.empty((tables * planes, dim), dtype=np.float64)
+                for t in range(tables):
+                    for p in range(planes):
+                        for j in range(dim):
+                            coef[t * planes + p, j] = (
+                                1.0
+                                if _splitmix64((t * 1009 + p) * 1_000_003 + j) & 1
+                                else -1.0
+                            )
+            signs = (x @ coef.T) > 0  # rows x (tables*planes)
+            buckets = signs.reshape(len(pdf), tables, planes) @ weights
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), tables),
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
 
 
 def brute_force_topk(
@@ -181,27 +233,15 @@ def lsh_bucket_topk(
     integer = scale is not None
     qid = query_id_col or id_col
 
-    def buckets(vec_df: DataFrame, keep_id: str) -> DataFrame:
-        b = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _hyperplane_bucket(
-                            F.col(vec_col), planes, seed=t * 1009
-                        ).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb")
-        return vec_df.select(F.col(keep_id), b).select(
-            keep_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-        )
-
     # candidate generation on narrow (id, tbl, bucket) rows only
-    cq = buckets(queries.select(F.col(qid).alias("query_id"), vec_col), "query_id")
-    cc = buckets(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id")
+    cq = _hyperplane_buckets_df(
+        queries.select(F.col(qid).alias("query_id"), vec_col),
+        "query_id", vec_col, planes, tables,
+    ).withColumnRenamed("id", "query_id")
+    cc = _hyperplane_buckets_df(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, planes, tables,
+    ).withColumnRenamed("id", "neighbor_id")
     cand_ids = (
         cc.join(F.broadcast(cq), ["tbl", "bucket"])
         .select("query_id", "neighbor_id")
