@@ -65,6 +65,12 @@ from ..operators.neardup import (
 from ..operators.similarity import brute_force_topk, lsh_bucket_topk
 from ..operators.validation import null_rates
 from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
+from ..sources.sessions import (
+    entry_rows,
+    explode_list_section,
+    explode_repeatables,
+    repair_uid,
+)
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -719,6 +725,224 @@ def e1_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = explode_delimited(docs, [], "text", " ", out_col="token")
     return toks.groupBy("token").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# S1 / §2.7: session JSON layer (sources/sessions.py)
+# ---------------------------------------------------------------------------
+
+def _synth_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shaped envelopes synthesized deterministically from events:
+    odd event_ids carry OLD-format entries (list) with a null uid (repaired
+    from NeoTreeID), duplicate Temp/completed_at keys, and an MCL AdmReason;
+    even ids carry NEW-format entries (dict) with single, multi-label and
+    *Oth fields. The oracle constructs the expected restructure output
+    directly, so the whole serialize -> parse -> restructure path is what's
+    under test."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    t1 = (F.col("event_id") % 40).cast("string")
+    t2 = (F.col("event_id") % 37).cast("string")
+    c1 = F.concat(F.lit("c"), (F.col("event_id") % 7).cast("string"))
+    c2 = F.concat(F.lit("c"), (F.col("event_id") % 3).cast("string"))
+    g = (F.col("event_id") % 42).cast("string")
+
+    def _oldent(key, pairs):
+        return F.struct(
+            F.lit(key).alias("key"),
+            F.array(
+                *[
+                    F.struct(lb.alias("label"), vl.alias("value"))
+                    for lb, vl in pairs
+                ]
+            ).alias("values"),
+        )
+
+    old_json = F.to_json(
+        F.array(
+            _oldent("NeoTreeID", [(F.lit("id"), F.concat(F.lit("id-"), eid))]),
+            _oldent("Temp", [(t1, t1)]),
+            _oldent("Temp", [(t2, t2)]),
+            _oldent("completed_at", [(c1, c1)]),
+            _oldent("completed_at", [(c2, c2)]),
+            _oldent(
+                "AdmReason",
+                [(F.lit("Prem"), F.lit("P")), (F.lit("Sepsis"), F.lit("S"))],
+            ),
+        )
+    )
+
+    def _newent(labels, values):
+        return F.struct(
+            F.struct(
+                F.array(*labels).alias("label"), F.array(*values).alias("value")
+            ).alias("values")
+        )
+
+    new_json = F.to_json(
+        F.create_map(
+            F.lit("Gest"), _newent([g], [g]),
+            F.lit("DangerSigns"),
+            _newent([F.lit("Fits"), F.lit("Grunting")], [F.lit("F"), F.lit("G")]),
+            F.lit("BWOth"), _newent([F.lit("Other w")], [F.lit("OW")]),
+        )
+    )
+    odd = F.col("event_id") % 2 == 1
+    return ev.select(
+        "event_id",
+        F.when(odd, F.lit(None)).otherwise(F.concat(F.lit("u"), eid)).alias("uid"),
+        F.when(odd, old_json).otherwise(new_json).alias("entries"),
+    )
+
+
+@_register(
+    "s1_entries_restructure",
+    """
+    WITH e AS (SELECT event_id FROM events)
+    SELECT event_id, uid, key, value, label, is_mcl FROM (
+      SELECT event_id, 'ID-' || event_id AS uid, 'NeoTreeID' AS key,
+             'id-' || event_id AS value, 'id' AS label, FALSE AS is_mcl
+      FROM e WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, 'ID-' || event_id, 'Temp',
+             CAST(event_id % 37 AS VARCHAR), CAST(event_id % 37 AS VARCHAR), FALSE
+      FROM e WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, 'ID-' || event_id, 'completed_at',
+             'c' || CAST(event_id % 7 AS VARCHAR), 'c' || CAST(event_id % 7 AS VARCHAR), FALSE
+      FROM e WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, 'ID-' || event_id, 'AdmReason', 'P', 'Prem', TRUE
+      FROM e WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, 'U' || event_id, 'Gest',
+             CAST(event_id % 42 AS VARCHAR), CAST(event_id % 42 AS VARCHAR), FALSE
+      FROM e WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, 'U' || event_id, 'DangerSigns', 'F', 'Fits', TRUE
+      FROM e WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, 'U' || event_id, 'BWOth', 'OW', 'Other w', TRUE
+      FROM e WHERE event_id % 2 = 0
+    )
+    """,
+)
+def s1_entries_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + P4: dual-format entries restructure with uid repair — old-format
+    lists and new-format dicts parse declaratively (from_json), duplicate
+    keys resolve last-wins (completed_at first-wins), MCL fields flagged
+    (import_raw_jsons.py:31-215, extract_key_values.py:13-113,
+    json_restructure.py:9-81)."""
+    env = _synth_envelope(spark, sf_dir)
+    env = env.withColumn("uid", repair_uid(F.col("uid"), F.col("entries")))
+    return entry_rows(env, id_cols=("event_id", "uid")).select(
+        "event_id", "uid", "key", "value", "label", "is_mcl"
+    )
+
+
+@_register(
+    "e2_repeatables",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CAST((event_id % 9) + 1 AS VARCHAR) AS day,
+             CAST(100 + (event_id % 80) AS VARCHAR) AS hr,
+             CAST(event_id % 5 AS VARCHAR) AS k,
+             CAST(1000 + (event_id % 4000) AS VARCHAR) AS wt
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_id, script_table, form_id, created_at, field_key, field_value, field_label
+    FROM (
+      SELECT event_id, 'admissions_dailyreview' AS script_table,
+             'a' || event_id AS form_id, '2024-01-0' || day AS created_at,
+             'HR' AS field_key, hr AS field_value, hr || ' bpm' AS field_label
+      FROM e
+      UNION ALL
+      SELECT event_id, 'admissions_dailyreview', 'a' || event_id, '2024-01-0' || day,
+             'note', 'n' || k, 'n' || k
+      FROM e
+      UNION ALL
+      SELECT event_id, 'admissions_vitals', 'b' || event_id, '2024-02-0' || day,
+             'Weight', wt, wt
+      FROM e
+    )
+    """,
+)
+def e2_repeatables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 repeatables exploder (extract_key_values.py:263-322): nested
+    repeatable groups -> per-entry rows keyed (form_id, created_at), empty
+    ids dropped, field keys sanitized, dict fields -> (value,label), scalars
+    duplicated into both. JSON built by string concat so dict-valued fields
+    exercise the raw-JSON capture path."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    eid = F.col("event_id").cast("string")
+    day = ((F.col("event_id") % 9) + 1).cast("string")
+    hr = (F.lit(100) + (F.col("event_id") % 80)).cast("string")
+    k = (F.col("event_id") % 5).cast("string")
+    wt = (F.lit(1000) + (F.col("event_id") % 4000)).cast("string")
+    entries = F.concat(
+        F.lit('{"repeatables":{"Daily Review":[{"id":"a'), eid,
+        F.lit('","createdAt":"2024-01-0'), day,
+        F.lit('","HR":{"value":"'), hr, F.lit('","label":"'), hr,
+        F.lit(' bpm"},"note":"n'), k,
+        F.lit('"},{"id":"","createdAt":"x"}],"Vitals":[{"id":"b'), eid,
+        F.lit('","createdAt":"2024-02-0'), day,
+        F.lit('","Weight":"'), wt, F.lit('"}]}}'),
+    )
+    env = ev.select("event_id", entries.alias("entries"))
+    rep = explode_repeatables(env, "admissions", id_cols=("event_id",))
+    return rep.select(
+        "event_id", "script_table", "form_id", "created_at",
+        F.explode("fields").alias("field_key", "__f"),
+    ).select(
+        "event_id", "script_table", "form_id", "created_at", "field_key",
+        F.col("__f.value").alias("field_value"),
+        F.col("__f.label").alias("field_label"),
+    )
+
+
+@_register(
+    "e3_diagnoses_explode",
+    """
+    WITH e AS (SELECT event_id FROM events WHERE event_id % 2 = 0)
+    SELECT event_id, diagnosis, name, code FROM (
+      SELECT event_id, 'D' || CAST(event_id % 3 AS VARCHAR) AS diagnosis,
+             'n2-' || event_id AS name, 'c2' AS code
+      FROM e
+      UNION ALL
+      SELECT event_id, 'DX', 'nx' || event_id, 'cx' FROM e
+    )
+    """,
+)
+def e3_diagnoses_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 diagnoses exploder (extract_key_values.py:115-159): list of
+    single-key dicts dict-merged (later elements override the same parent,
+    reduce at :127), one row per diagnosis, child keys sanitized
+    ('code-x' -> 'code_x': the reference maps '-' to '_' before stripping
+    non-alphanumerics, json_restructure.py:72-81)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    eid = F.col("event_id").cast("string")
+    dname = F.concat(F.lit("D"), (F.col("event_id") % 3).cast("string"))
+    diagnoses = F.to_json(
+        F.array(
+            F.create_map(dname, F.create_map(
+                F.lit("name"), F.concat(F.lit("n1-"), eid),
+                F.lit("code-x"), F.lit("c1"))),
+            F.create_map(F.lit("DX"), F.create_map(
+                F.lit("name"), F.concat(F.lit("nx"), eid),
+                F.lit("code-x"), F.lit("cx"))),
+            F.create_map(dname, F.create_map(
+                F.lit("name"), F.concat(F.lit("n2-"), eid),
+                F.lit("code-x"), F.lit("c2"))),
+        )
+    )
+    env = ev.select("event_id", diagnoses.alias("diagnoses"))
+    out = explode_list_section(env, "diagnoses", "diagnosis", id_cols=("event_id",))
+    return out.select(
+        "event_id", "diagnosis",
+        F.col("fields")["name"].alias("name"),
+        F.col("fields")["code_x"].alias("code"),
+    )
 
 
 # ---------------------------------------------------------------------------
