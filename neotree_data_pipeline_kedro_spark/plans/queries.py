@@ -63,6 +63,7 @@ from ..operators.neardup import (
     simhash_candidates,
 )
 from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.sinks import keyed_bulk_update, reconcile_update, upsert_by_key, _keep_one
 from ..operators.validation import null_rates
 from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
 from ..sources.sessions import (
@@ -942,6 +943,208 @@ def e3_diagnoses_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "diagnosis",
         F.col("fields")["name"].alias("name"),
         F.col("fields")["code_x"].alias("code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7/S8/J7: mutable-sink family (operators/sinks.py)
+# ---------------------------------------------------------------------------
+
+_UPSERT_SIDES_DUCK = """
+      sides AS (
+        SELECT o_custkey AS uid, o_custkey % 7 AS form_id, o_custkey % 5 AS facility,
+               o_custkey % 3 AS review_number, '2024-01-01' AS created_at,
+               o_orderstatus, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+      ),
+      t AS (
+        SELECT uid, form_id, facility, review_number, created_at,
+               o_totalprice AS price, 'old' AS status, o_orderkey AS extra_t
+        FROM sides WHERE o_orderstatus = 'F'
+        QUALIFY row_number() OVER (
+          PARTITION BY uid, form_id, facility, review_number, created_at
+          ORDER BY o_orderkey DESC NULLS LAST) = 1
+      ),
+      i AS (
+        SELECT uid, form_id, facility, review_number, created_at,
+               o_totalprice * 2 AS price, 'new' AS status, o_orderkey AS extra_i
+        FROM sides WHERE o_orderstatus = 'O'
+        QUALIFY row_number() OVER (
+          PARTITION BY uid, form_id, facility, review_number, created_at
+          ORDER BY o_orderkey DESC NULLS LAST) = 1
+      )
+"""
+
+
+@_register(
+    "s7_upsert_by_key",
+    f"""
+    WITH {_UPSERT_SIDES_DUCK}
+    SELECT COALESCE(i.uid, t.uid) AS uid,
+           COALESCE(i.form_id, t.form_id) AS form_id,
+           COALESCE(i.facility, t.facility) AS facility,
+           COALESCE(i.review_number, t.review_number) AS review_number,
+           COALESCE(i.created_at, t.created_at) AS created_at,
+           CASE WHEN i.uid IS NOT NULL THEN i.price ELSE t.price END AS price,
+           CASE WHEN i.uid IS NOT NULL THEN i.status ELSE t.status END AS status,
+           t.extra_t AS extra_t, i.extra_i AS extra_i
+    FROM t FULL OUTER JOIN i
+      USING (uid, form_id, facility, review_number, created_at)
+    """,
+)
+def s7_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 upsert sink (sql_functions.py:786-909): ON CONFLICT(5-part key)
+    DO UPDATE as a pure post-state transform — incoming overwrites its own
+    columns, target-only columns persist, unmatched rows pass through;
+    intra-batch duplicate keys resolve by explicit order (max o_orderkey =
+    the reference's last-iterated row)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_custkey").alias("uid"),
+        (F.col("o_custkey") % 7).alias("form_id"),
+        (F.col("o_custkey") % 5).alias("facility"),
+        (F.col("o_custkey") % 3).alias("review_number"),
+        F.lit("2024-01-01").alias("created_at"),
+        "o_orderstatus", "o_orderkey", "o_totalprice",
+    )
+    target = base.filter(F.col("o_orderstatus") == "F").select(
+        "uid", "form_id", "facility", "review_number", "created_at",
+        F.col("o_totalprice").alias("price"),
+        F.lit("old").alias("status"),
+        F.col("o_orderkey").alias("extra_t"),
+        "o_orderkey",
+    )
+    incoming = base.filter(F.col("o_orderstatus") == "O").select(
+        "uid", "form_id", "facility", "review_number", "created_at",
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.lit("new").alias("status"),
+        F.col("o_orderkey").alias("extra_i"),
+        "o_orderkey",
+    )
+    order = [F.desc("o_orderkey")]
+    target = _keep_one(
+        target, ["uid", "form_id", "facility", "review_number", "created_at"], order
+    ).drop("o_orderkey")
+    out = upsert_by_key(
+        target,
+        incoming,
+        keys=("uid", "form_id", "facility", "review_number", "created_at"),
+        order=order,
+    )
+    return out.drop("o_orderkey")
+
+
+@_register(
+    "s8_bulk_update",
+    """
+    WITH t AS (
+      SELECT event_id, user_id AS uid, user_id % 5 AS facility,
+             'k' || event_id AS unique_key, value AS val,
+             CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS TIMESTAMP) AS upd_ts
+      FROM events
+    ),
+    v AS (
+      SELECT user_id AS uid, user_id % 5 AS facility, 'k' || event_id AS unique_key,
+             CAST(value * 2 AS VARCHAR) AS val, 'yes' AS flag,
+             '2024-01-0' || CAST((event_id % 9) + 1 AS VARCHAR) AS upd_ts
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT t.event_id, t.uid, t.facility, t.unique_key,
+           CASE WHEN v.uid IS NOT NULL THEN CAST(v.val AS DOUBLE) ELSE t.val END AS val,
+           CASE WHEN v.uid IS NOT NULL THEN TRUE ELSE t.flag END AS flag,
+           CASE WHEN v.uid IS NOT NULL
+                THEN CAST(v.upd_ts || ' 00:00:00' AS TIMESTAMP) ELSE t.upd_ts END AS upd_ts
+    FROM t LEFT JOIN v
+      ON t.uid = v.uid AND t.facility = v.facility AND t.unique_key = v.unique_key
+    """,
+)
+def s8_bulk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 bulk keyed UPDATE (sql_functions.py:912-1097): UPDATE..FROM VALUES
+    matching (uid, facility, unique_key[|unique_key_dis]); update values are
+    coerced to the target column's type (numeric coerce, boolean token map,
+    multi-format timestamp parse) exactly as the reference's per-value
+    formatter does."""
+    ev = _t(spark, sf_dir, "events")
+    target = ev.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 5).alias("facility"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("unique_key"),
+        F.col("value").alias("val"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.lit(None).cast("timestamp").alias("upd_ts"),
+    )
+    updates = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 5).alias("facility"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("unique_key"),
+        (F.col("value") * 2).cast("string").alias("val"),
+        F.lit("yes").alias("flag"),
+        F.concat(
+            F.lit("2024-01-0"), ((F.col("event_id") % 9) + 1).cast("string")
+        ).alias("upd_ts"),
+    )
+    return keyed_bulk_update(target, updates)
+
+
+@_register(
+    "j7_reconcile_lifecycle",
+    """
+    WITH t AS (
+      SELECT o_custkey AS uid, o_custkey % 5 AS facility, 'k' || o_orderkey AS unique_key,
+             o_orderstatus = 'O' AS has_admission, FALSE AS has_discharge,
+             FALSE AS is_closed, CAST(NULL AS DOUBLE) AS dis_val
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    v AS (
+      SELECT uid, facility, dis_val FROM (
+        SELECT o_custkey AS uid, o_custkey % 5 AS facility, o_totalprice AS dis_val,
+               row_number() OVER (PARTITION BY o_custkey, o_custkey % 5
+                                  ORDER BY o_orderkey ASC NULLS LAST) AS rn
+        FROM orders WHERE o_orderstatus = 'P'
+      ) WHERE rn = 1
+    )
+    SELECT t.uid, t.facility, t.unique_key, t.has_admission,
+           CASE WHEN t.has_admission AND v.uid IS NOT NULL THEN TRUE
+                ELSE t.has_discharge END AS has_discharge,
+           CASE WHEN t.has_admission AND v.uid IS NOT NULL THEN TRUE
+                ELSE t.is_closed END AS is_closed,
+           CASE WHEN t.has_admission AND v.uid IS NOT NULL THEN v.dis_val
+                ELSE t.dis_val END AS dis_val
+    FROM t LEFT JOIN v ON t.uid = v.uid AND t.facility = v.facility
+    """,
+)
+def j7_reconcile_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 reconcile update join (sql_functions.py:1960-2160): lifecycle rows
+    holding only an admission are completed from the first matching incoming
+    discharge on (uid, facility) — discharge fields overwrite, has_discharge
+    and is_closed flip true; everything else passes through untouched."""
+    o = _t(spark, sf_dir, "orders")
+    table = o.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        F.col("o_custkey").alias("uid"),
+        (F.col("o_custkey") % 5).alias("facility"),
+        F.concat(F.lit("k"), F.col("o_orderkey").cast("string")).alias("unique_key"),
+        (F.col("o_orderstatus") == "O").alias("has_admission"),
+        F.lit(False).alias("has_discharge"),
+        F.lit(False).alias("is_closed"),
+        F.lit(None).cast("double").alias("dis_val"),
+    )
+    incoming = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("uid"),
+        (F.col("o_custkey") % 5).alias("facility"),
+        F.col("o_totalprice").alias("dis_val"),
+        "o_orderkey",
+    )
+    out = reconcile_update(
+        table,
+        incoming.select("uid", "facility", "dis_val", "o_orderkey"),
+        "has_admission",
+        "has_discharge",
+        order=[F.asc("o_orderkey")],
+    )
+    return out.select(
+        "uid", "facility", "unique_key", "has_admission",
+        "has_discharge", "is_closed", "dis_val",
     )
 
 
