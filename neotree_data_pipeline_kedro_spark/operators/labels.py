@@ -1,12 +1,19 @@
 """Metadata-driven label repair (SURVEY.md §2.10).
 
-Reference: ``transform_dataframe_with_field_info`` /
-``transform_matching_labels`` (conf/common/sql_functions.py:1116-1307;
-utils/field_info.py:227-377): for select-typed fields, the stored
-``Key.label`` must equal the options map's label for ``Key.value``;
-includes inverted value/label swap detection (field_info.py:348-354),
-``Oth``/``other`` passthrough (:356-358), and multi-select CSV label joins
-(:364-370).
+Reference: ``transform_dataframe_with_field_info`` / ``_transform_subset``
+(conf/common/sql_functions.py:1116-1307; utils/field_info.py:306-377). The
+app sometimes stores a field's QUESTION label instead of the option label,
+or swaps value and label; the repair, per field with metadata:
+
+1. label := NULL wherever value is NULL (field_info.py:323-329);
+2. inverted swap — value ∈ option LABELS and label ∈ option VALUES — swap
+   them (select-typed fields only, :348-354);
+3. relabel gate: value non-null AND stored label == the field's own
+   question label (``json_label``) AND value not in {'oth','other'}
+   (:356-358); gated rows get label := options[value] (unknown value →
+   NULL, pandas ``.map`` semantics) or label := value when the field has
+   no options; multi_select/checklist fields get a ','-joined per-token
+   mapping (:364-370).
 
 Spark form: the field-options dict is tiny driver-side metadata → literal
 ``create_map`` expressions (constant-folded by Catalyst), no join, no UDF.
@@ -15,90 +22,91 @@ Spark form: the field-options dict is tiny driver-side metadata → literal
 from __future__ import annotations
 
 from itertools import chain
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 OTHER_TOKENS = ("oth", "other")
+SELECT_TYPES = ("single_select_option", "dropdown", "multi_select_option")
+MULTISELECT_TYPES = ("multi_select", "checklist")
 
 
 def _literal_map(options: dict[str, str]) -> Column:
-    return F.create_map(*chain.from_iterable((F.lit(k), F.lit(v)) for k, v in options.items()))
+    return F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in options.items())
+    )
 
 
-def repair_label(
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def repair_field(
     value_col: Column | str,
     label_col: Column | str,
-    options: dict[str, str],
+    field: dict[str, Any],
 ) -> tuple[Column, Column]:
-    """Return (fixed_value, fixed_label) for a single-select field.
+    """(fixed_value, fixed_label) for one field given its metadata dict
+    ``{label: <question label>, type: <field type>, options:
+    [{value, valueLabel}, ...]}`` (the S9 registry shape)."""
+    v = _col(value_col)
+    lb = _col(label_col)
+    json_label = field.get("label")
+    field_type = field.get("type", "")
+    options = {
+        o["value"]: o["valueLabel"] for o in field.get("options") or []
+    }
+    vmap = _literal_map(options)  # value -> valueLabel
+    inv = _literal_map({l: k for k, l in options.items()})  # valueLabel -> value
 
-    - value found in options → label := options[value]
-    - inverted pair (stored value is actually a label and stored label is a
-      valid value) → swap, then map (field_info.py:348-354)
-    - 'Oth'/'other' → passthrough (:356-358)
-    - unknown value → keep both as-is
-    """
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-    lb = F.col(label_col) if isinstance(label_col, str) else label_col
-    vmap = _literal_map(options)  # value -> label
-    inv = _literal_map({label: val for val, label in options.items()})  # label -> value
+    # pass 1: null value forces null label
+    lb1 = F.when(v.isNull(), F.lit(None)).otherwise(lb)
 
-    is_other = F.lower(v).isin(*OTHER_TOKENS)
-    swapped_value = inv[lb]  # non-null iff stored label is a known value...
-    # inverted detection: stored *value* is a known label AND stored label is a known value
-    inverted = vmap[v].isNull() & inv[v].isNotNull()
+    # pass 2: inverted pair — value is a known LABEL and label a known VALUE
+    if options and field_type in SELECT_TYPES:
+        inverted = inv[v].isNotNull() & vmap[lb1].isNotNull()
+    else:
+        inverted = F.lit(False)
+    v2 = F.when(inverted, lb1).otherwise(v)
+    lb2 = F.when(inverted, v).otherwise(lb1)
 
-    fixed_value = (
-        F.when(is_other, v)
-        .when(inverted, inv[v])
-        .otherwise(v)
-    )
-    fixed_label = (
-        F.when(is_other, lb)
-        .when(inverted, v.alias("x"))  # after swap the label is the old value's label
-        .otherwise(F.coalesce(vmap[fixed_value], lb))
-    )
-    # after an inverted swap, label must come from the map for the swapped value
-    fixed_label = F.when(inverted, F.coalesce(vmap[inv[v]], lb)).otherwise(fixed_label)
-    return fixed_value, fixed_label
-
-
-def repair_multiselect_label(
-    value_col: Column | str,
-    options: dict[str, str],
-    sep: str = ",",
-) -> Column:
-    """Multi-select CSV label join (field_info.py:364-370): split the CSV
-    value list, map each token through the options, join labels with ', '.
-    Unknown tokens pass through unchanged."""
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-    vmap = _literal_map(options)
-    toks = F.transform(F.split(v, sep), lambda t: F.coalesce(vmap[F.trim(t)], F.trim(t)))
-    return F.array_join(toks, ", ")
+    # pass 3: relabel only rows still carrying the field's question label
+    oth = F.lower(v2).isin(*OTHER_TOKENS)
+    relabel = v2.isNotNull() & (lb2 == F.lit(json_label)) & ~oth
+    if field_type in MULTISELECT_TYPES:
+        toks = F.filter(
+            F.transform(F.split(v2.cast("string"), ","), lambda t: F.trim(t)),
+            lambda t: t != "",
+        )
+        joined = F.array_join(
+            F.transform(toks, lambda t: F.coalesce(vmap[t], t)), ","
+        )
+        lb3 = F.when(relabel, joined).otherwise(lb2)
+    elif options:
+        # pandas .map: unknown value -> NULL label
+        lb3 = F.when(relabel, vmap[v2]).otherwise(lb2)
+    else:
+        lb3 = F.when(relabel, v2).otherwise(lb2)
+    return v2, lb3
 
 
 def repair_dataframe_labels(
     df: DataFrame,
-    field_options: dict[str, dict[str, str]],
-    multiselect_fields: set[str] | None = None,
+    field_info: dict[str, dict[str, Any]],
 ) -> DataFrame:
     """Apply label repair across a wide Key.value/Key.label table given the
-    metadata registry {field_key: {value: label}} (broadcast-free: literal
-    maps are embedded in the plan and constant-folded)."""
-    multiselect_fields = multiselect_fields or set()
-    out = df
-    for key, options in field_options.items():
+    metadata registry ``{field_key: field_meta}`` (S9). One projection —
+    literal maps embed in the plan and constant-fold; fields without both
+    columns are skipped, like the reference's column checks."""
+    fixes: dict[str, Column] = {}
+    for key, field in field_info.items():
         vcol, lcol = f"{key}.value", f"{key}.label"
-        if vcol not in df.columns:
+        if vcol not in df.columns or lcol not in df.columns:
             continue
-        if key in multiselect_fields:
-            if lcol in df.columns:
-                out = out.withColumn(
-                    lcol, repair_multiselect_label(F.col(f"`{vcol}`"), options)
-                )
-            continue
-        if lcol in df.columns:
-            fv, fl = repair_label(F.col(f"`{vcol}`"), F.col(f"`{lcol}`"), options)
-            out = out.withColumn(vcol, fv).withColumn(lcol, fl)
-    return out
+        fv, fl = repair_field(F.col(f"`{vcol}`"), F.col(f"`{lcol}`"), field)
+        fixes[vcol] = fv
+        fixes[lcol] = fl
+    return df.select(
+        *[fixes.get(c, F.col(f"`{c}`")).alias(c) for c in df.columns]
+    )

@@ -64,6 +64,7 @@ from ..operators.neardup import (
 )
 from ..operators.similarity import brute_force_topk, lsh_bucket_topk
 from ..operators.sinks import keyed_bulk_update, reconcile_update, upsert_by_key, _keep_one
+from ..operators.uids import repair_duplicate_uids
 from ..operators.validation import null_rates
 from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
 from ..sources.sessions import (
@@ -1146,6 +1147,44 @@ def j7_reconcile_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uid", "facility", "unique_key", "has_admission",
         "has_discharge", "is_closed", "dis_val",
     )
+
+
+@_register(
+    "d8_duplicate_uid_repair",
+    """
+    WITH g AS (
+      SELECT o_orderkey, 'U' || CAST(o_custkey % 50 AS VARCHAR) AS uid,
+             CAST(year(o_orderdate) AS VARCHAR) AS da
+      FROM orders
+    ),
+    r AS (
+      SELECT uid, da,
+             row_number() OVER (PARTITION BY uid ORDER BY da ASC NULLS FIRST) AS rk
+      FROM (SELECT DISTINCT uid, da FROM g)
+    )
+    SELECT g.o_orderkey,
+           CASE WHEN r.rk = 1 THEN g.uid
+                ELSE upper(substr(md5(g.uid || '|' || g.da || '|0'), 1, 2))
+                     || 'ZZ-'
+                     || translate(substr(md5(g.uid || '|' || g.da || '|0'), 3, 4),
+                                  'abcdef', '012345')
+           END AS uid
+    FROM g JOIN r ON g.uid = r.uid AND g.da = r.da
+    """,
+)
+def d8_duplicate_uid_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 duplicate-uid repair (maternal_data_duplicates_cleanup.py:12-64):
+    a uid spanning multiple admission dates keeps the original id for its
+    first date and gets a deterministic XXZZ-NNNN surrogate for later ones
+    (the reference mints randomly + collision-checks; hashes are the
+    reproducible twin)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.select(
+        "o_orderkey",
+        F.concat(F.lit("U"), (F.col("o_custkey") % 50).cast("string")).alias("uid"),
+        F.year("o_orderdate").cast("string").alias("da"),
+    )
+    return repair_duplicate_uids(g, "uid", "da").select("o_orderkey", "uid")
 
 
 # ---------------------------------------------------------------------------
