@@ -254,61 +254,47 @@ def explode_repeatables(
         )
     )
     # {value,label} dicts arrive as raw JSON strings; scalars stay scalars
-    parsed = F.from_json(
-        F.col("__kv")["value"],
-        T.StructType(
-            [
-                T.StructField("value", T.StringType()),
-                T.StructField("label", T.StringType()),
-            ]
-        ),
-    )
-    field_struct = F.when(
-        parsed.isNotNull()
-        & (parsed["value"].isNotNull() | parsed["label"].isNotNull()),
-        F.struct(parsed["value"].alias("value"), parsed["label"].alias("label")),
-    ).otherwise(
-        F.struct(
-            F.col("__kv")["value"].alias("value"), F.col("__kv")["value"].alias("label")
+    def _field_struct(val: Column) -> Column:
+        parsed = F.from_json(
+            val,
+            T.StructType(
+                [
+                    T.StructField("value", T.StringType()),
+                    T.StructField("label", T.StringType()),
+                ]
+            ),
         )
-    )
+        return F.when(
+            parsed.isNotNull()
+            & (parsed["value"].isNotNull() | parsed["label"].isNotNull()),
+            F.struct(parsed["value"].alias("value"), parsed["label"].alias("label")),
+        ).otherwise(F.struct(val.alias("value"), val.alias("label")))
+
     script_table = F.lower(
         F.regexp_replace(F.concat(F.lit(script + "_"), F.col("__table")), r"\s+", "")
     )
-    return (
-        rows.select(
-            *id_cols,
-            script_table.alias("script_table"),
-            F.col("__entry")["id"].alias("form_id"),
-            F.col("__entry")["createdAt"].alias("created_at"),
+    # the fields map is rebuilt per entry with higher-order fns — the grouping
+    # key is exactly the parent row, so the former explode_outer → groupBy/
+    # collect_list round-trip (a full shuffle) collapses into one narrow
+    # projection chain
+    fields = F.map_from_entries(
+        F.transform(
             F.filter(
                 F.map_entries("__entry"),
                 lambda kv: ~kv["key"].isin(*_REPEATABLE_META_KEYS),
-            ).alias("__kvs"),
+            ),
+            lambda kv: F.struct(
+                _sanitize_key(kv["key"]).alias("key"),
+                _field_struct(kv["value"]).alias("v"),
+            ),
         )
-        .select(
-            *id_cols,
-            "script_table",
-            "form_id",
-            "created_at",
-            F.explode_outer("__kvs").alias("__kv"),
-        )
-        .groupBy(*id_cols, "script_table", "form_id", "created_at")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    # collect_list skips NULL elements — an empty __kvs array
-                    # (explode_outer row) must not contribute a null map key
-                    F.when(
-                        F.col("__kv").isNotNull(),
-                        F.struct(
-                            _sanitize_key(F.col("__kv")["key"]).alias("key"),
-                            field_struct.alias("v"),
-                        ),
-                    )
-                )
-            ).alias("fields")
-        )
+    )
+    return rows.select(
+        *id_cols,
+        script_table.alias("script_table"),
+        F.col("__entry")["id"].alias("form_id"),
+        F.col("__entry")["createdAt"].alias("created_at"),
+        fields.alias("fields"),
     )
 
 
