@@ -56,18 +56,18 @@ def redact(
     out = df.drop(*drop)
     kws = tuple(k.lower() for k in keywords)
     meta_l = [m.lower() for m in metadata_confidential]
+
+    def _confidential(k):
+        cond = F.lit(False)
+        if meta_l:
+            cond = cond | F.lower(k).isin(*meta_l)
+        if kws:
+            cond = cond | F.lower(k).rlike("|".join(kws))
+        return cond
+
     for mc in map_cols:
         if mc in out.columns:
             out = out.withColumn(
-                mc,
-                F.map_filter(
-                    F.col(mc),
-                    lambda k, _v: ~F.lower(k).isin(*meta_l)
-                    if not kws
-                    else ~(
-                        F.lower(k).isin(*(meta_l or ["\x00"]))
-                        | F.lower(k).rlike("|".join(kws))
-                    ),
-                ),
+                mc, F.map_filter(F.col(mc), lambda k, _v: ~_confidential(k))
             )
     return out

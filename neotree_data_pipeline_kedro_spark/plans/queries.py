@@ -54,6 +54,7 @@ from ..operators.joins import (
     semi_join,
     tiered_asof_assignment,
 )
+from ..operators.redact import redact
 from ..operators.neardup import (
     exact_dedupe,
     minhash_lsh_candidates,
@@ -287,6 +288,38 @@ def p2_p4_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum(k).alias("k_sum"))
+    )
+
+
+@_register(
+    "p6_redact",
+    """
+    SELECT c_custkey, c_name, 'Gender' AS kept_keys
+    FROM customer
+    """,
+)
+def p6_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 confidential redact (sql_functions.py:1592-1610 keyword drop +
+    :1140-1145 metadata flags + assorted_queries.py:870-908 JSONB key
+    deletion): keyword-matched columns drop (c_phone, c_address), the
+    metadata-flagged key (KinCell) is deleted from the map column in place."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") % 10000).cast("string").alias("phone_number"),
+        F.col("c_mktsegment").alias("address_line"),
+        F.create_map(
+            F.lit("KinCell"), (F.col("c_custkey") % 10000).cast("string"),
+            F.lit("Gender"), F.substring("c_name", 1, 1),
+        ).alias("entries_map"),
+    )
+    red = redact(
+        c, metadata_confidential=("KinCell",), map_cols=("entries_map",)
+    )
+    return red.select(
+        "c_custkey",
+        "c_name",
+        F.array_join(F.map_keys("entries_map"), ",").alias("kept_keys"),
     )
 
 
