@@ -54,7 +54,14 @@ from ..operators.joins import (
     semi_join,
     tiered_asof_assignment,
 )
+from ..functions.json_ops import json_delete_keys, json_has_any_key, json_set
+from ..functions.neolab import canonicalize_organism
 from ..operators.redact import redact
+from ..operators.tidy import (
+    clean_table_projection,
+    normalize_column_names,
+    prune_junk_columns,
+)
 from ..operators.neardup import (
     exact_dedupe,
     minhash_lsh_candidates,
@@ -320,6 +327,159 @@ def p6_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.array_join(F.map_keys("entries_map"), ",").alias("kept_keys"),
+    )
+
+
+@_register(
+    "p7_p8_tidy_columns",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+           o_orderpriority AS gender,
+           lower(o_orderpriority) AS gender_label,
+           CAST(o_totalprice AS VARCHAR) AS bw,
+           o_orderstatus AS temp_c_
+    FROM orders
+    """,
+)
+def p7_p8_tidy_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 junk pruning + P8 name normalization + clean-table projection
+    (tidy_...mcl_tables.py:273,440; create_union_views.py:73-156;
+    normalize_clean_tables.sql): single-letter / all-digit columns drop,
+    non-.value/.label columns drop, ``[()-]`` -> ``_``, then the lowercase
+    ``key`` / ``key_label`` convention driven by field metadata."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit("x").alias("A"),
+        F.lit("junk").alias("42"),
+        F.col("o_orderpriority").alias("Gender.value"),
+        F.lower("o_orderpriority").alias("Gender.label"),
+        F.col("o_totalprice").cast("string").alias("BW.value"),
+        F.col("o_orderstatus").alias("Temp(C).value"),
+        F.lit("dropme").alias("comment_text"),
+    )
+    pruned = prune_junk_columns(o, value_label_only=True)
+    normed = normalize_column_names(pruned)
+    return clean_table_projection(
+        normed,
+        field_info={
+            "Gender": {"type": "dropdown"},
+            "BW": {"type": "number"},
+            "Temp_C_": {"type": "number"},
+        },
+    )
+
+
+@_register(
+    "f_json_ops",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_after_set,
+           CAST(NULL AS VARCHAR) AS k_after_del,
+           'prod' AS env_after_del,
+           TRUE AS has_k,
+           FALSE AS has_z
+    FROM events
+    """,
+)
+def f_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family (assorted_queries.py:728-770 jsonb_set, :870-908
+    key deletion + ?| existence): set a new top-level key, delete another,
+    probe key existence — all as parse -> map op -> serialize
+    reprojections."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    step1 = json_set(F.col("props"), "env", F.lit("prod"))
+    step2 = json_delete_keys(step1, ["k"])
+    return ev.select(
+        "event_id",
+        F.get_json_object(step1, "$.k").alias("k_after_set"),
+        F.get_json_object(step2, "$.k").alias("k_after_del"),
+        F.get_json_object(step2, "$.env").alias("env_after_del"),
+        json_has_any_key(F.col("props"), ["k", "zzz"]).alias("has_k"),
+        json_has_any_key(F.col("props"), ["zzz"]).alias("has_z"),
+    )
+
+
+_ORG_OTHERS = [
+    "Klebsiella pneumoniae",        # 0  -> KLS
+    "coagulase negative staph seen",  # 1 -> CONS
+    "B-Haemolytic Strep",           # 2  -> StrepPy
+    "S.Aureus isolate",             # 3  -> SA
+    "Citrobacter freundii",         # 4  -> Cit
+    "Proteus mirabilis",            # 5  -> Prot
+    "yeasts seen",                  # 6  -> Yea
+    "Enterobacter cloacae",         # 7  -> Ent
+    "Group D strep",                # 8  -> GDS
+    "Non-Haemolytic Strep",         # 9  -> NLFC (ref :94 copy-paste bug)
+    "Pseudomonas aeruginosa",       # 10 -> Pseud
+    "Viridans streptococci",        # 11 -> VirSt
+    "gram negative rods",           # 12 -> CONS (catch-all quirk)
+    "stapgylococcus aureus",        # 13 -> untouched (startswith typo escape)
+    "",                             # 14 non-Oth row: trim only
+    "",                             # 15 non-Oth row: label canonical fix
+    "Streptococcus species isolated",  # 16 -> StrepSp
+    "streptococcus agalactiae",     # 17 -> StrepPy
+]
+
+_ORG_EXPECT = [
+    ("KLS", "Klebsiella sp."),
+    ("CONS", "Coagulase negative staphylococcus"),
+    ("StrepPy", "Streptococcus pyogenes (Group A Beta haemolytic Strep)"),
+    ("SA", "Staphylococcus aureus"),
+    ("Cit", "Citrobacter sp."),
+    ("Prot", "Proteus sp."),
+    ("Yea", "Yeasts (excluding candida)"),
+    ("Ent", "Enterobacter sp."),
+    ("GDS", "Group D Strep"),
+    ("NLFC", "Non-lactose fermenting coliform"),
+    ("Pseud", "Pseudomonas aeruginosa"),
+    ("VirSt", "Viridans streptococcus"),
+    ("CONS", "Coagulase negative staphylococcus"),
+    ("Oth", " pending "),
+    ("KLS", "Klebsiella sp."),
+    ("SA", "Coagulase negative staphylococcus"),
+    ("StrepSp", "Streptococcus sp."),
+    ("StrepPy", "Streptococcus pyogenes (Group A Beta haemolytic Strep)"),
+]
+
+_ORG_ORACLE_CASE = " ".join(
+    f"WHEN {i} THEN '{v}'" for i, (v, _l) in enumerate(_ORG_EXPECT)
+)
+_ORG_ORACLE_CASE_L = " ".join(
+    "WHEN {} THEN '{}'".format(i, l.replace("'", "''"))
+    for i, (_v, l) in enumerate(_ORG_EXPECT)
+)
+
+
+@_register(
+    "f_organism_canonical",
+    f"""
+    SELECT event_id,
+           CASE event_id % 18 {_ORG_ORACLE_CASE} END AS org_value,
+           CASE event_id % 18 {_ORG_ORACLE_CASE_L} END AS org_label
+    FROM events
+    """,
+)
+def f_organism_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neolab organism canonicalization (neolab_data_cleanup.py:7-122):
+    sequential contains-rules over OtherOrg1 rewrite Org1 (value,label) for
+    'Oth' rows, later rules overwriting earlier — including the reference's
+    truthy-find CONS default and the NHS->NLFC copy-paste bug. The oracle
+    pins the expected (value,label) per synthetic input."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    idx = (F.col("event_id") % 18).cast("int")
+    others = F.array(*[F.lit(s) for s in _ORG_OTHERS])
+    other = F.element_at(others, idx + 1)
+    value = F.when(idx == 14, F.lit("KLS")).when(idx == 15, F.lit("SA")).otherwise(
+        F.lit("Oth")
+    )
+    label = (
+        F.when(idx == 14, F.lit(" Klebsiella sp. "))
+        .when(idx == 15, F.lit("coagulase negative staph observed"))
+        .otherwise(F.lit(" pending "))
+    )
+    fv, fl = canonicalize_organism(value, label, other)
+    return ev.select(
+        "event_id", fv.alias("org_value"), fl.alias("org_label")
     )
 
 
