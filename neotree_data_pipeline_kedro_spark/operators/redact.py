@@ -34,12 +34,17 @@ def confidential_columns(
     extra: Sequence[str] = (),
     keywords: Sequence[str] = CONFIDENTIAL_KEYWORDS,
 ) -> list[str]:
+    """``extra`` (metadata-flagged field keys) matches a column exactly OR
+    as the base of a ``Key.value``/``Key.label`` pair — the reference drops
+    both columns of a confidential field (sql_functions.py:1140-1145)."""
     kws = tuple(k.lower() for k in keywords)
     extra_l = {e.lower() for e in extra}
     return [
         c
         for c in columns
-        if c.lower() in extra_l or any(k in c.lower() for k in kws)
+        if c.lower() in extra_l
+        or c.lower().rsplit(".", 1)[0] in extra_l
+        or any(k in c.lower() for k in kws)
     ]
 
 

@@ -1,0 +1,172 @@
+"""End-to-end engine test over FIXTURES.md-shaped session envelopes:
+import -> dedup -> tidy -> fixes -> summaries -> join -> views -> clean ->
+merge, mirroring the reference DAG (pipeline.py:21-40)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.plans.pipeline import Engine, EngineConfig
+
+ADM_SCRIPT = "-ZO1TK4zMvLhxTw6eKia"
+DIS_SCRIPT = "-ZO2DISxMvLhxTw6eKia"
+
+
+def _new_entries(uid, gest, bw, outcome_label, outcome_value, temp="36.1"):
+    e = {
+        "Gestation": {"values": {"label": ["Gestation"], "value": [str(gest)]}},
+        "BW": {"values": {"label": ["Birth weight"], "value": [str(bw)]}},
+        "Temperature": {"values": {"label": ["Temperature"], "value": [temp]}},
+        "DateTimeAdmission": {
+            "values": {"label": ["Admission date"], "value": ["2024-03-01T09:55:00"]}
+        },
+        "DOBTOB": {"values": {"label": ["DOB"], "value": ["2024-02-28T22:00:00"]}},
+        "AdmReason": {
+            "values": {"label": ["Prematurity", "Sepsis risk"], "value": ["Prem", "RFSep"]}
+        },
+    }
+    if outcome_value is not None:
+        e["NeoTreeOutcome"] = {
+            "values": {"label": [outcome_label], "value": [outcome_value]}
+        }
+    if uid is not None:
+        e["NeoTreeID"] = {"values": {"label": ["NeoTree ID"], "value": [uid]}}
+    return json.dumps({"entries": e})
+
+
+def _old_entries(uid, bw):
+    return json.dumps(
+        {
+            "entries": [
+                {"key": "NeoTreeID", "values": [{"label": "id", "value": uid}]},
+                {"key": "BW", "values": [{"label": "Birth weight", "value": str(bw)}]},
+            ]
+        }
+    )
+
+
+FIELD_INFO = {
+    "admissions": {
+        "Gestation": {"label": "Gestation", "type": "number", "options": []},
+        "BirthWeight": {"label": "Birth weight", "type": "number", "options": []},
+        "Temperature": {"label": "Temperature", "type": "number", "options": []},
+        "DateTimeAdmission": {"label": "Admission date", "type": "datetime",
+                              "options": []},
+        "DOBTOB": {"label": "DOB", "type": "datetime", "confidential": True,
+                   "options": []},
+        "NeoTreeOutcome": {
+            "label": "Outcome",
+            "type": "dropdown",
+            "options": [
+                {"value": "DC", "valueLabel": "Discharged"},
+                {"value": "NND", "valueLabel": "Died"},
+            ],
+        },
+        "AdmReason": {"label": "Admission Reason", "type": "multi_select",
+                      "options": [{"value": "Prem", "valueLabel": "Prematurity"},
+                                  {"value": "RFSep",
+                                   "valueLabel": "Risk factors for sepsis"}]},
+    },
+    "discharges": {
+        "NeoTreeOutcome": {
+            "label": "Outcome",
+            "type": "dropdown",
+            "options": [{"value": "DC", "valueLabel": "Discharged"}],
+        },
+    },
+}
+
+
+def _sessions(spark):
+    rows = [
+        # two uploads of the same admission: dedup keeps id=2
+        (1, "A7C6-0350", ADM_SCRIPT, "2024-03-01 10:00:00",
+         _new_entries("A7C6-0350", 34, 2100, "Outcome", "DC")),
+        (2, "A7C6-0350", ADM_SCRIPT, "2024-03-01 11:00:00",
+         _new_entries("A7C6-0350", 34, 2100, "Outcome", "DC")),
+        # null envelope uid repaired from entries (old format)
+        (3, None, ADM_SCRIPT, "2024-03-02 10:00:00", _old_entries("F55F-0118", 2350)),
+        # a third patient, label already correct
+        (4, "B111-0001", ADM_SCRIPT, "2024-03-03 10:00:00",
+         _new_entries("B111-0001", 28, 900, "Died", "NND")),
+        # discharge for the first patient
+        (5, "A7C6-0350", DIS_SCRIPT, "2024-03-05 10:00:00",
+         json.dumps({"entries": {
+             "NeoTreeOutcome": {"values": {"label": ["Outcome"], "value": ["DC"]}}
+         }})),
+    ]
+    return spark.createDataFrame(
+        [(i, u, s, t, d) for i, u, s, t, d in rows],
+        "id long, uid string, scriptid string, ingested_at string, data string",
+    ).withColumn("ingested_at", F.col("ingested_at").cast("timestamp"))
+
+
+def _engine():
+    return Engine(
+        EngineConfig(
+            scripts={ADM_SCRIPT: "admissions", DIS_SCRIPT: "discharges"},
+            facility_map={ADM_SCRIPT: "Harare NNU", DIS_SCRIPT: "Harare NNU"},
+            field_info=FIELD_INFO,
+        )
+    )
+
+
+def test_engine_end_to_end(spark):
+    out = _engine().run(_sessions(spark))
+
+    # stage 2: last-upload-wins (id=1 dropped), uid repaired for id=3
+    dd = out["deduplicated"].select("id", "uid").collect()
+    assert {r.id for r in dd} == {2, 3, 4, 5}
+    assert {r.uid for r in dd} == {"A7C6-0350", "F55F-0118", "B111-0001"}
+
+    # stage 3: wide admissions with Key.value pairs; BW renamed to BirthWeight
+    adm = out["admissions"]
+    assert "Gestation.value" in adm.columns and "BirthWeight.value" in adm.columns
+    by_uid = {r["uid"]: r for r in adm.collect()}
+    assert by_uid["F55F-0118"]["BirthWeight.value"] == "2350"
+    assert len(by_uid) == 3
+
+    # MCL explode: AdmReason contributes one row per selected label
+    mcl = out["admissions_mcl"].filter(F.col("key") == "AdmReason")
+    assert mcl.count() == 4  # 2 admissions x 2 selected options
+
+    # stage 4: label repair fixed the question-label row to the option label
+    fixed = {r["uid"]: r for r in out["admissions_fixed"].collect()}
+    assert fixed["A7C6-0350"]["NeoTreeOutcome.label"] == "Discharged"
+    assert fixed["B111-0001"]["NeoTreeOutcome.label"] == "Died"
+
+    # stage 6: monthly rollup counts every admission in its month
+    summ = out["summary_admissions"].collect()
+    assert sum(r.admissions for r in summ) == 3
+
+    # stage 7: join carries the discharge outcome onto the admission
+    joined = {r["uid"]: r for r in out["joined"].collect()}
+    assert joined["A7C6-0350"]["dis_NeoTreeOutcome.value"] == "DC"
+    assert joined["F55F-0118"]["dis_NeoTreeOutcome.value"] is None
+
+    # stage 9: convenience buckets derived from typed values
+    conv = {r["uid"]: r for r in out["convenience"].collect()}
+    assert conv["B111-0001"]["BWGroup"] is not None
+
+    # stage 10: counts per facility
+    counts = out["summary_counts"].collect()
+    assert counts[0]["patients"] == 3
+
+    # stage 12: clean table is lowercase and carries no confidential columns
+    clean = out["clean_admissions"]
+    assert all(c == c.lower() for c in clean.columns)
+    assert not any("dobtob" in c for c in clean.columns)
+    assert "gestation" in clean.columns
+
+    # stage 13: merged ALL = admissions + discharges rows
+    assert out["merged_all"].count() == 4
+
+
+def test_engine_materialize_hook(spark):
+    seen = []
+    eng = _engine()
+    eng._mat = lambda name, df: seen.append(name) or df
+    eng.run(_sessions(spark))
+    assert "deduplicated" in seen and "clean_admissions" in seen
