@@ -37,7 +37,12 @@ from ..functions.buckets import (
     under_28wks_1kg,
 )
 from ..functions.nulls import nullify
-from ..functions.strings import duration_to_hours, extract_first_number, extract_years
+from ..functions.strings import (
+    duration_to_hours,
+    extract_first_number,
+    extract_years,
+    maternal_age_years,
+)
 from ..functions.text import (
     doc_fingerprint,
     language_id,
@@ -236,6 +241,49 @@ def a6_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("props")).alias("props_n"),
     )
     return null_rates(ev)
+
+
+@_register(
+    "a5_counts_existence",
+    """
+    SELECT 'orders' AS tbl, (SELECT COUNT(*) FROM orders) AS n,
+           (SELECT COUNT(*) FROM orders) > 0 AS has_rows
+    UNION ALL
+    SELECT 'customer', (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer) > 0
+    UNION ALL
+    SELECT 'events_prod',
+           (SELECT COUNT(*) FROM events
+            WHERE json_extract_string(props, '$.k') = '-1'),
+           (SELECT COUNT(*) FROM events
+            WHERE json_extract_string(props, '$.k') = '-1') > 0
+    """,
+)
+def a5_counts_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 count/existence probes gating pipeline steps
+    (check_table_count_sql.py:5-14, check_row_exists_sql.py:4-14): row
+    counts plus an existence flag per probe, including a
+    predicate-filtered probe that comes back empty."""
+    o = _t(spark, sf_dir, "orders").agg(F.count("*").alias("n"))
+    c = _t(spark, sf_dir, "customer").agg(F.count("*").alias("n"))
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k") == "-1")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def probe(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("tbl"),
+            F.col("n"),
+            (F.col("n") > 0).alias("has_rows"),
+        )
+
+    return (
+        probe(o, "orders")
+        .unionByName(probe(c, "customer"))
+        .unionByName(probe(ev, "events_prod"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -486,6 +534,75 @@ def f_organism_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D: dedup family
 # ---------------------------------------------------------------------------
+
+@_register(
+    "d2_neolab_dedup",
+    """
+    SELECT event_id, user_id, date_key
+    FROM (
+      SELECT event_id, user_id,
+             substr(CAST(CAST(ts AS TIMESTAMP) AS VARCHAR), 1, 10) AS date_key
+      FROM events WHERE props IS NOT NULL
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id,
+                   year(CAST(date_key AS DATE)), month(CAST(date_key AS DATE)),
+                   date_key
+      ORDER BY event_id DESC NULLS LAST) = 1
+    """,
+)
+def d2_neolab_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 neolab dedup (assorted_queries.py:17-59): the group key adds
+    year/month plus a computed ``date_key`` (first 10 chars of the
+    JSON-extracted collection date), keeps MAX(id), requires a non-null
+    key column — same window operator as D1 parametrized with computed
+    columns."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.substring(F.col("ts").cast("string"), 1, 10).alias("date_key"),
+        )
+    )
+    kept = dedupe_keep_latest(
+        ev.withColumn("__y", F.year(F.col("date_key").cast("date")))
+        .withColumn("__m", F.month(F.col("date_key").cast("date"))),
+        ["user_id", "__y", "__m", "date_key"],
+        [F.desc("event_id")],
+    )
+    return kept.select("event_id", "user_id", "date_key")
+
+
+@_register(
+    "d3_maternity_completeness_dedup",
+    """
+    SELECT event_id, user_id, adm_month
+    FROM (
+      SELECT event_id, user_id,
+             (CAST(json_extract_string(props, '$.k') AS INTEGER) % 12) + 1 AS adm_month
+      FROM events
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, adm_month
+      ORDER BY event_id DESC NULLS LAST) = 1
+    """,
+)
+def d3_maternity_completeness_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 maternity dedup (assorted_queries.py:66-97): grouping on
+    year/month derived from the JSON-extracted DateAdmission value —
+    the computed-column window again, month pulled out of the JSON
+    payload rather than a real column."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ((F.get_json_object("props", "$.k").cast("int") % 12) + 1).alias("adm_month"),
+    )
+    return dedupe_keep_latest(
+        ev, ["user_id", "adm_month"], [F.desc("event_id")]
+    ).select("event_id", "user_id", "adm_month")
+
 
 @_register(
     "d1_dedup_last_writer",
@@ -786,6 +903,42 @@ def j9_dim_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+_J10_PROBE = [1, 2, 3, 5, 8, 13, 21, 999999991, 999999992]
+
+
+@_register(
+    "j10_values_probe",
+    f"""
+    SELECT v.probe_key,
+           d.o_custkey IS NOT NULL AS key_exists
+    FROM (VALUES {", ".join(f"({k})" for k in _J10_PROBE)}) v(probe_key)
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) d
+      ON v.probe_key = d.o_custkey
+    """,
+)
+def j10_values_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 VALUES-list key probe (merge_all.py:721-744,784-824): an incoming
+    batch's keys tested for existence against the sink — the small probe
+    side is a literal DataFrame and is broadcast, so the big side is one
+    scan with no shuffle."""
+    probe = spark.createDataFrame(
+        [(k,) for k in _J10_PROBE], "probe_key long"
+    )
+    o = _t(spark, sf_dir, "orders")
+    # the only big-table operation is a broadcast LEFT SEMI (probe is the
+    # build side); both inputs of the final outer join are tiny. An outer
+    # join with the big side broadcast would be unplannable — the preserved
+    # side of an outer join cannot be the build side.
+    matched = (
+        o.join(F.broadcast(probe), o.o_custkey == probe.probe_key, "left_semi")
+        .select("o_custkey")
+        .distinct()
+    )
+    return probe.join(
+        matched, probe.probe_key == matched.o_custkey, "left"
+    ).select("probe_key", F.col("o_custkey").isNotNull().alias("key_exists"))
 
 
 # ---------------------------------------------------------------------------
@@ -1517,6 +1670,44 @@ def f_duration_numeric_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration_to_hours(dur).alias("dur_hours"),
         extract_first_number(junk_num).alias("first_num"),
         extract_years(years_s).alias("years"),
+    )
+
+
+@_register(
+    "f_maternal_age",
+    """
+    SELECT o_orderkey,
+           CAST(CASE o_orderkey % 5
+                WHEN 0 THEN o_custkey % 60 + 15
+                WHEN 1 THEN o_custkey % 60 + 15
+                WHEN 2 THEN FLOOR((o_custkey % 60 + 15) * 8766.0 + 100001) // 8766
+                WHEN 3 THEN 200
+                ELSE 1234
+           END AS BIGINT) AS mat_age,
+           (o_orderkey % 5) IN (0, 1, 2) AS accepted
+    FROM orders
+    """,
+)
+def f_maternal_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maternal-age repair (queries/data_fix.py:243-301): strip non-digits,
+    hours-encoded values (>100000) divide by 8766, unparseable -> the 200
+    sentinel; the <=85 acceptance filter is surfaced as a flag the way the
+    reference's UPDATE applies it in WHERE."""
+    o = _t(spark, sf_dir, "orders")
+    cls = F.col("o_orderkey") % 5
+    base = (F.col("o_custkey") % 60 + 15).cast("long")
+    raw = (
+        F.when(cls == 0, base.cast("string"))
+        .when(cls == 1, F.concat(base.cast("string"), F.lit(" yrs")))
+        .when(cls == 2, (base * 8766 + 100001).cast("string"))  # hours-encoded
+        .when(cls == 3, F.lit("not recorded"))
+        .otherwise(F.lit("1,234"))  # thousands comma
+    )
+    age = maternal_age_years(raw)
+    return o.select(
+        "o_orderkey",
+        age.alias("mat_age"),
+        (age <= 85).alias("accepted"),
     )
 
 
