@@ -75,7 +75,12 @@ from ..operators.neardup import (
     quantized_cosine,
     simhash_candidates,
 )
-from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from ..operators.sinks import keyed_bulk_update, reconcile_update, upsert_by_key, _keep_one
 from ..operators.uids import repair_duplicate_uids
 from ..operators.validation import null_rates
@@ -2043,6 +2048,25 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucket_topk(
         emb, queries, "vec_id", "embedding", k=10, planes=4, tables=8
+    )
+
+
+@_register("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to its nearest pseudo-
+    centroid (every 23rd vector stands in for a k-means output — the index
+    build is the same either way), then probe the 8 nearest cells per
+    query. Recall@10 vs brute force pinned in
+    tests/test_no_oracle_parity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    indexed = build_ivf_index(emb, centroids, "vec_id", "embedding")
+    return ivf_topk(
+        indexed, centroids, queries, "vec_id", "embedding", k=10, nprobe=8
     )
 
 

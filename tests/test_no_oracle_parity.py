@@ -163,6 +163,29 @@ def test_ann_lsh_soundness_and_recall(spark):
     assert recall >= 0.5, f"recall@10 {recall:.2f} below floor"
 
 
+def test_ann_ivf_soundness_and_recall(spark):
+    ivf = QUERIES["ann_topk_ivf"](spark, SF_SMOKE).toPandas()
+    bf = QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    # soundness: every IVF hit's score equals the independent numpy cosine
+    for r in ivf.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    # recall@10 vs exact brute force (nprobe=4 over ~1/23 pseudo-centroids)
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qid, want in bf_sets.items():
+        total += len(want)
+        hits += len(want & ivf_sets.get(qid, set()))
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall@10 {recall:.2f} below floor"
+
+
 def _greedy_twin(adm: pd.DataFrame, dis: pd.DataFrame) -> set[tuple]:
     """Independent re-implementation of the reference's greedy tiered
     matching (merge_all.py:343-460): per (uid, facility), discharges in
