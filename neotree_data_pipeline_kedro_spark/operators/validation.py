@@ -7,10 +7,13 @@ checks computed as aggregation DataFrames → a metrics table. No email/PDF.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import re
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.nulls import nullify
 
 
 def null_rates(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
@@ -72,6 +75,115 @@ def range_violations(
     if max_value is not None:
         cond = cond | (c > max_value)
     return df.filter(cond)
+
+
+_KEY_RX = re.compile(r"\$([A-Za-z0-9_]+)")
+
+# the reference's bool_map tokens exactly (validate.py:263-266)
+_BOOL_TRUE = ("y", "yes", "true", "1")
+_BOOL_FALSE = ("n", "no", "false", "0")
+
+
+def compile_condition(
+    condition: str | None,
+    columns: Sequence[str] | set[str],
+    boolean_keys: Sequence[str] | set[str] = (),
+    value_suffix: str = ".value",
+) -> Column:
+    """Compile the field-metadata condition mini-language to a Spark Column.
+
+    The reference evaluates strings like ``$Key = 'X' and $Other > 5`` with
+    pd.eval after rewriting ``$Key`` → the ``Key.value`` column, and/or →
+    &/|, and ``=`` → ``==`` (data_validation/validate.py:276-311). Spark SQL
+    natively accepts ``and``/``or``/``true``/``false`` (case-insensitive) and
+    single-``=`` equality, so only the ``$Key`` references need rewriting:
+
+    - ``$Key`` → backtick-quoted ``Key.value`` column;
+    - keys whose dataType is boolean are coerced through the reference's
+      y/yes/true/1 // n/no/false/0 token map (validate.py:263-274);
+    - keys with no matching column become NULL (validate.py:296-298);
+    - the whole expression is coalesced to false, matching the reference's
+      ``.fillna(False)`` null semantics (validate.py:308).
+    """
+    if condition is None or not str(condition).strip():
+        return F.lit(True)
+    colset = set(columns)
+    bools = set(boolean_keys)
+
+    def _ref(m: re.Match[str]) -> str:
+        key = m.group(1)
+        col = f"{key}{value_suffix}"
+        if col not in colset:
+            return "CAST(NULL AS STRING)"
+        q = f"`{col}`"
+        if key in bools:
+            toks_t = ", ".join(f"'{t}'" for t in _BOOL_TRUE)
+            toks_f = ", ".join(f"'{t}'" for t in _BOOL_FALSE)
+            return (
+                f"(CASE WHEN lower(trim(CAST({q} AS STRING))) IN ({toks_t}) THEN true "
+                f"WHEN lower(trim(CAST({q} AS STRING))) IN ({toks_f}) THEN false END)"
+            )
+        return q
+    sql = _KEY_RX.sub(_ref, str(condition).strip())
+    return F.coalesce(F.expr(sql), F.lit(False))
+
+
+def conditional_required_nulls(
+    df: DataFrame,
+    fields: Sequence[Mapping],
+    value_suffix: str = ".value",
+) -> DataFrame:
+    """Conditional required-field null metrics (validate.py:385-425).
+
+    For every non-optional field: rows satisfying the field's ``condition``
+    are eligible; among those, values that are NULL after null-token
+    normalization (nan/<NA>/None/null/NaT/'' — validate.py:394-399) count as
+    missing. One row per field: (base_key, null_count, eligible_count,
+    null_pct). Single full-scan aggregate — no per-field passes, so the cost
+    at 100 TB is one job regardless of how many fields the script declares.
+    """
+    boolean_keys = {
+        f["key"]
+        for f in fields
+        if str(f.get("dataType") or "").lower() in ("boolean", "yesno")
+    }
+    cols = set(df.columns)
+    required = [f for f in fields if not f.get("optional", False)]
+    aggs: list[Column] = []
+    for i, fld in enumerate(required):
+        key = fld["key"]
+        mask = compile_condition(
+            fld.get("condition"), cols, boolean_keys, value_suffix
+        )
+        vcol = f"{key}{value_suffix}"
+        val = (
+            nullify(F.col(f"`{vcol}`").cast("string"))
+            if vcol in cols
+            else F.lit(None)
+        )
+        aggs.append(F.sum(mask.cast("long")).alias(f"__elig_{i}"))
+        aggs.append(F.sum((mask & val.isNull()).cast("long")).alias(f"__null_{i}"))
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld["key"]).alias("base_key"),
+                        F.col(f"__null_{i}").alias("null_count"),
+                        F.col(f"__elig_{i}").alias("eligible_count"),
+                    )
+                    for i, fld in enumerate(required)
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    return stacked.withColumn(
+        "null_pct",
+        F.lit(100.0)
+        * F.col("null_count")
+        / F.greatest(F.col("eligible_count"), F.lit(1)),
+    )
 
 
 def type_conformance(df: DataFrame, column: str, expected: str) -> DataFrame:

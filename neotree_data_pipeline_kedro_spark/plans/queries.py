@@ -83,7 +83,12 @@ from ..operators.similarity import (
 )
 from ..operators.sinks import keyed_bulk_update, reconcile_update, upsert_by_key, _keep_one
 from ..operators.uids import repair_duplicate_uids
-from ..operators.validation import null_rates
+from ..operators.validation import (
+    conditional_required_nulls,
+    null_rates,
+    range_violations,
+    type_conformance,
+)
 from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
 from ..sources.sessions import (
     entry_rows,
@@ -246,6 +251,186 @@ def a6_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("props")).alias("props_n"),
     )
     return null_rates(ev)
+
+
+@_register(
+    "v_conditional_required",
+    """
+    WITH src AS (
+      SELECT event_type AS et,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS score,
+             CASE WHEN user_id % 3 = 0 THEN 'y'
+                  WHEN user_id % 3 = 1 THEN 'No'
+                  ELSE 'nan' END AS flag,
+             CASE WHEN value > 15 THEN NULL
+                  WHEN value > 12 THEN 'nan'
+                  WHEN value > 11 THEN ' '
+                  ELSE event_type END AS comment
+      FROM events
+    ),
+    m AS (
+      SELECT COALESCE(et = 'click' AND score > 7, false) AS elig_comment,
+             (comment IS NULL OR lower(trim(comment))
+               IN ('', 'nan', 'nat', 'none', '<na>', 'null')) AS null_comment,
+             COALESCE(
+               (CASE WHEN lower(trim(flag)) IN ('y','yes','true','1') THEN true
+                     WHEN lower(trim(flag)) IN ('n','no','false','0') THEN false
+                END) = true OR et = 'error', false) AS elig_score,
+             score IS NULL AS null_score
+      FROM src
+    )
+    SELECT 'Comment' AS base_key,
+           CAST(SUM(CASE WHEN elig_comment AND null_comment THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           CAST(SUM(CASE WHEN elig_comment THEN 1 ELSE 0 END) AS BIGINT) AS eligible_count,
+           CAST(100.0 * SUM(CASE WHEN elig_comment AND null_comment THEN 1 ELSE 0 END)
+             / GREATEST(SUM(CASE WHEN elig_comment THEN 1 ELSE 0 END), 1) AS DOUBLE) AS null_pct
+    FROM m
+    UNION ALL
+    SELECT 'Score',
+           CAST(SUM(CASE WHEN elig_score AND null_score THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN elig_score THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(100.0 * SUM(CASE WHEN elig_score AND null_score THEN 1 ELSE 0 END)
+             / GREATEST(SUM(CASE WHEN elig_score THEN 1 ELSE 0 END), 1) AS DOUBLE)
+    FROM m
+    UNION ALL
+    SELECT 'Missing', COUNT(*), COUNT(*), CAST(100.0 AS DOUBLE) FROM m
+    """,
+)
+def v_conditional_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10/§2.11 conditional required-field validation: the field-metadata
+    condition mini-language ``$Key = 'X' and $Other > 5`` compiled to a Spark
+    expression (reference: data_validation/validate.py:276-311), driving the
+    eligible-rows null-%% check (validate.py:385-425). Exercises: boolean
+    token coercion ($Flag = true via the y/n map), null-token normalization
+    of checked values (nan/' '), a NULL-condition → false fallback, and a
+    field whose column is absent entirely."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.select(
+        F.col("event_type").alias("EventType.value"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("Score.value"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("y"))
+        .when(F.col("user_id") % 3 == 1, F.lit("No"))
+        .otherwise(F.lit("nan"))
+        .alias("Flag.value"),
+        F.when(F.col("value") > 15, None)
+        .when(F.col("value") > 12, F.lit("nan"))
+        .when(F.col("value") > 11, F.lit(" "))
+        .otherwise(F.col("event_type"))
+        .alias("Comment.value"),
+    )
+    fields = [
+        {"key": "Comment", "condition": "$EventType = 'click' and $Score > 7"},
+        {
+            "key": "Score",
+            "condition": "$Flag = true or $EventType = 'error'",
+            "dataType": "text",
+        },
+        {"key": "Flag", "dataType": "boolean", "optional": True},
+        {"key": "Missing"},
+    ]
+    return conditional_required_nulls(wide, fields)
+
+
+@_register(
+    "v_quality_suite",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    ),
+    nums AS (
+      SELECT CASE WHEN user_id % 13 = 0 THEN 'x'
+                  ELSE CAST(value AS VARCHAR) END AS num_str
+      FROM ev
+    ),
+    q AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM ev
+    )
+    SELECT 'range_value_2_18' AS check_name,
+           CAST(SUM(CASE WHEN value < 2.0 OR value > 18.0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           COUNT(*) AS checked
+    FROM ev
+    UNION ALL
+    SELECT 'type_numeric_num_str',
+           CAST(SUM(CASE WHEN num_str IS NOT NULL
+                 AND NOT regexp_matches(num_str, '^-?\\d+(\\.\\d+)?$')
+                 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(num_str) AS BIGINT)
+    FROM nums
+    UNION ALL
+    SELECT 'iqr_outliers_value',
+           CAST((SELECT SUM(CASE WHEN ev.value < q.q1 - 3.0*(q.q3-q.q1)
+                          OR ev.value > q.q3 + 3.0*(q.q3-q.q1)
+                     THEN 1 ELSE 0 END) FROM ev, q) AS BIGINT),
+           (SELECT COUNT(*) FROM ev)
+    UNION ALL
+    SELECT 'dup_user_type_groups',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT user_id, event_type FROM ev
+              GROUP BY user_id, event_type HAVING COUNT(*) > 1)),
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id, event_type FROM ev))
+    """,
+)
+def v_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 validation suite as one metrics table: metadata range check
+    (validate.py:427-451), regex numeric-type conformance (:469-499), IQR
+    outlier count (:713-745 — exact `percentile` here for oracle parity;
+    the iqr_outliers operator uses approxQuantile, the sketch-based 100 TB
+    path), and duplicate-key group detection (:319-323). Each check is a
+    single-pass aggregate; the union is 4 tiny rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    rng = (
+        range_violations(ev, "value", 2.0, 18.0)
+        .agg(F.count("*").alias("violations"))
+        .crossJoin(ev.agg(F.count("*").alias("checked")))
+        .select(
+            F.lit("range_value_2_18").alias("check_name"), "violations", "checked"
+        )
+    )
+
+    nums = ev.select(
+        F.when(F.col("user_id") % 13 == 0, F.lit("x"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("num_str")
+    )
+    tc = type_conformance(nums, "num_str", "numeric").select(
+        F.lit("type_numeric_num_str").alias("check_name"),
+        F.col("nonconforming").alias("violations"),
+        F.col("non_null").alias("checked"),
+    )
+
+    q = ev.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = (
+        ev.crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(
+                (
+                    (F.col("value") < F.col("q1") - 3.0 * (F.col("q3") - F.col("q1")))
+                    | (F.col("value") > F.col("q3") + 3.0 * (F.col("q3") - F.col("q1")))
+                ).cast("long")
+            ).alias("violations"),
+            F.count("*").alias("checked"),
+        )
+        .select(F.lit("iqr_outliers_value").alias("check_name"), "violations", "checked")
+    )
+
+    keys = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n_rows"))
+    dup = keys.agg(
+        F.sum((F.col("n_rows") > 1).cast("long")).alias("violations"),
+        F.count("*").alias("checked"),
+    ).select(F.lit("dup_user_type_groups").alias("check_name"), "violations", "checked")
+
+    return rng.unionByName(tc).unionByName(iqr).unionByName(dup)
 
 
 @_register(

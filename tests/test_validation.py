@@ -1,0 +1,131 @@
+"""Condition mini-language + validation-suite operators (SURVEY.md §2.10/§2.11).
+
+Reference semantics: data_validation/validate.py:263-311 (condition
+evaluation with boolean token coercion, missing-column → NULL, null → False)
+and :385-425 (conditional required-field null metrics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.operators.validation import (
+    compile_condition,
+    conditional_required_nulls,
+)
+
+
+@pytest.fixture(scope="module")
+def wide(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "EventType.value": ["click", "error", "click", "view", "click"],
+                "Score.value": [9.0, 1.0, 3.0, None, 8.5],
+                "Flag.value": ["y", "No", "nan", "1", "TRUE "],
+                "Comment.value": ["ok", "nan", None, " ", "<NA>"],
+            }
+        )
+    )
+
+
+def _mask(wide, cond, boolean_keys=()):
+    col = compile_condition(cond, wide.columns, boolean_keys)
+    return [r["m"] for r in wide.select(col.alias("m")).collect()]
+
+
+def test_equality_and_comparison(wide):
+    # single '=' equality, 'and' conjunction, numeric comparison
+    assert _mask(wide, "$EventType = 'click' and $Score > 7") == [
+        True,
+        False,
+        False,
+        False,
+        True,
+    ]
+
+
+def test_null_condition_is_false(wide):
+    # row 3 has Score NULL: NULL > 7 → NULL → coalesced to False
+    # (reference .fillna(False), validate.py:308)
+    assert _mask(wide, "$Score > 0") == [True, True, True, False, True]
+
+
+def test_boolean_token_coercion(wide):
+    # y/TRUE /1 → true; No → false; 'nan' → NULL → false
+    # (reference bool_map, validate.py:263-274)
+    assert _mask(wide, "$Flag = true", boolean_keys={"Flag"}) == [
+        True,
+        False,
+        False,
+        True,
+        True,
+    ]
+
+
+def test_or_and_case_insensitive_keywords(wide):
+    assert _mask(wide, "$EventType = 'error' OR $Score >= 8.5") == [
+        True,
+        True,
+        False,
+        False,
+        True,
+    ]
+
+
+def test_missing_column_is_null(wide):
+    # $Nope resolves to NULL → comparison NULL → False everywhere
+    assert _mask(wide, "$Nope = 'x'") == [False] * 5
+
+
+def test_empty_condition_is_all_true(wide):
+    assert _mask(wide, None) == [True] * 5
+    assert _mask(wide, "   ") == [True] * 5
+
+
+def test_conditional_required_nulls(wide):
+    fields = [
+        {"key": "Comment", "condition": "$EventType = 'click' and $Score > 7"},
+        {"key": "Flag", "dataType": "boolean"},
+        {"key": "Missing"},
+        {"key": "Ignored", "optional": True},
+    ]
+    out = {
+        r["base_key"]: r.asDict()
+        for r in conditional_required_nulls(wide, fields).collect()
+    }
+    assert set(out) == {"Comment", "Flag", "Missing"}
+    # eligible: rows 0 and 4; Comment there: 'ok' (kept), '<NA>' (null token)
+    assert out["Comment"]["eligible_count"] == 2
+    assert out["Comment"]["null_count"] == 1
+    assert out["Comment"]["null_pct"] == pytest.approx(50.0)
+    # Flag: 'nan' is the only null token among 5
+    assert out["Flag"]["null_count"] == 1
+    # absent column → 100% null
+    assert out["Missing"]["null_count"] == 5
+    assert out["Missing"]["null_pct"] == pytest.approx(100.0)
+
+
+def test_oracle_parity_smoke(spark, duck):
+    """The two registry queries hash-equal DuckDB at sf0.001 (full parity
+    at sf0.01 is covered by test_oracle_parity's sweep via the registry)."""
+    from neotree_data_pipeline_kedro_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    for name in ("v_conditional_required", "v_quality_suite"):
+        sp = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .sort_values("base_key" if name == "v_conditional_required" else "check_name")
+            .reset_index(drop=True)
+        )
+        oc = (
+            duck.execute(ORACLE_SQL[name])
+            .df()
+            .sort_values("base_key" if name == "v_conditional_required" else "check_name")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            sp[sorted(sp.columns)], oc[sorted(oc.columns)], check_dtype=False
+        )
