@@ -1266,6 +1266,207 @@ def e1_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SM: summary-table corpus (SURVEY.md §7 slice 6)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "sm_vitals_days_union",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             CASE EXTRACT(dow FROM ts)
+               WHEN 1 THEN 'M' WHEN 2 THEN 'T' WHEN 3 THEN 'W'
+               WHEN 4 THEN 'Th' WHEN 5 THEN 'F' WHEN 6 THEN 'Sat'
+               ELSE 'Sun' END AS dow_code,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+             event_id % 3 AS day_slot
+      FROM events
+    ),
+    shaped AS (
+      SELECT event_id, user_id AS neotree_id, value,
+             CASE WHEN dow_code = 'M' THEN 'Monday'
+                  WHEN dow_code = 'T' THEN 'Tuesday'
+                  WHEN dow_code = 'W' THEN 'Wednesday'
+                  WHEN dow_code = 'Th' THEN 'Thursday'
+                  WHEN dow_code = 'F' THEN 'Friday'
+                  WHEN dow_code = 'Sat' THEN 'Saturday'
+                  WHEN dow_code = 'Sun' THEN 'Sunday' END AS day_of_week,
+             substring(iso FROM position('T' IN iso) + 1 FOR 5) AS time1,
+             CASE WHEN iso IS NOT NULL THEN 1 END AS day_present,
+             day_slot
+      FROM base
+    )
+    SELECT event_id, neotree_id, value, day_of_week, time1, day_present,
+           1 AS day FROM shaped WHERE day_slot = 0
+    UNION ALL
+    SELECT event_id, neotree_id, value, day_of_week, time1, day_present,
+           2 AS day FROM shaped WHERE day_slot = 1
+    UNION ALL
+    SELECT event_id, neotree_id, value, day_of_week, time1, day_present,
+           3 AS day FROM shaped WHERE day_slot = 2
+    """,
+)
+def sm_vitals_days_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary vitals day1/day2/day3 stack: per-day projections with the
+    day-of-week code→name CASE (create_summary_day_one_vitals_sql.py:10-17),
+    the time-of-day substring from position('T')+1 for 5
+    (create_summary_vitalsigns_sql.py:20-40), the presence-flag Day column,
+    and the three-way UNION ALL of create_summary_joined_vitals_sql.py:37,66.
+    The union is a metadata-only concat in Spark — no shuffle; each leg's
+    filter is pushed into the shared scan."""
+    ev = _t(spark, sf_dir, "events")
+    # the reference's vitals store day-of-week *codes*; synthesize the codes
+    # from ts, then apply the code→name CASE exactly as the summary SQL does
+    dow_code = (
+        F.when(F.dayofweek("ts") == 2, "M")
+        .when(F.dayofweek("ts") == 3, "T")
+        .when(F.dayofweek("ts") == 4, "W")
+        .when(F.dayofweek("ts") == 5, "Th")
+        .when(F.dayofweek("ts") == 6, "F")
+        .when(F.dayofweek("ts") == 7, "Sat")
+        .otherwise("Sun")
+    )
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    base = ev.select(
+        "event_id",
+        F.col("user_id").alias("neotree_id"),
+        "value",
+        dow_code.alias("dow_code"),
+        iso.alias("iso"),
+        (F.col("event_id") % 3).alias("day_slot"),
+    )
+    names = {
+        "M": "Monday",
+        "T": "Tuesday",
+        "W": "Wednesday",
+        "Th": "Thursday",
+        "F": "Friday",
+        "Sat": "Saturday",
+        "Sun": "Sunday",
+    }
+    name_expr = None
+    for code, nm in names.items():
+        name_expr = (
+            F.when(F.col("dow_code") == code, nm)
+            if name_expr is None
+            else name_expr.when(F.col("dow_code") == code, nm)
+        )
+    shaped = base.select(
+        "event_id",
+        "neotree_id",
+        "value",
+        name_expr.alias("day_of_week"),
+        F.expr("substring(iso, instr(iso, 'T') + 1, 5)").alias("time1"),
+        F.when(F.col("iso").isNotNull(), 1).alias("day_present"),
+        "day_slot",
+    )
+    legs = [
+        shaped.filter(F.col("day_slot") == d).select(
+            "event_id",
+            "neotree_id",
+            "value",
+            "day_of_week",
+            "time1",
+            "day_present",
+            F.lit(d + 1).alias("day"),
+        )
+        for d in range(3)
+    ]
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
+@_register(
+    "sm_discharge_diagnosis",
+    """
+    SELECT user_id AS uid,
+           unnest(
+             CASE WHEN event_type = 'error'
+                  THEN string_split('OTH_' || json_extract_string(props, '$.k'), ',')
+                  ELSE string_split(event_type || ',' || upper(event_type), ',')
+             END) AS diagnosis
+    FROM events
+    """,
+)
+def sm_discharge_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary_discharge_diagnosis: unnest(string_to_array(...)) over a
+    CASE-chosen source column — the free-text 'other' column when the coded
+    diagnosis is 'OTH', else the coded label
+    (create_summary_discharge_diagnosis_sql.py:3-12). explode() drops
+    NULL-array rows just as unnest emits nothing for NULL — no filter
+    needed. Stays a single narrow scan→generate pipeline, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    chosen = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit("OTH_"), F.get_json_object("props", "$.k")),
+    ).otherwise(F.concat("event_type", F.lit(","), F.upper("event_type")))
+    return ev.select(
+        F.col("user_id").alias("uid"),
+        F.explode(F.split(chosen, ",")).alias("diagnosis"),
+    )
+
+
+@_register(
+    "sm_convenience_indicators",
+    """
+    SELECT event_id AS uid,
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE strftime(ts, '%b-%Y') END AS admission_month_year,
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE CAST(strftime(ts, '%Y%m') AS INT) END AS admission_month_year_sort,
+           CASE WHEN event_type LIKE '%error%' THEN 1 END AS death_count,
+           CASE WHEN event_type = 'click' THEN 1 END AS discharge_count,
+           CASE WHEN event_type IS NOT NULL THEN 1 END AS outcome_count,
+           CASE WHEN ts IS NOT NULL THEN 1 END AS admission_count,
+           CASE WHEN value < 5 THEN 1 END AS premature_count,
+           CASE WHEN value < 5 AND event_type = 'view' THEN 1 END AS less28wks_1kg_count,
+           CASE WHEN value < 3 THEN 1 WHEN value < 10 THEN 2 WHEN value < 15 THEN 3 END AS temp_thermia_sort,
+           CASE WHEN event_type = 'view' THEN 1 WHEN event_type = 'click' THEN 2
+                WHEN event_type = 'purchase' THEN 3 WHEN event_type = 'signup' THEN 4
+                WHEN event_type = 'error' THEN 5 END AS event_sort
+    FROM events
+    ORDER BY event_id ASC
+    """,
+)
+def sm_convenience_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convenience-view projection feeding the A2 monthly rollup: Mon-YYYY
+    display label + numeric YYYYMM sort key
+    (create_convenience_views_sql.py:50-62), CASE-WHEN-1-no-ELSE indicator
+    flag columns (DeathCount/DischargeCount/... — :90-150), and the
+    explicit sort-order ladders (TempThermiaSort/...Sort — :115-150), with
+    the reference's ORDER BY uid on the stored table. Pure narrow
+    projection — one scan, no shuffle except the final sort (which a real
+    sink would skip; kept for parity with the reference's ordered write)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("uid"),
+        F.when(
+            F.col("ts").isNotNull(), F.date_format("ts", "MMM-yyyy")
+        ).alias("admission_month_year"),
+        F.when(
+            F.col("ts").isNotNull(), F.date_format("ts", "yyyyMM").cast("int")
+        ).alias("admission_month_year_sort"),
+        F.when(F.col("event_type").like("%error%"), 1).alias("death_count"),
+        F.when(F.col("event_type") == "click", 1).alias("discharge_count"),
+        F.when(F.col("event_type").isNotNull(), 1).alias("outcome_count"),
+        F.when(F.col("ts").isNotNull(), 1).alias("admission_count"),
+        F.when(F.col("value") < 5, 1).alias("premature_count"),
+        F.when((F.col("value") < 5) & (F.col("event_type") == "view"), 1).alias(
+            "less28wks_1kg_count"
+        ),
+        F.when(F.col("value") < 3, 1)
+        .when(F.col("value") < 10, 2)
+        .when(F.col("value") < 15, 3)
+        .alias("temp_thermia_sort"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 5)
+        .alias("event_sort"),
+    ).orderBy(F.col("uid").asc())
+
+
+# ---------------------------------------------------------------------------
 # S1 / §2.7: session JSON layer (sources/sessions.py)
 # ---------------------------------------------------------------------------
 
