@@ -21,12 +21,17 @@ from pyspark.sql import functions as F
 
 from .nulls import nullify
 
-# anchored regexes, mirroring the reference CASE guards
-_RX_ISO_DATE = r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}$"
-_RX_ISO_SPACE = r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}\s+\d{1,2}:\d{2}(:\d{2})?"
-_RX_ISO_T = r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}T\d{1,2}:\d{2}"
-_RX_TRAIL_DOT_T = r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}T.*\.$"
-_RX_TRAIL_DOT_SP = r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}\s+.*\.$"
+# anchored regexes, mirroring the reference CASE guards.
+# The five ISO-ish branches (trailing-dot T/space, bare date, date+time,
+# date'T'time — reference branches 2-6) all produce the same _iso_canonical
+# parse, so their guards are merged into ONE alternation: this keeps the
+# (large) canonicalization expression tree in the plan once instead of five
+# times, which is what kept whole-stage codegen under the JVM's 64 KB
+# method limit. The alternation is the exact union of the original five.
+_RX_ISO_ANY = (
+    r"^\d{4}[-/.]\d{1,2}[-/.]\d{1,2}"
+    r"($|T.*\.$|\s+.*\.$|\s+\d{1,2}:\d{2}|T\d{1,2}:\d{2})"
+)
 _RX_DMY_TEXT = r"^\d{1,2}\s+[A-Za-z]+\s+\d{4}$"
 _RX_MDY_TEXT = r"^[A-Za-z]+\s+\d{1,2},?\s+\d{4}$"
 _RX_YMD_TEXT = r"^\d{4}\s+[A-Za-z]+\s+\d{1,2}$"
@@ -86,13 +91,9 @@ def parse_timestamp_multi(col: Column | str) -> Column:
     return F.coalesce(
         fast,
         F.when(t.isNull(), F.lit(None).cast("timestamp"))
-        # trailing-dot variants (branches 2-3): rtrim '.' then ISO parse
-        .when(t.rlike(_RX_TRAIL_DOT_T), iso)
-        .when(t.rlike(_RX_TRAIL_DOT_SP), iso)
-        # ISO-like date / date+time / date'T'time (branches 4-6)
-        .when(t.rlike(_RX_ISO_DATE), iso)
-        .when(t.rlike(_RX_ISO_SPACE), iso)
-        .when(t.rlike(_RX_ISO_T), iso)
+        # ISO-ish family (branches 2-6 merged — see _RX_ISO_ANY):
+        # trailing-dot variants rtrim via regexp_extract's prefix match
+        .when(t.rlike(_RX_ISO_ANY), iso)
         # textual month forms (branches 7-10)
         .when(t.rlike(_RX_DMY_TEXT), _try(ti, "d MMMM yyyy", "d MMM yyyy"))
         .when(

@@ -898,8 +898,14 @@ def d9_key_regeneration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("NaT"))
     )
     c2 = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-    regen = F.coalesce(parse_timestamp_multi(c1), parse_timestamp_multi(c2))
-    return ev.select(
+    # stage the candidate strings as named columns first: the parser
+    # references its input ~25 times, and attributes are cheap to duplicate
+    # where the full CASE/date_format trees are not (keeps codegen < 64 KB)
+    staged = ev.select("event_id", c1.alias("__c1"), c2.alias("__c2"))
+    regen = F.coalesce(
+        parse_timestamp_multi(F.col("__c1")), parse_timestamp_multi(F.col("__c2"))
+    )
+    return staged.select(
         "event_id", F.date_format(regen, "yyyy-MM-dd HH:mm:ss").alias("unique_key")
     )
 
@@ -1981,10 +1987,15 @@ def f_timestamp_multiparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls == 7, F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".")))
         .otherwise(F.lit("nan"))
     )
-    return ev.select(
+    # pre-project the dirty string so the parser's ~25 references resolve to
+    # a cheap attribute, not 25 copies of the CASE tree (CollapseProject
+    # keeps multi-use non-trivial aliases as a separate projection) — this
+    # is what keeps whole-stage codegen under the 64 KB method limit
+    staged = ev.select("event_id", dirty.alias("dirty"))
+    return staged.select(
         "event_id",
-        dirty.alias("dirty"),
-        parse_timestamp_multi(dirty).alias("parsed"),
+        "dirty",
+        parse_timestamp_multi(F.col("dirty")).alias("parsed"),
     )
 
 
