@@ -32,6 +32,12 @@ def main() -> None:
     next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and one partition-per-core pandas pass spins up the Python worker
+    # pool, so daemon startup doesn't land on the first mapInPandas query
+    # (steady-state clusters keep workers alive between jobs)
+    spark.range(0, 32_000, numPartitions=spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -1,5 +1,6 @@
 """Batch-incremental & Structured Streaming wrappers (SURVEY.md §2.9)."""
 
 from .incremental import incremental_sink, run_available_now
+from .sessions import sessionize_stream
 
-__all__ = ["incremental_sink", "run_available_now"]
+__all__ = ["incremental_sink", "run_available_now", "sessionize_stream"]
