@@ -36,7 +36,7 @@ from ..functions.buckets import (
     temp_thermia,
     under_28wks_1kg,
 )
-from ..functions.nulls import nullify
+from ..functions.nulls import nullify, nullify_uid
 from ..functions.strings import (
     duration_to_hours,
     extract_first_number,
@@ -533,6 +533,67 @@ def p2_p4_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum(k).alias("k_sum"))
+    )
+
+
+@_register(
+    "p3_validity_filters",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  WHEN event_id % 7 = 1 THEN 'null'
+                  WHEN event_id % 7 = 2 THEN 'Unknown'
+                  WHEN event_id % 7 = 3 THEN 'Unkown'
+                  ELSE 'uid-' || CAST(user_id AS VARCHAR) END AS uid,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(ts AS VARCHAR) END AS completed_at,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE CAST(event_id AS VARCHAR) END AS unique_key
+      FROM events
+    )
+    SELECT event_id, upper(uid) AS uid, completed_at, unique_key
+    FROM src
+    WHERE completed_at IS NOT NULL
+      AND uid IS NOT NULL
+      AND lower(uid) NOT IN ('null', 'unknown', 'unkown')
+      AND unique_key IS NOT NULL
+    """,
+)
+def p3_validity_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 validity filters (assorted_queries.py:357,373,389): completed_at
+    NOT NULL, uid NOT NULL and not a junk token (null/Unknown/Unkown — the
+    reference's misspelling included), unique_key NOT NULL; uids upper-cased
+    on the way through (extract_key_values.py:47). All three predicates are
+    plain column filters, so they push into the scan together."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .when(F.col("event_id") % 7 == 1, F.lit("null"))
+        .when(F.col("event_id") % 7 == 2, F.lit("Unknown"))
+        .when(F.col("event_id") % 7 == 3, F.lit("Unkown"))
+        .otherwise(F.concat(F.lit("uid-"), F.col("user_id").cast("string")))
+        .alias("uid_raw"),
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("ts").cast("string"))
+        .alias("completed_at"),
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("unique_key"),
+    )
+    return (
+        src.select(
+            "event_id",
+            nullify_uid(F.col("uid_raw")).alias("uid"),
+            "completed_at",
+            "unique_key",
+        )
+        .filter(
+            F.col("completed_at").isNotNull()
+            & F.col("uid").isNotNull()
+            & F.col("unique_key").isNotNull()
+        )
     )
 
 
