@@ -2,5 +2,11 @@
 
 from .incremental import incremental_sink, run_available_now
 from .sessions import sessionize_stream
+from .windows import windowed_indicator_rollup
 
-__all__ = ["incremental_sink", "run_available_now", "sessionize_stream"]
+__all__ = [
+    "incremental_sink",
+    "run_available_now",
+    "sessionize_stream",
+    "windowed_indicator_rollup",
+]

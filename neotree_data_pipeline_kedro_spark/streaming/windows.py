@@ -1,0 +1,60 @@
+"""Watermarked windowed aggregation (SURVEY.md §2.9 — streaming form of A2).
+
+The reference recomputes its monthly indicator rollup from scratch every
+cron run (queries/create_summary_counts_sql.py:4-37); late-arriving
+sessions are picked up because the whole table is rebuilt. The streaming
+form keeps the rollup continuously current instead: event-time windows
+grouped per key, a watermark bounding how late data may arrive, append-mode
+emission once a window is final. State per open window is one partial
+aggregate row — the full-history rebuild disappears.
+
+Late data semantics (verified against Spark's actual behavior, pinned by
+test): the watermark is a LOWER bound on state retention, not an exact
+cutoff. A row later than ``late_threshold`` still merges into its window if
+that window's state has not been evicted yet (eviction happens during the
+first batch whose start-of-batch watermark passes the window end); only
+rows arriving after eviction are dropped (numRowsDroppedByWatermark). The
+reference's NOT-EXISTS rebuild accepts arbitrarily late rows at the cost
+of full recomputation; pick the threshold to match the ingestion SLA.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_indicator_rollup(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    late_threshold: str,
+    keys: Sequence[str] = (),
+    indicators: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Event-time windowed conditional-count rollup over a streaming frame.
+
+    ``indicators`` maps output column name → boolean/0-1 Column (the A2
+    CASE-WHEN-1 family, e.g. death/discharge/premature flags); each is
+    summed within (window, *keys). Works identically on batch frames (the
+    watermark is a no-op there), so one definition serves both the cron-
+    style rebuild and the continuous query.
+    """
+    indicators = indicators or {}
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(expr.cast("long")).alias(name) for name, expr in indicators.items()
+    ]
+    return (
+        df.withWatermark(ts_col, late_threshold)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_rows",
+            *indicators.keys(),
+        )
+    )
