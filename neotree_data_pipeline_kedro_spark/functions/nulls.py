@@ -25,7 +25,12 @@ UID_JUNK_TOKENS = ("null", "unknown", "unkown")
 
 def nullify(col: Column | str) -> Column:
     """Map stringly-null tokens to real NULL; passes other values through
-    trimmed. Case-insensitive, mirroring the reference's date-parser guard."""
+    trimmed. Case-insensitive, mirroring the reference's date-parser guard.
+
+    trim() strips ASCII spaces only — the SQL contract shared by Spark,
+    Postgres, and the DuckDB oracle. (The reference's pandas .str.strip()
+    also eats tabs/newlines; divergence is deliberate and pinned by the
+    nullify property test.)"""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
     return F.when(F.lower(t).isin(*NULL_TOKENS), F.lit(None)).otherwise(t)

@@ -1,0 +1,209 @@
+"""Property-based tests (SURVEY.md §5 item 3): bucketing ladders, null
+normalizer, timestamp round-trip. Each property evaluates a whole generated
+batch in one Spark job against an independent Python twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.functions.buckets import (
+    bw_group,
+    gest_group,
+    temp_thermia,
+)
+from neotree_data_pipeline_kedro_spark.functions.nulls import NULL_TOKENS, nullify
+from neotree_data_pipeline_kedro_spark.functions.timestamps import (
+    parse_timestamp_multi,
+)
+
+SET = settings(max_examples=12, deadline=None)
+
+
+def _eval(spark, values, expr_fn, in_type="double"):
+    pdf = pd.DataFrame({"i": range(len(values)), "x": values})
+    df = spark.createDataFrame(pdf, f"i long, x {in_type}")
+    rows = df.select("i", expr_fn(F.col("x")).alias("y")).orderBy("i").collect()
+    return [r["y"] for r in rows]
+
+
+# --- python twins (written from the reference's .loc cascade directly,
+# --- create_derived_columns.py:34-57 / 61-86 / 152-182) ---------------------
+
+def _py_gest_zim(g):
+    if g is None:
+        return "Unknowwn"
+    if g < 28:
+        return "<28"
+    if g < 33:
+        return "28-32 wks"
+    if g < 37:
+        return "33-36 wks"
+    if g < 42:
+        return "37-41 wks"
+    return "42 wks or above"
+
+
+def _py_bw(w):
+    if w is None:
+        return "Unknown"
+    if w < 1000:
+        return "ELBW"
+    if w < 1500:
+        return "VLBW"
+    if w < 2500:
+        return "LBW"
+    if w < 4000:
+        return "NBW"
+    return "HBW"
+
+
+def _py_thermia_zim(t):
+    if t is None:
+        return "Unknown"
+    if t <= 32.0:
+        return "Severe Hypothermia"
+    if 32.1 <= t <= 35.9:
+        return "Moderate Hypothermia"
+    if 36.0 <= t <= 36.4:
+        return "Mild Hypothermia"
+    if 36.5 <= t <= 37.5:
+        return "Normothermia"
+    if t > 37.5:
+        return "Fever"
+    return None  # the reference's interval gaps fall through
+
+
+nums = st.lists(
+    st.one_of(st.none(), st.floats(min_value=0, max_value=60, allow_nan=False)),
+    min_size=1,
+    max_size=50,
+)
+grams = st.lists(
+    st.one_of(st.none(), st.floats(min_value=0, max_value=6000, allow_nan=False)),
+    min_size=1,
+    max_size=50,
+)
+temps = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=28, max_value=42, allow_nan=False),
+        # hammer the gap intervals the reference leaves unlabelled
+        st.floats(min_value=32.0, max_value=32.1, allow_nan=False),
+        st.floats(min_value=35.9, max_value=36.0, allow_nan=False),
+        st.floats(min_value=36.4, max_value=36.5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SET
+@given(values=nums)
+def test_gest_group_matches_twin(spark, values):
+    assert _eval(spark, values, gest_group) == [_py_gest_zim(v) for v in values]
+
+
+@SET
+@given(values=grams)
+def test_bw_group_matches_twin(spark, values):
+    assert _eval(spark, values, bw_group) == [_py_bw(v) for v in values]
+
+
+@SET
+@given(values=temps)
+def test_temp_thermia_matches_twin(spark, values):
+    assert _eval(spark, values, temp_thermia) == [
+        _py_thermia_zim(v) for v in values
+    ]
+
+
+# --- null normalizer --------------------------------------------------------
+
+tokens = st.sampled_from(list(NULL_TOKENS) + ["NaT", "None", "NULL", "<NA>"])
+# ASCII space only: trim() in Spark, Postgres, and DuckDB strips spaces, not
+# tabs — the engine follows the SQL contract (the reference's pandas
+# .str.strip() would also eat tabs, a knowing divergence)
+paddings = st.text(alphabet=" ", max_size=3)
+
+
+@SET
+@given(
+    values=st.lists(
+        st.one_of(
+            st.builds(
+                lambda t, l, r, up: l + (t.upper() if up else t) + r,
+                tokens,
+                paddings,
+                paddings,
+                st.booleans(),
+            ),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1,
+                max_size=10,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_nullify_property(spark, values):
+    got = _eval(spark, values, nullify, in_type="string")
+    for raw, out in zip(values, got):
+        if raw.strip().lower() in NULL_TOKENS:
+            assert out is None, raw
+        else:
+            assert out == raw.strip(), raw
+
+
+# --- timestamp round-trip ---------------------------------------------------
+
+FMTS = [
+    "%Y-%m-%d %H:%M:%S",
+    "%Y/%m/%d",
+    "%d %B %Y",
+    "%m/%d/%Y",
+    "%d.%m.%Y",
+    "%Y%m%d",
+    "%Y-%m-%dT%H:%M:%S",
+]
+
+
+@SET
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.datetimes(
+                min_value=dt.datetime(1990, 1, 1),
+                max_value=dt.datetime(2035, 12, 31),
+            ).map(lambda d: d.replace(microsecond=0)),
+            st.sampled_from(FMTS),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_timestamp_roundtrip(spark, pairs):
+    strings, expected = [], []
+    for d, fmt in pairs:
+        strings.append(d.strftime(fmt))
+        expected.append(
+            d if ("%H" in fmt) else d.replace(hour=0, minute=0, second=0)
+        )
+    got = _eval(spark, strings, parse_timestamp_multi, in_type="string")
+    # US-before-EU ambiguity: %d.%m.%Y and %m/%d/%Y inputs where both parts
+    # are <= 12 legitimately swap — the reference's branch order decides, so
+    # the property only demands a successful parse of the same DATE DIGITS
+    for (d, fmt), s, out in zip(pairs, strings, got):
+        assert out is not None, f"{s} ({fmt}) failed to parse"
+        if fmt in ("%m/%d/%Y", "%d.%m.%Y") and d.day <= 12 and d.month != d.day:
+            assert {out.month, out.day} == {d.month, d.day}, (s, fmt, out)
+        else:
+            exp = d if "%H" in fmt else d.replace(hour=0, minute=0, second=0)
+            assert out == exp, (s, fmt, out)
