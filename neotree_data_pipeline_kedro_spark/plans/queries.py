@@ -1316,6 +1316,57 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u2_set_ops",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT user_id, 'both' AS cohort FROM (
+      SELECT user_id FROM clickers INTERSECT SELECT user_id FROM errorers)
+    UNION ALL
+    SELECT user_id, 'click_only' FROM (
+      SELECT user_id FROM clickers EXCEPT SELECT user_id FROM errorers)
+    """,
+)
+def u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: INTERSECT / EXCEPT cohorts (the reference has
+    none of its own — Spark SQL provides them; both plan as left-semi /
+    left-anti aggregate joins, no sort)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clickers.intersect(errorers).select(
+        "user_id", F.lit("both").alias("cohort")
+    )
+    click_only = clickers.exceptAll(errorers).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return both.unionByName(click_only)
+
+
+@_register(
+    "u3_top_k",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 100
+    """,
+)
+def u3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sort + limit: ordered top-k with a deterministic tiebreak
+    (reference LIMIT probes, data_fix.py:338-344; ORDER BY on summary
+    writes). Spark plans this as TakeOrderedAndProject — per-partition
+    heaps then a k-row merge on the driver, never a full sort: the shape
+    that survives a 100x scale-up."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+@_register(
     "e1_explode_tokens",
     """
     SELECT token, COUNT(*) AS n
