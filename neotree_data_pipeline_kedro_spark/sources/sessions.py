@@ -89,9 +89,12 @@ def _sanitize_key(col: Column) -> Column:
 
 
 def parse_entries(entries_json: Column) -> tuple[Column, Column]:
-    """(old, new) parses of a raw ``entries`` JSON string — exactly one is
-    non-null per row (a JSON array nulls out under the map schema and vice
-    versa), so format detection needs no appVersion heuristic
+    """(old, new) parses of a raw ``entries`` JSON string. A JSON array
+    nulls out under the map schema, but the converse is NOT clean: from_json
+    with an ArrayType wraps a bare object into a one-element array whose
+    struct fields are null. Callers must therefore detect old-format by the
+    presence of keyed entries, not by ``old.isNotNull()`` (entry_rows does);
+    either way no appVersion heuristic is needed
     (cf. extract_key_values.py:77's version sniffing)."""
     return (
         F.from_json(entries_json, OLD_ENTRIES_SCHEMA),
@@ -146,35 +149,46 @@ def entry_rows(
     old, new = parse_entries(F.col(entries_col))
     base = df.withColumn("__old", old).withColumn("__new", new)
 
-    old_rows = (
-        base.filter(F.col("__old").isNotNull())
-        .select(
-            *id_cols,
-            F.posexplode("__old").alias("__pos", "__e"),
-        )
-        .filter(F.col("__e.key").isNotNull())
+    # Normalize BOTH formats to one array<struct<key,labels,values>> and
+    # explode once: a single scan + single generate instead of the former
+    # old-branch ∪ new-branch shape, which read the base (and re-ran the
+    # envelope JSON parse) twice. Format detection stays the null-coalesce.
+    entry_struct = lambda key, labels, values: F.struct(  # noqa: E731
+        key.alias("key"), labels.alias("labels"), values.alias("values")
+    )
+    old_norm = F.transform(
+        F.filter(F.col("__old"), lambda e: e["key"].isNotNull()),
+        lambda e: entry_struct(
+            e["key"], e["values"]["label"], e["values"]["value"]
+        ),
+    )
+    new_norm = F.transform(
+        # "repeatables" is not a form field (json_restructure.py:47-48)
+        F.filter(
+            F.map_entries(F.col("__new")),
+            lambda kv: ~kv["key"].contains("repeatables"),
+        ),
+        lambda kv: entry_struct(
+            F.trim(kv["key"]),
+            kv["value"]["values"]["label"],
+            kv["value"]["values"]["value"],
+        ),
+    )
+    # Detection nuance: from_json with an ArrayType WRAPS a bare JSON
+    # object into a one-element array, so a new-format dict "parses" as old
+    # too — but its wrapped entry has no `key` field and old_norm filters
+    # it out. A non-empty old_norm is therefore the real old-format test.
+    unified = F.when(F.size(old_norm) > 0, old_norm).otherwise(new_norm)
+    rows = (
+        base.select(*id_cols, F.posexplode(unified).alias("__pos", "__e"))
         .select(
             *id_cols,
             "__pos",
             F.col("__e.key").alias("key"),
-            F.col("__e.values.label").alias("labels"),
-            F.col("__e.values.value").alias("values"),
+            F.col("__e.labels").alias("labels"),
+            F.col("__e.values").alias("values"),
         )
     )
-    new_rows = (
-        base.filter(F.col("__new").isNotNull())
-        .select(*id_cols, F.posexplode(F.map_entries("__new")).alias("__pos", "__e"))
-        # "repeatables" is not a form field (json_restructure.py:47-48)
-        .filter(~F.col("__e.key").contains("repeatables"))
-        .select(
-            *id_cols,
-            "__pos",
-            F.trim(F.col("__e.key")).alias("key"),
-            F.col("__e.value.values.label").alias("labels"),
-            F.col("__e.value.values.value").alias("values"),
-        )
-    )
-    rows = old_rows.unionByName(new_rows)
 
     # last-wins per key; completed_at first-wins
     order = F.when(F.col("key") == "completed_at", F.col("__pos")).otherwise(
