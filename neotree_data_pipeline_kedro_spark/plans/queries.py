@@ -686,13 +686,20 @@ def f_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe key existence — all as parse -> map op -> serialize
     reprojections."""
     ev = _t(spark, sf_dir, "events").select("event_id", "props")
-    step1 = json_set(F.col("props"), "env", F.lit("prod"))
-    step2 = json_delete_keys(step1, ["k"])
-    return ev.select(
+    # stage each rewrite as a named column: step1 feeds step2 AND two
+    # extractions, so inlining would quadruplicate the parse→serialize tree
+    # (multi-use aliases survive CollapseProject; keeps codegen small)
+    staged = ev.select(
+        "event_id", "props", json_set(F.col("props"), "env", F.lit("prod")).alias("__s1")
+    ).select(
+        "event_id", "props", "__s1",
+        json_delete_keys(F.col("__s1"), ["k"]).alias("__s2"),
+    )
+    return staged.select(
         "event_id",
-        F.get_json_object(step1, "$.k").alias("k_after_set"),
-        F.get_json_object(step2, "$.k").alias("k_after_del"),
-        F.get_json_object(step2, "$.env").alias("env_after_del"),
+        F.get_json_object(F.col("__s1"), "$.k").alias("k_after_set"),
+        F.get_json_object(F.col("__s2"), "$.k").alias("k_after_del"),
+        F.get_json_object(F.col("__s2"), "$.env").alias("env_after_del"),
         json_has_any_key(F.col("props"), ["k", "zzz"]).alias("has_k"),
         json_has_any_key(F.col("props"), ["zzz"]).alias("has_z"),
     )
