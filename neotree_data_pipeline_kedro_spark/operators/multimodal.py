@@ -2,10 +2,11 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The actual codec calls are STUBBED (PIL/librosa/
-ffmpeg are not in this container) behind ``NotImplementedError`` or a
-deterministic fake — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signatures) is real and tested.
+``mapInPandas`` stages. Image decode/resize and video frame-sampling are
+REAL byte-level implementations over the pure-stdlib PNG codec and VID0
+frame container in ``functions/png.py`` (PIL/ffmpeg are not in this
+container; JPEG/MP4 would slot into the same mapInPandas stages). Audio
+feature extraction remains a deterministic byte-histogram stand-in.
 
 At 100 TB: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) for media tables,
@@ -75,9 +76,9 @@ def media_metadata(df: DataFrame, binary_col: str, out_col: str = "meta") -> Dat
 
 
 def _fake_image_features(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic stand-in for a real image encoder: byte-histogram
-    features. Replaces model inference in this container; the batch shape
-    and schema are what production code would use."""
+    """Deterministic byte-histogram features — the model-inference stand-in
+    (an encoder model is the one piece that has no stdlib equivalent); the
+    batch shape and schema are what production code would use."""
     if payload is None:
         return [0.0] * dim
     counts = [0] * dim
@@ -115,21 +116,92 @@ def extract_image_features(
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def decode_image(df: DataFrame, binary_col: str) -> DataFrame:
-    """Real pixel decode — requires PIL, absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this environment. "
-        "Wire the decoder into extract_image_features' mapInPandas stage."
-    )
+DECODED_SCHEMA = (
+    "id bigint, width int, height int, channels int, "
+    "mean_pixel double, pixels binary"
+)
 
 
-def resize_image(df: DataFrame, binary_col: str, width: int, height: int) -> DataFrame:
-    raise NotImplementedError(
-        "image resize requires PIL/opencv; not available in this environment."
-    )
+def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Real PNG pixel decode over mapInPandas: (id, width, height, channels,
+    mean_pixel, raw pixel bytes row-major). Undecodable payloads are dropped
+    (the reference's tolerant-ingest contract: junk rows never kill a run).
+    """
+    from ..functions.png import decode_png
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "channels", "mean_pixel", "pixels")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    px = decode_png(payload)
+                except Exception:
+                    continue
+                h, w, ch = px.shape
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_pixel"].append(float(px.mean()))
+                out["pixels"].append(px.tobytes())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, binary_col: str, every_ms: int) -> DataFrame:
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg; not available in this environment."
+def resize_image(
+    df: DataFrame, id_col: str, binary_col: str, width: int, height: int
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched:
+    (id, png binary of the resized image)."""
+    from ..functions.png import decode_png, encode_png, resize_nearest
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    px = decode_png(payload)
+                except Exception:
+                    continue
+                ids.append(i)
+                out.append(encode_png(resize_nearest(px, width, height)))
+            yield pd.DataFrame({"id": ids, "png": out})
+
+    return src.mapInPandas(run, schema="id bigint, png binary")
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_ms: int
+) -> DataFrame:
+    """Sample one frame per ``every_ms`` from VID0 containers:
+    (id, frame_index, ts_ms, frame png binary). One output row per sampled
+    frame — the explode happens inside the Arrow batch, so a long video
+    never materializes as one driver-side object."""
+    from ..functions.png import decode_video
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "frame_index", "ts_ms", "frame")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    frame_ms, frames = decode_video(payload)
+                except Exception:
+                    continue
+                step = max(1, every_ms // max(frame_ms, 1))
+                for idx in range(0, len(frames), step):
+                    out["id"].append(i)
+                    out["frame_index"].append(idx)
+                    out["ts_ms"].append(idx * frame_ms)
+                    out["frame"].append(frames[idx])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run, schema="id bigint, frame_index int, ts_ms bigint, frame binary"
     )

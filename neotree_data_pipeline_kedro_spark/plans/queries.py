@@ -2493,7 +2493,7 @@ def ta_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: text → binary payload column → byte-level
     metadata (operators/multimodal handles sniffing + mapInPandas feature
-    extraction; decode itself is stubbed per environment)."""
+    extraction; real PNG decode is exercised by mm_image_decode)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
@@ -2501,6 +2501,59 @@ def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@_register(
+    "mm_image_decode",
+    """
+    SELECT event_id AS id,
+           CAST(4 + event_id % 5 AS INTEGER) AS width,
+           CAST(3 + event_id % 4 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(event_id % 251 AS DOUBLE) AS mean_pixel
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG encode→decode through the engine: deterministic
+    constant-valued images synthesized per event (dims and fill value are
+    functions of event_id), encoded to actual PNG bytes, then decoded by the
+    byte-level codec in operators/multimodal.decode_image. The oracle
+    recomputes the expected (width, height, channels, mean) in closed form
+    from event_id — so a decode that misparses dimensions, channels, or
+    pixel bytes hash-mismatches. Both stages are Arrow-batched mapInPandas;
+    nothing touches the driver."""
+    import numpy as np  # local: pickled into the mapInPandas closure
+
+    from ..functions.png import encode_png
+    from ..operators.multimodal import decode_image
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0).select(
+        "event_id"
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            imgs = [
+                bytearray(
+                    encode_png(
+                        np.full(
+                            (3 + int(i) % 4, 4 + int(i) % 5, 3),
+                            int(i) % 251,
+                            dtype=np.uint8,
+                        )
+                    )
+                )
+                for i in pdf["event_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["event_id"], "img": imgs})
+
+    images = ev.mapInPandas(enc, schema="id bigint, img binary")
+    return decode_image(images, "id", "img").select(
+        "id", "width", "height", "channels", "mean_pixel"
     )
 
 
