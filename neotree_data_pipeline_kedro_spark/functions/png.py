@@ -118,6 +118,44 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+# --- minimal WAV (RIFF/PCM16) codec: the audio twin of the PNG path -------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono bytes → (sample_rate, int16 samples). Raises
+    ValueError on non-WAV input or unsupported variants (stereo, non-PCM)."""
+    if len(data) < 44 or bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos : pos + 4])
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + ln])
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt != 1 or nch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant")
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
 # --- trivial deterministic video container: frames as length-prefixed PNGs --
 
 _VID_MAGIC = b"VID0"

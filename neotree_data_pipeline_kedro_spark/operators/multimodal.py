@@ -175,6 +175,45 @@ def resize_image(
     return src.mapInPandas(run, schema="id bigint, png binary")
 
 
+AUDIO_SCHEMA = (
+    "id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "rms double, peak int"
+)
+
+
+def decode_audio(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Real WAV (RIFF/PCM16) decode over mapInPandas: per-clip sample rate,
+    duration, RMS, and peak amplitude — the metadata/feature projection a
+    training pipeline filters on (silence/clipping gates). Undecodable
+    payloads drop, batch survives."""
+    import numpy as np
+
+    from ..functions.png import decode_wav
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "sample_rate", "n_samples", "duration_ms", "rms", "peak"
+            )}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(payload)
+                except Exception:
+                    continue
+                x = samples.astype(np.float64)
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // max(rate, 1))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["peak"].append(int(np.abs(samples).max()) if len(x) else 0)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame, id_col: str, binary_col: str, every_ms: int
 ) -> DataFrame:

@@ -2557,6 +2557,52 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm_audio_decode",
+    """
+    SELECT event_id AS id,
+           16000 AS sample_rate,
+           CAST(160 + event_id % 80 AS BIGINT) AS n_samples,
+           CAST((160 + event_id % 80) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(event_id % 1000 AS DOUBLE) AS rms,
+           CAST(event_id % 1000 AS INTEGER) AS peak
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV encode→decode: constant-amplitude PCM16 clips synthesized
+    per event (length and amplitude are functions of event_id), serialized
+    to RIFF/WAVE bytes, then parsed back by the byte-level codec — constant
+    amplitude makes RMS and peak equal the amplitude exactly, so the oracle
+    recomputes everything in closed form. Arrow-batched end to end."""
+    import numpy as np
+
+    from ..functions.png import encode_wav
+    from ..operators.multimodal import decode_audio
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0).select(
+        "event_id"
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            wavs = [
+                bytearray(
+                    encode_wav(
+                        np.full(160 + int(i) % 80, int(i) % 1000, dtype=np.int16),
+                        16_000,
+                    )
+                )
+                for i in pdf["event_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["event_id"], "wav": wavs})
+
+    clips = ev.mapInPandas(enc, schema="id bigint, wav binary")
+    return decode_audio(clips, "id", "wav")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL oracle: stateful/greedy/LSH internals)
 # ---------------------------------------------------------------------------

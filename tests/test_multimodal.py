@@ -138,3 +138,38 @@ def test_sample_video_frames_operator(spark):
     r = [r for r in rows if r["id"] == 1 and r["frame_index"] == 3][0]
     assert r["ts_ms"] == 120
     assert (decode_png(bytes(r["frame"])) == 31).all()
+
+
+def test_wav_roundtrip():
+    from neotree_data_pipeline_kedro_spark.functions.png import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = RNG.integers(-32768, 32767, size=1000, dtype=np.int16)
+    rate, back = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_decode_audio_operator(spark):
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_wav
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import decode_audio
+
+    rows = [
+        (0, bytearray(encode_wav(np.full(1600, 100, dtype=np.int16), 16000))),
+        (1, bytearray(encode_wav(np.full(800, -200, dtype=np.int16), 8000))),
+        (2, bytearray(b"not audio")),
+    ]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in decode_audio(spark.createDataFrame(rows, schema), "id", "wav").collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["duration_ms"] == 100 and out[0]["rms"] == pytest.approx(100.0)
+    assert out[1]["sample_rate"] == 8000 and out[1]["peak"] == 200
