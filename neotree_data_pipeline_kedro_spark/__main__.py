@@ -1,0 +1,114 @@
+"""CLI: run the 14-stage engine end-to-end and write a parquet warehouse.
+
+``python -m neotree_data_pipeline_kedro_spark --sf-dir /root/testdata/sf0.001
+--out /tmp/neotree_warehouse`` — the Spark-native form of ``kedro run``
+(reference cli.py:138-213): sessions in, derived tables out, one line of
+row counts per stage. Sessions are synthesized deterministically from the
+events table (this container has no live Postgres `public.sessions`);
+point ``build_sessions`` at a real bronze table to run on actual data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.pipeline import Engine, EngineConfig
+from .session import get_spark
+from .sources.tables import load_table
+
+ADM_SCRIPT = "-SCRIPT-ADM"
+DIS_SCRIPT = "-SCRIPT-DIS"
+
+_FIELD_INFO = {
+    "admissions": {
+        "Gestation": {"type": "number"},
+        "BW": {"type": "number"},
+        "Temperature": {"type": "number"},
+        "DateTimeAdmission": {"type": "datetime"},
+        "NeoTreeID": {"type": "text"},
+    },
+    "discharges": {
+        "NeoTreeOutcome": {"type": "dropdown"},
+        "BWDis": {"type": "number"},
+        "NeoTreeID": {"type": "text"},
+    },
+}
+
+
+def build_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """public.sessions-shaped frame (assorted_queries.py:839-855 DDL)
+    synthesized deterministically from events: even ids → admissions, odd →
+    discharges, new-format entries JSON."""
+    ev = load_table(spark, "events", sf_dir)
+    eid = F.col("event_id").cast("string")
+    uid = F.concat(F.lit("U"), F.col("user_id").cast("string"))
+    gest = (F.col("event_id") % 20 + 24).cast("string")
+    bw = (F.col("event_id") % 4000 + 500).cast("string")
+    temp = F.round(F.col("value") * 0.2 + 34.0, 1).cast("string")
+    adm = F.concat(
+        F.lit('{"entries":{"NeoTreeID":{"values":{"label":["id"],"value":["'),
+        uid,
+        F.lit('"]}},"Gestation":{"values":{"label":["g"],"value":["'),
+        gest,
+        F.lit('"]}},"BW":{"values":{"label":["w"],"value":["'),
+        bw,
+        F.lit('"]}},"Temperature":{"values":{"label":["t"],"value":["'),
+        temp,
+        F.lit('"]}},"DateTimeAdmission":{"values":{"label":["d"],"value":["'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit('"]}}}}'),
+    )
+    dis = F.concat(
+        F.lit('{"entries":{"NeoTreeID":{"values":{"label":["id"],"value":["'),
+        uid,
+        F.lit('"]}},"NeoTreeOutcome":{"values":{"label":["Discharged"],'
+              '"value":["DC"]}},"BWDis":{"values":{"label":["w"],"value":["'),
+        bw,
+        F.lit('"]}}}}'),
+    )
+    is_adm = F.col("event_id") % 2 == 0
+    return ev.select(
+        F.col("event_id").alias("id"),
+        uid.alias("uid"),
+        F.col("ts").alias("ingested_at"),
+        F.when(is_adm, adm).otherwise(dis).alias("data"),
+        F.when(is_adm, ADM_SCRIPT).otherwise(DIS_SCRIPT).alias("scriptid"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("unique_key"),
+    )
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    ap = argparse.ArgumentParser(prog="neotree-spark-engine")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=None, help="warehouse dir (parquet per stage)")
+    args = ap.parse_args(argv)
+
+    own_session = spark is None
+    spark = spark or get_spark("neotree-engine-run")
+    cfg = EngineConfig(
+        scripts={ADM_SCRIPT: "admissions", DIS_SCRIPT: "discharges"},
+        facility_map={ADM_SCRIPT: "Test Hospital", DIS_SCRIPT: "Test Hospital"},
+        field_info=_FIELD_INFO,
+    )
+
+    def materialize(name: str, df: DataFrame) -> DataFrame:
+        if args.out:
+            path = f"{args.out}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df
+
+    out = Engine(cfg, materialize=materialize).run(build_sessions(spark, args.sf_dir))
+    counts = {name: df.count() for name, df in out.items()}
+    print(json.dumps({"stages": counts, "out": args.out}))
+    if own_session:
+        spark.stop()
+    return counts
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,15 @@ def test_engine_materialize_hook(spark):
     eng._mat = lambda name, df: seen.append(name) or df
     eng.run(_sessions(spark))
     assert "deduplicated" in seen and "clean_admissions" in seen
+
+
+def test_cli_main_runs_all_stages(spark):
+    from neotree_data_pipeline_kedro_spark.__main__ import main
+
+    counts = main(argv=["--sf-dir", "/root/testdata/sf0.001"], spark=spark)
+    assert counts["bronze"] == 1000
+    assert set(counts) >= {
+        "bronze", "deduplicated", "admissions", "discharges", "joined",
+        "convenience", "summary_counts", "clean_admissions", "merged_all",
+    }
+    assert all(n >= 0 for n in counts.values())
