@@ -267,39 +267,52 @@ def explode_repeatables(
             & (F.col("__entry")["createdAt"] != "")
         )
     )
-    # {value,label} dicts arrive as raw JSON strings; scalars stay scalars
-    def _field_struct(val: Column) -> Column:
-        parsed = F.from_json(
-            val,
-            T.StructType(
-                [
-                    T.StructField("value", T.StringType()),
-                    T.StructField("label", T.StringType()),
-                ]
-            ),
-        )
-        return F.when(
-            parsed.isNotNull()
-            & (parsed["value"].isNotNull() | parsed["label"].isNotNull()),
-            F.struct(parsed["value"].alias("value"), parsed["label"].alias("label")),
-        ).otherwise(F.struct(val.alias("value"), val.alias("label")))
-
     script_table = F.lower(
         F.regexp_replace(F.concat(F.lit(script + "_"), F.col("__table")), r"\s+", "")
     )
     # the fields map is rebuilt per entry with higher-order fns — the grouping
     # key is exactly the parent row, so the former explode_outer → groupBy/
     # collect_list round-trip (a full shuffle) collapses into one narrow
-    # projection chain
+    # projection chain.
+    # Two chained transforms, not one: the {value,label} parse must feed four
+    # places (null test, value/label projection, scalar fallback), and a
+    # lambda-variable field reference is cheap where re-inlining the
+    # from_json tree four times is not (codegen size).
+    vl_schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    staged = F.transform(
+        F.filter(
+            F.map_entries("__entry"),
+            lambda kv: ~kv["key"].isin(*_REPEATABLE_META_KEYS),
+        ),
+        lambda kv: F.struct(
+            _sanitize_key(kv["key"]).alias("key"),
+            kv["value"].alias("raw"),
+            F.from_json(kv["value"], vl_schema).alias("parsed"),
+        ),
+    )
     fields = F.map_from_entries(
         F.transform(
-            F.filter(
-                F.map_entries("__entry"),
-                lambda kv: ~kv["key"].isin(*_REPEATABLE_META_KEYS),
-            ),
-            lambda kv: F.struct(
-                _sanitize_key(kv["key"]).alias("key"),
-                _field_struct(kv["value"]).alias("v"),
+            staged,
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.when(
+                    e["parsed"].isNotNull()
+                    & (
+                        e["parsed"]["value"].isNotNull()
+                        | e["parsed"]["label"].isNotNull()
+                    ),
+                    F.struct(
+                        e["parsed"]["value"].alias("value"),
+                        e["parsed"]["label"].alias("label"),
+                    ),
+                ).otherwise(
+                    F.struct(e["raw"].alias("value"), e["raw"].alias("label"))
+                ).alias("v"),
             ),
         )
     )
