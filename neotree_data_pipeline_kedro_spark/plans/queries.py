@@ -2688,3 +2688,48 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Driver ordering: the correctness harness checks the first ~50 registry
+# entries (CORRECTNESS_r02 stopped at position 49 exactly). Front-load the
+# queries that have never received a driver row — the LLM-extension family
+# plus round-3 additions — so every query earns at least one driver-verified
+# round; queries already green in r01/r02 move to the tail.
+# ---------------------------------------------------------------------------
+
+_DRIVER_FRONT = [
+    # no CORRECTNESS row in r01 or r02 (registered after position 49):
+    "dd_exact_fingerprint",
+    "dd_ngram_jaccard",
+    "dd_embedding_cosine",
+    "ann_topk_bruteforce",
+    "ta_text_metrics",
+    "mm_binary_plumbing",
+    "mm_image_decode",
+    "mm_audio_decode",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "j3_tiered_greedy_assignment",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    # round-3 additions (no prior row by construction):
+    "sm_all_lifecycle",
+    "v_value_label_consistency",
+    "sm_day_of_week_vitals",
+    "sm_maternal_completeness_sort",
+    "sm_maternal_outcomes_buckets",
+    "s1_json_file_scan",
+]
+
+
+def _driver_order() -> None:
+    front = [n for n in _DRIVER_FRONT if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_FRONT]
+    for registry in (QUERIES, ORACLE_SQL):
+        ordered = {n: registry[n] for n in front + rest if n in registry}
+        registry.clear()
+        registry.update(ordered)
+
+
+_driver_order()
