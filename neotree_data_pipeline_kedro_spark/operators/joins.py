@@ -156,11 +156,15 @@ _MATCH_STATUS = {
 def _greedy_partition(batches) -> pd.DataFrame:
     """Greedy matching over a whole key-partition in ONE linear scan.
 
-    Reference order (merge_all.py:343-460): per (uid, facility), discharges
+    Reference order (merge_all.py:343-470): per (uid, facility), discharges
     in discharge-datetime order consume admissions; tiers: unique OFC
-    equality -> unique BirthWeight equality -> nearest non-negative
-    (discharge_dt - admission_dt). The reference sorts by datetime only
-    (merge_all.py:287) and lets frame order break ties; rid is the
+    equality -> unique BirthWeight equality -> datetime fallback. The
+    fallback ALWAYS assigns when any admission is free: nearest
+    non-negative (discharge_dt - admission_dt) when both datetimes exist,
+    else the earliest-admitted candidate (merge_all.py:345-365
+    fallback_by_datetime), and every fallback match is flagged
+    ``ambiguous`` (merge_all.py:430-432); ``matched`` means a unique
+    OFC/BW hit. The reference lets frame order break ties; rid is the
     documented deterministic tiebreak here.
 
     Shape note: groupBy().applyInPandas pays per-GROUP python/pandas
@@ -208,32 +212,46 @@ def _greedy_partition(batches) -> pd.DataFrame:
                     if d_ofc == d_ofc  # not-NaN
                     else []
                 )
-                bw_eq = (
-                    [r for r, m in free.items() if bw_a[m] == d_bw]
-                    if d_bw == d_bw
-                    else []
-                )
                 if len(ofc_eq) == 1:
                     pick, status = ofc_eq[0], "matched"
-                elif len(bw_eq) == 1:
-                    pick, status = bw_eq[0], "matched"
-                elif d_ts != nat:
-                    # as-of fallback: nearest admission with delta >= 0
-                    best = None
-                    for r, m in free.items():
-                        a_ts = ts_a[m]
-                        if a_ts == nat:
-                            continue
-                        delta = d_ts - a_ts
-                        if delta >= 0 and (best is None or delta < best[0]):
-                            best = (delta, r)
-                    if best is not None:
-                        pick = best[1]
-                        status = (
-                            "ambiguous"
-                            if (len(ofc_eq) > 1 or len(bw_eq) > 1)
-                            else "matched"
-                        )
+                else:
+                    bw_eq = (
+                        [r for r, m in free.items() if bw_a[m] == d_bw]
+                        if d_bw == d_bw
+                        else []
+                    )
+                    if len(bw_eq) == 1:
+                        pick = bw_eq[0]
+                        # a unique BW hit after an ambiguous OFC tier keeps
+                        # the ambiguous flag (merge_all.py:406-418)
+                        status = "ambiguous" if len(ofc_eq) > 1 else "matched"
+                    else:
+                        # datetime fallback: always assigns, always ambiguous
+                        best = None
+                        if d_ts != nat:
+                            for r, m in free.items():
+                                a_ts = ts_a[m]
+                                if a_ts == nat:
+                                    continue
+                                delta = d_ts - a_ts
+                                if delta >= 0 and (
+                                    best is None
+                                    or delta < best[0]
+                                    or (delta == best[0] and r < best[1])
+                                ):
+                                    best = (delta, r)
+                        if best is not None:
+                            pick = best[1]
+                        else:
+                            # no usable delta: earliest-admitted candidate
+                            # (NaT-admission last), rid tiebreak
+                            pick = min(
+                                free,
+                                key=lambda r: (0, ts_a[free[r]], r)
+                                if ts_a[free[r]] != nat
+                                else (1, 0, r),
+                            )
+                        status = "ambiguous"
             if pick is not None:
                 free.pop(pick)
             o_rid.append(rid_a[k])

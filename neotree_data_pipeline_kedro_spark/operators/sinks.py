@@ -152,13 +152,15 @@ def reconcile_update(
     """
     inc_cols = [c for c in incoming.columns if c not in ("uid", "facility")]
     first = _keep_one(
-        incoming, ["uid", "facility"], list(order) or [F.col(inc_cols[0]).asc_nulls_last()]
+        incoming,
+        ["uid", "facility"],
+        list(order) or [F.col(f"`{inc_cols[0]}`").asc_nulls_last()],
     )
     v = first.select(
         "uid",
         "facility",
         F.lit(True).alias("__v_hit"),
-        *[F.col(c).alias(f"__v_{c}") for c in inc_cols],
+        *[F.col(f"`{c}`").alias(f"__v_{c}") for c in inc_cols],
     )
     eligible = F.col(present_flag) & (
         ~F.coalesce(F.col(absent_flag), F.lit(False))
@@ -168,14 +170,13 @@ def reconcile_update(
     matched = eligible & F.coalesce(F.col("__v_hit"), F.lit(False))
     out = []
     for c in table.columns:
-        if c == absent_flag:
-            out.append(F.when(matched, F.lit(True)).otherwise(F.col(c)).alias(c))
-        elif c == "is_closed":
-            out.append(F.when(matched, F.lit(True)).otherwise(F.col(c)).alias(c))
+        cur = F.col(f"`{c}`")
+        if c in (absent_flag, "is_closed"):
+            out.append(F.when(matched, F.lit(True)).otherwise(cur).alias(c))
         elif c in inc_cols:
             out.append(
-                F.when(matched, F.col(f"__v_{c}")).otherwise(F.col(c)).alias(c)
+                F.when(matched, F.col(f"`__v_{c}`")).otherwise(cur).alias(c)
             )
         else:
-            out.append(F.col(c))
+            out.append(cur)
     return joined.select(*out)

@@ -31,13 +31,14 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.buckets import bw_group, gest_group, temp_group
 from ..functions.neolab import canonicalize_organism
 from ..functions.timestamps import parse_timestamp_multi
 from ..operators.dedup import dedupe_keep_latest
+from ..operators.joins import best_match_join, tiered_asof_assignment
 from ..operators.labels import repair_dataframe_labels
 from ..operators.redact import redact
 from ..operators.tidy import (
@@ -45,6 +46,7 @@ from ..operators.tidy import (
     normalize_column_names,
     prune_junk_columns,
 )
+from ..operators.sinks import reconcile_update
 from ..operators.uids import repair_duplicate_uids
 from ..sources.sessions import entry_rows, explode_mcl, repair_uid
 
@@ -86,6 +88,53 @@ class EngineConfig:
     field_info: dict[str, dict[str, Any]] = field(default_factory=dict)
     pivot_keys: dict[str, Sequence[str]] = field(default_factory=dict)
     confidential_extra: Sequence[str] = ()
+
+
+def lifecycle_union(
+    merged: DataFrame | None,
+    adm_only: DataFrame | None,
+    dis_only: DataFrame | None,
+) -> DataFrame:
+    """Attach the ALL-table lifecycle columns and union the three branches
+    (merge_all.py:485-510): merged rows are has_admission & has_discharge &
+    is_closed; one-sided rows stay open. ``match_status`` defaults to
+    'matched' / 'unmatched_admission' / 'unmatched_discharge' when the
+    branch doesn't already carry one (the assignment operator's statuses
+    win when present)."""
+    parts: list[DataFrame] = []
+    if merged is not None:
+        m = merged
+        if "match_status" not in m.columns:
+            m = m.withColumn("match_status", F.lit("matched"))
+        parts.append(
+            m.withColumn("has_admission", F.lit(True))
+            .withColumn("has_discharge", F.lit(True))
+            .withColumn("is_closed", F.lit(True))
+        )
+    if adm_only is not None:
+        a = adm_only
+        if "match_status" not in a.columns:
+            a = a.withColumn("match_status", F.lit("unmatched_admission"))
+        parts.append(
+            a.withColumn("has_admission", F.lit(True))
+            .withColumn("has_discharge", F.lit(False))
+            .withColumn("is_closed", F.lit(False))
+        )
+    if dis_only is not None:
+        d = dis_only
+        if "match_status" not in d.columns:
+            d = d.withColumn("match_status", F.lit("unmatched_discharge"))
+        parts.append(
+            d.withColumn("has_admission", F.lit(False))
+            .withColumn("has_discharge", F.lit(True))
+            .withColumn("is_closed", F.lit(False))
+        )
+    if not parts:
+        raise ValueError("lifecycle_union: at least one branch is required")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def _lit_map(d: dict[str, str]):
@@ -216,20 +265,51 @@ class Engine:
             .agg(F.count("*").alias("admissions"))
         )
 
-    # -- stage 7: join_tables (step_4; create_...join SQL) -----------------
+    # -- stage 7: join_tables (step_4; create_joined_table_and_derived_
+    # columns.py:268-394) --------------------------------------------------
     def join_tables(self, adm: DataFrame, dis: DataFrame) -> DataFrame:
-        """Admission->discharge left join on uid, latest discharge per uid
-        (J1 fan-out resolved J8-style by window, not join-back)."""
-        latest_dis = dedupe_keep_latest(dis, ["uid"], [F.desc("ingested_at")])
-        d = latest_dis.select(
+        """Admission->discharge left join on uid with the reference's
+        clinical match score resolving fan-out per admission (J1+J2):
+        OFC closeness (max 10, -1/cm), Gestation closeness (max 10, -1/wk),
+        BirthWeight closeness (max 5, -1/500g); no comparable fields => -1
+        and the tiebreak (latest discharge) decides, mirroring the
+        reference's keep-first-on-all--1 (calculate_match_score /
+        resolve_duplicate_matches)."""
+        d = dis.select(
             "uid",
             *[
                 F.col(f"`{c}`").alias(f"dis_{c}")
-                for c in latest_dis.columns
+                for c in dis.columns
                 if c != "uid"
             ],
         )
-        return adm.join(d, "uid", "left")
+
+        def score(j: DataFrame) -> Column:
+            def closeness(a: str, b: str, cap: int, scale: float = 1.0) -> Column:
+                if a not in j.columns or b not in j.columns:
+                    return F.lit(None).cast("double")
+                av = F.col(f"`{a}`").try_cast("double")
+                bv = F.col(f"`{b}`").try_cast("double")
+                return F.greatest(F.lit(0.0), cap - F.abs(av - bv) / scale)
+
+            parts = [
+                closeness("OFC.value", "dis_OFCDis.value", 10),
+                closeness("Gestation.value", "dis_Gestation.value", 10),
+                closeness("BirthWeight.value", "dis_BirthWeight.value", 5, 500.0),
+            ]
+            total = sum((F.coalesce(p, F.lit(0.0)) for p in parts), F.lit(0.0))
+            made = sum(
+                (F.when(p.isNotNull(), 1).otherwise(0) for p in parts), F.lit(0)
+            )
+            return F.when(made > 0, total).otherwise(F.lit(-1.0))
+
+        return best_match_join(
+            adm,
+            d,
+            ["uid"],
+            score=score,
+            tiebreak=[F.desc("dis_ingested_at"), F.desc("dis_id")],
+        )
 
     # -- stage 8: union_views (step_4; create_union_views.py) --------------
     def union_views(self, joined: DataFrame) -> DataFrame:
@@ -280,11 +360,132 @@ class Engine:
         red = redact(conv, metadata_confidential=meta_conf)
         return clean_table_projection(red, fi or None)
 
-    # -- stage 13/14: merge_raw_data (step_7; merge_all.py) ----------------
-    def merge_raw(self, adm: DataFrame, dis: DataFrame) -> DataFrame:
-        """Merged ALL table: admissions + discharges unioned by name with
-        missing columns null-filled, exact duplicate rows dropped."""
-        return adm.unionByName(dis, allowMissingColumns=True).dropDuplicates()
+    # -- stage 13/14: merge_raw_data (step_7; merge_all.py:143-533) --------
+    def merge_all(self, adm: DataFrame, dis: DataFrame) -> DataFrame:
+        """Merged ALL table: admissions deduped on (uid, facility,
+        admission datetime); the greedy tiered 1:1 assignment (J3b,
+        merge_all.py:343-470) pairs each discharge with a free admission;
+        matched pairs merge with discharge columns overwriting admission
+        columns of the same name (merge_all.py:452 ``{**adm, **dis}``);
+        leftovers keep their side; every row carries
+        has_admission/has_discharge/is_closed/match_status
+        (merge_all.py:485-510)."""
+
+        def num(df: DataFrame, names: Sequence[str]) -> Column:
+            for n in names:
+                if n in df.columns:
+                    return F.col(f"`{n}`").try_cast("double")
+            return F.lit(None).cast("double")
+
+        def ts_of(df: DataFrame, names: Sequence[str]) -> Column:
+            parts = [
+                parse_timestamp_multi(F.col(f"`{n}`").cast("string"))
+                for n in names
+                if n in df.columns
+            ]
+            if not parts:
+                return F.lit(None).cast("timestamp")
+            return F.coalesce(*parts) if len(parts) > 1 else parts[0]
+
+        # dedup admissions on (uid, facility, admission datetime), min id
+        # wins for the reference's keep-first (merge_all.py:281-287)
+        dedup_keys: list = ["uid", "facility"]
+        if "DateTimeAdmission.value" in adm.columns:
+            dedup_keys.append(F.col("`DateTimeAdmission.value`"))
+        adm = dedupe_keep_latest(adm, dedup_keys, [F.asc("id")])
+
+        adm_ts = (
+            F.col("admission_ts")
+            if "admission_ts" in adm.columns
+            else ts_of(adm, ["DateTimeAdmission.value"])
+        )
+        a_r = adm.select(
+            "uid",
+            "facility",
+            F.col("id").alias("arid"),
+            adm_ts.alias("ats"),
+            num(adm, ["OFC.value"]).alias("ofc"),
+            num(adm, ["BirthWeight.value"]).alias("bw"),
+        )
+        d_r = dis.select(
+            "uid",
+            "facility",
+            F.col("id").alias("drid"),
+            ts_of(dis, ["DateTimeDischarge.value", "DateTimeDeath.value"]).alias(
+                "dts"
+            ),
+            num(dis, ["OFCDis.value", "OFC.value"]).alias("ofc"),
+            num(dis, ["BirthWeight.value_dis", "BirthWeight.value"]).alias("bw"),
+        )
+        asg = tiered_asof_assignment(
+            a_r, d_r, adm_ts="ats", dis_ts="dts", adm_id="arid", dis_id="drid"
+        )
+
+        adm_cols = [c for c in adm.columns if c not in ("uid", "facility")]
+        dis_cols = [c for c in dis.columns if c not in ("uid", "facility")]
+        a_pay = adm.select(
+            F.col("id").alias("__arid"),
+            *[F.col(f"`{c}`").alias(f"__a_{c}") for c in adm_cols],
+        )
+        d_pay = dis.select(
+            F.col("id").alias("__drid"),
+            *[F.col(f"`{c}`").alias(f"__d_{c}") for c in dis_cols],
+        )
+
+        hit = asg.filter(F.col("admission_rid").isNotNull())
+        merged = (
+            hit.join(a_pay, F.col("admission_rid") == F.col("__arid"))
+            .join(d_pay, F.col("discharge_rid") == F.col("__drid"))
+            .select(
+                "uid",
+                "facility",
+                "match_status",
+                *[
+                    F.col(f"`__d_{c}`" if c in dis_cols else f"`__a_{c}`").alias(c)
+                    for c in dict.fromkeys(adm_cols + dis_cols)
+                ],
+            )
+        )
+        adm_only = adm.join(
+            hit.select(F.col("admission_rid").alias("__arid")),
+            F.col("id") == F.col("__arid"),
+            "left_anti",
+        )
+        dis_only = (
+            asg.filter(F.col("admission_rid").isNull())
+            .select("uid", "facility", "match_status", "discharge_rid")
+            .join(d_pay, F.col("discharge_rid") == F.col("__drid"))
+            .select(
+                "uid",
+                "facility",
+                "match_status",
+                *[F.col(f"`__d_{c}`").alias(c) for c in dis_cols],
+            )
+        )
+        return lifecycle_union(merged, adm_only, dis_only)
+
+    # -- incremental reconcile (J7; sql_functions.py:1960-2160) ------------
+    def reconcile(
+        self,
+        all_table: DataFrame,
+        new_adm: DataFrame | None = None,
+        new_dis: DataFrame | None = None,
+    ) -> DataFrame:
+        """Complete open one-sided rows of the ALL table from newly arrived
+        rows of the other side: admission-only rows take the first matching
+        new discharge (and close), discharge-only rows the first matching
+        new admission — the reference's update_has_admission_to_is_closed
+        pair of UPDATE passes."""
+        out = all_table
+        if new_dis is not None:
+            out = reconcile_update(
+                out, new_dis, "has_admission", "has_discharge", order=[F.asc("id")]
+            )
+        if new_adm is not None:
+            out = reconcile_update(
+                out, new_adm, "has_discharge", "has_admission", order=[F.asc("id")]
+            )
+        return out
 
     # -- composition -------------------------------------------------------
     def run(self, sessions: DataFrame) -> dict[str, DataFrame]:
@@ -331,6 +532,6 @@ class Engine:
         if dis_name:
             out["merged_all"] = self._out(
                 "merged_all",
-                self.merge_raw(out["admissions_fixed"], out["discharges_fixed"]),
+                self.merge_all(out["admissions_fixed"], out["discharges_fixed"]),
             )
         return out

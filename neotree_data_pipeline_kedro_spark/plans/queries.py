@@ -2685,6 +2685,75 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sm_all_lifecycle",
+    """
+    WITH adm AS (
+      SELECT user_id AS uid, event_id AS signup_id, CAST(ts AS TIMESTAMP) AS signup_ts
+      FROM events WHERE event_type = 'signup'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC NULLS LAST,
+                                          event_id DESC NULLS LAST) = 1
+    ), dis AS (
+      SELECT user_id AS uid, event_id AS discharge_id, CAST(ts AS TIMESTAMP) AS discharge_ts
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC NULLS FIRST,
+                                          event_id ASC NULLS FIRST) = 1
+    )
+    SELECT COALESCE(a.uid, d.uid) AS uid,
+           a.signup_id, a.signup_ts, d.discharge_id, d.discharge_ts,
+           a.uid IS NOT NULL AS has_admission,
+           d.uid IS NOT NULL AS has_discharge,
+           (a.uid IS NOT NULL AND d.uid IS NOT NULL) AS is_closed,
+           CASE WHEN a.uid IS NOT NULL AND d.uid IS NOT NULL THEN 'matched'
+                WHEN a.uid IS NOT NULL THEN 'unmatched_admission'
+                ELSE 'unmatched_discharge' END AS match_status
+    FROM adm a FULL OUTER JOIN dis d ON a.uid = d.uid
+    """,
+)
+def sm_all_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-ALL lifecycle flag projection (merge_all.py:485-510) via
+    the Engine's ``lifecycle_union``: latest signup = admission side,
+    earliest purchase = discharge side, matched 1:1 by key; every row
+    carries has_admission/has_discharge/is_closed/match_status."""
+    from .pipeline import lifecycle_union
+
+    ev = _t(spark, sf_dir, "events")
+    adm = dedupe_keep_latest(
+        ev.filter(F.col("event_type") == "signup"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    ).select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    dis = dedupe_keep_latest(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        [F.asc("ts"), F.asc("event_id")],
+    ).select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("discharge_id"),
+        F.col("ts").alias("discharge_ts"),
+    )
+    merged = adm.join(dis, "uid")
+    adm_only = adm.join(dis, "uid", "left_anti")
+    dis_only = dis.join(adm, "uid", "left_anti")
+    return lifecycle_union(merged, adm_only, dis_only).select(
+        "uid",
+        "signup_id",
+        "signup_ts",
+        "discharge_id",
+        "discharge_ts",
+        "has_admission",
+        "has_discharge",
+        "is_closed",
+        "match_status",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)

@@ -188,9 +188,10 @@ def test_ann_ivf_soundness_and_recall(spark):
 
 def _greedy_twin(adm: pd.DataFrame, dis: pd.DataFrame) -> set[tuple]:
     """Independent re-implementation of the reference's greedy tiered
-    matching (merge_all.py:343-460): per (uid, facility), discharges in
+    matching (merge_all.py:343-470): per (uid, facility), discharges in
     (ts, rid) order consume admissions; tiers unique-OFC -> unique-BW ->
-    nearest non-negative time delta; deterministic rid tiebreaks."""
+    datetime fallback (always assigns when a candidate is free, always
+    ``ambiguous``); deterministic rid tiebreaks."""
     out = set()
     adm_groups = dict(tuple(adm.groupby(["uid", "facility"], sort=False)))
     for key, d_g in dis.groupby(["uid", "facility"], sort=False):
@@ -216,20 +217,29 @@ def _greedy_twin(adm: pd.DataFrame, dis: pd.DataFrame) -> set[tuple]:
                 if len(ofc_eq) == 1:
                     pick, status = ofc_eq[0], "matched"
                 elif len(bw_eq) == 1:
-                    pick, status = bw_eq[0], "matched"
+                    pick = bw_eq[0]
+                    status = "ambiguous" if len(ofc_eq) > 1 else "matched"
                 else:
                     best = None
                     for r in cand:
                         if pd.isna(free[r]) or pd.isna(d.ts):
                             continue
                         delta = (d.ts - free[r]).total_seconds()
-                        if delta >= 0 and (best is None or delta < best[0]):
+                        if delta >= 0 and (
+                            best is None
+                            or delta < best[0]
+                            or (delta == best[0] and r < best[1])
+                        ):
                             best = (delta, r)
                     if best is not None:
                         pick = best[1]
-                        status = (
-                            "ambiguous" if (len(ofc_eq) > 1 or len(bw_eq) > 1) else "matched"
+                    else:
+                        with_ts = sorted(
+                            [r for r in cand if pd.notna(free[r])],
+                            key=lambda r: (free[r], r),
                         )
+                        pick = with_ts[0] if with_ts else min(cand)
+                    status = "ambiguous"
             if pick is not None:
                 free.pop(pick)
             out.add((d.discharge_rid, pick, status))

@@ -160,8 +160,37 @@ def test_engine_end_to_end(spark):
     assert not any("dobtob" in c for c in clean.columns)
     assert "gestation" in clean.columns
 
-    # stage 13: merged ALL = admissions + discharges rows
-    assert out["merged_all"].count() == 4
+    # stage 13: merged ALL carries the lifecycle columns; the discharge
+    # (no OFC/BW/datetime) pairs with its uid's only admission via the
+    # datetime fallback => ambiguous + closed (merge_all.py:430-432)
+    allt = {r["uid"]: r for r in out["merged_all"].collect()}
+    assert len(allt) == 3
+    m = allt["A7C6-0350"]
+    assert m["has_admission"] and m["has_discharge"] and m["is_closed"]
+    assert m["match_status"] == "ambiguous"
+    assert m["NeoTreeOutcome.value"] == "DC"
+    for u in ("F55F-0118", "B111-0001"):
+        r = allt[u]
+        assert r["has_admission"] and not r["has_discharge"]
+        assert not r["is_closed"]
+        assert r["match_status"] == "unmatched_admission"
+
+
+def test_engine_reconcile_completes_open_rows(spark):
+    eng = _engine()
+    out = eng.run(_sessions(spark))
+    new_dis = spark.createDataFrame(
+        [(99, "F55F-0118", "Harare NNU", "DC", "Discharged")],
+        "id long, uid string, facility string, "
+        "`NeoTreeOutcome.value` string, `NeoTreeOutcome.label` string",
+    )
+    rec = {r["uid"]: r for r in eng.reconcile(out["merged_all"], new_dis=new_dis).collect()}
+    # the open admission-only row completes and closes
+    assert rec["F55F-0118"]["has_discharge"] and rec["F55F-0118"]["is_closed"]
+    assert rec["F55F-0118"]["NeoTreeOutcome.value"] == "DC"
+    # untouched rows keep their lifecycle state
+    assert not rec["B111-0001"]["has_discharge"]
+    assert rec["A7C6-0350"]["is_closed"]
 
 
 def test_engine_materialize_hook(spark):
