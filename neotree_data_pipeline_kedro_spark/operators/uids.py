@@ -9,9 +9,13 @@ gets a freshly minted NeoTree id ``[A-Z0-9]{2}ZZ-\\d{4}`` (random, collision
 Random minting is not reproducible across a distributed re-run, so ids here
 are a deterministic hash of (uid, date, salt) in the same surface format:
 ``upper(md5[0:2]) + 'ZZ-' + translate(md5[2:6], 'abcdef', '012345')``.
-Collisions (with existing uids or between minted ids) resolve by bumping
-the salt for the collided groups only — a driver loop over an
-exponentially-shrinking set, each pass one small join.
+Collisions (with existing uids or between minted ids) are resolved in ONE
+pass: the collided groups — a tiny set, real uids almost never carry the
+``ZZ`` infix and the minted space is ~2.6M ids — are collected to the
+driver, candidate ids for salts 1..N are probed against the taken set with
+a single semi-join, and the resolution mapping broadcasts back. No
+iterative lineage, no per-round actions (the round-2 shape re-scanned the
+input once per salt round).
 """
 
 from __future__ import annotations
@@ -20,10 +24,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def minted_uid(uid: Column, date: Column, salt: int = 0) -> Column:
+def minted_uid(uid: Column, date: Column, salt: int | Column = 0) -> Column:
     """Deterministic ``XXZZ-NNNN`` surrogate for a (uid, date) episode."""
+    salt_col = F.lit(str(salt)) if isinstance(salt, int) else salt.cast("string")
     h = F.md5(
-        F.concat_ws("|", uid, F.coalesce(date.cast("string"), F.lit("\x00")), F.lit(str(salt)))
+        F.concat_ws("|", uid, F.coalesce(date.cast("string"), F.lit("\x00")), salt_col)
     )
     prefix = F.upper(F.substring(h, 1, 2))
     digits = F.translate(F.substring(h, 3, 4), "abcdef", "012345")
@@ -63,30 +68,70 @@ def repair_duplicate_uids(
 
     minted = remint.withColumn(
         "new_uid", minted_uid(F.col(uid_col), F.col(date_col), 0)
+    ).persist()
+
+    # collision: minted id equals a taken uid, or two groups minted alike.
+    # The collided set is tiny (see module docstring); ONE action collects it.
+    dup_w = Window.partitionBy("new_uid").orderBy(
+        F.col(uid_col), F.col(date_col).asc_nulls_first()
     )
-    for salt in range(1, max_rounds + 1):
-        # collision: minted id equals a taken uid, or two groups minted alike
-        dup_w = Window.partitionBy("new_uid").orderBy(
-            F.col(uid_col), F.col(date_col).asc_nulls_first()
+    collided = (
+        minted.withColumn("__dup", F.row_number().over(dup_w))
+        .join(taken, F.col("new_uid") == F.col("taken"), "left")
+        .filter(F.col("taken").isNotNull() | (F.col("__dup") > 1))
+        .select(uid_col, date_col)
+        .collect()
+    )
+    if collided:
+        spark = df.sparkSession
+        key_schema = minted.select(uid_col, date_col).schema
+        groups_df = spark.createDataFrame(collided, key_schema)
+        cands = groups_df.crossJoin(
+            spark.range(1, max_rounds + 1).select(F.col("id").alias("__salt"))
+        ).withColumn(
+            "cand", minted_uid(F.col(uid_col), F.col(date_col), F.col("__salt"))
         )
-        minted = minted.withColumn("__dup", F.row_number().over(dup_w))
-        collided = (
-            minted.join(taken, minted["new_uid"] == taken["taken"], "left")
-            .withColumn("__hit", F.col("taken").isNotNull() | (F.col("__dup") > 1))
-            .drop("taken")
+        # one probe: which candidates are already taken (by real uids or by
+        # any salt-0 minted id, collided or not)
+        taken_plus = taken.unionByName(
+            minted.select(F.col("new_uid").alias("taken"))
         )
-        if collided.filter("__hit").limit(1).count() == 0:
-            minted = collided.drop("__hit", "__dup")
-            break
-        minted = collided.select(
-            uid_col,
-            date_col,
-            F.when(
-                F.col("__hit"), minted_uid(F.col(uid_col), F.col(date_col), salt)
-            ).otherwise(F.col("new_uid")).alias("new_uid"),
+        burned = {
+            r["cand"]
+            for r in cands.join(
+                taken_plus, F.col("cand") == F.col("taken"), "left_semi"
+            ).collect()
+        }
+        by_group: dict[tuple, list] = {}
+        for r in cands.collect():
+            by_group.setdefault((r[uid_col], r[date_col]), []).append(
+                (r["__salt"], r["cand"])
+            )
+        resolved = []
+        for key in sorted(by_group, key=lambda k: (str(k[0]), str(k[1]))):
+            pick = next(
+                (c for _, c in sorted(by_group[key]) if c not in burned), None
+            )
+            if pick is None:
+                raise RuntimeError(
+                    f"uid repair: no free surrogate id for group {key} "
+                    f"within {max_rounds} salts"
+                )
+            burned.add(pick)  # later groups must not reuse it
+            resolved.append((*key, pick))
+        res_df = F.broadcast(
+            spark.createDataFrame(
+                resolved,
+                minted.select(uid_col, date_col).schema.add(
+                    "__resolved_uid", "string"
+                ),
+            )
         )
-    else:
-        minted = minted.drop("__dup") if "__dup" in minted.columns else minted
+        minted = (
+            minted.join(res_df, [uid_col, date_col], "left")
+            .withColumn("new_uid", F.coalesce("__resolved_uid", F.col("new_uid")))
+            .drop("__resolved_uid")
+        )
 
     mapping = keep.unionByName(minted.select(uid_col, date_col, "new_uid"))
     return (
