@@ -2686,6 +2686,87 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s1_json_file_scan",
+    """
+    SELECT UPPER('C' || CAST(c_custkey AS VARCHAR)) AS uid,
+           CASE WHEN c_custkey % 10 = 0 THEN '-MYk0A3-Z_QjaXYU5MsS'
+                ELSE c_mktsegment END AS scriptid,
+           c_name AS name_value
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def s1_json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 file-glob ingest (import_raw_jsons.py:31-215): materialize a
+    deterministic JSON-export fixture derived from the customer table
+    (driver-side scaffolding, NOT the scan path), then run the real
+    pipeline front door: text(wholetext) scan -> envelope explode -> uid
+    repair (old and new entry formats) -> per-file script reroute ->
+    validity filter -> entries restructure."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from ..sources.sessions import read_session_files
+
+    cust = sorted(
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .collect(),
+        key=lambda r: r.c_custkey,
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "neotree_s1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    for fn in os.listdir(d):
+        os.remove(os.path.join(d, fn))
+
+    def session_obj(r):
+        uid = f"C{r.c_custkey}"
+        if r.c_custkey % 2:  # new dict format
+            entries = {
+                "Name": {"values": {"label": ["Name"], "value": [r.c_name]}},
+                "NeoTreeID": {"values": {"label": ["id"], "value": [uid]}},
+            }
+        else:  # old list format
+            entries = [
+                {"key": "NeoTreeID", "values": [{"label": "id", "value": uid}]},
+                {"key": "Name", "values": [{"label": "Name", "value": r.c_name}]},
+            ]
+        return {
+            # every 7th session exercises the uid-repair path
+            "uid": None if r.c_custkey % 7 == 0 else uid,
+            "script": {"id": r.c_mktsegment},
+            "entries": entries,
+        }
+
+    regular = [session_obj(r) for r in cust if r.c_custkey % 10 != 0]
+    chin = [session_obj(r) for r in cust if r.c_custkey % 10 == 0]
+    # junk sessions the validity filter must drop
+    junk = [{"uid": "DROP-01", "entries": {}}, {"uid": None, "entries": []}]
+    half = len(regular) // 2
+    with open(os.path.join(d, "export1.json"), "w") as f:
+        _json.dump({"sessions": regular[:half] + junk}, f)
+    with open(os.path.join(d, "export2.json"), "w") as f:
+        _json.dump({"sessions": regular[half:]}, f)
+    with open(os.path.join(d, "export_Chinhoyi_Maternity_Outcome.json"), "w") as f:
+        _json.dump({"sessions": chin}, f)
+
+    scanned = read_session_files(spark, os.path.join(d, "*.json"))
+    rows = entry_rows(
+        scanned.withColumn("entries", F.get_json_object("data", "$.entries")),
+        id_cols=("uid", "scriptid"),
+    )
+    return (
+        rows.filter(F.col("key") == "Name")
+        .select("uid", "scriptid", F.col("value").alias("name_value"))
+    )
+
+
+@_register(
     "sm_all_lifecycle",
     """
     WITH adm AS (

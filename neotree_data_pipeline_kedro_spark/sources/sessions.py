@@ -80,6 +80,83 @@ LIST_SECTION_SCHEMA = T.ArrayType(
 
 _UID_KEYS = ("uid", "UID", "NeoTreeID", "NeoTreeIDBC", "NUID_BC", "NUID_M", "NUID_S")
 
+# per-file script rerouting (import_raw_jsons.py:190-194): one app script was
+# reused for multiple sites, disambiguated by export filename
+DEFAULT_SCRIPT_OVERRIDES = {
+    "Chinhoyi_Maternity_Outcome.json": "-MYk0A3-Z_QjaXYU5MsS",
+}
+
+
+def read_session_files(
+    spark,
+    path_glob: str,
+    script_overrides: dict[str, str] | None = None,
+    existing_uids: DataFrame | None = None,
+) -> DataFrame:
+    """S1 front half (import_raw_jsons.py:31-215): scan ``*.json`` exports,
+    explode the ``{"sessions": [...]}`` envelope, repair the uid from the
+    entries when the envelope uid is null (old and new format), reroute
+    per-file script ids, and keep only sessions with a uid and a script id.
+
+    Spark-first shape: one ``text(wholetext)`` scan, ``from_json`` with an
+    ``ARRAY<STRING>`` element type keeps each session as its raw JSON string
+    (the engine's ``data`` column) without committing to a session schema;
+    all per-session field pulls are ``get_json_object`` — no Python in the
+    row path, files parallelize across executors.
+
+    Returns ``(id, uid, scriptid, ingested_at, data, src_file)``. ``id`` is
+    a deterministic surrogate (hash of file + position — files carry no
+    ingest sequence); ``ingested_at`` comes from the session's
+    completed/started timestamps when present.
+
+    ``existing_uids``: optional single-column frame of uids already in the
+    sink — matching sessions are skipped (the reference's
+    checkDuplicateDatabaseRecord duplicate probe, :212-215).
+    """
+    from ..functions.timestamps import parse_timestamp_multi
+
+    overrides = (
+        DEFAULT_SCRIPT_OVERRIDES if script_overrides is None else script_overrides
+    )
+    files = spark.read.text(path_glob, wholetext=True)
+    sess = files.select(
+        F.input_file_name().alias("src_file"),
+        F.posexplode(
+            F.from_json("value", "STRUCT<sessions: ARRAY<STRING>>")["sessions"]
+        ).alias("pos", "data"),
+    )
+    scriptid = F.get_json_object("data", "$.script.id")
+    for suffix, sid in overrides.items():
+        scriptid = F.when(
+            F.col("src_file").endswith(suffix), F.lit(sid)
+        ).otherwise(scriptid)
+    out = (
+        sess.withColumn("id", F.xxhash64("src_file", "pos"))
+        .withColumn(
+            "uid",
+            repair_uid(
+                F.get_json_object("data", "$.uid"),
+                F.get_json_object("data", "$.entries"),
+            ),
+        )
+        .withColumn("scriptid", scriptid)
+        .withColumn(
+            "ingested_at",
+            F.coalesce(
+                parse_timestamp_multi(F.get_json_object("data", "$.completed_at")),
+                parse_timestamp_multi(F.get_json_object("data", "$.started_at")),
+            ),
+        )
+        .filter(F.col("uid").isNotNull() & F.col("scriptid").isNotNull())
+        .select("id", "uid", "scriptid", "ingested_at", "data", "src_file")
+    )
+    if existing_uids is not None:
+        ex = existing_uids.select(
+            F.col(existing_uids.columns[0]).alias("uid")
+        ).dropDuplicates(["uid"])
+        out = out.join(ex, "uid", "left_anti")
+    return out
+
 _REPEATABLE_META_KEYS = ("id", "createdAt", "requiredComplete", "hasCollectionField")
 
 
@@ -122,7 +199,13 @@ def repair_uid(
     new_hit = F.get(
         F.try_element_at(new_hits, F.lit(-1))["value"]["values"]["value"], 0
     )
-    repaired = F.coalesce(uid, F.when(old.isNotNull(), old_hit).otherwise(new_hit))
+    # format detection can NOT be `old.isNotNull()`: from_json with an array
+    # schema parses a top-level JSON OBJECT as a one-element array of
+    # null-field structs, so dict-format entries would wrongly take the old
+    # branch. Coalescing through both hits is format-agnostic: a dict
+    # payload yields a NULL old_hit (no keys match), a list payload a NULL
+    # new_hit (map parse fails).
+    repaired = F.coalesce(uid, old_hit, new_hit)
     up = F.upper(F.trim(repaired))
     return F.when(
         up.isin("", "NONE", "NULL", "NAN", "UNKNOWN", "UNKOWN"), F.lit(None)

@@ -176,6 +176,61 @@ def test_engine_end_to_end(spark):
         assert r["match_status"] == "unmatched_admission"
 
 
+def test_engine_from_json_files(tmp_path, spark):
+    """S1 front half: real .json export files through read_session_files
+    into Engine.run (import_raw_jsons.py:31-215)."""
+    import json as _json
+
+    from neotree_data_pipeline_kedro_spark.sources.sessions import read_session_files
+
+    def session_obj(uid, entries, script=ADM_SCRIPT):
+        return {
+            "uid": uid,
+            "script": {"id": script},
+            "completed_at": "2024-03-01T10:00:00",
+            "entries": entries,
+        }
+
+    new_e = _json.loads(_new_entries("A7C6-0350", 34, 2100, "Outcome", "DC"))["entries"]
+    old_e = _json.loads(_old_entries("F55F-0118", 2350))["entries"]
+    (tmp_path / "export1.json").write_text(
+        _json.dumps(
+            {
+                "sessions": [
+                    session_obj("A7C6-0350", new_e),
+                    session_obj(None, old_e),  # uid repaired from entries
+                    {"uid": "DROP-01", "entries": {}},  # no script id: dropped
+                ]
+            }
+        )
+    )
+    (tmp_path / "Chinhoyi_Maternity_Outcome.json").write_text(
+        _json.dumps({"sessions": [session_obj("C111-0001", new_e, script="-ORIG")]})
+    )
+
+    sessions = read_session_files(spark, str(tmp_path / "*.json"))
+    rows = {r.uid: r for r in sessions.collect()}
+    assert set(rows) == {"A7C6-0350", "F55F-0118", "C111-0001"}
+    assert rows["F55F-0118"].scriptid == ADM_SCRIPT
+    # per-file script reroute
+    assert rows["C111-0001"].scriptid == "-MYk0A3-Z_QjaXYU5MsS"
+    assert rows["A7C6-0350"].ingested_at is not None
+    assert len({r.id for r in rows.values()}) == 3  # surrogate ids distinct
+
+    # skip-existing probe
+    existing = spark.createDataFrame([("A7C6-0350",)], ["uid"])
+    left = read_session_files(
+        spark, str(tmp_path / "*.json"), existing_uids=existing
+    )
+    assert {r.uid for r in left.collect()} == {"F55F-0118", "C111-0001"}
+
+    # end-to-end: the file scan feeds the engine unchanged
+    out = _engine().run(sessions.filter(F.col("scriptid") == ADM_SCRIPT))
+    adm = {r["uid"]: r for r in out["admissions"].collect()}
+    assert adm["F55F-0118"]["BirthWeight.value"] == "2350"
+    assert adm["A7C6-0350"]["Gestation.value"] == "34"
+
+
 def test_engine_reconcile_completes_open_rows(spark):
     eng = _engine()
     out = eng.run(_sessions(spark))
