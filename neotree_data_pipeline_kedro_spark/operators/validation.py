@@ -186,6 +186,134 @@ def conditional_required_nulls(
     )
 
 
+_SELECT_TYPES = ("single_select_option", "dropdown", "multi_select_option")
+
+
+def _label_checks(
+    df: DataFrame,
+    fields: Sequence[Mapping],
+    value_suffix: str,
+    label_suffix: str,
+) -> list[tuple[Mapping, Column, Column, Column, Column]]:
+    """Per select-typed field with options and both columns present:
+    (field, trimmed value, trimmed actual label, expected label, mismatch)."""
+    cols = set(df.columns)
+    out = []
+    for fld in fields:
+        opts = fld.get("options") or []
+        if not opts or fld.get("fieldType") not in _SELECT_TYPES:
+            continue
+        vcol = f"{fld['key']}{value_suffix}"
+        lcol = f"{fld['key']}{label_suffix}"
+        if vcol not in cols or lcol not in cols:
+            continue
+        mapping = F.create_map(
+            *[
+                lit
+                for o in opts
+                if o.get("value") is not None
+                for lit in (
+                    F.lit(str(o["value"]).strip()),
+                    F.lit(str(o.get("valueLabel", "")).strip()),
+                )
+            ]
+        )
+        v = F.trim(F.col(f"`{vcol}`").cast("string"))
+        expected = mapping[v]
+        actual = F.trim(F.coalesce(F.col(f"`{lcol}`").cast("string"), F.lit("")))
+        # reference skips empty/null values and values with no option entry;
+        # comparison is case-insensitive (validate.py:586-597)
+        mismatch = (
+            v.isNotNull()
+            & (v != "")
+            & expected.isNotNull()
+            & (F.lower(actual) != F.lower(expected))
+        )
+        out.append((fld, v, actual, expected, mismatch))
+    return out
+
+
+def value_label_mismatches(
+    df: DataFrame,
+    fields: Sequence[Mapping],
+    uid_col: str | None = "uid",
+    value_suffix: str = ".value",
+    label_suffix: str = ".label",
+) -> DataFrame:
+    """Row-level value↔label consistency (validate.py:566-609): for each
+    select-typed field with a non-empty options list, rows whose label column
+    is not the option's valueLabel for their value (case-insensitive; rows
+    with empty/unknown values are skipped). Returns one row per mismatch:
+    (uid?, base_key, value, actual_label, expected_label).
+
+    Single scan regardless of field count: every field's check is a struct in
+    one array, exploded then filtered — no per-field passes, all codegen."""
+    checks = _label_checks(df, fields, value_suffix, label_suffix)
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [],
+            "base_key string, value string, actual_label string, expected_label string",
+        )
+    id_cols = [F.col(uid_col)] if uid_col and uid_col in df.columns else []
+    exploded = df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld["key"]).alias("base_key"),
+                        v.alias("value"),
+                        actual.alias("actual_label"),
+                        expected.alias("expected_label"),
+                        mismatch.alias("__bad"),
+                    )
+                    for fld, v, actual, expected, mismatch in checks
+                ]
+            )
+        ).alias("m"),
+    ).filter(F.col("m.__bad"))
+    return exploded.select(*id_cols, "m.base_key", "m.value", "m.actual_label",
+                           "m.expected_label")
+
+
+def value_label_consistency(
+    df: DataFrame,
+    fields: Sequence[Mapping],
+    value_suffix: str = ".value",
+    label_suffix: str = ".label",
+) -> DataFrame:
+    """Aggregate value↔label consistency metrics (validate.py:566-609), one
+    row per select-typed field: (base_key, mismatch_count, checked_count).
+    ``checked_count`` counts rows with a non-empty value that has an options
+    entry — the rows the reference's loop actually compares. Single
+    full-scan aggregate like the suite's other validators."""
+    checks = _label_checks(df, fields, value_suffix, label_suffix)
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "base_key string, mismatch_count long, checked_count long"
+        )
+    aggs: list[Column] = []
+    for i, (fld, v, _actual, expected, mismatch) in enumerate(checks):
+        checked = v.isNotNull() & (v != "") & expected.isNotNull()
+        aggs.append(F.sum(mismatch.cast("long")).alias(f"__mis_{i}"))
+        aggs.append(F.sum(checked.cast("long")).alias(f"__chk_{i}"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld["key"]).alias("base_key"),
+                        F.col(f"__mis_{i}").alias("mismatch_count"),
+                        F.col(f"__chk_{i}").alias("checked_count"),
+                    )
+                    for i, (fld, *_rest) in enumerate(checks)
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+
+
 def type_conformance(df: DataFrame, column: str, expected: str) -> DataFrame:
     """Regex type-conformance rates (validate.py:469-564): fraction of
     non-null values NOT parseable as the expected logical type."""

@@ -88,6 +88,7 @@ from ..operators.validation import (
     null_rates,
     range_violations,
     type_conformance,
+    value_label_consistency,
 )
 from ..operators.windows import episode_labels, episode_sessionize, gap_sessionize
 from ..sources.sessions import (
@@ -2833,6 +2834,121 @@ def sm_all_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_closed",
         "match_status",
     )
+
+
+@_register(
+    "v_value_label_consistency",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN user_id % 13 = 0 THEN NULL
+                  WHEN user_id % 5 = 0 THEN '1'
+                  WHEN user_id % 5 = 1 THEN '2'
+                  WHEN user_id % 5 = 2 THEN '3'
+                  WHEN user_id % 5 = 3 THEN '9'
+                  ELSE '' END AS sev_v,
+             CASE WHEN event_type = 'click' THEN 'Click Event'
+                  WHEN event_type = 'error' THEN 'Error Event'
+                  WHEN event_type = 'view' THEN 'View Event' END AS st_exp
+      FROM events
+    ),
+    lab AS (
+      SELECT *,
+             CASE sev_v WHEN '1' THEN 'Low' WHEN '2' THEN 'Medium'
+                        WHEN '3' THEN 'High' END AS sev_exp
+      FROM src
+    ),
+    fin AS (
+      SELECT sev_exp, st_exp,
+             CASE WHEN event_id % 7 = 0 THEN 'Wrong'
+                  WHEN event_id % 7 = 1 THEN upper(sev_exp)
+                  ELSE sev_exp END AS sev_lab,
+             CASE WHEN user_id % 11 = 0 THEN 'Mismatch' ELSE st_exp END AS st_lab
+      FROM lab
+    )
+    SELECT 'Severity' AS base_key,
+           CAST(SUM(CASE WHEN sev_exp IS NOT NULL
+                          AND lower(coalesce(sev_lab, '')) <> lower(sev_exp)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_count,
+           CAST(SUM(CASE WHEN sev_exp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS checked_count
+    FROM fin
+    UNION ALL
+    SELECT 'Status',
+           CAST(SUM(CASE WHEN st_exp IS NOT NULL
+                          AND lower(coalesce(st_lab, '')) <> lower(st_exp)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN st_exp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM fin
+    """,
+)
+def v_value_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 value↔label consistency (validate.py:566-609): per select-typed
+    field with options, count rows whose label column is not the option's
+    valueLabel for their value. Exercises: case-insensitive match (upper-cased
+    labels are NOT mismatches), empty/null/unknown values skipped, a field
+    with no options entry for some values (purchase/signup), an absent-column
+    field and a non-select field both ignored. One full-scan aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    sev_v = (
+        F.when(F.col("user_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("user_id") % 5 == 0, F.lit("1"))
+        .when(F.col("user_id") % 5 == 1, F.lit("2"))
+        .when(F.col("user_id") % 5 == 2, F.lit("3"))
+        .when(F.col("user_id") % 5 == 3, F.lit("9"))
+        .otherwise(F.lit(""))
+    )
+    sev_exp = (
+        F.when(sev_v == "1", F.lit("Low"))
+        .when(sev_v == "2", F.lit("Medium"))
+        .when(sev_v == "3", F.lit("High"))
+    )
+    sev_lab = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("Wrong"))
+        .when(F.col("event_id") % 7 == 1, F.upper(sev_exp))
+        .otherwise(sev_exp)
+    )
+    st_exp = (
+        F.when(F.col("event_type") == "click", F.lit("Click Event"))
+        .when(F.col("event_type") == "error", F.lit("Error Event"))
+        .when(F.col("event_type") == "view", F.lit("View Event"))
+    )
+    st_lab = F.when(F.col("user_id") % 11 == 0, F.lit("Mismatch")).otherwise(st_exp)
+    wide = ev.select(
+        sev_v.alias("Severity.value"),
+        sev_lab.alias("Severity.label"),
+        F.col("event_type").alias("Status.value"),
+        st_lab.alias("Status.label"),
+    )
+    fields = [
+        {
+            "key": "Severity",
+            "fieldType": "single_select_option",
+            "options": [
+                {"value": "1", "valueLabel": "Low"},
+                {"value": "2", "valueLabel": "Medium"},
+                {"value": "3", "valueLabel": "High"},
+            ],
+        },
+        {
+            "key": "Status",
+            "fieldType": "dropdown",
+            "options": [
+                {"value": "click", "valueLabel": "Click Event"},
+                {"value": "error", "valueLabel": "Error Event"},
+                {"value": "view", "valueLabel": "View Event"},
+            ],
+        },
+        # absent column: skipped like the reference's `label_col in df` guard
+        {
+            "key": "Ghost",
+            "fieldType": "dropdown",
+            "options": [{"value": "x", "valueLabel": "X"}],
+        },
+        # non-select field: label validation does not apply
+        {"key": "Status", "fieldType": "text"},
+    ]
+    return value_label_consistency(wide, fields)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -129,3 +129,53 @@ def test_oracle_parity_smoke(spark, duck):
         pd.testing.assert_frame_equal(
             sp[sorted(sp.columns)], oc[sorted(oc.columns)], check_dtype=False
         )
+
+
+def test_value_label_mismatches_rows(spark):
+    """Row-level value↔label consistency (validate.py:566-609): mismatched
+    rows carry (uid, base_key, value, actual_label, expected_label);
+    case-insensitive matches, empty/unknown values, absent columns and
+    non-select fields are all skipped."""
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        value_label_consistency,
+        value_label_mismatches,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": ["u1", "u2", "u3", "u4", "u5", "u6"],
+                "Sev.value": ["1", "2", "9", "", None, "3"],
+                "Sev.label": ["Low", "high ", "whatever", "x", "y", "LOW"],
+            }
+        )
+    )
+    fields = [
+        {
+            "key": "Sev",
+            "fieldType": "dropdown",
+            "options": [
+                {"value": "1", "valueLabel": "Low"},
+                {"value": "2", "valueLabel": "Medium"},
+                {"value": "3", "valueLabel": "High"},
+            ],
+        },
+        {"key": "Sev", "fieldType": "text"},  # non-select twin: ignored
+        {"key": "Gone", "fieldType": "dropdown",
+         "options": [{"value": "a", "valueLabel": "A"}]},  # absent column
+    ]
+    rows = {r.uid: r for r in value_label_mismatches(df, fields).collect()}
+    # u2: 'high' != 'Medium'; u6: 'LOW' != 'High'. u1 exact, u3 unknown value,
+    # u4 empty value, u5 null value are all skipped.
+    assert set(rows) == {"u2", "u6"}
+    assert rows["u2"].expected_label == "Medium"
+    assert rows["u2"].actual_label == "high"
+    assert rows["u6"].base_key == "Sev"
+
+    agg = value_label_consistency(df, fields).collect()
+    assert len(agg) == 1
+    assert (agg[0].base_key, agg[0].mismatch_count, agg[0].checked_count) == ("Sev", 2, 3)
+
+    # no applicable fields → typed empty frame
+    empty = value_label_mismatches(df, [{"key": "Sev", "fieldType": "text"}])
+    assert empty.count() == 0
