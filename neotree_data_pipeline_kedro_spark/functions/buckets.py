@@ -151,3 +151,80 @@ def age_category(age_hours: Column | str) -> Column:
         .when(a <= 71, "Infant (2 days - 2 days 23 hrs old)")
         .otherwise("Infant (> 3 days old)")
     )
+
+
+def summary_gest_group(col: Column | str, country: str = "malawi") -> Column:
+    """Summary-table GestationGroup ladder
+    (create_summary_maternal_outcomes_sql.py:22-42).
+
+    malawi (default): NULL→'Unkown' (sic) | <28wks | 28-32wks | '34-34wks'
+    (sic — the reference labels the 32-34 interval this way) | 34-36wks |
+    Term (37-41) | Post Term (42+).
+    zimbabwe: NULL→'Unkown' | week-range labels; gestation > 44 falls
+    through to NULL (the reference CASE has no ELSE).
+    """
+    g = _num(col)
+    if country.lower() == "zimbabwe":
+        return (
+            F.when(g.isNull(), "Unkown")
+            .when(g < 28, "<28 weeks")
+            .when(g < 32, "28-31 weeks")
+            .when(g < 34, "32-33 weeks")
+            .when(g < 37, "34-36 weeks")
+            .when(g < 40, "37-39 weeks")
+            .when(g <= 44, "40-44 weeks")
+        )
+    return (
+        F.when(g.isNull(), "Unkown")
+        .when(g < 28, "<28wks")
+        .when(g < 32, "28-32wks")
+        .when(g < 34, "34-34wks")
+        .when(g < 37, "34-36wks")
+        .when(g < 42, "Term")
+        .otherwise("Post Term")
+    )
+
+
+def summary_gest_group_sort(col: Column | str) -> Column:
+    """GestationGroupSort 1-7 ladder, NULL→7
+    (create_summary_maternal_outcomes_sql.py:88-96)."""
+    g = _num(col)
+    return (
+        F.when(g.isNull(), 7)
+        .when(g < 28, 1)
+        .when(g < 32, 2)
+        .when(g < 34, 3)
+        .when(g < 37, 4)
+        .when(g < 42, 5)
+        .otherwise(6)
+    )
+
+
+def summary_bw_group(col: Column | str) -> Column:
+    """Summary-table BirthWeightGroup gram ranges with the 3500 split
+    (create_summary_maternal_outcomes_sql.py:78-86); NULL→'Unknown'."""
+    w = _num(col)
+    return (
+        F.when(w.isNull(), "Unknown")
+        .when(w < 1000, "<1000g")
+        .when(w < 1500, "1000-1500g")
+        .when(w < 2500, "1500-2500g")
+        .when(w < 3500, "2500-3500g")
+        .when(w < 4000, "3500-4000g")
+        .otherwise(">4000g")
+    )
+
+
+def summary_bw_group_sort(col: Column | str) -> Column:
+    """BirthWeightGroupSort 1-7 ladder, NULL→7
+    (create_summary_maternal_outcomes_sql.py:97-105)."""
+    w = _num(col)
+    return (
+        F.when(w.isNull(), 7)
+        .when(w < 1000, 1)
+        .when(w < 1500, 2)
+        .when(w < 2500, 3)
+        .when(w < 3500, 4)
+        .when(w < 4000, 5)
+        .otherwise(6)
+    )

@@ -2837,6 +2837,251 @@ def sm_all_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sm_day_of_week_vitals",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN user_id % 8 = 0 THEN 'M'
+                  WHEN user_id % 8 = 1 THEN 'T'
+                  WHEN user_id % 8 = 2 THEN 'W'
+                  WHEN user_id % 8 = 3 THEN 'Th'
+                  WHEN user_id % 8 = 4 THEN 'F'
+                  WHEN user_id % 8 = 5 THEN 'Sat'
+                  WHEN user_id % 8 = 6 THEN 'Sun'
+                  ELSE 'X' END AS code,
+             CASE WHEN ts IS NULL THEN NULL
+                  ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS iso,
+             ts, value
+      FROM events
+    )
+    SELECT event_id AS uid,
+           CASE WHEN code = 'M' THEN 'Monday'
+                WHEN code = 'T' THEN 'Tuesday'
+                WHEN code = 'W' THEN 'Wednesday'
+                WHEN code = 'Th' THEN 'Thursday'
+                WHEN code = 'F' THEN 'Friday'
+                WHEN code = 'Sat' THEN 'Saturday'
+                WHEN code = 'Sun' THEN 'Sunday'
+                END AS day_of_week,
+           CASE WHEN iso IS NULL THEN NULL
+                ELSE substring(iso, position('T' IN iso) + 1, 5) END AS time1,
+           value AS temperature_1,
+           CASE WHEN ts IS NOT NULL THEN 1 END AS day
+    FROM src
+    """,
+)
+def sm_day_of_week_vitals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary_day1_vitals shape (create_summary_day_one_vitals_sql.py:10-38):
+    the M/T/W/Th/F/Sat/Sun → weekday-name CASE with unmapped codes falling
+    through to NULL (:10-17), the HH:mm extraction as substring-after-'T'
+    over an ISO string (:26-31 — faithful to the reference's positional
+    slice, not a timestamp function), and the no-ELSE Day indicator (:37).
+    Pure narrow projection: one scan, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("user_id") % 8 == 0, "M")
+        .when(F.col("user_id") % 8 == 1, "T")
+        .when(F.col("user_id") % 8 == 2, "W")
+        .when(F.col("user_id") % 8 == 3, "Th")
+        .when(F.col("user_id") % 8 == 4, "F")
+        .when(F.col("user_id") % 8 == 5, "Sat")
+        .when(F.col("user_id") % 8 == 6, "Sun")
+        .otherwise("X")
+    )
+    iso = F.when(
+        F.col("ts").isNotNull(), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    )
+    return ev.select(
+        F.col("event_id").alias("uid"),
+        F.when(code == "M", "Monday")
+        .when(code == "T", "Tuesday")
+        .when(code == "W", "Wednesday")
+        .when(code == "Th", "Thursday")
+        .when(code == "F", "Friday")
+        .when(code == "Sat", "Saturday")
+        .when(code == "Sun", "Sunday")
+        .alias("day_of_week"),
+        F.when(
+            iso.isNotNull(), F.expr(
+                "substring(date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss\"), "
+                "instr(date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss\"), 'T') + 1, 5)"
+            )
+        ).alias("time1"),
+        F.col("value").alias("temperature_1"),
+        F.when(F.col("ts").isNotNull(), 1).alias("day"),
+    )
+
+
+@_register(
+    "sm_maternal_completeness_sort",
+    """
+    SELECT o_orderkey AS uid,
+           o_orderstatus AS baby_outcome,
+           o_orderpriority AS mode_of_delivery,
+           o_totalprice AS time_spent,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_orderdate AS DATE) END AS date_of_admission,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE strftime(CAST(o_orderdate AS DATE), '%b-%Y') END
+             AS admission_month_year,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE strftime(CAST(o_orderdate AS DATE), '%Y%m') END
+             AS admission_month_year_sort
+    FROM orders
+    """,
+)
+def sm_maternal_completeness_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary_maternal_completeness shape
+    (create_summary_maternal_completeness_sql.py:6-40): date() cast of the
+    admission value plus the paired display/sort keys — 'Mon-YYYY' display
+    label and TEXT 'YYYYMM' sort key (:11-12; unlike the convenience view's
+    integer sort key, this table keeps it as to_char text) — alongside
+    label/value passthroughs. One scan, no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    null_adm = F.col("o_orderkey") % 11 == 0
+    adm = F.when(~null_adm, F.col("o_orderdate").cast("date"))
+    return o.select(
+        F.col("o_orderkey").alias("uid"),
+        F.col("o_orderstatus").alias("baby_outcome"),
+        F.col("o_orderpriority").alias("mode_of_delivery"),
+        F.col("o_totalprice").alias("time_spent"),
+        adm.alias("date_of_admission"),
+        F.when(~null_adm, F.date_format(adm, "MMM-yyyy")).alias(
+            "admission_month_year"
+        ),
+        F.when(~null_adm, F.date_format(adm, "yyyyMM")).alias(
+            "admission_month_year_sort"
+        ),
+    )
+
+
+@_register(
+    "sm_maternal_outcomes_buckets",
+    """
+    WITH src AS (
+      SELECT l_orderkey * 8 + l_linenumber AS uid,
+             CASE WHEN l_partkey % 13 = 0 THEN NULL ELSE l_quantity END AS gest,
+             CASE WHEN l_suppkey % 17 = 0 THEN NULL
+                  ELSE CAST(FLOOR(l_extendedprice) AS BIGINT) % 4500 END AS bwt,
+             CASE WHEN l_orderkey % 9 = 0 THEN 'NaT'
+                  WHEN l_orderkey % 9 = 1 THEN NULL
+                  ELSE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END AS adm_s,
+             CASE WHEN l_orderkey % 10 = 0 THEN 'NaT'
+                  WHEN l_orderkey % 10 = 1 THEN ''
+                  WHEN l_orderkey % 10 = 2 THEN NULL
+                  ELSE CAST(CAST(l_shipdate AS DATE) + l_linenumber AS VARCHAR)
+                  END AS birth_s
+      FROM lineitem
+    )
+    SELECT uid,
+           CASE WHEN adm_s IS NULL THEN NULL
+                WHEN adm_s = 'NaT' THEN NULL
+                ELSE CAST(adm_s AS DATE) END AS date_of_admission,
+           CASE WHEN birth_s IS NULL THEN NULL
+                WHEN birth_s = '' THEN NULL
+                WHEN birth_s = 'NaT' THEN NULL
+                ELSE CAST(birth_s AS DATE) END AS birth_date,
+           gest AS gestation,
+           bwt AS birth_weight_g,
+           CASE WHEN adm_s IS NOT NULL THEN 1 END AS birth_count,
+           CASE WHEN gest IS NULL THEN 'Unkown'
+                WHEN gest < 28 THEN '<28wks'
+                WHEN gest < 32 THEN '28-32wks'
+                WHEN gest < 34 THEN '34-34wks'
+                WHEN gest < 37 THEN '34-36wks'
+                WHEN gest < 42 THEN 'Term'
+                ELSE 'Post Term' END AS gestation_group,
+           CASE WHEN gest IS NULL THEN 'Unkown'
+                WHEN gest < 28 THEN '<28 weeks'
+                WHEN gest < 32 THEN '28-31 weeks'
+                WHEN gest < 34 THEN '32-33 weeks'
+                WHEN gest < 37 THEN '34-36 weeks'
+                WHEN gest < 40 THEN '37-39 weeks'
+                WHEN gest <= 44 THEN '40-44 weeks'
+                END AS gestation_group_zw,
+           CASE WHEN bwt IS NULL THEN 'Unknown'
+                WHEN bwt < 1000 THEN '<1000g'
+                WHEN bwt < 1500 THEN '1000-1500g'
+                WHEN bwt < 2500 THEN '1500-2500g'
+                WHEN bwt < 3500 THEN '2500-3500g'
+                WHEN bwt < 4000 THEN '3500-4000g'
+                ELSE '>4000g' END AS birth_weight_group,
+           CASE WHEN gest IS NULL THEN 7
+                WHEN gest < 28 THEN 1
+                WHEN gest < 32 THEN 2
+                WHEN gest < 34 THEN 3
+                WHEN gest < 37 THEN 4
+                WHEN gest < 42 THEN 5
+                ELSE 6 END AS gestation_group_sort,
+           CASE WHEN bwt IS NULL THEN 7
+                WHEN bwt < 1000 THEN 1
+                WHEN bwt < 1500 THEN 2
+                WHEN bwt < 2500 THEN 3
+                WHEN bwt < 3500 THEN 4
+                WHEN bwt < 4000 THEN 5
+                ELSE 6 END AS birth_weight_group_sort
+    FROM src
+    """,
+)
+def sm_maternal_outcomes_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary_maternal_outcomes shape
+    (create_summary_maternal_outcomes_sql.py:22-105): the NaT/''-guarded
+    date casts (:47-60), the no-ELSE BirthCount on the RAW admission value
+    ('NaT' still counts — :75), both country ladders for GestationGroup
+    (malawi incl. its '34-34wks'/'Unkown' typos, zimbabwe with >44 → NULL),
+    the 3500-split BirthWeightGroup, and the numeric 1-7 sort-key ladders.
+    Ladders come from functions/buckets.py so the Engine shares them. One
+    scan, no shuffle."""
+    from ..functions.buckets import (
+        summary_bw_group,
+        summary_bw_group_sort,
+        summary_gest_group,
+        summary_gest_group_sort,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    gest = F.when(
+        ~(F.col("l_partkey") % 13 == 0), F.col("l_quantity")
+    )
+    bwt = F.when(
+        ~(F.col("l_suppkey") % 17 == 0),
+        F.floor("l_extendedprice").cast("bigint") % 4500,
+    )
+    adm_s = (
+        F.when(F.col("l_orderkey") % 9 == 0, F.lit("NaT"))
+        .when(F.col("l_orderkey") % 9 == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("l_shipdate").cast("date").cast("string"))
+    )
+    birth_s = (
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit("NaT"))
+        .when(F.col("l_orderkey") % 10 == 1, F.lit(""))
+        .when(F.col("l_orderkey") % 10 == 2, F.lit(None).cast("string"))
+        .otherwise(
+            F.date_add(F.col("l_shipdate").cast("date"), F.col("l_linenumber"))
+            .cast("string")
+        )
+    )
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.when(
+            adm_s.isNotNull() & (adm_s != "NaT"), F.try_to_date(adm_s)
+        ).alias("date_of_admission"),
+        F.when(
+            birth_s.isNotNull() & (birth_s != "") & (birth_s != "NaT"),
+            F.try_to_date(birth_s),
+        ).alias("birth_date"),
+        gest.alias("gestation"),
+        bwt.alias("birth_weight_g"),
+        F.when(adm_s.isNotNull(), 1).alias("birth_count"),
+        summary_gest_group(gest, "malawi").alias("gestation_group"),
+        summary_gest_group(gest, "zimbabwe").alias("gestation_group_zw"),
+        summary_bw_group(bwt).alias("birth_weight_group"),
+        summary_gest_group_sort(gest).alias("gestation_group_sort"),
+        summary_bw_group_sort(bwt).alias("birth_weight_group_sort"),
+    )
+
+
+@_register(
     "v_value_label_consistency",
     """
     WITH src AS (
