@@ -297,6 +297,21 @@ def ngram_jaccard_on_pairs(
     )
 
 
+_NGRAM_CACHE: list[DataFrame] = []
+
+
+def release_ngram_cache() -> None:
+    """Unpersist shingle subtrees cached by earlier ``ngram_jaccard_pairs``
+    calls. Called automatically at each new call (so a long-lived session
+    holds at most ONE cached subtree — the newest); call explicitly when the
+    result has been fully consumed."""
+    while _NGRAM_CACHE:
+        try:
+            _NGRAM_CACHE.pop().unpersist(False)
+        except Exception:
+            pass  # session already stopped
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -305,6 +320,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     length_bucket: int = 32,
     block_col: str | None = None,
+    allow_small_blocks: bool = False,
+    max_block_rows: int = 5000,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard similarity join.
 
@@ -316,8 +333,34 @@ def ngram_jaccard_pairs(
     by a test against unblocked Jaccard). Cost per doc is
     O(nsh·(1-t)/w) bucket rows; O(pairs-within-bucket) comparisons, never
     O(n²) corpus-wide.
+
+    The ``block_col`` path is all-pairs WITHIN a block — O(n²/k) with
+    parallelism bounded by block cardinality, a scale-killer when the key is
+    coarse. Unless ``allow_small_blocks`` is set, a cheap one-pass estimate
+    (approx_count_distinct) refuses blocks averaging more than
+    ``max_block_rows`` rows and points at the scale-safe routes: the default
+    length-bucket blocking, or ``minhash_lsh_candidates`` →
+    ``ngram_jaccard_on_pairs`` (LSH-then-verify).
     """
+    release_ngram_cache()
     if block_col:
+        if not allow_small_blocks:
+            st = df.agg(
+                F.approx_count_distinct(block_col).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            avg = st["n"] / max(st["c"], 1)
+            if avg > max_block_rows:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: block_col={block_col!r} averages "
+                    f"~{avg:.0f} rows/block ({st['n']} rows, ~{st['c']} blocks) "
+                    f"> max_block_rows={max_block_rows}; the within-block "
+                    "all-pairs join would be quadratic and its parallelism "
+                    "bounded by block count. Use the default length-bucket "
+                    "blocking (block_col=None), minhash_lsh_candidates + "
+                    "ngram_jaccard_on_pairs, or pass allow_small_blocks=True "
+                    "if the corpus is genuinely small."
+                )
         blocked = shingle_sets(
             df, id_col, text_col, n, keep=(block_col,)
         ).withColumnRenamed(block_col, "bucket")
@@ -336,6 +379,7 @@ def ngram_jaccard_pairs(
     # the verify re-join); persisting runs the Python shingling ONCE instead
     # of three passes over the corpus (MEMORY_AND_DISK: spills, never OOMs)
     blocked = blocked.persist()
+    _NGRAM_CACHE.append(blocked)
     # Candidate generation runs on (bucket, id, nsh) METADATA only — the
     # bucket join's parallelism is bounded by the block-key cardinality, so
     # shingle arrays must not ride through it (they'd concentrate the

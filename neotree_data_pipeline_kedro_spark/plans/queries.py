@@ -2355,8 +2355,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity join, blocked by source — exact shingle-set
     verification, no unblocked self-join."""
     docs = _t(spark, sf_dir, "documents")
+    # `source` is a deliberately coarse demo block key; the operator refuses
+    # coarse keys by default (quadratic within-block), so opt in explicitly
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, block_col="source"
+        docs, "doc_id", "text", n=3, threshold=0.5, block_col="source",
+        allow_small_blocks=True,
     ).select("id_a", "id_b", "jaccard")
 
 

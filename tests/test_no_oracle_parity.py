@@ -300,3 +300,35 @@ def test_ngram_jaccard_length_blocking_recall(spark):
         )
         for k, v in expected.items():
             assert abs(have[k] - v) < 1e-12
+
+
+def test_ngram_jaccard_small_block_guard(spark):
+    """A coarse block key must be refused by default (within-block all-pairs
+    is quadratic with parallelism bounded by block count); allow_small_blocks
+    opts in; the cache registry holds at most one persisted subtree."""
+    from pyspark.sql import functions as F
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        _NGRAM_CACHE,
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    one_block = docs.withColumn("blk", F.lit("all"))
+    with pytest.raises(ValueError, match="rows/block"):
+        ngram_jaccard_pairs(
+            one_block, "doc_id", "text", block_col="blk", max_block_rows=10
+        )
+    # explicit opt-in runs (and still verifies exactly)
+    got = ngram_jaccard_pairs(
+        one_block, "doc_id", "text", threshold=0.5, block_col="blk",
+        max_block_rows=10, allow_small_blocks=True,
+    )
+    assert got.count() >= 0
+    assert len(_NGRAM_CACHE) == 1
+    # a second call releases the first call's cache before caching its own
+    ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    assert len(_NGRAM_CACHE) == 1
+    release_ngram_cache()
+    assert not _NGRAM_CACHE
