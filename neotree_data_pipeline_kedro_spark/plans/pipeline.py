@@ -210,6 +210,16 @@ class Engine:
                 self.config.pivot_keys.get(name)
                 or self.config.field_info.get(name, {}).keys()
             )
+            if not keys:
+                # an explicit-values pivot with no values would silently
+                # produce an id-only frame; the reference always has script
+                # metadata (tidy_...mcl_tables.py:823-961), so a script with
+                # neither pivot_keys nor field_info is a config error
+                raise ValueError(
+                    f"Engine.tidy: script {name!r} ({scriptid}) has neither "
+                    "pivot_keys nor field_info — declare its fields in "
+                    "EngineConfig (an empty pivot would drop every entry)"
+                )
             wide = (
                 rows.groupBy("id", "uid", "facility", "ingested_at")
                 .pivot("key", keys)

@@ -266,3 +266,27 @@ def test_cli_main_runs_all_stages(spark):
         "convenience", "summary_counts", "clean_admissions", "merged_all",
     }
     assert all(n >= 0 for n in counts.values())
+
+
+def test_tidy_requires_field_metadata(spark):
+    """A script with neither pivot_keys nor field_info must fail loudly, not
+    pivot into an id-only frame."""
+    import pytest
+
+    from neotree_data_pipeline_kedro_spark.plans.pipeline import Engine, EngineConfig
+
+    eng = Engine(
+        EngineConfig(
+            scripts={ADM_SCRIPT: "admissions"},
+            facility_map={ADM_SCRIPT: "Harare NNU"},
+            field_info={},
+        )
+    )
+    sess = spark.createDataFrame(
+        [(1, "A7C6-0350", ADM_SCRIPT, None,
+          _new_entries("A7C6-0350", 34, 2100, "Outcome", "DC"))],
+        "id long, uid string, scriptid string, ingested_at timestamp, data string",
+    )
+    bronze = eng.import_raw(sess)
+    with pytest.raises(ValueError, match="pivot_keys nor field_info"):
+        eng.tidy(eng.deduplicate(bronze))
