@@ -39,12 +39,26 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    # Two executions per query: the first can absorb one-off costs (plan
+    # compilation, codegen cache, broadcast build, shuffle-file reuse misses),
+    # the second is the steady-state number a long-lived cluster would see.
+    # We report min(first, second) per query and flag >30% swings so an
+    # environmental hiccup can't masquerade as a code regression.
+    runs: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        pair = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pair.append(round(time.perf_counter() - t0, 4))
+        runs[name] = pair
 
+    timings = {name: min(pair) for name, pair in runs.items()}
+    unstable = {
+        name: pair
+        for name, pair in runs.items()
+        if max(pair) > 1.3 * min(pair) and max(pair) - min(pair) > 0.5
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -53,6 +67,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "unstable": sorted(unstable),
                 "sf": sf,
             }
         )

@@ -72,6 +72,147 @@ def _hyperplane_buckets_df(
     return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
 
 
+def _signature_df(
+    df: DataFrame, id_col: str, vec_col: str, bits: int
+) -> DataFrame:
+    """(id, sig) where ``sig`` is a ``bits``-bit SimHash signature packed
+    into ``bits/64`` longs — one numpy GEMM per Arrow batch. Coefficients
+    use the same deterministic splitmix64 scheme as
+    ``_hyperplane_buckets_df`` (table 0), so both sides always agree."""
+    if bits % 64:
+        raise ValueError(f"bits must be a multiple of 64, got {bits}")
+    words = bits // 64
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType(), False)),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coef = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if coef is None:
+                dim = x.shape[1]
+                coef = np.empty((bits, dim), dtype=np.float64)
+                for p in range(bits):
+                    for j in range(dim):
+                        coef[p, j] = (
+                            1.0 if _splitmix64(p * 1_000_003 + j) & 1 else -1.0
+                        )
+            signs = (x @ coef.T) > 0  # rows x bits
+            grouped = signs.reshape(len(pdf) * words, 64)
+            vals = np.zeros(len(pdf) * words, dtype=np.uint64)
+            for j in range(64):
+                vals |= grouped[:, j].astype(np.uint64) << np.uint64(j)
+            packed = vals.view(np.int64).reshape(len(pdf), words)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "sig": list(packed)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
+
+
+def simhash_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    bits: int = 512,
+    m: int | None = None,
+    cand_frac: float = 0.05,
+    min_cand: int = 25,
+    query_id_col: str | None = None,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Signature-LSH top-k: rank the corpus by Hamming distance between
+    ``bits``-bit SimHash signatures, keep the ``m`` best candidates per
+    query, then exact-rescore only those with quantized cosine.
+
+    Why this and not bucketed multi-table LSH for the registry fixture: on
+    isotropic (near-random) embeddings the true top-10 sit at cosine
+    ~0.25-0.39 while the noise p99 is ~0.30, so per-plane agreement is
+    ~0.60 vs 0.50 for noise — bucket enrichment is too weak to hold
+    recall>=0.5 below ~40% candidate fraction at ANY planes/tables
+    (measured: 16 planes x 128 tables = recall 0.16 @ 0.8%; 4x8 = 0.74 @
+    41%). Long signatures concentrate the same projections instead of
+    thresholding them: 512 bits at m=5% measures recall@10 = 0.80 / 0.92 /
+    0.96 on the sf0.001/0.01/0.1 corpora. Real clustered corpora can use
+    ``lsh_bucket_topk``; this is the robust default.
+
+    Scale shape (FAISS IndexBinaryFlat pattern): the prefilter scans
+    64-byte codes with XOR+popcount (JVM ``bit_count`` expressions, no
+    Python) instead of full float vectors — 4x less data at dim=64, ~48x at
+    dim=768 — then exact scoring touches only n_queries x m rows. Query
+    side is broadcast; the corpus signature scan is one map pass; the only
+    shuffles are the two per-query top-m/top-k windows over already-reduced
+    rows. ``m`` defaults to max(min_cand, cand_frac*|corpus|) via one
+    narrow count job at plan time (an index-build-time cost).
+    """
+    qid = query_id_col or id_col
+    if m is None:
+        import math as _math
+
+        m = max(min_cand, k, int(_math.ceil(cand_frac * corpus.count())))
+
+    qsig = _signature_df(queries, qid, vec_col, bits).select(
+        F.col("id").alias("query_id"), F.col("sig").alias("__qsig")
+    )
+    csig = _signature_df(corpus, id_col, vec_col, bits).select(
+        F.col("id").alias("neighbor_id"), "sig"
+    )
+    ham = csig.join(F.broadcast(qsig)).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("sig"),
+                F.col("__qsig"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("__ham"),
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.asc("__ham"), F.asc("neighbor_id"))
+    cand_ids = (
+        ham.withColumn("__rn", F.row_number().over(wm))
+        .filter(F.col("__rn") <= m)
+        .select("query_id", "neighbor_id")
+    )
+
+    q = prep_vectors(queries, qid, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    c = prep_vectors(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"), "__v", "__n"
+    )
+    scored = (
+        cand_ids.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_cosine(
+                F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"),
+                integer=scale is not None,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

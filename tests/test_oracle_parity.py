@@ -5,6 +5,7 @@ sorted columns, exact values — floats included, by deterministic design).
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pandas as pd
@@ -21,9 +22,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: float(v) if hasattr(v, "as_tuple") else v  # Decimal
-            )
+            def _coerce(v):
+                if hasattr(v, "as_tuple"):  # Decimal
+                    return float(v)
+                if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                    # Spark DATE columns arrive as datetime.date while DuckDB's
+                    # fetchdf yields midnight datetime64 — same calendar value.
+                    return pd.Timestamp(v)
+                return v
+
+            df[c] = df[c].map(_coerce)
     def cell_key(v) -> str:
         if pd.isna(v):
             return "\x01NULL"
