@@ -122,21 +122,55 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def default_image_decoder():
+    """Resolve the image decoder for this worker: a native codec (PIL) when
+    importable, else the pure-stdlib PNG codec. Both return a uint8
+    (h, w, ch) array with identical pixel values for PNG input (PNG is
+    lossless), so swapping codecs never changes results — only speed. The
+    resolution runs on the executor (the callable is pickled by name), so a
+    heterogeneous cluster can mix paths safely."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        def pil_decode(data: bytes) -> "np.ndarray":
+            img = Image.open(io.BytesIO(bytes(data)))
+            if img.mode == "P":  # palette: stdlib codec rejects, PIL expands
+                img = img.convert("RGB")
+            px = np.asarray(img, dtype=np.uint8)
+            if px.ndim == 2:  # L mode stays 1-channel, matching the stdlib codec
+                px = px[:, :, None]
+            return px
+
+        return pil_decode
+    except ImportError:
+        from ..functions.png import decode_png
+
+        return decode_png
+
+
+def decode_image(
+    df: DataFrame, id_col: str, binary_col: str, decoder=None
+) -> DataFrame:
     """Real PNG pixel decode over mapInPandas: (id, width, height, channels,
     mean_pixel, raw pixel bytes row-major). Undecodable payloads are dropped
     (the reference's tolerant-ingest contract: junk rows never kill a run).
-    """
-    from ..functions.png import decode_png
 
+    ``decoder`` is the native-codec seam: any ``bytes -> uint8 (h, w, ch)``
+    callable (PIL, libvips, turbojpeg bindings) slots into the same
+    Arrow-batched stage; ``None`` resolves via ``default_image_decoder``
+    per executor (PIL when importable, stdlib codec otherwise)."""
     src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder or default_image_decoder()
         for pdf in batches:
             out = {k: [] for k in ("id", "width", "height", "channels", "mean_pixel", "pixels")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 try:
-                    px = decode_png(payload)
+                    px = dec(payload)
                 except Exception:
                     continue
                 h, w, ch = px.shape

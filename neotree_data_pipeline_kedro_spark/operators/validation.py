@@ -314,6 +314,87 @@ def value_label_consistency(
     ).select("m.*")
 
 
+# the reference's static sensitive-name list (validate.py:824-826)
+SENSITIVE_KEYWORDS = (
+    "surname", "firstname", "dobtob", "column_name", "mothcell",
+    "dob.value", "dob.label", "kinaddress", "kincell", "kinname",
+)
+
+
+def confidential_column_report(
+    df: DataFrame,
+    fields: Sequence[Mapping] = (),
+    drop_keywords: Sequence[str] = SENSITIVE_KEYWORDS,
+    value_suffix: str = ".value",
+    label_suffix: str = ".label",
+) -> DataFrame:
+    """Confidential-data *detection* report (validate.py:819-888): the
+    compliance counterpart to ``redact`` (P6 removes; this one tells you
+    what is present). One metrics row per hit:
+
+    - ``kind='known_sensitive'``: a column whose lowercased name is in the
+      static keyword list (validate.py:824-831);
+    - ``kind='schema_confidential'``: a metadata field flagged
+      ``confidential`` whose ``{key}.value`` / ``{key}.label`` column exists
+      in the frame (validate.py:833-855).
+
+    Output: (key, kind, matched_columns, non_null_count) where
+    ``matched_columns`` is the comma-joined list of hit columns and
+    ``non_null_count`` counts rows with a non-null value in any of them
+    (the reference samples UIDs of such rows; a count is the cluster-safe
+    aggregate form). Column matching is driver-side name logic; the data
+    itself is touched by exactly one full-scan aggregate over the matched
+    columns, so the report costs one map-reduce pass regardless of hits.
+    """
+    kw = {k.lower() for k in drop_keywords}
+    hits: list[tuple[str, str, list[str]]] = []  # (key, kind, columns)
+    for c in df.columns:
+        if c.lower() in kw:
+            hits.append((c, "known_sensitive", [c]))
+    for fld in fields:
+        if not fld.get("confidential", False):
+            continue
+        key = fld.get("key")
+        cols = [
+            c
+            for c in (f"{key}{value_suffix}", f"{key}{label_suffix}")
+            if c in df.columns
+        ]
+        if cols:
+            hits.append((key, "schema_confidential", cols))
+
+    schema = (
+        "key string, kind string, matched_columns string, non_null_count long"
+    )
+    if not hits:
+        return df.sparkSession.createDataFrame([], schema)
+
+    aggs = [
+        F.sum(
+            F.greatest(*[F.col(f"`{c}`").isNotNull().cast("long") for c in cols])
+            if len(cols) > 1
+            else F.col(f"`{cols[0]}`").isNotNull().cast("long")
+        ).alias(f"__nn_{i}")
+        for i, (_key, _kind, cols) in enumerate(hits)
+    ]
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(key).alias("key"),
+                        F.lit(kind).alias("kind"),
+                        F.lit(",".join(cols)).alias("matched_columns"),
+                        F.col(f"__nn_{i}").alias("non_null_count"),
+                    )
+                    for i, (key, kind, cols) in enumerate(hits)
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+
+
 def type_conformance(df: DataFrame, column: str, expected: str) -> DataFrame:
     """Regex type-conformance rates (validate.py:469-564): fraction of
     non-null values NOT parseable as the expected logical type."""

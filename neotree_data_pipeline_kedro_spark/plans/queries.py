@@ -86,6 +86,7 @@ from ..operators.sinks import keyed_bulk_update, reconcile_update, upsert_by_key
 from ..operators.uids import repair_duplicate_uids
 from ..operators.validation import (
     conditional_required_nulls,
+    confidential_column_report,
     null_rates,
     range_violations,
     type_conformance,
@@ -3216,6 +3217,55 @@ def v_value_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_label_consistency(wide, fields)
 
 
+@_register(
+    "v_confidential_detect",
+    """
+    SELECT 'Surname' AS key, 'known_sensitive' AS kind,
+           'Surname' AS matched_columns,
+           CAST(COUNT(*) AS BIGINT) AS non_null_count
+    FROM customer
+    UNION ALL
+    SELECT 'KinCell', 'known_sensitive', 'KinCell',
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'NTaddress', 'schema_confidential',
+           'NTaddress.value,NTaddress.label',
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 OR c_custkey % 5 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    """,
+)
+def v_confidential_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 confidential-column *detection* report (validate.py:819-888) —
+    the compliance counterpart to P6's redaction. Exercises: static-keyword
+    hits by case-insensitive name (Surname, KinCell), a schema-flagged
+    confidential field matched through its .value/.label columns with a
+    non-null presence count, a confidential field whose columns are absent
+    (skipped), and a non-confidential field (no row)."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.select(
+        F.col("c_name").alias("Surname"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("KinCell"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment")).alias(
+            "NTaddress.value"
+        ),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("Address")).alias(
+            "NTaddress.label"
+        ),
+        F.col("c_mktsegment").alias("Segment.value"),
+        F.col("c_name").alias("Notes"),
+    )
+    fields = [
+        {"key": "NTaddress", "confidential": True},
+        {"key": "Segment", "confidential": False},
+        {"key": "Ghost", "confidential": True},  # no column → skipped
+    ]
+    return confidential_column_report(wide, fields)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3223,34 +3273,39 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
-# entries (CORRECTNESS_r02 stopped at position 49 exactly). Front-load the
-# queries that have never received a driver row — the LLM-extension family
-# plus round-3 additions — so every query earns at least one driver-verified
-# round; queries already green in r01/r02 move to the tail.
+# entries. Deliberate rotation so every query re-earns a driver row within
+# two rounds: front-load whatever the PREVIOUS round's window missed (the
+# 19 queries green in r2 but rotated out of CORRECTNESS_r03) plus this
+# round's additions and the two rebuilt ANN fixtures; everything green in
+# r3 with unchanged code moves to the tail.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # no CORRECTNESS row in r01 or r02 (registered after position 49):
-    "dd_exact_fingerprint",
-    "dd_ngram_jaccard",
-    "dd_embedding_cosine",
-    "ann_topk_bruteforce",
-    "ta_text_metrics",
-    "mm_binary_plumbing",
-    "mm_image_decode",
-    "mm_audio_decode",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "j3_tiered_greedy_assignment",
+    # green in r2, rotated out of the r3 window (code unchanged since):
+    "u1_union_by_name",
+    "u2_set_ops",
+    "u3_top_k",
+    "e1_explode_tokens",
+    "sm_vitals_days_union",
+    "sm_discharge_diagnosis",
+    "sm_convenience_indicators",
+    "s1_entries_restructure",
+    "e2_repeatables",
+    "e3_diagnoses_explode",
+    "s7_upsert_by_key",
+    "s8_bulk_update",
+    "j7_reconcile_lifecycle",
+    "d8_duplicate_uid_repair",
+    "f_timestamp_multiparse",
+    "f_nullify_boolmap",
+    "f_duration_numeric_extract",
+    "f_maternal_age",
+    "f_bucketize_ladders",
+    # round-4 addition (no prior row by construction):
+    "v_confidential_detect",
+    # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",
-    # round-3 additions (no prior row by construction):
-    "sm_all_lifecycle",
-    "v_value_label_consistency",
-    "sm_day_of_week_vitals",
-    "sm_maternal_completeness_sort",
-    "sm_maternal_outcomes_buckets",
-    "s1_json_file_scan",
 ]
 
 

@@ -112,6 +112,30 @@ def test_decode_image_operator(spark):
         assert (px == r["id"] % 251).all()
 
 
+def test_decode_image_custom_decoder_seam(spark):
+    """decode_image(decoder=...) is the native-codec seam: any bytes->array
+    callable (PIL/libvips in production) slots into the same mapInPandas
+    stage. A doubling decoder must change mean_pixel accordingly."""
+
+    def doubling_decoder(data: bytes):
+        # stand-in "native codec": stdlib decode then a visible transform,
+        # proving the injected callable (not the default) ran; defined
+        # locally so cloudpickle ships it by value to the workers
+        from neotree_data_pipeline_kedro_spark.functions.png import decode_png
+
+        px = decode_png(data)
+        return (px.astype(np.uint16) * 2 % 256).astype(np.uint8)
+
+    out = (
+        decode_image(_image_df(spark), "id", "img", decoder=doubling_decoder)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(out) == 20
+    for r in out:
+        assert r["mean_pixel"] == pytest.approx((r["id"] % 251) * 2 % 256)
+
+
 def test_resize_image_operator(spark):
     out = resize_image(_image_df(spark), "id", "img", 3, 2).orderBy("id").collect()
     assert len(out) == 20

@@ -231,6 +231,98 @@ def test_engine_from_json_files(tmp_path, spark):
     assert adm["A7C6-0350"]["Gestation.value"] == "34"
 
 
+def test_engine_files_to_warehouse_integration(tmp_path, spark):
+    """The full product path in one test: .json export files (S1 glob scan,
+    both scripts) -> Engine.run 14-stage DAG -> parquet warehouse via the
+    materialize hook; per-stage row counts and ALL-table lifecycle flags
+    asserted from the WAREHOUSE files (what a downstream consumer reads),
+    not the in-memory frames."""
+    import json as _json
+
+    from neotree_data_pipeline_kedro_spark.sources.sessions import (
+        read_session_files,
+    )
+
+    def session_obj(uid, entries, script):
+        return {
+            "uid": uid,
+            "script": {"id": script},
+            "completed_at": "2024-03-01T10:00:00",
+            "entries": entries,
+        }
+
+    def dis_entries(uid):
+        return {
+            "NeoTreeID": {"values": {"label": ["NeoTree ID"], "value": [uid]}},
+            "NeoTreeOutcome": {"values": {"label": ["Outcome"], "value": ["DC"]}},
+        }
+
+    adm = [
+        session_obj(
+            "A7C6-0350",
+            _json.loads(_new_entries("A7C6-0350", 34, 2100, "Outcome", "DC"))["entries"],
+            ADM_SCRIPT,
+        ),
+        # duplicate upload of the same admission: dedup must keep one
+        session_obj(
+            "A7C6-0350",
+            _json.loads(_new_entries("A7C6-0350", 34, 2100, "Outcome", "DC"))["entries"],
+            ADM_SCRIPT,
+        ),
+        session_obj(
+            "B111-0001",
+            _json.loads(_new_entries("B111-0001", 28, 900, "Died", "NND"))["entries"],
+            ADM_SCRIPT,
+        ),
+    ]
+    dis = [session_obj("A7C6-0350", dis_entries("A7C6-0350"), DIS_SCRIPT)]
+    (tmp_path / "export_adm.json").write_text(_json.dumps({"sessions": adm}))
+    (tmp_path / "export_dis.json").write_text(_json.dumps({"sessions": dis}))
+
+    warehouse = tmp_path / "warehouse"
+
+    def materialize(name, df):
+        df.write.mode("overwrite").parquet(str(warehouse / name))
+        return df
+
+    sessions = read_session_files(spark, str(tmp_path / "export_*.json"))
+    Engine(
+        EngineConfig(
+            scripts={ADM_SCRIPT: "admissions", DIS_SCRIPT: "discharges"},
+            facility_map={ADM_SCRIPT: "Harare NNU", DIS_SCRIPT: "Harare NNU"},
+            field_info=FIELD_INFO,
+        ),
+        materialize=materialize,
+    ).run(sessions)
+
+    def wh(name):
+        return spark.read.parquet(str(warehouse / name))
+
+    # per-stage row counts from the warehouse
+    assert wh("bronze").count() == 4  # 3 adm uploads + 1 dis
+    assert wh("deduplicated").count() == 3  # duplicate upload collapsed
+    assert wh("admissions").count() == 2
+    assert wh("discharges").count() == 1
+    assert wh("admissions_fixed").count() == 2
+    assert wh("joined").count() == 2  # left join keeps both admissions
+    assert wh("summary_counts").collect()[0]["patients"] == 2
+    clean = wh("clean_admissions")
+    assert clean.count() == 2
+    assert not any("dobtob" in c for c in clean.columns)  # confidential gone
+
+    # lifecycle flags on the warehouse ALL table
+    allt = {r["uid"]: r for r in wh("merged_all").collect()}
+    assert len(allt) == 2
+    assert allt["A7C6-0350"]["has_admission"]
+    assert allt["A7C6-0350"]["has_discharge"]
+    assert allt["A7C6-0350"]["is_closed"]
+    assert allt["A7C6-0350"]["NeoTreeOutcome.value"] == "DC"
+    assert allt["B111-0001"]["has_admission"]
+    assert not allt["B111-0001"]["has_discharge"]
+    assert not allt["B111-0001"]["is_closed"]
+    assert allt["B111-0001"]["match_status"] == "unmatched_admission"
+
+
 def test_engine_reconcile_completes_open_rows(spark):
     eng = _engine()
     out = eng.run(_sessions(spark))
