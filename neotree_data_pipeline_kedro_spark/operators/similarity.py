@@ -255,6 +255,89 @@ def brute_force_topk(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int = 5,
+) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, returning a
+    small pandas frame ``(centroid_id, centroid_vec)`` ready to feed
+    ``build_ivf_index``/``ivf_topk`` (the real IVF index build; the
+    registry fixture's hash-ordered sample is the cheap stand-in).
+
+    Scale shape: centroids are tiny (k x dim doubles) and live on the
+    driver between iterations; each iteration is ONE corpus map pass — a
+    numpy GEMM per Arrow batch assigns vectors to their nearest centroid
+    and emits per-batch partial sums (k x dim + counts), so the shuffle
+    reduces #batches x k rows, never the corpus. Empty cells keep their
+    previous centroid (standard Lloyd's degeneracy handling). Deterministic
+    for a fixed corpus: init is the xxhash64-ordered sample, ties break to
+    the lowest cell, per-vector contributions are exact (each vector sums
+    into exactly one batch partial in row order), and the driver combines
+    partials with math.fsum per dimension — exactly rounded, so the
+    nondeterministic arrival order of batch partials cannot perturb the
+    result.
+    """
+    import math as _math
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    init = (
+        src.orderBy(F.xxhash64("id"), "id")
+        .limit(k)
+        .orderBy("id")
+        .toPandas()
+    )
+    centroids = np.vstack([np.asarray(v, dtype=np.float64) for v in init["vec"]])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("vec_sum", T.ArrayType(T.DoubleType(), False)),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(max_iter):
+        cents = centroids  # rebind: the closure must pickle this iteration's value
+        cnorm = (cents * cents).sum(axis=1)
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+                # nearest by euclidean: argmin ||x-c||^2 = ||c||^2 - 2 x.c
+                d = cnorm[None, :] - 2.0 * (x @ cents.T)
+                cell = d.argmin(axis=1)  # numpy argmin takes the lowest index on ties
+                rows = {"cell": [], "vec_sum": [], "n": []}
+                for c in np.unique(cell):
+                    mask = cell == c
+                    rows["cell"].append(int(c))
+                    rows["vec_sum"].append(x[mask].sum(axis=0))
+                    rows["n"].append(int(mask.sum()))
+                yield pd.DataFrame(rows)
+
+        parts = src.mapInPandas(partials, schema=part_schema).toPandas()
+        new = centroids.copy()
+        for c in range(k):
+            sub = parts[parts.cell == c]
+            n = int(sub.n.sum())
+            if n:
+                vs = np.vstack(list(sub.vec_sum))
+                new[c] = [
+                    _math.fsum(vs[:, j]) / n for j in range(vs.shape[1])
+                ]
+        if np.allclose(new, centroids, rtol=0, atol=1e-12):
+            centroids = new
+            break
+        centroids = new
+
+    return pd.DataFrame(
+        {"centroid_id": range(k), "centroid_vec": list(centroids)}
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,

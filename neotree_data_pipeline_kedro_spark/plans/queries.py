@@ -2684,7 +2684,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with a bounded centroid count:
     min(256, ceil(sqrt(n))) pseudo-centroids drawn as a deterministic
     hash-ordered sample (stand-ins for a k-means output — the index build
-    is the same either way), then probe the 8 nearest cells per query.
+    is the same either way; operators.similarity.kmeans_fit is the real
+    distributed Lloyd's build, twin-tested), then probe the 8 nearest
+    cells per query.
     The index build is O(n x ncells) <= O(256 n); the previous
     every-23rd-vector fixture grew centroids O(n) and was quadratic at
     scale. Recall@10 vs brute force pinned in

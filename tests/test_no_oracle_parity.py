@@ -201,6 +201,51 @@ def test_bucket_lsh_on_clustered_corpus(spark):
     assert hits / total >= 0.9, f"clustered recall {hits / total:.2f}"
 
 
+def test_kmeans_fit_matches_numpy_twin(spark):
+    """Distributed Lloyd's (kmeans_fit) vs an independent in-memory numpy
+    twin run from the same init: centroids must agree to float tolerance,
+    and inertia must not increase across iterations. The operator's only
+    Spark-side work is the per-batch assignment+partial-sum pass, so twin
+    agreement pins both the GEMM assignment and the partial-sum reduce."""
+    from pyspark.sql import functions as F
+
+    from neotree_data_pipeline_kedro_spark.operators.similarity import kmeans_fit
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": emb.vec_id, "embedding": list(X)})
+    )
+    k, iters = 16, 4
+
+    got = kmeans_fit(df, "vec_id", "embedding", k=k, max_iter=iters)
+    C = np.vstack(list(got.centroid_vec))
+
+    # twin: same init (the operator's own deterministic sample expression),
+    # then pure-numpy Lloyd's
+    init = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(k)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    T_ = np.vstack([np.asarray(v, dtype=np.float64) for v in init.embedding])
+    inertias = []
+    for _ in range(iters):
+        d = (T_ * T_).sum(1)[None, :] - 2.0 * X @ T_.T
+        cell = d.argmin(1)
+        inertias.append(float((d[np.arange(len(X)), cell] + (X * X).sum(1)).sum()))
+        new = T_.copy()
+        for c in range(k):
+            m = cell == c
+            if m.sum():
+                new[c] = X[m].mean(0)
+        T_ = new
+    assert np.allclose(C, T_, atol=1e-8), float(np.abs(C - T_).max())
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+
+
 def test_ann_ivf_soundness_and_recall(spark):
     ivf = QUERIES["ann_topk_ivf"](spark, SF_SMOKE).toPandas()
     bf = QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).toPandas()
