@@ -99,6 +99,71 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# PII patterns shared by detection and scrubbing. Kept alternation-free so
+# Java regex (Spark, leftmost-greedy) and RE2 (DuckDB oracle,
+# leftmost-longest) produce identical matches; phone requires a leading '+'
+# so it can never overlap the IP pattern.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RX = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document PII hit counts (emails / phones / IPv4s) — the
+    detection half of the training-data PII gate; pure regexp expressions,
+    JVM-side."""
+    t = F.coalesce(_col(col), F.lit(""))
+    return {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RX), 0)).cast("bigint"),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RX), 0)).cast("bigint"),
+        "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IP_RX), 0)).cast("bigint"),
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace PII matches with typed placeholder tokens. Order matters and
+    is part of the contract: emails first (their domains contain dots that
+    the IP pattern could otherwise claim), then IPs, then phones."""
+    t = F.coalesce(_col(col), F.lit(""))
+    t = F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IP_RX, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE_RX, "<PHONE>")
+    return t
+
+
+def repetition_components(col: Column | str) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher-style quality rules):
+    duplicate-token fraction and duplicate-bigram fraction, as exact
+    integer counts with one double division each (bit-identical across
+    engines). Arrays are built with sequence/transform — no UDFs, no
+    explode, one row stays one row."""
+    toks = tokens(col)
+    n = F.size(toks)
+    dup_tok = F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # guarded sequence (never descending) + 0-based F.get (null, not an
+    # ANSI error, when out of bounds) — the n<2 case is masked by the
+    # `when` below but must still be evaluable
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+    )
+    dup_big = F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double")
+        / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n.cast("bigint"),
+        "dup_token_frac": dup_tok,
+        "dup_bigram_frac": dup_big,
+    }
+
+
 def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Column:
     """Polynomial rolling hash over characters (library fingerprint for
     shingling; no SQL oracle — verified against a Python twin in tests)."""

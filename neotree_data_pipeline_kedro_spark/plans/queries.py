@@ -47,7 +47,10 @@ from ..functions.strings import (
 from ..functions.text import (
     doc_fingerprint,
     language_id,
+    pii_counts,
     quality_score_components,
+    repetition_components,
+    scrub_pii,
     token_count,
 )
 from ..functions.timestamps import parse_timestamp_multi
@@ -2489,6 +2492,130 @@ def ta_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta_pii_scrub",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call +1 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM src
+    """,
+)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing for training-data pipelines: count and
+    replace emails / +phone numbers / IPv4s with typed placeholders, all
+    regexp expressions (functions/text.py pii_counts, scrub_pii). The
+    fixture injects deterministic PII spans (functions of doc_id) so every
+    pattern and the replacement order are exercised; patterns are
+    alternation-free so Java regex and the RE2 oracle agree exactly."""
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call +1 555-0"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return src.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        scrub_pii(F.col("t")).alias("scrubbed"),
+    )
+
+
+@_register(
+    "ta_repetition_quality_filter",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || repeat(' ' || split_part(text, ' ', 1), 20)
+                  ELSE text END AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split(t, ' ') AS toks FROM src
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS dup_token_frac,
+             CASE WHEN len(toks) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                             / CAST(len(toks) - 1 AS DOUBLE)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM tok
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           dup_token_frac, dup_bigram_frac,
+           (n_tokens BETWEEN 5 AND 10000) AND dup_bigram_frac < 0.15 AS passes
+    FROM m
+    """,
+)
+def ta_repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring + composed quality gate (the
+    Gopher-rule family): duplicate-token and duplicate-bigram fractions as
+    sequence/transform expressions (functions/text.py
+    repetition_components), then a pass/fail flag from length and
+    repetition thresholds. The fixture appends 20 copies of each 7th doc's
+    first token so the repetition signal and the gate both fire; ratios
+    are exact-integer divisions, bit-identical across engines."""
+    did = F.col("doc_id")
+    t = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.repeat(F.concat(F.lit(" "), F.split(F.col("text"), " ").getItem(0)), 20),
+        ),
+    ).otherwise(F.col("text"))
+    src = _t(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+    rep = repetition_components(F.col("t"))
+    passes = rep["n_tokens"].between(5, 10000) & (rep["dup_bigram_frac"] < 0.15)
+    return src.select(
+        "doc_id",
+        rep["n_tokens"].alias("n_tokens"),
+        rep["dup_token_frac"].alias("dup_token_frac"),
+        rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+        passes.alias("passes"),
+    )
+
+
+@_register(
     "mm_binary_plumbing",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3303,8 +3430,10 @@ _DRIVER_FRONT = [
     "f_duration_numeric_extract",
     "f_maternal_age",
     "f_bucketize_ladders",
-    # round-4 addition (no prior row by construction):
+    # round-4 additions (no prior row by construction):
     "v_confidential_detect",
+    "ta_pii_scrub",
+    "ta_repetition_quality_filter",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",
