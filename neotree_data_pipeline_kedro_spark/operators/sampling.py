@@ -1,0 +1,132 @@
+"""Deterministic sampling primitives for training-data mixture construction
+(BASELINE.json north-star extension, same family as operators/neardup).
+
+A corpus at 100 TB is sampled *declaratively*: every decision is a pure
+function of the row's key, so re-runs, retries, and incremental additions
+select the same rows without any stored sampling state. Two primitives:
+
+- ``hash_gate``: keep a row iff md5(key) is below a hex threshold — a
+  stateless per-source rate gate (string comparison on the hex digest, so
+  any engine with md5 agrees bit-for-bit; '80' = 50%, '40' = 25%, 'c0' =
+  75%, two hex chars give 1/256 granularity). Runs in the scan stage,
+  shuffle-free.
+- ``budget_prefix``: per group, keep the hash-ordered prefix of rows whose
+  running weight (e.g. token count) stays within a budget — "N tokens per
+  source" dataset construction. One window shuffle on the group key; the
+  running sum never materializes more than the sampled rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_gate(key: Column | str, threshold: Column | str) -> Column:
+    """True iff md5(key-as-string) < threshold (hex-string comparison).
+
+    ``threshold`` may be a literal hex prefix ('80' keeps the ~50% of keys
+    whose digest sorts below it) or a Column (per-row rates, e.g. a
+    per-source map lookup). Deterministic, stateless, engine-portable.
+    """
+    t = F.lit(threshold) if isinstance(threshold, str) else threshold
+    return F.md5(_col(key).cast("string")) < t
+
+
+def rate_map(rates: Mapping[str, str]) -> Column:
+    """Literal map col for per-group hash_gate thresholds."""
+    from itertools import chain
+
+    return F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in rates.items())
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: str,
+    budget: int,
+    key_col: str,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy in-order sequence packing: within each group, walk rows in
+    deterministic hash order and assign each to the current pack while the
+    pack's weight stays <= ``budget``; an overflowing row starts the next
+    pack (an oversized single row gets a pack of its own). The
+    fixed-token-window batching step of LLM training-data prep.
+
+    The accumulator resets on overflow, so this is NOT a running-sum
+    window (cum//budget would leak leftover capacity across packs) — it is
+    inherently sequential per group, hence ``applyInPandas``: one shuffle
+    on the group key, a tight numpy loop per group, nothing on the driver.
+    At 100 TB, sub-shard big groups first (e.g. ``hash_gate`` buckets) so
+    each pandas group stays bounded; packs never span shards by design.
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + f", {pack_col} bigint"
+    )
+    budget_ = int(budget)
+    weight_, key_ = weight_col, key_col
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__h"] = pdf[key_].astype(str).map(
+            lambda s: __import__("hashlib").md5(s.encode()).hexdigest()
+        )
+        pdf = pdf.sort_values(["__h", key_], kind="mergesort")
+        ids, fill, cur = [], 0, 0
+        for w in pdf[weight_]:
+            w = int(w)
+            if fill > 0 and fill + w > budget_:
+                cur += 1
+                fill = 0
+            fill += w
+            ids.append(cur)
+        pdf[pack_col] = ids
+        return pdf.drop(columns="__h")
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=schema)
+
+
+def budget_prefix(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: Column | str,
+    budget: int,
+    order_cols: Sequence[Column] | None = None,
+    key_col: str | None = None,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep each group's prefix (in deterministic hash order by default)
+    while the running sum of ``weight_col`` stays <= ``budget``.
+
+    The inclusive-prefix contract: a row is kept iff the running total
+    *including it* is within budget — the greedy "fill to the brim, skip
+    the overflowing doc and stop" rule, made order-deterministic. One
+    window shuffle on ``group_cols``.
+    """
+    w = _col(weight_col)
+    order = list(order_cols or [])
+    if not order:
+        if key_col is None:
+            raise ValueError("budget_prefix: pass order_cols or key_col")
+        order = [F.md5(F.col(key_col).cast("string")), F.col(key_col)]
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(cum_col, F.sum(w).over(win)).filter(
+        F.col(cum_col) <= budget
+    )

@@ -2616,6 +2616,116 @@ def ta_repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta_token_budget_sample",
+    """
+    WITH src AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), samp AS (
+      SELECT * FROM src
+      WHERE h < CASE CAST(substr(source, 4) AS INTEGER) % 3
+                  WHEN 0 THEN 'c0' WHEN 1 THEN '80' ELSE '40' END
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM samp
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 300
+    """,
+)
+def ta_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture construction (operators/sampling.py): a
+    stateless md5 rate gate per source (rates 75/50/25% by source index
+    mod 3), then each source's hash-ordered prefix capped at a 300-token
+    budget. Every selection is a pure function of doc_id, so retries and
+    incremental re-runs pick identical rows at 100 TB; the only shuffle is
+    the per-source window."""
+    from ..operators.sampling import budget_prefix, hash_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    threshold = (
+        F.when(idx % 3 == 0, F.lit("c0"))
+        .when(idx % 3 == 1, F.lit("80"))
+        .otherwise(F.lit("40"))
+    )
+    sampled = docs.withColumn("n_tokens", token_count(F.col("text"))).filter(
+        hash_gate(F.col("doc_id"), threshold)
+    )
+    out = budget_prefix(
+        sampled,
+        ["source"],
+        F.col("n_tokens"),
+        budget=300,
+        key_col="doc_id",
+        cum_col="cum_tokens",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+@_register(
+    "ta_sequence_packing",
+    """
+    WITH RECURSIVE src AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM src
+    ), packs AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN p.fill + o.n_tokens <= 120 THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.fill + o.n_tokens <= 120 THEN p.fill + o.n_tokens
+                  ELSE o.n_tokens END
+      FROM packs p JOIN ordered o
+        ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, pack_id
+    FROM packs
+    """,
+)
+def ta_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-token-window sequence packing per source
+    (operators/sampling.greedy_pack): rows walk in deterministic md5 order
+    and fill 120-token packs, overflow starts the next pack. The
+    accumulator resets on overflow, so no window expression computes it —
+    Spark side is applyInPandas (one shuffle, sequential only within a
+    group); the oracle replays the same walk as a recursive CTE. This is
+    the registry's showcase that even inherently sequential per-group
+    logic stays distributed and exactly cross-checkable."""
+    from ..operators.sampling import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = greedy_pack(
+        docs, ["source"], "n_tokens", budget=120, key_col="doc_id"
+    )
+    return packed.select(
+        "doc_id", "source", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "pack_id",
+    )
+
+
+@_register(
     "mm_binary_plumbing",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3434,6 +3544,8 @@ _DRIVER_FRONT = [
     "v_confidential_detect",
     "ta_pii_scrub",
     "ta_repetition_quality_filter",
+    "ta_token_budget_sample",
+    "ta_sequence_packing",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -1,0 +1,96 @@
+"""Unit tests for the deterministic sampling primitives
+(operators/sampling.py): rate-gate uniformity, budget-prefix semantics,
+greedy packing edge cases (oversized rows, accumulator reset)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.operators.sampling import (
+    budget_prefix,
+    greedy_pack,
+    hash_gate,
+    rate_map,
+)
+
+
+def test_hash_gate_matches_python_md5(spark):
+    df = spark.range(0, 1000).select(F.col("id"))
+    kept = {r.id for r in df.filter(hash_gate(F.col("id"), "80")).collect()}
+    expect = {
+        i for i in range(1000) if hashlib.md5(str(i).encode()).hexdigest() < "80"
+    }
+    assert kept == expect
+    # ~50% rate on a uniform digest
+    assert 0.4 < len(kept) / 1000 < 0.6
+
+
+def test_rate_map_lookup(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)], "id long, grp string"
+    )
+    thr = rate_map({"a": "ff", "b": "00"})[F.col("grp")]
+    kept = df.filter(hash_gate(F.col("id"), thr)).groupBy("grp").count().collect()
+    by = {r.grp: r["count"] for r in kept}
+    assert by.get("b") is None  # '00' keeps nothing
+    assert by["a"] > 150  # 'ff' keeps ~all of group a
+
+
+def test_budget_prefix_inclusive_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(g, i, 10) for g in ("x", "y") for i in range(20)],
+        "grp string, id long, w long",
+    )
+    out = budget_prefix(
+        df, ["grp"], F.col("w"), budget=35, key_col="id", cum_col="cum"
+    ).collect()
+    # 10+10+10 = 30 <= 35, fourth row would reach 40 > 35 → 3 rows per group
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for g, rows in by_grp.items():
+        assert len(rows) == 3
+        assert max(r.cum for r in rows) == 30
+        # kept ids are the 3 lowest by md5 order
+        order = sorted(range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert {r.id for r in rows} == set(order[:3])
+
+
+def test_budget_prefix_requires_order(spark):
+    df = spark.createDataFrame([("x", 1, 1)], "grp string, id long, w long")
+    with pytest.raises(ValueError, match="order_cols or key_col"):
+        budget_prefix(df, ["grp"], F.col("w"), budget=5)
+
+
+def test_greedy_pack_resets_and_isolates_oversized(spark):
+    # md5-ordered ids for a deterministic walk
+    ids = sorted(range(8), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    weights = {ids[0]: 50, ids[1]: 60, ids[2]: 500, ids[3]: 10,
+               ids[4]: 10, ids[5]: 95, ids[6]: 95, ids[7]: 95}
+    df = spark.createDataFrame(
+        [("g", i, weights[i]) for i in range(8)], "grp string, id long, w long"
+    )
+    out = {r.id: r.pack_id for r in greedy_pack(
+        df, ["grp"], "w", budget=100, key_col="id"
+    ).collect()}
+    walk = [out[i] for i in ids]
+    # 50+60>100 → reset; 500 oversized → own pack; 10+10 share; 95s alone
+    assert walk == [0, 1, 2, 3, 3, 4, 5, 6]
+
+
+def test_greedy_pack_weights_within_budget_unless_oversized(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [("g", i, rnd.randint(1, 60)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    out = greedy_pack(df, ["grp"], "w", budget=100, key_col="id").collect()
+    fills = {}
+    for r in out:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.w
+    assert all(v <= 100 for v in fills.values())
+    # packs are contiguous 0..max
+    assert sorted(fills) == list(range(len(fills)))
