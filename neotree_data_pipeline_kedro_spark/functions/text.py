@@ -29,8 +29,12 @@ def _col(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; empty/null text → empty array."""
-    t = F.trim(F.coalesce(_col(col), F.lit("")))
+    """Whitespace tokenization; empty/null/whitespace-only text → empty
+    array. Regex trim, not F.trim: trim() strips only ' ' so a "\\n"-only
+    text would split into two empty tokens (the DuckDB oracles may keep
+    plain trim() because the synthetic corpus has no non-space
+    whitespace)."""
+    t = F.regexp_replace(F.coalesce(_col(col), F.lit("")), r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

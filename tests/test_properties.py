@@ -207,3 +207,65 @@ def test_timestamp_roundtrip(spark, pairs):
         else:
             exp = d if "%H" in fmt else d.replace(hour=0, minute=0, second=0)
             assert out == exp, (s, fmt, out)
+
+
+# --- text-analysis properties (functions/text.py additions) -----------------
+
+_TEXT_ALPHABET = st.text(
+    alphabet=" abcdefghijk.,!?@+0123456789\n-",
+    min_size=0,
+    max_size=120,
+)
+
+
+@SET
+@given(texts=st.lists(_TEXT_ALPHABET, min_size=1, max_size=25))
+def test_scrub_pii_idempotent_and_clean(spark, texts):
+    """Scrubbing twice equals scrubbing once, and a scrubbed text contains
+    no remaining PII matches (placeholders cannot re-trigger patterns)."""
+    import re
+
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        PII_EMAIL_RX,
+        PII_IP_RX,
+        PII_PHONE_RX,
+        scrub_pii,
+    )
+
+    once = _eval(spark, texts, scrub_pii, in_type="string")
+    twice = _eval(spark, once, scrub_pii, in_type="string")
+    assert once == twice
+    for s in once:
+        assert not re.search(PII_EMAIL_RX, s), s
+        assert not re.search(PII_IP_RX, s), s
+        assert not re.search(PII_PHONE_RX, s), s
+
+
+@SET
+@given(texts=st.lists(_TEXT_ALPHABET, min_size=1, max_size=25))
+def test_repetition_fractions_bounded_and_exact(spark, texts):
+    """Both repetition fractions stay in [0, 1] and equal a direct Python
+    recomputation over the same whitespace tokenization."""
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        repetition_components,
+    )
+
+    def expr(c):
+        comp = repetition_components(c)
+        return F.struct(
+            comp["n_tokens"].alias("n"),
+            comp["dup_token_frac"].alias("dt"),
+            comp["dup_bigram_frac"].alias("db"),
+        )
+
+    got = _eval(spark, texts, expr, in_type="string")
+    for s, row in zip(texts, got):
+        toks = s.split() if s.strip() else []
+        n = len(toks)
+        assert row["n"] == n
+        dt_ = 1.0 - len(set(toks)) / n if n else 0.0
+        bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+        db_ = 1.0 - len(set(bigrams)) / (n - 1) if n >= 2 else 0.0
+        assert row["dt"] == pytest.approx(dt_, abs=1e-12)
+        assert row["db"] == pytest.approx(db_, abs=1e-12)
+        assert 0.0 <= row["dt"] <= 1.0 and 0.0 <= row["db"] <= 1.0
