@@ -1,0 +1,102 @@
+"""Physical-plan contracts: the scale properties the operators were
+designed around, pinned so a refactor that silently degrades a plan
+(broadcast → shuffle join, lost filter pushdown, extra exchanges) fails CI
+instead of surfacing at 100 TB.
+
+Counts are read from explain('formatted'), which prints each operator in
+the tree and again in the details section — contracts therefore assert on
+presence/absence and on generous upper bounds, not exact equality, so AQE
+formatting changes don't flake.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def exchanges(plan: str) -> int:
+    # tree + details double-print; halve for the real count
+    return len(re.findall(r"\bExchange\b", plan)) // 2
+
+
+def test_dim_rollup_broadcasts_the_dim(spark):
+    plan = plan_of(spark, "j9_dim_broadcast_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_incremental_stays_broadcast_or_hash(spark):
+    # the incremental key probe must never sort-merge at this size
+    plan = plan_of(spark, "j4_anti_incremental")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "p1_p5_filter_map_tag")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "no filters pushed to the parquet scan"
+
+
+def test_projection_prunes_scan_schema(spark):
+    # q1 touches 7 of lineitem's 16 columns; the scan must not read more
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    read_cols = [c for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 7, read_cols
+
+
+def test_window_dedup_is_single_shuffle(spark):
+    # D1 = one window over (scriptid, uid, unique_key); anything beyond
+    # scan + one exchange (+ the documented local-parallelism repartition)
+    # is a regression
+    plan = plan_of(spark, "d1_dedup_last_writer")
+    assert exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_exact_fingerprint_is_single_shuffle(spark):
+    plan = plan_of(spark, "dd_exact_fingerprint")
+    assert exchanges(plan) <= 2
+
+
+def test_repetition_metrics_shuffle_free(spark):
+    # pure per-row expressions: only the local-parallelism repartition may
+    # appear, never a key exchange
+    plan = plan_of(spark, "ta_repetition_quality_filter")
+    assert exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = plan_of(spark, "ann_topk_bruteforce")
+    # the corpus x queries product must be a broadcast nested loop (tiny
+    # broadcast side), never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j3_asof_nearest", "sm_all_lifecycle", "j1_j2_fuzzy_best_match"],
+)
+def test_no_cartesian_anywhere(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
