@@ -1,0 +1,49 @@
+"""Bucketed warehouse writes: co-located joins without runtime shuffles.
+
+The reference leans on Postgres B-tree indexes for its hot join keys
+(create_joined_table_and_derived_columns.py:130-155;
+merge_all.py:537-588). The Spark-native counterpart is bucketing: write
+both sides of a recurring join bucketed (and optionally sorted) by the
+join key, and every subsequent join on that key reads bucket-aligned
+files — no Exchange on either side, the single biggest shuffle saving for
+the admission↔discharge / uid-keyed join family at 100 TB. The contract
+is pinned in tests/test_warehouse_bucketing.py: a MERGE-hinted join of
+two co-bucketed tables plans with zero exchanges.
+
+Use for the stable silver/gold tables the engine re-joins every cron
+cycle (deduplicated sessions, admissions/discharges, the ALL table);
+one-shot intermediates should stay plain parquet (bucketing costs a
+shuffle at write time).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    buckets: int = 64,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Save ``df`` as a managed table bucketed by ``keys`` into
+    ``buckets`` files per partition (sorted within buckets when
+    ``sort_by`` is given, which also removes the Sort under sort-merge
+    joins). Bucket count is a durable layout choice: both sides of a
+    co-located join must use the same keys and count."""
+    w = df.write.format(fmt).mode(mode).bucketBy(int(buckets), *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed table back (bucketing metadata applies
+    automatically; no option needed)."""
+    return spark.table(table)

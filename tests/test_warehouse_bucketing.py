@@ -1,0 +1,66 @@
+"""Co-located join contract: two tables bucketed on the join key plan a
+MERGE join with ZERO exchanges (sources/warehouse.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+    read_table,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    adm = spark.range(0, 5000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 97).alias("facility"),
+        F.lit("adm").alias("kind"),
+    )
+    dis = spark.range(0, 5000, 3).select(
+        F.col("id").alias("uid"),
+        F.lit("dis").alias("kind"),
+        (F.col("id") * 2).alias("score"),
+    )
+    write_bucketed(adm, "t_adm_bucketed", ["uid"], buckets=8, sort_by=["uid"])
+    write_bucketed(dis, "t_dis_bucketed", ["uid"], buckets=8, sort_by=["uid"])
+    yield read_table(spark, "t_adm_bucketed"), read_table(spark, "t_dis_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_adm_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_dis_bucketed")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed):
+    adm, dis = bucketed
+    joined = adm.hint("MERGE").join(dis, "uid")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should read co-located buckets"
+    assert "Bucketed: true" in plan
+
+
+def test_cobucketed_join_is_correct(spark, bucketed):
+    adm, dis = bucketed
+    got = adm.hint("MERGE").join(dis, "uid").count()
+    assert got == len(range(0, 5000, 3))
+
+
+def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed):
+    adm, _ = bucketed
+    plain = spark.range(0, 5000, 5).select(F.col("id").alias("uid"))
+    joined = adm.hint("MERGE").join(plain, "uid")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    # only the non-bucketed side shuffles
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) // 2 == 1
