@@ -85,6 +85,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
     ap = argparse.ArgumentParser(prog="neotree-spark-engine")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default=None, help="warehouse dir (parquet per stage)")
+    ap.add_argument(
+        "--bucket-uid-tables",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also save the uid-keyed stages (deduplicated, admissions_fixed, "
+        "discharges_fixed, merged_all) as managed tables bucketed by uid into "
+        "N buckets, so every later uid join reads co-located buckets "
+        "shuffle-free (sources/warehouse.py)",
+    )
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -95,7 +105,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         field_info=_FIELD_INFO,
     )
 
+    uid_tables = {"deduplicated", "admissions_fixed", "discharges_fixed", "merged_all"}
+
     def materialize(name: str, df: DataFrame) -> DataFrame:
+        if args.bucket_uid_tables and name in uid_tables and "uid" in df.columns:
+            from .sources.warehouse import read_table, write_bucketed
+
+            write_bucketed(
+                df, f"wh_{name}", ["uid"], buckets=args.bucket_uid_tables
+            )
+            return read_table(spark, f"wh_{name}")
         if args.out:
             path = f"{args.out}/{name}"
             df.write.mode("overwrite").parquet(path)

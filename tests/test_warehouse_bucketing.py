@@ -52,6 +52,25 @@ def test_cobucketed_join_is_correct(spark, bucketed):
     assert got == len(range(0, 5000, 3))
 
 
+def test_cli_bucketed_warehouse(spark):
+    from neotree_data_pipeline_kedro_spark.__main__ import main
+
+    counts = main(
+        argv=["--sf-dir", "/root/testdata/sf0.001", "--bucket-uid-tables", "4"],
+        spark=spark,
+    )
+    assert counts["merged_all"] > 0
+    try:
+        desc = spark.sql("DESCRIBE TABLE EXTENDED wh_merged_all").collect()
+        info = {r.col_name: r.data_type for r in desc}
+        assert info.get("Num Buckets") == "4"
+        assert "uid" in info.get("Bucket Columns", "")
+    finally:
+        for t in ("wh_deduplicated", "wh_admissions_fixed",
+                  "wh_discharges_fixed", "wh_merged_all"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed):
     adm, _ = bucketed
     plain = spark.range(0, 5000, 5).select(F.col("id").alias("uid"))
