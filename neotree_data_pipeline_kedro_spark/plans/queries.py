@@ -3549,6 +3549,10 @@ _DRIVER_FRONT = [
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # code touched this round (tokens() whitespace fix / decoder seam), so
+    # they re-earn a driver row even though r3 was green:
+    "ta_text_metrics",
+    "mm_image_decode",
 ]
 
 
