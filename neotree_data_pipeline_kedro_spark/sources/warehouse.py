@@ -47,3 +47,24 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed table back (bucketing metadata applies
     automatically; no option needed)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned write (one directory per partition value).
+
+    The complement of bucketing for the time axis: the engine's derived
+    tables are re-read every cron cycle with a recency predicate
+    (ingested_at month, unique_key date prefix — assorted_queries.py's
+    NOT-EXISTS windows), and a partition column turns that predicate into
+    directory pruning — the scan never opens non-matching files
+    (PartitionFilters in explain; pinned in
+    tests/test_warehouse_bucketing.py). Choose low-cardinality columns
+    (month, facility): one directory per value, and files per partition
+    should stay in the hundreds of MB at 100 TB."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)

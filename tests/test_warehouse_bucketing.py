@@ -71,6 +71,28 @@ def test_cli_bucketed_warehouse(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        write_partitioned,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.concat(F.lit("2024-0"), (F.col("id") % 3 + 1).cast("string")).alias("month"),
+    )
+    path = str(tmp_path / "part_tbl")
+    write_partitioned(df, path, ["month"])
+
+    back = spark.read.parquet(path).filter(F.col("month") == "2024-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "month" in m.group(1), "partition predicate did not prune"
+    assert back.count() == sum(1 for i in range(1000) if i % 3 + 1 == 2)
+
+
 def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed):
     adm, _ = bucketed
     plain = spark.range(0, 5000, 5).select(F.col("id").alias("uid"))
