@@ -94,3 +94,32 @@ def test_greedy_pack_weights_within_budget_unless_oversized(spark):
     assert all(v <= 100 for v in fills.values())
     # packs are contiguous 0..max
     assert sorted(fills) == list(range(len(fills)))
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_greedy_pack_invariant_to_partitioning(spark, parts):
+    """Pack assignments are a pure function of (group, key, weight) — any
+    physical partitioning of the input produces identical packs."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(f"g{i % 3}", i, rnd.randint(1, 60)) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long").repartition(parts)
+    out = {(r.grp, r.id): r.pack_id for r in greedy_pack(
+        df, ["grp"], "w", budget=100, key_col="id"
+    ).collect()}
+    base_df = spark.createDataFrame(rows, "grp string, id long, w long").coalesce(1)
+    base = {(r.grp, r.id): r.pack_id for r in greedy_pack(
+        base_df, ["grp"], "w", budget=100, key_col="id"
+    ).collect()}
+    assert out == base
+
+
+def test_budget_prefix_invariant_to_partitioning(spark):
+    rows = [(f"g{i % 5}", i, (i * 7) % 40 + 1) for i in range(500)]
+    outs = []
+    for parts in (1, 13):
+        df = spark.createDataFrame(rows, "grp string, id long, w long").repartition(parts)
+        got = budget_prefix(df, ["grp"], F.col("w"), budget=150, key_col="id")
+        outs.append({(r.grp, r.id, r.cum_weight) for r in got.collect()})
+    assert outs[0] == outs[1]
