@@ -44,6 +44,68 @@ def null_rates(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame
     )
 
 
+def column_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    rsd: float = 0.05,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One-pass sketch profile per column: row/null counts, HyperLogLog++
+    distinct estimate (``approx_count_distinct``, relative std dev
+    ``rsd``), and KLL-style approximate percentiles for numeric columns
+    (``approx_percentile``) — the table-profiling primitive a 100 TB
+    warehouse runs instead of exact DISTINCT/percentile scans. All
+    sketches are mergeable partial aggregates: one map-reduce pass total,
+    constant memory per column, no shuffle of data rows.
+
+    Estimates are engine-specific (no DuckDB hash-parity); accuracy is
+    pinned against exact answers in tests/test_validation.py instead.
+    Output: (column_name, row_count, null_count, approx_distinct, p50,
+    p95) with NULL percentiles for non-numeric columns.
+    """
+    cols = list(columns or df.columns)
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("int", "bigint", "smallint", "tinyint", "double", "float")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    aggs: list[Column] = [F.count("*").alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`")
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__null_{i}"))
+        aggs.append(F.approx_count_distinct(col, rsd).alias(f"__dist_{i}"))
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(
+                    col.cast("double"), list(percentiles), accuracy
+                ).alias(f"__pct_{i}")
+            )
+    row = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(cols):
+        pcts = (
+            [F.col(f"__pct_{i}")[j] for j in range(len(percentiles))]
+            if c in numeric
+            else [F.lit(None).cast("double")] * len(percentiles)
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("row_count"),
+                F.col(f"__null_{i}").alias("null_count"),
+                F.col(f"__dist_{i}").alias("approx_distinct"),
+                *[
+                    p.alias(f"p{int(q * 100)}")
+                    for p, q in zip(pcts, percentiles)
+                ],
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
 def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Duplicate-uid detection (validate.py:319-323): keys with count > 1."""
     return (

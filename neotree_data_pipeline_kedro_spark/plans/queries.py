@@ -3505,6 +3505,24 @@ def v_confidential_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confidential_column_report(wide, fields)
 
 
+@_register("v_column_profile")
+def v_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass sketch profile of lineitem (operators/validation.py
+    column_profile): HLL++ distinct + KLL percentiles per column as
+    mergeable partial aggregates — the scan-once profiling a 100 TB
+    warehouse runs instead of exact DISTINCT/percentile jobs. Estimates
+    are engine-specific, so no DuckDB oracle; accuracy vs exact answers is
+    pinned in tests/test_validation.py (distinct within 3x rsd,
+    percentiles within the sketch's rank error)."""
+    from ..operators.validation import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3546,6 +3564,7 @@ _DRIVER_FRONT = [
     "ta_repetition_quality_filter",
     "ta_token_budget_sample",
     "ta_sequence_packing",
+    "v_column_profile",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",

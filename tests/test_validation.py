@@ -179,3 +179,44 @@ def test_value_label_mismatches_rows(spark):
     # no applicable fields → typed empty frame
     empty = value_label_mismatches(df, [{"key": "Sev", "fieldType": "text"}])
     assert empty.count() == 0
+
+
+def test_column_profile_accuracy(spark):
+    """Sketch profile vs exact answers on sf0.001 lineitem: distinct
+    estimates within 3x the configured rsd, percentiles within the
+    sketch's rank-error bound, exact null/row counts."""
+    from pyspark.sql import functions as F
+
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        column_profile,
+    )
+    from neotree_data_pipeline_kedro_spark.sources.tables import load_table
+
+    from conftest import SF_SMOKE
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    prof = {r.column_name: r for r in column_profile(li, cols, rsd=0.05).collect()}
+
+    n = li.count()
+    for c in cols:
+        r = prof[c]
+        assert r.row_count == n
+        exact_nulls = li.filter(F.col(c).isNull()).count()
+        assert r.null_count == exact_nulls
+        exact_distinct = li.select(c).distinct().count()
+        assert abs(r.approx_distinct - exact_distinct) <= max(
+            3, 3 * 0.05 * exact_distinct
+        ), c
+
+    # numeric percentiles: rank error <= 1/accuracy of the row count
+    exact_q = li.selectExpr(
+        "percentile(l_quantity, array(0.5, 0.95)) as q"
+    ).collect()[0].q
+    got = prof["l_quantity"]
+    ranks = li.filter(F.col("l_quantity") <= got.p50).count() / n
+    assert 0.45 <= ranks <= 0.55
+    ranks95 = li.filter(F.col("l_quantity") <= got.p95).count() / n
+    assert 0.90 <= ranks95 <= 1.0
+    # string column percentiles are NULL
+    assert prof["l_returnflag"].p50 is None
