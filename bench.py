@@ -60,6 +60,14 @@ def main() -> None:
         if max(pair) > 1.3 * min(pair) and max(pair) - min(pair) > 0.5
     }
     total = round(sum(timings.values()), 4)
+    # host load context: this container shares its machine; totals have
+    # measured 65 s and 84 s an hour apart on identical code. loadavg in
+    # the artifact lets a reader separate environmental drift from
+    # regressions (compare per-query steady-state, never totals).
+    try:
+        load1, load5, load15 = (round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load1 = load5 = load15 = None
     print(
         json.dumps(
             {
@@ -69,6 +77,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "unstable": sorted(unstable),
+                "loadavg": [load1, load5, load15],
                 "sf": sf,
             }
         )
