@@ -168,6 +168,41 @@ def repetition_components(col: Column | str) -> dict[str, Column]:
     }
 
 
+def chunk_tokens(col: Column | str, size: int, overlap: int = 0) -> Column:
+    """Array of overlapping token-window chunks — the context-window
+    splitting step of training-data prep. Chunk i covers tokens
+    [i*step+1, i*step+size] (1-based, step = size-overlap); the last
+    chunk may be short; empty text yields an empty array (explode drops
+    the row). Pure sequence/transform/slice expressions, one row in →
+    one row out until the caller explodes.
+
+    Each element: struct(chunk_index int, start_token int, chunk_text
+    string)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    step = size - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - size, F.lit(0)).cast("double") / step).cast("int")
+        + 1
+    )
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            (i * step + 1).cast("int").alias("start_token"),
+            F.array_join(F.slice(toks, i * step + 1, size), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<chunk_index:int,start_token:int,chunk_text:string>>"
+    )
+    return F.when(n <= 0, empty).otherwise(win)
+
+
 def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Column:
     """Polynomial rolling hash over characters (library fingerprint for
     shingling; no SQL oracle — verified against a Python twin in tests)."""

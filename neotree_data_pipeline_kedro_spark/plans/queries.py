@@ -45,6 +45,7 @@ from ..functions.strings import (
     maternal_age_years,
 )
 from ..functions.text import (
+    chunk_tokens,
     doc_fingerprint,
     language_id,
     pii_counts,
@@ -3505,6 +3506,42 @@ def v_confidential_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confidential_column_report(wide, fields)
 
 
+@_register(
+    "ta_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ), m AS (
+      SELECT doc_id, toks,
+             CAST(ceil(CAST(GREATEST(len(toks) - 40, 0) AS DOUBLE) / 30)
+                  AS INTEGER) + 1 AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_index,
+           CAST(i * 30 + 1 AS INTEGER) AS start_token,
+           array_to_string(list_slice(toks, i * 30 + 1, i * 30 + 40), ' ')
+             AS chunk_text
+    FROM m, UNNEST(range(0, n_chunks)) AS u(i)
+    """,
+)
+def ta_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (functions/text.py chunk_tokens): 40-token
+    windows with 10-token overlap (step 30), one output row per chunk via
+    explode — the splitting step between cleaning and tokenization in a
+    training-data pipeline. The chunk arrays build inside each row
+    (sequence/transform/slice, no shuffle); the oracle replays the same
+    windows with range + list_slice."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_tokens(F.col("text"), size=40, overlap=10)).alias("c")
+    )
+    return chunks.select(
+        "doc_id", "c.chunk_index", "c.start_token", "c.chunk_text"
+    )
+
+
 @_register("v_column_profile")
 def v_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem (operators/validation.py
@@ -3564,6 +3601,7 @@ _DRIVER_FRONT = [
     "ta_repetition_quality_filter",
     "ta_token_budget_sample",
     "ta_sequence_packing",
+    "ta_chunking",
     "v_column_profile",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",

@@ -269,3 +269,36 @@ def test_repetition_fractions_bounded_and_exact(spark, texts):
         assert row["dt"] == pytest.approx(dt_, abs=1e-12)
         assert row["db"] == pytest.approx(db_, abs=1e-12)
         assert 0.0 <= row["dt"] <= 1.0 and 0.0 <= row["db"] <= 1.0
+
+
+@SET
+@given(texts=st.lists(_TEXT_ALPHABET, min_size=1, max_size=20))
+def test_chunking_covers_exactly(spark, texts):
+    """Non-overlapping chunks concatenate back to the tokenized text;
+    empty/whitespace-only docs yield zero chunks; every chunk except the
+    last has exactly `size` tokens."""
+    from neotree_data_pipeline_kedro_spark.functions.text import chunk_tokens
+
+    def expr(c):
+        return chunk_tokens(c, size=5, overlap=0)
+
+    got = _eval(spark, texts, expr, in_type="string")
+    for s, chunks in zip(texts, got):
+        toks = s.split()
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt = " ".join(c["chunk_text"] for c in chunks).split()
+        assert rebuilt == toks
+        for c in chunks[:-1]:
+            assert len(c["chunk_text"].split()) == 5
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from neotree_data_pipeline_kedro_spark.functions.text import chunk_tokens
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens("x", size=5, overlap=5)
