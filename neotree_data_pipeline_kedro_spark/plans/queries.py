@@ -181,6 +181,107 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + agg + deterministic top-k: customer
+    filter broadcast into orders, orders into lineitem, decimal partial
+    sums, ties broken by (o_orderdate, l_orderkey) so LIMIT is exact. The
+    plan Catalyst should pick (and the one local[32] gets): both smaller
+    sides broadcast, one shuffle for the groupBy, TakeOrdered for the
+    top-k."""
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: region→nation→supplier chain collapses
+    to a broadcast filter on the fact side, the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier join, and one shuffle
+    aggregates per nation — the multi-dim star-join pattern J9 generalizes
+    to."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_register(
     "a2_monthly_indicator_rollup",
     """
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month_year,
@@ -3603,6 +3704,8 @@ _DRIVER_FRONT = [
     "ta_sequence_packing",
     "ta_chunking",
     "v_column_profile",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",

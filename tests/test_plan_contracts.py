@@ -100,3 +100,19 @@ def test_ann_brute_force_broadcasts_queries(spark):
 def test_no_cartesian_anywhere(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcasts_and_takes_ordered(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_stays_broadcast(spark):
+    # the 6-way star join: every dim side broadcast, no sort-merge, and
+    # only the final per-nation aggregate may shuffle by key
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
