@@ -53,6 +53,7 @@ from ..functions.text import (
     repetition_components,
     scrub_pii,
     token_count,
+    tokens,
 )
 from ..functions.timestamps import parse_timestamp_multi
 from ..operators.dedup import dedupe_keep_latest, dedupe_prefix_key, review_numbering
@@ -278,6 +279,88 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 230
+    )
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped HAVING + semi-join: orders whose lineitems sum past
+    a quantity threshold (one partial-agg shuffle produces the key set,
+    which semi-joins back into the fact scan), then a per-order rollup and
+    a deterministic top-20. Decimal partial sums; ties broken by
+    o_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dec_qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec_qty).alias("__q"))
+        .filter(F.col("__q") > 230)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec_qty).cast("double").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "ta_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM tok
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 50
+    """,
+)
+def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k — word-count over every document. Token
+    frequency is Zipf-distributed, the canonical skewed aggregation: the
+    plan must rely on map-side partial aggregation so the hot tokens
+    reduce locally before the single key shuffle (whole-stage HashAggregate
+    partial → Exchange → final; verified in tests/test_plan_contracts.py).
+    Deterministic ties by token."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
     )
 
 
@@ -3706,6 +3789,8 @@ _DRIVER_FRONT = [
     "v_column_profile",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_volume_orders",
+    "ta_vocab_topk",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -109,6 +109,15 @@ def test_q3_broadcasts_and_takes_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_topk_partial_aggregates_before_shuffle(spark):
+    # Zipf-skewed word count: a partial HashAggregate must sit below the
+    # key exchange so hot tokens reduce map-side, and the top-k must be
+    # TakeOrdered, not a global sort
+    plan = plan_of(spark, "ta_vocab_topk")
+    assert re.search(r"partial_count|Functions \[1\]: \[partial_", plan), plan[:500]
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q5_star_join_stays_broadcast(spark):
     # the 6-way star join: every dim side broadcast, no sort-merge, and
     # only the final per-nation aggregate may shuffle by key
