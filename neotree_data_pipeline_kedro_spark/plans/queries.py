@@ -334,6 +334,43 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: orders in a date window with at
+    least one lineitem shipped after the order date, counted by priority.
+    The correlated subquery is a left-semi join on orderkey with the
+    l_shipdate > o_orderdate condition riding the join — existence
+    short-circuits per key, nothing materializes the match multiplicity."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
     "ta_vocab_topk",
     """
     WITH tok AS (
@@ -3790,6 +3827,7 @@ _DRIVER_FRONT = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_orders",
+    "q4_order_priority_check",
     "ta_vocab_topk",
     # rebuilt this round (signature prefilter / bounded centroids):
     "ann_topk_lsh",
