@@ -282,7 +282,10 @@ def kmeans_fit(
     """
     import math as _math
 
-    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # the iteration loop re-scans the corpus once per pass (init + max_iter
+    # map passes): persist the two-column projection so every pass after the
+    # first reads deserialized columns, not parquet
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
     init = (
         src.orderBy(F.xxhash64("id"), "id")
         .limit(k)
@@ -290,6 +293,9 @@ def kmeans_fit(
         .toPandas()
     )
     centroids = np.vstack([np.asarray(v, dtype=np.float64) for v in init["vec"]])
+    # corpus may hold fewer than k vectors: fit what exists rather than
+    # misreporting k centroids (or IndexError-ing in the update loop)
+    k = centroids.shape[0]
 
     part_schema = T.StructType(
         [
@@ -333,6 +339,7 @@ def kmeans_fit(
             break
         centroids = new
 
+    src.unpersist()
     return pd.DataFrame(
         {"centroid_id": range(k), "centroid_vec": list(centroids)}
     )

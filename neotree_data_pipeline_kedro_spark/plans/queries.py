@@ -67,6 +67,7 @@ from ..operators.joins import (
 )
 from ..functions.json_ops import json_delete_keys, json_has_any_key, json_set
 from ..functions.neolab import canonicalize_organism
+from ..operators.labels import repair_dataframe_labels
 from ..operators.redact import redact
 from ..operators.tidy import (
     clean_table_projection,
@@ -662,6 +663,65 @@ def v_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "v_type_conformance",
+    """
+    WITH src AS (
+      SELECT event_id % 6 AS n6, event_id % 5 AS n5 FROM events
+    )
+    SELECT 'num_str' AS column_name, 'numeric' AS expected_type,
+           CAST(SUM(CASE WHEN n6 IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS nonconforming,
+           CAST(SUM(CASE WHEN n6 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS non_null
+    FROM src
+    UNION ALL
+    SELECT 'bool_str', 'boolean',
+           CAST(SUM(CASE WHEN n5 = 2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n5 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM src
+    UNION ALL
+    SELECT 'dt_str', 'datetime',
+           CAST(SUM(CASE WHEN n6 IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n6 <> 5 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM src
+    """,
+)
+def v_type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 regex type-conformance rates standalone
+    (data_validation/validate.py:469-564): numeric / boolean / datetime
+    parseability of stored strings, one aggregate pass per column. The
+    dirty corpus spans conforming ('12', '-3.5', '007', 'Yes', '0',
+    'TRUE', ISO/slash/dot dates), nonconforming ('1e5', 'x7', 'maybe',
+    '05-01-2023', 'not a date'), and NULLs (excluded from both counts);
+    the oracle pins per-class expectations directly."""
+    ev = _t(spark, sf_dir, "events")
+    n6 = F.col("event_id") % 6
+    n5 = F.col("event_id") % 5
+    src = ev.select(
+        F.when(n6 == 0, F.lit("12"))
+        .when(n6 == 1, F.lit("-3.5"))
+        .when(n6 == 2, F.lit("1e5"))
+        .when(n6 == 3, F.lit("x7"))
+        .when(n6 == 5, F.lit("007"))
+        .alias("num_str"),
+        F.when(n5 == 0, F.lit("Yes"))
+        .when(n5 == 1, F.lit("0"))
+        .when(n5 == 2, F.lit("maybe"))
+        .when(n5 == 4, F.lit("TRUE"))
+        .alias("bool_str"),
+        F.when(n6 == 0, F.lit("2023-01-05"))
+        .when(n6 == 1, F.lit("2023/1/5"))
+        .when(n6 == 2, F.lit("2023.01.05T10:00"))
+        .when(n6 == 3, F.lit("05-01-2023"))
+        .when(n6 == 4, F.lit("not a date"))
+        .alias("dt_str"),
+    )
+    return (
+        type_conformance(src, "num_str", "numeric")
+        .unionByName(type_conformance(src, "bool_str", "boolean"))
+        .unionByName(type_conformance(src, "dt_str", "datetime"))
+    )
+
+
+@_register(
     "a5_counts_existence",
     """
     SELECT 'orders' AS tbl, (SELECT COUNT(*) FROM orders) AS n,
@@ -1014,6 +1074,103 @@ def f_organism_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     fv, fl = canonicalize_organism(value, label, other)
     return ev.select(
         "event_id", fv.alias("org_value"), fl.alias("org_label")
+    )
+
+
+@_register(
+    "f_label_repair",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderkey % 7 AS a, o_orderkey % 4 AS b,
+             o_orderkey % 3 AS c
+      FROM orders
+    )
+    SELECT o_orderkey,
+      CASE WHEN a = 0 THEN NULL WHEN a = 1 THEN 'hi' WHEN a = 2 THEN 'md'
+           WHEN a = 3 THEN 'xx' WHEN a = 4 THEN 'oth' WHEN a = 5 THEN 'lo'
+           ELSE 'hi' END AS pr_value,
+      CASE WHEN a = 0 THEN NULL WHEN a = 1 THEN 'High' WHEN a = 2 THEN 'Medium'
+           WHEN a = 3 THEN NULL WHEN a = 4 THEN 'What priority?'
+           WHEN a = 5 THEN 'Low' ELSE 'Some custom' END AS pr_label,
+      CASE WHEN b = 0 THEN 'f,c' WHEN b = 1 THEN 'f, x'
+           WHEN b = 2 THEN NULL ELSE 'c' END AS sy_value,
+      CASE WHEN b = 0 THEN 'Fever,Cough' WHEN b = 1 THEN 'Fever,x'
+           WHEN b = 2 THEN NULL ELSE 'Cough' END AS sy_label,
+      CASE WHEN c = 0 THEN 'hello' WHEN c = 1 THEN 'bye' ELSE NULL END AS nt_value,
+      CASE WHEN c = 0 THEN 'hello' WHEN c = 1 THEN 'custom' ELSE NULL END AS nt_label
+    FROM src
+    """,
+)
+def f_label_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 metadata-driven label repair
+    (utils/field_info.py:306-377 via sql_functions.py:1116-1307) over an
+    injected wide Key.value/Key.label corpus. Exercises every branch:
+    null-value forces null label (:323-329), inverted value/label swap on a
+    select-typed field (:348-354), question-label relabel through the
+    options map (known and unknown values, pandas ``.map`` NULL semantics),
+    the oth/other guard (:356-358), multi_select per-token ','-join with
+    unknown-token passthrough (:364-370), and the no-options label := value
+    fallback. The oracle pins the expected (value,label) per modulo class
+    independently of the implementation."""
+    a = F.col("o_orderkey") % 7
+    b = F.col("o_orderkey") % 4
+    c = F.col("o_orderkey") % 3
+    wide = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(a == 1, F.lit("High"))  # known LABEL: the inverted pair
+        .when(a == 2, F.lit("md"))
+        .when(a == 3, F.lit("xx"))
+        .when(a == 4, F.lit("oth"))
+        .when(a == 5, F.lit("lo"))
+        .when(a == 6, F.lit("hi"))
+        .alias("Priority.value"),
+        F.when(a == 0, F.lit("High"))
+        .when(a == 1, F.lit("hi"))  # known VALUE stored as label
+        .when(a == 5, F.lit("Low"))
+        .when(a == 6, F.lit("Some custom"))
+        .otherwise(F.lit("What priority?"))
+        .alias("Priority.label"),
+        F.when(b == 0, F.lit("f,c"))
+        .when(b == 1, F.lit("f, x"))
+        .when(b == 3, F.lit("c"))
+        .alias("Symptoms.value"),
+        F.when(b == 2, F.lit("x"))
+        .when(b == 3, F.lit("Cough"))
+        .otherwise(F.lit("Symptoms?"))
+        .alias("Symptoms.label"),
+        F.when(c == 0, F.lit("hello")).when(c == 1, F.lit("bye")).alias("Notes.value"),
+        F.when(c == 1, F.lit("custom")).otherwise(F.lit("Notes?")).alias("Notes.label"),
+    )
+    field_info = {
+        "Priority": {
+            "label": "What priority?",
+            "type": "single_select_option",
+            "options": [
+                {"value": "hi", "valueLabel": "High"},
+                {"value": "md", "valueLabel": "Medium"},
+                {"value": "lo", "valueLabel": "Low"},
+            ],
+        },
+        "Symptoms": {
+            "label": "Symptoms?",
+            "type": "multi_select",
+            "options": [
+                {"value": "f", "valueLabel": "Fever"},
+                {"value": "c", "valueLabel": "Cough"},
+                {"value": "r", "valueLabel": "Rash"},
+            ],
+        },
+        "Notes": {"label": "Notes?", "type": "free_text"},
+    }
+    fixed = repair_dataframe_labels(wide, field_info)
+    return fixed.select(
+        "o_orderkey",
+        F.col("`Priority.value`").alias("pr_value"),
+        F.col("`Priority.label`").alias("pr_label"),
+        F.col("`Symptoms.value`").alias("sy_value"),
+        F.col("`Symptoms.label`").alias("sy_label"),
+        F.col("`Notes.value`").alias("nt_value"),
+        F.col("`Notes.label`").alias("nt_label"),
     )
 
 
@@ -3160,6 +3317,39 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("centroid_vec"),
         )
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    indexed = build_ivf_index(emb, centroids, "vec_id", "embedding")
+    return ivf_topk(
+        indexed, centroids, queries, "vec_id", "embedding", k=10, nprobe=8
+    )
+
+
+@_register("ann_topk_ivf_kmeans")
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with REAL distributed Lloyd's centroids (kmeans_fit) — the
+    production index-build path the ann_topk_ivf fixture stands in for with
+    a hash sample. Bounded like the fixture: k = min(64, ceil(sqrt(n)))
+    cells trained on a ~1/6 hash sample, 2 Lloyd's iterations (each one
+    map pass over the sample emitting k x dim partial sums — nothing is
+    shuffled), then probe the 8 nearest
+    cells per query. Rows-only driver check (iterative build isn't
+    SQL-expressible); recall@10 vs brute force and the numpy Lloyd's twin
+    are pinned in tests/test_no_oracle_parity.py."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = min(64, int(math.isqrt(n - 1)) + 1)
+    # train on a deterministic ~1/6 hash sample, the FAISS practice (IVF
+    # training wants ~50x k points, not the whole corpus): at 100 TB the
+    # train set stays bounded while assignment below still covers every row
+    train = emb.filter(F.xxhash64("vec_id") % 6 == 0)
+    cents_pdf = kmeans_fit(train, "vec_id", "embedding", k=k, max_iter=2)
+    centroids = spark.createDataFrame(
+        [(int(r.centroid_id), [float(x) for x in r.centroid_vec])
+         for r in cents_pdf.itertuples()],
+        "centroid_id bigint, centroid_vec array<double>",
     )
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     indexed = build_ivf_index(emb, centroids, "vec_id", "embedding")

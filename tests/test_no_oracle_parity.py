@@ -269,6 +269,31 @@ def test_ann_ivf_soundness_and_recall(spark):
     assert recall >= 0.5, f"IVF recall@10 {recall:.2f} below floor"
 
 
+def test_ann_ivf_kmeans_soundness_and_recall(spark):
+    """The kmeans-built IVF registry entry: scores must be exact quantized
+    cosines (soundness) and recall@10 vs brute force must clear the same
+    floor as the hash-sample fixture — real Lloyd's cells can only tighten
+    the partition, not loosen it."""
+    ivf = QUERIES["ann_topk_ivf_kmeans"](spark, SF_SMOKE).toPandas()
+    bf = QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    for r in ivf.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qid, want in bf_sets.items():
+        total += len(want)
+        hits += len(want & ivf_sets.get(qid, set()))
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"kmeans-IVF recall@10 {recall:.2f} below floor"
+
+
 def _greedy_twin(adm: pd.DataFrame, dis: pd.DataFrame) -> set[tuple]:
     """Independent re-implementation of the reference's greedy tiered
     matching (merge_all.py:343-470): per (uid, facility), discharges in
