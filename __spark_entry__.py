@@ -40,9 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins, column-name aligned with queries().
     Keys absent here (dd_minhash_lsh, dd_simhash,
-    j3_tiered_greedy_assignment, ann_topk_lsh, ann_topk_ivf) are genuinely
-    non-SQL-expressible (LSH banding / IVF probe internals, greedy stateful
-    assignment) and take the driver's rows-only check; each is verified in
+    j3_tiered_greedy_assignment, ann_topk_lsh, ann_topk_ivf,
+    ann_topk_ivf_kmeans, v_column_profile) are genuinely
+    non-SQL-expressible (LSH banding / IVF probe internals, the iterative
+    Lloyd's index build, greedy stateful assignment, engine-specific
+    sketches) and take the driver's rows-only check; each is verified in
     tests/test_no_oracle_parity.py against an independent pandas/numpy twin
     (exact-Jaccard soundness+completeness, brute-force hamming equality,
     quantized-cosine recomputation + recall@10 floors, and an independent

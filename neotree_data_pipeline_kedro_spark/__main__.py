@@ -114,7 +114,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             write_bucketed(
                 df, f"wh_{name}", ["uid"], buckets=args.bucket_uid_tables
             )
-            return read_table(spark, f"wh_{name}")
+            bucketed = read_table(spark, f"wh_{name}")
+            if args.out:
+                # --out promises a parquet copy per stage; the bucketed
+                # managed table is the read-back source, not a replacement
+                bucketed.write.mode("overwrite").parquet(f"{args.out}/{name}")
+            return bucketed
         if args.out:
             path = f"{args.out}/{name}"
             df.write.mode("overwrite").parquet(path)

@@ -33,7 +33,9 @@ def hash_gate(key: Column | str, threshold: Column | str) -> Column:
 
     ``threshold`` may be a literal hex prefix ('80' keeps the ~50% of keys
     whose digest sorts below it) or a Column (per-row rates, e.g. a
-    per-source map lookup). Deterministic, stateless, engine-portable.
+    per-source map lookup). Deterministic, stateless, engine-portable —
+    portable ONLY for integer/string keys: float/timestamp CAST-to-string
+    renderings are engine-specific, so gate on a stable key column.
     """
     t = F.lit(threshold) if isinstance(threshold, str) else threshold
     return F.md5(_col(key).cast("string")) < t
@@ -68,8 +70,21 @@ def greedy_pack(
     on the group key, a tight numpy loop per group, nothing on the driver.
     At 100 TB, sub-shard big groups first (e.g. ``hash_gate`` buckets) so
     each pandas group stays bounded; packs never span shards by design.
+
+    ``key_col`` must be integer- or string-typed: the walk order is
+    md5(str(key)), and Python ``str()`` of floats/timestamps renders
+    differently from SQL ``CAST(key AS VARCHAR)``, which would silently
+    break the cross-engine deterministic-order contract.
     """
     import pandas as pd
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    if key_type not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise ValueError(
+            f"greedy_pack: key_col {key_col!r} must be integer or string "
+            f"(got {key_type}); str()-rendering of {key_type} differs from "
+            "SQL CAST AS VARCHAR and breaks deterministic order"
+        )
 
     out_fields = df.schema.fields
     schema = (

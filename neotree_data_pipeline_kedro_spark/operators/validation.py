@@ -402,7 +402,10 @@ def confidential_column_report(
 
     Output: (key, kind, matched_columns, non_null_count) where
     ``matched_columns`` is the comma-joined list of hit columns and
-    ``non_null_count`` counts rows with a non-null value in any of them
+    ``non_null_count`` counts rows non-null in the VALUE column (falling
+    back to the label column only when no value column matched) — the
+    reference's sampling considers only ``{key}.value`` (validate.py:
+    876-880), so a label-only hit must not inflate "rows with data"
     (the reference samples UIDs of such rows; a count is the cluster-safe
     aggregate form). Column matching is driver-side name logic; the data
     itself is touched by exactly one full-scan aggregate over the matched
@@ -431,12 +434,10 @@ def confidential_column_report(
     if not hits:
         return df.sparkSession.createDataFrame([], schema)
 
+    # cols[0] is the value column whenever one matched (label is appended
+    # second); counting it alone mirrors the reference's value-only sampling
     aggs = [
-        F.sum(
-            F.greatest(*[F.col(f"`{c}`").isNotNull().cast("long") for c in cols])
-            if len(cols) > 1
-            else F.col(f"`{cols[0]}`").isNotNull().cast("long")
-        ).alias(f"__nn_{i}")
+        F.sum(F.col(f"`{cols[0]}`").isNotNull().cast("long")).alias(f"__nn_{i}")
         for i, (_key, _kind, cols) in enumerate(hits)
     ]
     row = df.agg(*aggs)

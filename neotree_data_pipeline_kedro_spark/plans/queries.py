@@ -2945,7 +2945,13 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE text END AS t
       FROM documents
     ), tok AS (
-      SELECT doc_id, string_split(t, ' ') AS toks FROM src
+      -- match the engine's tokens(): trim, split on \\s+, empty -> [] (the
+      -- plain string_split(t, ' ') form kept empty tokens and returned ['']
+      -- for '', silently diverging on whitespace-edge fixtures)
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(t), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM src
     ), m AS (
       SELECT doc_id, len(toks) AS n_tokens,
              CASE WHEN len(toks) > 0
@@ -3223,6 +3229,59 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = ev.mapInPandas(enc, schema="id bigint, wav binary")
     return decode_audio(clips, "id", "wav")
+
+
+@_register(
+    "mm_video_frames",
+    """
+    WITH src AS (
+      SELECT event_id AS id, CAST(3 + event_id % 4 AS INTEGER) AS n_frames
+      FROM events WHERE event_id % 40 = 0
+    )
+    SELECT id, CAST(i * 3 AS INTEGER) AS frame_index,
+           CAST(i * 3 * 40 AS BIGINT) AS ts_ms
+    FROM src, UNNEST(range(0, CAST(ceil(n_frames / 3.0) AS BIGINT))) AS u(i)
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end (operators/multimodal.
+    sample_video_frames): deterministic VID0 containers synthesized per
+    event (3..6 frames of 40 ms, 2x2 constant-fill), one sampled frame per
+    120 ms — step 3 — exploded INSIDE the Arrow batch. The oracle replays
+    the sampling arithmetic (which indices, which timestamps) in closed
+    form; frame bytes are engine-specific PNGs, so the query projects the
+    sampling metadata only (decode fidelity is pinned byte-level in
+    tests/test_multimodal.py)."""
+    import numpy as np
+
+    from ..functions.png import encode_video
+    from ..operators.multimodal import sample_video_frames
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0).select(
+        "event_id"
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            vids = [
+                bytearray(
+                    encode_video(
+                        [
+                            np.full((2, 2, 3), (int(i) + f) % 251, dtype=np.uint8)
+                            for f in range(3 + int(i) % 4)
+                        ],
+                        frame_ms=40,
+                    )
+                )
+                for i in pdf["event_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["event_id"], "vid": vids})
+
+    clips = ev.mapInPandas(enc, schema="id bigint, vid binary")
+    frames = sample_video_frames(clips, "id", "vid", every_ms=120)
+    return frames.select("id", "frame_index", "ts_ms")
 
 
 # ---------------------------------------------------------------------------
@@ -3882,8 +3941,7 @@ def v_value_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'NTaddress', 'schema_confidential',
            'NTaddress.value,NTaddress.label',
-           CAST(SUM(CASE WHEN c_custkey % 3 = 0 OR c_custkey % 5 = 0
-                    THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer
     """,
 )
@@ -3892,7 +3950,9 @@ def v_confidential_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compliance counterpart to P6's redaction. Exercises: static-keyword
     hits by case-insensitive name (Surname, KinCell), a schema-flagged
     confidential field matched through its .value/.label columns with a
-    non-null presence count, a confidential field whose columns are absent
+    value-column-only presence count (the reference samples {key}.value
+    rows, validate.py:876-880 — label-only rows, here the %5-not-%3 keys,
+    must not count), a confidential field whose columns are absent
     (skipped), and a non-confidential field (no row)."""
     cust = _t(spark, sf_dir, "customer")
     wide = cust.select(
@@ -3979,53 +4039,68 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
-# two rounds: front-load whatever the PREVIOUS round's window missed (the
-# 19 queries green in r2 but rotated out of CORRECTNESS_r03) plus this
-# round's additions and the two rebuilt ANN fixtures; everything green in
-# r3 with unchanged code moves to the tail.
+# two rounds. Re-queue rule is keyed on FILES, not functions: any registry
+# query whose implementing MODULE (operators/functions/sources file, or its
+# own fixture in this file) changed since its last green row goes into the
+# front — a same-file edit can perturb a sibling code path even when the
+# diff "shouldn't" touch it (r4 let ann_topk_bruteforce / mm_audio_decode
+# coast on r3 rows while similarity.py / multimodal.py changed; don't).
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # green in r2, rotated out of the r3 window (code unchanged since):
-    "u1_union_by_name",
-    "u2_set_ops",
-    "u3_top_k",
-    "e1_explode_tokens",
-    "sm_vitals_days_union",
-    "sm_discharge_diagnosis",
-    "sm_convenience_indicators",
-    "s1_entries_restructure",
-    "e2_repeatables",
-    "e3_diagnoses_explode",
-    "s7_upsert_by_key",
-    "s8_bulk_update",
-    "j7_reconcile_lifecycle",
-    "d8_duplicate_uid_repair",
-    "f_timestamp_multiparse",
-    "f_nullify_boolmap",
-    "f_duration_numeric_extract",
-    "f_maternal_age",
-    "f_bucketize_ladders",
-    # round-4 additions (no prior row by construction):
+    # round-5 additions (no prior row by construction):
+    "f_label_repair",
+    "v_type_conformance",
+    "ann_topk_ivf_kmeans",
+    "mm_video_frames",
+    # modules changed in r5 → every query they implement re-earns a row:
+    # validation.py (value-only confidential count) …
     "v_confidential_detect",
-    "ta_pii_scrub",
-    "ta_repetition_quality_filter",
+    "v_conditional_required",
+    "v_quality_suite",
+    "v_column_profile",
+    "a6_null_rates",
+    # … sampling.py (greedy_pack key guard) …
     "ta_token_budget_sample",
     "ta_sequence_packing",
-    "ta_chunking",
-    "v_column_profile",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_orders",
-    "q4_order_priority_check",
-    "ta_vocab_topk",
-    # rebuilt this round (signature prefilter / bounded centroids):
+    # … similarity.py (kmeans clamp+persist) …
     "ann_topk_lsh",
     "ann_topk_ivf",
-    # code touched this round (tokens() whitespace fix / decoder seam), so
-    # they re-earn a driver row even though r3 was green:
-    "ta_text_metrics",
-    "mm_image_decode",
+    "ann_topk_bruteforce",
+    # … and this file's own oracle edit:
+    "ta_repetition_quality_filter",
+    # green in r3, rotated out of the r4 window (code unchanged since) —
+    # each re-earns a row before its green turns two rounds stale:
+    "d1_dedup_last_writer",
+    "d3_maternity_completeness_dedup",
+    "d4_review_numbering",
+    "d6_prefix_dedup",
+    "d9_key_regeneration",
+    "j1_j2_fuzzy_best_match",
+    "j3_asof_nearest",
+    "j3_tiered_greedy_assignment",
+    "j4_anti_incremental",
+    "j5_semi_exists",
+    "j6_exists_null_outcome",
+    "j8_latest_record",
+    "j9_dim_broadcast_rollup",
+    "j10_values_probe",
+    "w3_sessionize_date_change",
+    "w3b_sessionize_gap",
+    "w4_episode_ordinal_labels",
+    "dd_exact_fingerprint",
+    "dd_ngram_jaccard",
+    "dd_embedding_cosine",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "mm_binary_plumbing",
+    "mm_audio_decode",
+    "s1_json_file_scan",
+    "sm_all_lifecycle",
+    "sm_day_of_week_vitals",
+    "sm_maternal_completeness_sort",
+    "sm_maternal_outcomes_buckets",
+    "v_value_label_consistency",
 ]
 
 

@@ -382,3 +382,142 @@ def test_tidy_requires_field_metadata(spark):
     bronze = eng.import_raw(sess)
     with pytest.raises(ValueError, match="pivot_keys nor field_info"):
         eng.tidy(eng.deduplicate(bronze))
+
+
+def test_engine_two_cycle_incremental_delta(tmp_path, spark):
+    """The reference's cron cycle composed end-to-end (NOT-EXISTS contract,
+    merge_all.py:598-677 / assorted_queries.py:241-252): cycle 1 imports and
+    runs the DAG; new export files land; cycle 2 must (a) skip
+    already-imported (uid, scriptid) keys at the bronze sink, (b) run every
+    stage on the delta only — per-stage row counts equal the delta, and
+    (c) reconcile flips the open admission closed from the newly arrived
+    discharge (J7) without touching other rows."""
+    import json as _json
+
+    from neotree_data_pipeline_kedro_spark.operators.dedup import (
+        incremental_append,
+    )
+    from neotree_data_pipeline_kedro_spark.sources.sessions import (
+        read_session_files,
+    )
+    from neotree_data_pipeline_kedro_spark.streaming.incremental import (
+        incremental_sink,
+    )
+
+    def session_obj(uid, entries, script):
+        return {
+            "uid": uid,
+            "script": {"id": script},
+            "completed_at": "2024-03-01T10:00:00",
+            "entries": entries,
+        }
+
+    def adm_obj(uid, gest, bw, outcome_label, outcome_value):
+        return session_obj(
+            uid,
+            _json.loads(_new_entries(uid, gest, bw, outcome_label, outcome_value))[
+                "entries"
+            ],
+            ADM_SCRIPT,
+        )
+
+    def dis_obj(uid):
+        return session_obj(
+            uid,
+            {
+                "NeoTreeID": {"values": {"label": ["NeoTree ID"], "value": [uid]}},
+                "NeoTreeOutcome": {"values": {"label": ["Outcome"], "value": ["DC"]}},
+            },
+            DIS_SCRIPT,
+        )
+
+    eng = _engine()
+    sink = str(tmp_path / "bronze_sink")
+
+    # ---- cycle 1: initial import + full DAG -------------------------------
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    (in1 / "export_adm.json").write_text(
+        _json.dumps(
+            {
+                "sessions": [
+                    adm_obj("A7C6-0350", 34, 2100, "Outcome", "DC"),
+                    adm_obj("A7C6-0350", 34, 2100, "Outcome", "DC"),  # dup upload
+                    adm_obj("B111-0001", 28, 900, "Died", "NND"),
+                ]
+            }
+        )
+    )
+    (in1 / "export_dis.json").write_text(
+        _json.dumps({"sessions": [dis_obj("A7C6-0350")]})
+    )
+    sessions1 = read_session_files(spark, str(in1 / "export_*.json"))
+    assert incremental_sink(spark, sessions1, sink, ["uid", "scriptid"]) == 4
+
+    out1 = eng.run(sessions1)
+    assert out1["deduplicated"].count() == 3
+    all1 = {r["uid"]: r for r in out1["merged_all"].collect()}
+    assert all1["A7C6-0350"]["is_closed"]
+    assert not all1["B111-0001"]["is_closed"]  # open: admission, no discharge
+
+    # ---- between cycles: new exports land ---------------------------------
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    (in2 / "export_adm.json").write_text(
+        _json.dumps(
+            {
+                "sessions": [
+                    adm_obj("A7C6-0350", 34, 2100, "Outcome", "DC"),  # re-upload
+                    adm_obj("C222-0002", 30, 1500, "Outcome", "DC"),  # new
+                ]
+            }
+        )
+    )
+    (in2 / "export_dis.json").write_text(
+        _json.dumps({"sessions": [dis_obj("B111-0001")]})  # closes B111
+    )
+
+    # ---- cycle 2: sink append skips existing keys -------------------------
+    incoming2 = read_session_files(spark, str(in2 / "export_*.json"))
+    assert incoming2.count() == 3
+    assert incremental_sink(spark, incoming2, sink, ["uid", "scriptid"]) == 2
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() == 6  # 4 + 2; the A7C6 re-upload never lands
+    assert (
+        sunk.filter(
+            (F.col("uid") == "A7C6-0350") & (F.col("scriptid") == ADM_SCRIPT)
+        ).count()
+        == 2  # both cycle-1 uploads, nothing from cycle 2
+    )
+
+    # ---- cycle 2: every stage sees only the delta -------------------------
+    delta2 = incremental_append(
+        incoming2, sessions1.select("uid", "scriptid"), ["uid", "scriptid"]
+    )
+    out2 = eng.run(delta2)
+    assert out2["bronze"].count() == 2
+    assert out2["deduplicated"].count() == 2
+    assert out2["admissions"].count() == 1
+    assert out2["discharges"].count() == 1
+    assert out2["admissions_fixed"].count() == 1
+    assert out2["discharges_fixed"].count() == 1
+    assert out2["joined"].count() == 1  # the new admission only
+    assert out2["summary_counts"].collect()[0]["patients"] == 1
+    all2 = {r["uid"]: r for r in out2["merged_all"].collect()}
+    assert set(all2) == {"C222-0002", "B111-0001"}
+    assert all2["C222-0002"]["match_status"] == "unmatched_admission"
+    assert all2["B111-0001"]["match_status"] == "unmatched_discharge"
+
+    # ---- reconcile: the delta discharge closes cycle-1's open row ---------
+    rec = {
+        r["uid"]: r
+        for r in eng.reconcile(
+            out1["merged_all"],
+            new_adm=out2["admissions_fixed"],
+            new_dis=out2["discharges_fixed"],
+        ).collect()
+    }
+    assert rec["B111-0001"]["has_discharge"] and rec["B111-0001"]["is_closed"]
+    assert rec["B111-0001"]["NeoTreeOutcome.value"] == "DC"
+    assert rec["A7C6-0350"]["is_closed"]  # untouched rows keep their state
+    assert rec["A7C6-0350"]["has_admission"] and rec["A7C6-0350"]["has_discharge"]

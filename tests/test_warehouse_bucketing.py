@@ -65,6 +65,42 @@ def test_cli_bucketed_warehouse(spark):
         info = {r.col_name: r.data_type for r in desc}
         assert info.get("Num Buckets") == "4"
         assert "uid" in info.get("Bucket Columns", "")
+        # the payoff contract: the engine's read-back stage tables are
+        # co-bucketed on uid, so a downstream uid join (exactly what
+        # reconcile / a consumer's ALL-table probe does) plans as a merge
+        # join with ZERO exchanges — the B-tree-index analogue at 100 TB
+        adm = read_table(spark, "wh_admissions_fixed")
+        dis = read_table(spark, "wh_discharges_fixed")
+        joined = adm.hint("MERGE").join(dis.select("uid"), "uid")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "engine stage tables must be co-bucketed"
+        assert joined.count() > 0
+    finally:
+        for t in ("wh_deduplicated", "wh_admissions_fixed",
+                  "wh_discharges_fixed", "wh_merged_all"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_out_plus_bucketing_writes_both(spark, tmp_path):
+    """--out promises a parquet copy per stage even when --bucket-uid-tables
+    routes the uid stages through managed bucketed tables (the flag's help
+    says 'also save', so the parquet copy must not be silently skipped)."""
+    from neotree_data_pipeline_kedro_spark.__main__ import main
+
+    out = str(tmp_path / "wh")
+    try:
+        counts = main(
+            argv=["--sf-dir", "/root/testdata/sf0.001", "--out", out,
+                  "--bucket-uid-tables", "2"],
+            spark=spark,
+        )
+        for stage in ("deduplicated", "merged_all"):
+            back = spark.read.parquet(f"{out}/{stage}")
+            assert back.count() == counts[stage]
     finally:
         for t in ("wh_deduplicated", "wh_admissions_fixed",
                   "wh_discharges_fixed", "wh_merged_all"):
