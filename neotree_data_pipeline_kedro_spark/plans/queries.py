@@ -2791,6 +2791,76 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dd_connected_components",
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, lang, n_chars FROM documents),
+    ea AS (
+      SELECT u, v FROM (
+        SELECT MIN(doc_id) OVER (PARTITION BY source, n_chars % 8) AS u,
+               doc_id AS v
+        FROM d
+      ) WHERE u <> v
+    ),
+    eb AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE a.doc_id % 7 < 2
+    ),
+    e0 AS (SELECT u, v FROM ea UNION SELECT u, v FROM eb),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    cc(id, comp) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.id
+    ),
+    fin AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+    SELECT f.id AS doc_id, f.comp AS component,
+           CAST(s.n AS BIGINT) AS component_size,
+           (f.id = f.comp) AS is_canonical
+    FROM fin f
+    JOIN (SELECT comp, COUNT(*) AS n FROM fin GROUP BY comp) s USING (comp)
+    """,
+)
+def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: connected components by min-label
+    propagation (operators/components.py), then per-group size + canonical
+    keep-flag. The candidate edge set is deterministic so DuckDB can replay
+    it and close it with a recursive CTE: (a) a star from each
+    (source, n_chars%8) bucket's min doc to the bucket members — the
+    scale-correct clique encoding, linear not quadratic — and (b) sparse
+    successor chains within a language, which merge stars across buckets so
+    the closure is non-trivial. The oracle is an independent transitive
+    closure, so a propagation bug that stops one hop short hash-mismatches.
+    """
+    from ..operators.components import connected_components, dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    wb = Window.partitionBy("source", (F.col("n_chars") % 8))
+    ea = (
+        docs.select(
+            F.min("doc_id").over(wb).alias("u"), F.col("doc_id").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+    )
+    a = docs.select(F.col("doc_id").alias("u"), F.col("lang").alias("la"))
+    b = docs.select(F.col("doc_id").alias("v"), F.col("lang").alias("lb"))
+    eb = (
+        a.filter(F.col("u") % 7 < 2)
+        .join(b, (F.col("v") == F.col("u") + 1) & (F.col("la") == F.col("lb")))
+        .select("u", "v")
+    )
+    labels = connected_components(
+        ea.union(eb), "u", "v", nodes=docs.select("doc_id")
+    )
+    return dedup_groups(labels).select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "component_size",
+        "is_canonical",
+    )
+
+
+@_register(
     "ann_topk_bruteforce",
     f"""
     WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
@@ -4049,6 +4119,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "dd_connected_components",
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
