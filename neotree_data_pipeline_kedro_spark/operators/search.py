@@ -1,0 +1,125 @@
+"""Full-text relevance search over a document corpus: inverted postings,
+TF-IDF weights, and BM25 top-k — the retrieval side of an LLM data
+pipeline (quality-biased sampling, dedup triage, eval-set mining). No
+counterpart in the reference engine; first-class extension alongside
+SURVEY §2.
+
+Scale shape: the postings build is one explode + one (term, doc) groupBy —
+map-side partial aggregation absorbs the Zipf head before the shuffle, the
+same skew-safe plan as ta_vocab_topk. Corpus statistics (N, avgdl) are a
+single-row aggregate broadcast back with a crossJoin, never collected to
+the driver. Scoring filters postings to the (small, literal) query-term
+list — a pushed-down IN filter, not a join — so the scoring stage touches
+only the matched postings; the final top-k is a TakeOrdered, not a global
+sort.
+
+Cross-engine exactness: per-(doc, term) BM25 contributions are quantized to
+integer micro-units before the per-doc sum, making the aggregate
+order-independent (the same decimal-partial-sum trick as q1) and immune to
+float-summation-order drift between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted postings list: one row per (term, doc) with the term
+    frequency. Map-side partial agg handles the Zipf-skewed term key."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("term", "id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+
+
+def _bm25_weight(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
+    return (tf.cast("double") * (k1 + 1.0)) / (
+        tf.cast("double") + k1 * (1.0 - b + b * dl.cast("double") / avgdl)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k: (id, score_micro, score) for the ``k`` best documents,
+    ties broken by id ascending. ``score_micro`` is the exact bigint sum of
+    per-term contributions quantized at ``scale``; ``score`` is derived
+    from it, so both are bit-stable across engines and partitionings.
+
+    idf is the Lucene-style always-positive form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    post = postings(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    matched = post.filter(F.col("term").isin(query_terms))
+    df_t = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * _bm25_weight(
+        F.col("tf"), F.col("dl"), F.col("avgdl"), k1, b
+    )
+    return (
+        scored.select(
+            "id", F.round(contrib * scale).cast("bigint").alias("c")
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("score_micro"))
+        .withColumn("score", F.col("score_micro").cast("double") / scale)
+        .orderBy(F.desc("score_micro"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def tfidf_vectors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sparse TF-IDF rows: (id, term, tf, df, tfidf) with
+    ``tfidf = tf * ln(N / df)`` — the classic weighting, exposed for
+    downstream cosine / clustering stages."""
+    post = postings(docs, id_col, text_col)
+    df_t = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        post.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )

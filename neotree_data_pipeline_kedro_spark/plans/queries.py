@@ -403,6 +403,67 @@ def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    qt AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+      WHERE term IN ('hash', 'join', 'window', 'scan') GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id AS id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (CAST(p.tf AS DOUBLE) * 2.25)
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.25 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE)) / s.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM post p JOIN qt q USING (term)
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT id, CAST(SUM(c) AS BIGINT) AS score_micro,
+           CAST(SUM(c) AS DOUBLE) / 1000000 AS score
+    FROM scored GROUP BY id
+    ORDER BY score_micro DESC, id ASC LIMIT 25
+    """,
+)
+def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (operators/search.py): inverted
+    postings (map-side partial agg over the Zipf term key) → pushed-down IN
+    filter to the query terms → Lucene-style idf × tf saturation →
+    integer-micro quantized per-term contributions summed per doc
+    (order-independent, the q1 decimal trick) → TakeOrdered top-k.
+    k1=1.25 / b=0.75 keep every constant an exact binary double so the only
+    transcendental (ln) is absorbed by the micro-round."""
+    from ..operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        ["hash", "join", "window", "scan"],
+        k=25,
+        k1=1.25,
+        b=0.75,
+    )
+
+
+@_register(
     "a2_monthly_indicator_rollup",
     """
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month_year,
@@ -4120,6 +4181,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
     "dd_connected_components",
+    "ta_bm25_topk",
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
