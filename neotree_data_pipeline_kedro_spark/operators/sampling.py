@@ -145,3 +145,50 @@ def budget_prefix(
     return df.withColumn(cum_col, F.sum(w).over(win)).filter(
         F.col(cum_col) <= budget
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    key_col: str,
+    n_per_stratum: int,
+    *,
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Exact-count per-stratum sample: keep the first ``n`` rows of each
+    stratum in deterministic md5(key) order — the rebalancing step of
+    training-mixture construction ("at most N docs per language/source").
+
+    ``counts`` (values of the FIRST stratum column → n) overrides the
+    default count per stratum, so minority strata can be kept whole while
+    the head stratum is capped. Like ``hash_gate``, the decision is a pure
+    function of the row's key: re-runs and incremental additions agree on
+    the kept set with no sampling state. One window shuffle on the stratum
+    key; ``key_col`` must be integer- or string-typed for the same
+    cross-engine str()/CAST reason as ``greedy_pack``.
+    """
+    key_type = dict(df.dtypes)[key_col]
+    if not (key_type in ("string",) or key_type.startswith(("tinyint", "smallint", "int", "bigint"))):
+        raise ValueError(
+            f"stratified_sample: key_col {key_col!r} must be integer or "
+            f"string (got {key_type})"
+        )
+    win = Window.partitionBy(*stratum_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    limit = F.lit(n_per_stratum)
+    if counts:
+        limit = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in counts.items() for x in kv]
+                ),
+                F.col(stratum_cols[0]).cast("string"),
+            ),
+            F.lit(n_per_stratum),
+        )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )

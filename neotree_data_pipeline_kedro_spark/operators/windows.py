@@ -92,3 +92,35 @@ def episode_labels(
         )
         .drop("__rn", "__last_final")
     )
+
+
+def ecdf_normalize(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+    n_tiles: int = 4,
+    prefix: str = "",
+) -> DataFrame:
+    """Empirical-CDF feature normalization: percent_rank, cume_dist, and an
+    n-tile bucket of ``value_col`` within each partition — the
+    distribution-free rescaling used for per-source quality-score
+    calibration before mixture sampling (a raw quality score is comparable
+    only within its source; its ECDF position is comparable across
+    sources).
+
+    percent_rank/cume_dist are exact rationals of integer ranks, so they
+    are bit-identical across engines; the n-tile bucket needs a unique
+    total order to be deterministic — pass ``tiebreak_col`` (e.g. the doc
+    id) whenever ``value_col`` can repeat. One window shuffle on the
+    partition key.
+    """
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn(prefix + "pct_rank", F.percent_rank().over(w))
+        .withColumn(prefix + "cume_dist", F.cume_dist().over(w))
+        .withColumn(prefix + "tile", F.ntile(n_tiles).over(w))
+    )

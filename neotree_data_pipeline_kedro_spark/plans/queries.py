@@ -464,6 +464,56 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta_stratified_sample",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= CASE WHEN lang = 'en' THEN 25 ELSE 12 END
+    """,
+)
+def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-language stratified sample with a per-stratum
+    override (operators/sampling.stratified_sample): the head language is
+    capped at 25 docs, everything else at 12 — training-mixture
+    rebalancing. Selection is a pure function of md5(doc_id), so the oracle
+    replays it with the same window; no sampling state, no RNG."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(
+        docs, ["lang"], "doc_id", 12, counts={"en": 25}
+    )
+
+
+@_register(
+    "f_ecdf_normalize",
+    """
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS tile
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+    """,
+)
+def f_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ECDF normalization of document length
+    (operators/windows.ecdf_normalize): percent_rank + cume_dist + quartile
+    bucket. Exact rationals of integer ranks — bit-identical across
+    engines; doc_id tiebreak makes the quartile assignment a total order."""
+    from ..operators.windows import ecdf_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return ecdf_normalize(
+        docs, "n_chars", ["lang"], tiebreak_col="doc_id", n_tiles=4
+    )
+
+
+@_register(
     "a2_monthly_indicator_rollup",
     """
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month_year,
@@ -4182,6 +4232,8 @@ _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
     "dd_connected_components",
     "ta_bm25_topk",
+    "ta_stratified_sample",
+    "f_ecdf_normalize",
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",

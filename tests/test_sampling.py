@@ -123,3 +123,52 @@ def test_budget_prefix_invariant_to_partitioning(spark):
         got = budget_prefix(df, ["grp"], F.col("w"), budget=150, key_col="id")
         outs.append({(r.grp, r.id, r.cum_weight) for r in got.collect()})
     assert outs[0] == outs[1]
+
+
+def test_stratified_sample_exact_counts_and_override(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import stratified_sample
+
+    rows = [("en", i) for i in range(50)] + [("fr", i + 100) for i in range(8)] + [
+        ("de", i + 200) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "lang string, id long")
+    out = stratified_sample(df, ["lang"], "id", 10, counts={"en": 30}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, set()).add(r.id)
+    assert len(by["en"]) == 30
+    assert len(by["de"]) == 10
+    assert by["fr"] == {i + 100 for i in range(8)}  # undersized stratum kept whole
+
+
+def test_stratified_sample_deterministic_across_partitioning(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import stratified_sample
+
+    rows = [(f"l{i % 4}", i) for i in range(400)]
+    picks = []
+    for parts in (1, 17):
+        df = spark.createDataFrame(rows, "lang string, id long").repartition(parts)
+        picks.append({(r.lang, r.id) for r in stratified_sample(df, ["lang"], "id", 25).collect()})
+    assert picks[0] == picks[1]
+
+
+def test_stratified_sample_rejects_float_key(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([("en", 1.5)], "lang string, k double")
+    with pytest.raises(ValueError, match="integer or string"):
+        stratified_sample(df, ["lang"], "k", 5)
+
+
+def test_ecdf_normalize_formula(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import ecdf_normalize
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 20), ("a", 4, 40), ("b", 5, 7)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {r.id: r for r in ecdf_normalize(df, "v", ["g"], tiebreak_col="id").collect()}
+    assert out[1].pct_rank == 0.0 and out[4].pct_rank == 1.0
+    assert out[2].pct_rank == pytest.approx(1 / 3, abs=0)
+    assert out[4].cume_dist == 1.0
+    assert out[5].pct_rank == 0.0 and out[5].cume_dist == 1.0
+    tiles = [out[i].tile for i in (1, 2, 3, 4)]
+    assert tiles == [1, 2, 3, 4]
