@@ -7,14 +7,14 @@ keep-one) as a first-class extension alongside SURVEY §2.
 
 Two independent DataFrame-only implementations, used as twins in tests:
 
-* ``connected_components`` — iterative min-label propagation. Each round is
-  one join (edge × label) + one groupBy-min; labels only ever decrease, so
-  convergence is detected by the (monotone) sum of labels going flat — one
-  cheap aggregate action per round, no change-join. Rounds needed = graph
-  diameter. Near-dup graphs are unions of small star/clique clusters
-  (diameter ≤ a few hops), so this converges in a handful of rounds even at
-  100 TB; lineage is truncated with ``localCheckpoint`` every round so the
-  plan doesn't grow with iterations.
+* ``connected_components`` — iterative min-label propagation with cluster
+  contraction. Each round: (1) neighbor-min, (2) push the round's best min
+  up to each OLD cluster root and back down to every member, so a newly
+  found min reaches the whole cluster in one round — O(log n) rounds, not
+  O(diameter). Labels only ever decrease, so convergence is detected by the
+  (monotone) sum of labels going flat — one cheap aggregate action per
+  round, no change-join. Lineage is truncated with ``localCheckpoint``
+  every round so the plan doesn't grow with iterations.
 
 * ``connected_components_star`` — alternating large-star/small-star
   (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -51,6 +51,26 @@ def _nodes(edges_sym: DataFrame, extra_nodes: DataFrame | None) -> DataFrame:
     return nodes.distinct()
 
 
+def _local_union_find(pairs: list[tuple]) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -58,32 +78,85 @@ def connected_components(
     *,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """Min-label propagation. Returns ``(id, comp)`` with ``comp`` = min
     node id in the component. ``nodes`` (optional, single-column) adds
     isolated vertices that should appear in the output with ``comp = id``.
 
-    Scale shape: per round, one shuffle join of the (static, cached)
-    symmetric edge list against the current labels plus one groupBy-min;
+    Scale shape: per round, one shuffle join of the (static, checkpointed)
+    symmetric edge list against the current labels plus two groupBy-mins;
     label sum is monotone non-increasing, so one `sum` action per round
     detects the fixpoint exactly without a change-comparison join.
+
+    Small-residual fast path: callers are expected to contract
+    deterministic cliques FIRST (see dd_connected_components — bucket
+    stars map members to their root before CC), after which the residual
+    graph is typically tiny. When the deduped edge count is ≤
+    ``local_threshold`` (bounded: two bigints per edge, 500k edges ≈ 8 MB)
+    the closure runs as a driver-side union-find in one pass instead of
+    O(log n) distributed rounds — the same big-then-local switch
+    production graph systems make. Only edge ENDPOINTS are ever collected;
+    the (possibly huge) isolated-node set stays distributed and keeps
+    ``comp = id`` via an anti-join. Set ``local_threshold=0`` to force the
+    distributed loop.
     """
     edges_sym = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    if edges_sym.count() <= local_threshold:
+        pairs = [(r["u"], r["v"]) for r in edges_sym.collect()]
+        comp = _local_union_find(pairs)
+        spark = edges.sparkSession
+        schema = edges_sym.select(
+            F.col("u").alias("id"), F.col("u").alias("comp")
+        ).schema
+        labeled = spark.createDataFrame(
+            [(k, c) for k, c in comp.items()], schema
+        )
+        if nodes is None:
+            return labeled
+        isolated = (
+            _nodes(edges_sym, nodes)
+            .join(labeled.select("id"), "id", "left_anti")
+            .withColumn("comp", F.col("id"))
+        )
+        return labeled.union(isolated)
     labels = _nodes(edges_sym, nodes).withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+
+    def propagate(lab: DataFrame) -> DataFrame:
+        # (1) neighbor propagation: t(u) = min(comp(u), comp over
+        # neighbors), carrying u's old label through the same aggregation
+        # (max over the single non-null own value) so no extra join.
         neighbor = (
-            edges_sym.join(labels, edges_sym["v"] == labels["id"], "inner")
-            .select(F.col("u").alias("id"), F.col("comp"))
+            edges_sym.join(lab, edges_sym["v"] == lab["id"], "inner")
+            .select(
+                F.col("u").alias("id"),
+                F.col("comp").alias("cand"),
+                F.lit(None).cast(lab.schema["comp"].dataType).alias("own"),
+            )
         )
-        labels = (
-            labels.select("id", "comp")
+        j = (
+            lab.select("id", F.col("comp").alias("cand"), F.col("comp").alias("own"))
             .union(neighbor)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("cand").alias("t"), F.max("own").alias("old"))
         )
+        # (2) cluster contraction: a newly discovered min must reach the
+        # WHOLE current cluster this round, not just adjacent nodes — push
+        # each member's t up to its old root (groupBy old comp) and back
+        # down to every member. Mins hop across entire label clusters per
+        # round, so rounds are O(log n) instead of O(diameter).
+        rmin = j.groupBy("old").agg(F.min("t").alias("rmin"))
+        return j.join(rmin, "old").select(
+            "id", F.least(F.col("t"), F.col("rmin")).alias("comp")
+        )
+
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max(1, max_iter // 2)):
+        # two propagation rounds per materialization: the checkpoint + the
+        # convergence aggregate are the per-round fixed cost (a full job
+        # each), so batching halves the job count; lineage depth stays ≤ 2.
+        labels = propagate(propagate(labels)).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -2947,22 +2947,34 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components, dedup_groups
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    # Scale pattern: the bucket-star cliques are deterministic, so CONTRACT
+    # them before the iterative step — map every doc to its bucket root
+    # (window min, one shuffle) and run CC only on the residual chain graph
+    # over roots. The component min is always a root (each doc's bucket min
+    # is in its component), so expanding root labels back over members
+    # reproduces the full-graph components exactly.
     wb = Window.partitionBy("source", (F.col("n_chars") % 8))
-    ea = (
-        docs.select(
-            F.min("doc_id").over(wb).alias("u"), F.col("doc_id").alias("v")
-        ).filter(F.col("u") != F.col("v"))
+    rooted = docs.select(
+        "doc_id", "lang", F.min("doc_id").over(wb).alias("root")
     )
-    a = docs.select(F.col("doc_id").alias("u"), F.col("lang").alias("la"))
-    b = docs.select(F.col("doc_id").alias("v"), F.col("lang").alias("lb"))
+    a = rooted.select(
+        F.col("doc_id").alias("u"), F.col("lang").alias("la"), F.col("root").alias("ru")
+    )
+    b = rooted.select(
+        F.col("doc_id").alias("v"), F.col("lang").alias("lb"), F.col("root").alias("rv")
+    )
     eb = (
         a.filter(F.col("u") % 7 < 2)
         .join(b, (F.col("v") == F.col("u") + 1) & (F.col("la") == F.col("lb")))
-        .select("u", "v")
+        .filter(F.col("ru") != F.col("rv"))
+        .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
     )
-    labels = connected_components(
-        ea.union(eb), "u", "v", nodes=docs.select("doc_id")
+    root_labels = connected_components(
+        eb, "u", "v", nodes=rooted.select("root")
     )
+    labels = rooted.join(
+        root_labels.withColumnRenamed("id", "root"), "root"
+    ).select(F.col("doc_id").alias("id"), "comp")
     return dedup_groups(labels).select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component"),

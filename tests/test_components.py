@@ -52,16 +52,21 @@ def test_cc_twins_and_unionfind(spark, name):
     edf = spark.createDataFrame(edges, "src bigint, dst bigint")
     ndf = spark.createDataFrame([(n,) for n in nodes], "id bigint")
 
-    lp = connected_components(edf, nodes=ndf)
+    # local_threshold=0 forces the distributed label-prop loop; the default
+    # small-graph fast path is covered by test_cc_local_path_matches
+    lp = connected_components(edf, nodes=ndf, local_threshold=0)
     star = connected_components_star(edf, nodes=ndf)
+    local = connected_components(edf, nodes=ndf)
     expect = _uf(edges, set(nodes))
 
     got_lp = {r["id"]: r["comp"] for r in lp.collect()}
     got_star = {r["id"]: r["comp"] for r in star.collect()}
+    got_local = {r["id"]: r["comp"] for r in local.collect()}
     want = dict(expect)
     want[999] = 999
     assert got_lp == want, f"{name}: labelprop vs union-find"
     assert got_star == want, f"{name}: star vs union-find"
+    assert got_local == want, f"{name}: local fast path vs union-find"
 
 
 def test_dedup_groups_flags(spark):
