@@ -563,6 +563,104 @@ def a4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a8_pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_tot,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_tot,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_tot
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format reporting pivot: order status → columns, per priority.
+    Explicit pivot values skip the distinct-scan job AND keep the plan a
+    single pass with conditional aggregates (exactly the oracle's FILTER
+    form) — the same one-shuffle shape as a plain groupBy. Decimal partial
+    sums for order independence; empty cells: count → 0, sum → null, on
+    both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+        )
+    )
+    # one select, not withColumn/drop: Spark resolves names
+    # case-insensitively, so writing "f_cnt" would overwrite "F_cnt"
+    return p.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in ("F", "O", "P")
+            for c in (
+                F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).alias(f"{s.lower()}_cnt"),
+                F.col(f"{s}_tot").cast("double").alias(f"{s.lower()}_tot"),
+            )
+        ],
+    )
+
+
+@_register(
+    "a9_rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def a9_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (priority → status → grand
+    total): one pass, Spark expands the grouping sets without re-scanning.
+    NULL level markers are unambiguous because neither grouping column is
+    nullable in the data; decimal partial sums keep the totals
+    order-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@_register(
+    "a10_group_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a10_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation between closest
+    ranks — the quantile_cont definition both engines share). The exact
+    form is the correctness anchor; the 100 TB path is percentile_approx
+    (KLL-style mergeable sketch, no per-group sort), whose error bound vs
+    this exact result is pinned in tests/test_validation.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@_register(
     "a6_null_rates",
     """
     WITH src AS (
@@ -4244,6 +4342,9 @@ _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
     "dd_connected_components",
     "ta_bm25_topk",
+    "a8_pivot_status",
+    "a9_rollup_orders",
+    "a10_group_percentiles",
     "ta_stratified_sample",
     "f_ecdf_normalize",
     "f_label_repair",

@@ -220,3 +220,36 @@ def test_column_profile_accuracy(spark):
     assert 0.90 <= ranks95 <= 1.0
     # string column percentiles are NULL
     assert prof["l_returnflag"].p50 is None
+
+
+def test_percentile_approx_within_rank_error_of_exact(spark):
+    """The 100 TB percentile path (mergeable sketch) must land within the
+    documented rank-error bound of the exact interpolated percentile used
+    by a10_group_percentiles."""
+    from pyspark.sql import functions as F
+
+    from neotree_data_pipeline_kedro_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    acc = 100  # rank error <= n / acc
+    both = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact"),
+            F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(acc)).alias(
+                "approx"
+            ),
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+        )
+        .collect()
+    )
+    for r in both:
+        # translate the rank bound into a value bound via the sorted sample
+        lo_rank = max(0, int(0.5 * r.n) - max(1, r.n // acc) - 1)
+        hi_rank = min(r.n - 1, int(0.5 * r.n) + max(1, r.n // acc) + 1)
+        assert r.vals[lo_rank] <= r.approx <= r.vals[hi_rank], (
+            r.o_orderpriority,
+            r.approx,
+            (r.vals[lo_rank], r.vals[hi_rank]),
+        )
