@@ -624,3 +624,41 @@ def _hyperplane_bucket(vec: Column, planes: int = 8, seed: int = 0) -> Column:
             F.lit(0).cast("bigint")
         )
     return bucket
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The full near-dup dedup pipeline, end to end: banded MinHash-LSH
+    candidates → exact shingle-Jaccard verification at ``threshold`` →
+    connected components over the verified pairs → per-group size and the
+    canonical keep-flag (minimum id survives).
+
+    This is the composition a 100 TB text corpus actually runs: every stage
+    blocks before pairwise work (LSH bands), verifies only candidates, and
+    turns pairs into groups with the O(log n) contraction loop — no
+    all-pairs stage anywhere. Returns one row per document:
+    (id, comp, component_size, is_canonical).
+    """
+    from .components import connected_components, dedup_groups
+
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    verified = ngram_jaccard_on_pairs(cands, docs, id_col, text_col, n=shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    labels = connected_components(
+        verified.select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+        nodes=docs.select(id_col),
+    )
+    return dedup_groups(labels)

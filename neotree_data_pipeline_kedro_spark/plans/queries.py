@@ -3081,6 +3081,26 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("dd_semantic_dedup")
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline end to end (operators/neardup.
+    semantic_dedup): MinHash-LSH candidates → exact Jaccard ≥ 0.5
+    verification → connected components → canonical keep-flag. Rows-only
+    by design (the LSH candidate set is engine-specific below the S-curve
+    knee); the independent twin in tests/test_no_oracle_parity.py pins
+    refinement vs the brute-force Jaccard graph, exact equality on planted
+    duplicates, and the keep-flag invariants."""
+    from ..operators.neardup import semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return semantic_dedup(docs, "doc_id", "text", threshold=0.5).select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "component_size",
+        "is_canonical",
+    )
+
+
 @_register(
     "ann_topk_bruteforce",
     f"""
@@ -4341,6 +4361,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
     "dd_connected_components",
+    "dd_semantic_dedup",
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",

@@ -440,3 +440,80 @@ def test_ngram_jaccard_small_block_guard(spark):
     assert len(_NGRAM_CACHE) == 1
     release_ngram_cache()
     assert not _NGRAM_CACHE
+
+
+def test_semantic_dedup_pipeline_twin(spark):
+    """dd_semantic_dedup: engine components must refine the brute-force
+    Jaccard>=0.5 component structure (engine edges are a verified subset),
+    high-similarity pairs must co-cluster, and the keep-flags must be
+    exactly 'minimum id per component'."""
+    got = QUERIES["dd_semantic_dedup"](spark, SF_SMOKE).toPandas()
+    docs = _docs()
+    assert len(got) == len(docs)
+
+    # exact >= 0.5 components via union-find on brute-force pairs
+    parent = {i: i for i in docs.doc_id}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _exact_pairs(docs, 0.5):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exact_comp = {i: find(i) for i in docs.doc_id}
+
+    eng = dict(zip(got.doc_id, got.component))
+    # refinement: same engine component => same exact component
+    by_eng = {}
+    for i, c in eng.items():
+        by_eng.setdefault(c, []).append(i)
+    for c, members in by_eng.items():
+        assert len({exact_comp[m] for m in members}) == 1, (
+            f"engine component {c} spans distinct exact components"
+        )
+    # completeness: jaccard >= 0.8 pairs must share an engine component
+    for a, b in _exact_pairs(docs, 0.8):
+        assert eng[a] == eng[b], f"high-sim pair ({a},{b}) split across components"
+    # keep-flag invariants
+    for c, members in by_eng.items():
+        assert c == min(members)
+        flags = dict(zip(got.doc_id, got.is_canonical))
+        assert flags[c] and all(not flags[m] for m in members if m != c)
+    sizes = dict(zip(got.doc_id, got.component_size))
+    for c, members in by_eng.items():
+        assert all(sizes[m] == len(members) for m in members)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """On a corpus with unambiguous planted near-dup clusters (j>=0.9 in,
+    j<0.2 out), the pipeline must recover the clusters exactly."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import semantic_dedup
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red orange yellow green blue indigo violet crimson amber teal navy plum",
+    ]
+    rows = []
+    did = 0
+    want = {}
+    for ci, text in enumerate(base):
+        for variant in range(3):
+            # tiny suffix tweak: near-identical shingle sets within a cluster
+            t = text if variant == 0 else text + f" tail{variant}"
+            rows.append((did, t))
+            want[did] = ci * 3  # min id of the cluster
+            did += 1
+    # far-apart singletons
+    for k in range(5):
+        rows.append((did, f"unique{k} solitary{k} document{k} text{k} body{k} words{k} distinct{k} terms{k}"))
+        want[did] = did
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = semantic_dedup(df, "doc_id", "text", threshold=0.5).toPandas()
+    got = dict(zip(out.id, out.comp))
+    assert got == want
