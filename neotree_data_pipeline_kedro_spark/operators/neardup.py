@@ -662,3 +662,66 @@ def semantic_dedup(
         nodes=docs.select(id_col),
     )
     return dedup_groups(labels)
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/test contamination check: which corpus documents contain a
+    benchmark (eval-set) document? A corpus doc is flagged when the
+    CONTAINMENT of a benchmark doc's shingle set in its own —
+    |C∩B| / |B| — reaches ``threshold`` (asymmetric on purpose: a long
+    training doc that embeds a whole benchmark item is contamination even
+    though their symmetric Jaccard is low). ``is_exact`` additionally marks
+    verbatim copies by normalized fingerprint.
+
+    Scale shape: the benchmark side is small by nature (eval sets), so its
+    inverted shingle index BROADCASTS; the corpus is exploded once and
+    probed map-side — no shuffle touches corpus text, and the only exchange
+    is the (corpus_id, benchmark_id) count aggregation, whose cardinality
+    is bounded by actually-overlapping pairs. Self-pairs (same id) are
+    excluded so a benchmark drawn from the corpus doesn't flag itself.
+
+    Returns (corpus_id, benchmark_id, containment, is_exact).
+    """
+    from ..functions.text import doc_fingerprint
+
+    csh = shingle_sets(corpus, id_col, text_col, n).select(
+        F.col("id").alias("corpus_id"), F.explode("sh").alias("s")
+    )
+    bsh = shingle_sets(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("benchmark_id"), F.col("nsh").alias("nsh_b"),
+        F.explode("sh").alias("s"),
+    )
+    inter = (
+        csh.join(F.broadcast(bsh), "s")
+        .filter(F.col("corpus_id") != F.col("benchmark_id"))
+        .groupBy("corpus_id", "benchmark_id", "nsh_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    fp_c = corpus.select(
+        F.col(id_col).alias("corpus_id"), doc_fingerprint(text_col).alias("fp_c")
+    )
+    fp_b = benchmark.select(
+        F.col(id_col).alias("benchmark_id"), doc_fingerprint(text_col).alias("fp_b")
+    )
+    return (
+        inter.withColumn(
+            "containment", F.col("inter") / F.col("nsh_b").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .join(fp_c, "corpus_id")
+        .join(F.broadcast(fp_b), "benchmark_id")
+        .select(
+            "corpus_id",
+            "benchmark_id",
+            "containment",
+            (F.col("fp_c") == F.col("fp_b")).alias("is_exact"),
+        )
+    )

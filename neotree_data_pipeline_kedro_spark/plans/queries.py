@@ -3102,6 +3102,47 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dd_contamination_check",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    bm AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 = 0),
+    fp AS (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents),
+    pairs AS (
+      SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+             len(list_intersect(c.sh, b.sh)) / CAST(len(b.sh) AS DOUBLE)
+               AS containment
+      FROM sh c JOIN bm b ON c.doc_id <> b.doc_id
+    )
+    SELECT p.corpus_id, p.benchmark_id, p.containment,
+           (fc.fp = fb.fp) AS is_exact
+    FROM pairs p
+    JOIN fp fc ON fc.doc_id = p.corpus_id
+    JOIN fp fb ON fb.doc_id = p.benchmark_id
+    WHERE p.containment >= 0.5
+    """,
+)
+def dd_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit (operators/neardup.
+    contamination_report): corpus docs whose shingle sets contain ≥50% of a
+    benchmark doc's shingles, plus an exact-fingerprint flag. The benchmark
+    here is the deterministic doc_id%17 slice so DuckDB can replay the
+    asymmetric containment with list ops; in the engine the benchmark's
+    inverted shingle index broadcasts and the corpus never shuffles its
+    text. Engine shingles are 64-bit hashes (collision-free in practice, as
+    dd_ngram_jaccard), so the containment ratios agree bit-for-bit."""
+    from ..operators.neardup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs,
+        docs.filter(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+
+
+@_register(
     "ann_topk_bruteforce",
     f"""
     WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
@@ -4362,6 +4403,7 @@ _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
     "dd_connected_components",
     "dd_semantic_dedup",
+    "dd_contamination_check",
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",

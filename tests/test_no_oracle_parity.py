@@ -517,3 +517,35 @@ def test_semantic_dedup_planted_duplicates(spark):
     out = semantic_dedup(df, "doc_id", "text", threshold=0.5).toPandas()
     got = dict(zip(out.id, out.comp))
     assert got == want
+
+
+def test_contamination_report_planted(spark):
+    """A corpus doc that embeds a benchmark item verbatim must be flagged
+    with containment 1.0; an exact copy must also set is_exact; unrelated
+    docs must not appear."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        contamination_report,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words here {bench_text} and a long tail of filler text"),
+            (2, bench_text),  # verbatim copy
+            (3, "completely unrelated content about spark shuffle partitions"),
+        ],
+        "doc_id bigint, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, bench_text)], "doc_id bigint, text string"
+    )
+    out = {
+        r.corpus_id: r
+        for r in contamination_report(
+            corpus, benchmark, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].containment == 1.0 and not out[1].is_exact
+    assert out[2].containment == 1.0 and out[2].is_exact
+    assert all(r.benchmark_id == 100 for r in out.values())
