@@ -73,3 +73,17 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     DuckDB oracle's pre-registered views."""
     for t in TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a multi-batch parquet directory whose schema has EVOLVED across
+    batches (new columns appended over time — the normal life of a landing
+    zone). ``mergeSchema`` unions the footers at planning time: older files
+    surface the newer columns as nulls, so downstream code sees one stable
+    superset schema. Scan-time cost only — no rewrite of historical files,
+    and column pruning/pushdown still apply per file."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.option("mergeSchema", "true").parquet(path)
