@@ -328,3 +328,62 @@ def tiered_asof_assignment(
         .repartition("uid", "facility")
         .mapInPandas(_greedy_partition, schema=_ASSIGN_SCHEMA)
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Interval/range join without a cartesian stage: match (l, r) when
+    ``r.ts − l.ts ∈ (lower_us, upper_us]`` (microseconds; use negative
+    bounds for "right precedes left") and the equi-``keys`` agree.
+
+    Naively a range predicate forces Spark into a nested-loop/cartesian
+    plan. The scale shape is BUCKET BLOCKING: with bucket width
+    w = upper−lower, each right row lands in one w-sized time bucket and
+    each left row probes at most the two buckets its window can overlap —
+    an ordinary equi-join on (keys, bucket) followed by the exact range
+    filter. Shuffle volume is data + one small bucket id per row; candidate
+    fan-out is bounded by rows per bucket, never |L|×|R|.
+
+    Column contract: left and right must not share non-key column names
+    (select/alias first); the result carries keys once plus both sides'
+    remaining columns.
+    """
+    width = upper_us - lower_us
+    if width <= 0:
+        raise ValueError("range_join: upper_us must exceed lower_us")
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"range_join: overlapping non-key columns {sorted(overlap)}; "
+            "alias them before joining"
+        )
+    def fdiv(x):  # exact floor-division in long arithmetic (no doubles)
+        return ((x - F.pmod(x, F.lit(width))) / width).cast("long")
+
+    def us(c):
+        # NTZ columns cast through TIMESTAMP; any session-tz shift is the
+        # same on both sides, so diffs and bucket pairing are unaffected
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    l_us = us(left_ts)
+    r_us = us(right_ts)
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(fdiv(l_us + F.lit(lower_us)), fdiv(l_us + F.lit(upper_us)))
+        ),
+    )
+    rb = right.withColumn("__bucket", fdiv(r_us))
+    diff = us(right_ts) - us(left_ts)
+    return (
+        lb.join(rb, [*keys, "__bucket"])
+        .filter((diff > lower_us) & (diff <= upper_us))
+        .drop("__bucket")
+    )

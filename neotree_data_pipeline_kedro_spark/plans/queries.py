@@ -1799,6 +1799,61 @@ def j10_values_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_key", F.col("o_custkey").isNotNull().alias("key_exists"))
 
 
+@_register(
+    "j11_range_join_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts, value
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id,
+             COUNT(c.click_id) AS n_clicks,
+             MAX(c.value) AS best_click_value
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.click_ts > p.ts - INTERVAL 6 HOUR AND c.click_ts <= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT event_id, n_clicks, best_click_value FROM m
+    """,
+)
+def j11_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via time-bucket blocking (operators/joins.
+    range_join): click→purchase attribution — for every purchase, the
+    count and best value of the same user's clicks in the preceding six
+    hours. The range predicate never becomes a cartesian/nested-loop plan:
+    rights land in one 6h bucket, lefts probe their two overlapping
+    buckets, and the exact window filter runs after the equi-join on
+    (user, bucket). Purchases with no clicks are restored by a left join
+    onto the aggregated matches (count → 0, value → null, both engines)."""
+    from ..operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "value",
+    )
+    six_h = 6 * 3600 * 1_000_000
+    matched = range_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", -six_h, 0
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.max("value").alias("best_click_value"),
+    )
+    return purchases.join(agg, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        "best_click_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # W: windows / sessionization
 # ---------------------------------------------------------------------------
@@ -4404,6 +4459,7 @@ _DRIVER_FRONT = [
     "dd_connected_components",
     "dd_semantic_dedup",
     "dd_contamination_check",
+    "j11_range_join_attribution",
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",

@@ -1,0 +1,108 @@
+"""Bucket-blocked range join: parity vs a naive cross-filter, pair
+uniqueness across bucket seams, the overlap guard, and the no-cartesian
+plan contract."""
+
+from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import io
+
+import pytest
+
+from neotree_data_pipeline_kedro_spark.operators.joins import range_join
+
+D = dt.datetime
+HOUR_US = 3600 * 1_000_000
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", D(2024, 1, 1, 12, 0)),
+            (2, "u1", D(2024, 1, 1, 18, 0)),
+            (3, "u2", D(2024, 1, 2, 0, 30)),
+        ],
+        "lid bigint, user string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", D(2024, 1, 1, 11, 59)),  # 1 min before lid=1
+            (11, "u1", D(2024, 1, 1, 6, 1)),    # 5h59 before lid=1
+            (12, "u1", D(2024, 1, 1, 6, 0)),    # exactly 6h before: excluded (open)
+            (13, "u1", D(2024, 1, 1, 12, 0)),   # equal ts: included (closed)
+            (14, "u2", D(2024, 1, 1, 23, 0)),   # bucket seam for lid=3
+            (15, "u2", D(2024, 1, 2, 0, 30)),
+            (16, "u3", D(2024, 1, 1, 12, 0)),   # wrong key
+        ],
+        "rid bigint, user string, rts timestamp",
+    )
+    return left, right
+
+
+def _naive(left, right, lower_us, upper_us):
+    out = set()
+    for l in left.collect():
+        for r in right.collect():
+            if l.user != r.user:
+                continue
+            diff = (r.rts - l.lts).total_seconds() * 1_000_000
+            if lower_us < diff <= upper_us:
+                out.add((l.lid, r.rid))
+    return out
+
+
+def test_range_join_matches_naive(spark):
+    left, right = _frames(spark)
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            left, right, ["user"], "lts", "rts", -6 * HOUR_US, 0
+        ).collect()
+    }
+    assert got == _naive(left, right, -6 * HOUR_US, 0)
+    # boundary semantics spelled out: open lower, closed upper
+    assert (1, 12) not in got and (1, 13) in got
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    left, right = _frames(spark)
+    rows = range_join(
+        left, right, ["user"], "lts", "rts", -6 * HOUR_US, 0
+    ).collect()
+    pairs = [(r.lid, r.rid) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_range_join_forward_window(spark):
+    left, right = _frames(spark)
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            left, right, ["user"], "lts", "rts", 0, 12 * HOUR_US
+        ).collect()
+    }
+    assert got == _naive(left, right, 0, 12 * HOUR_US)
+
+
+def test_range_join_guards(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="upper_us must exceed"):
+        range_join(left, right, ["user"], "lts", "rts", 5, 5)
+    clash = right.withColumnRenamed("rts", "lts")
+    with pytest.raises(ValueError, match="overlapping non-key"):
+        range_join(left, clash, ["user"], "lts", "lts", 0, 10)
+
+
+def test_j11_plan_has_no_cartesian(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    from conftest import SF_SMOKE
+
+    df = QUERIES["j11_range_join_attribution"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
