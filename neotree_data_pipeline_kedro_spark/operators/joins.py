@@ -387,3 +387,40 @@ def range_join(
         .filter((diff > lower_us) & (diff <= upper_us))
         .drop("__bucket")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the (large, skewed) LEFT side
+    gets a deterministic salt in [0, salts) hashed from its whole row, the
+    (smaller) RIGHT side is replicated once per salt value, and the join
+    key becomes (keys..., salt) — a hot key's rows now spread over
+    ``salts`` shuffle partitions instead of landing on one straggler task.
+
+    Semantics are exactly the plain equi-join (each left row meets each
+    matching right row exactly once — through its own salt's replica).
+    ``how`` supports 'inner' and 'left'. Cost: right side ×``salts``; use
+    when BOTH sides are too big to broadcast and AQE's skew split isn't
+    available or isn't enough (e.g. a skewed key feeding a subsequent
+    aggregation on the same key). With a broadcastable right side, prefer
+    ``F.broadcast`` — no replication, no shuffle at all.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"salted_join: overlapping non-key columns {sorted(overlap)}; "
+            "alias them before joining"
+        )
+    lb = left.withColumn("__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salts)))
+    rb = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<long>"))
+    )
+    return lb.join(rb, [*keys, "__salt"], how).drop("__salt")

@@ -1800,6 +1800,43 @@ def j10_values_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j12_salted_skew_join",
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/joins.salted_join): the fact side
+    carries a deterministic row-hash salt, the dim side replicates per
+    salt, and the equi-join runs on (key, salt) — a hot key spreads over
+    `salts` shuffle partitions instead of one straggler. Semantically the
+    plain equi-join, which is exactly what the oracle checks; the
+    hot-key-spread property is pinned in tests/test_salted_join.py.
+    (With a dim this small you'd broadcast in production — the fixture
+    exercises the both-sides-too-big-to-broadcast fallback.)"""
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, ["suppkey"], salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@_register(
     "j11_range_join_attribution",
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events
