@@ -68,3 +68,44 @@ def write_partitioned(
     (month, facility): one directory per value, and files per partition
     should stay in the hundreds of MB at 100 TB."""
     df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into
+    ~``target_file_mb`` files — the maintenance job every long-lived
+    landing zone needs (streaming/incremental appends accrete thousands of
+    tiny files; each costs a task + a footer read + NameNode/S3 metadata,
+    and row-group-level pruning stops working).
+
+    File count = ceil(total_bytes / target), measured from the existing
+    footprint, so the rewrite is one job with no driver-side data.
+    ``sort_within_by`` sorts within output files (sortWithinPartitions —
+    NO global shuffle) so min/max row-group statistics on those columns
+    become selective and scans with matching filters skip whole files.
+    Writes to a sibling temp dir then atomically swaps, so readers never
+    see a half-written state. Returns the new file count.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+    n_files = max(1, -(-total // (target_file_mb << 20)))
+    df = spark.read.parquet(path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -302,3 +302,51 @@ def test_chunking_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_tokens("x", size=5, overlap=5)
+
+
+# --- range join: bucket blocking must equal the naive window join on any
+# --- generated event set, window, and key spread -----------------------------
+
+_rj_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # key
+        st.integers(min_value=0, max_value=72 * 3600),    # seconds offset
+    ),
+    min_size=0,
+    max_size=60,
+)
+_rj_bounds = st.tuples(
+    st.integers(min_value=-12 * 3600, max_value=12 * 3600),
+    st.integers(min_value=1, max_value=24 * 3600),
+).map(lambda t: (t[0], t[0] + t[1]))  # lower < upper always
+
+
+@SET
+@given(left=_rj_events, right=_rj_events, bounds=_rj_bounds)
+def test_range_join_matches_naive_property(spark, left, right, bounds):
+    from neotree_data_pipeline_kedro_spark.operators.joins import range_join
+
+    lower_s, upper_s = bounds
+    base = dt.datetime(2024, 6, 1)
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "lid long, key string, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, f"k{k}", base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)],
+        "rid long, key string, rts timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            ldf, rdf, ["key"], "lts", "rts",
+            lower_s * 1_000_000, upper_s * 1_000_000,
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, ls) in enumerate(left)
+        for ri, (rk, rs) in enumerate(right)
+        if lk == rk and lower_s < (rs - ls) <= upper_s
+    }
+    assert got == want

@@ -141,3 +141,22 @@ def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed):
     import re
 
     assert len(re.findall(r"\bExchange\b", plan)) // 2 == 1
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import compact_parquet
+
+    path = str(tmp_path / "landing")
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+
+    import glob as g
+
+    before = len(g.glob(path + "/*.parquet"))
+    assert before >= 40
+    n = compact_parquet(spark, path, target_file_mb=128, sort_within_by=["k"])
+    after = len(g.glob(path + "/*.parquet"))
+    assert after == n == 1  # tiny data -> one target-size file
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
