@@ -125,3 +125,35 @@ def test_q5_star_join_stays_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_pass(spark):
+    # explicit pivot values => one conditional-aggregate pass: no Expand,
+    # a single aggregation exchange, no extra distinct-scan job
+    plan = plan_of(spark, "a8_pivot_status")
+    assert "Expand" not in plan
+    assert exchanges(plan) <= 2
+
+
+def test_rollup_single_scan_with_expand(spark):
+    # ROLLUP = one scan through an Expand, one aggregation exchange —
+    # never one scan per grouping level
+    plan = plan_of(spark, "a9_rollup_orders")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") // 2 <= 1 or "Scan parquet" in plan
+    assert exchanges(plan) <= 2
+
+
+def test_stratified_sample_one_window_shuffle(spark):
+    plan = plan_of(spark, "ta_stratified_sample")
+    assert "Window" in plan
+    assert exchanges(plan) <= 2
+
+
+def test_salted_join_no_sort_merge_on_salted_key(spark):
+    # the salted fixture's dim side replicates then hash-joins; the point
+    # is a shuffle that spreads, never a broadcast (that would defeat the
+    # fixture) nor a cartesian
+    plan = plan_of(spark, "j12_salted_skew_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
