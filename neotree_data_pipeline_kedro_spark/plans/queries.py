@@ -563,6 +563,54 @@ def a4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a11_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(value) AS count_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental_agg): the
+    events feed arrives as two batches (event_id parity split); each batch
+    is aggregated alone and MERGED into the stored rollup — sums/counts
+    add, mins/maxes combine — instead of rescanning history every cron
+    (the reference's full-recompute shape,
+    create_summary_counts_sql.py:4-37). The oracle is the full-history
+    GROUP BY, so the fold must equal the recompute exactly; decimal
+    partial sums make the addition associative."""
+    from ..operators.incremental_agg import merge_rollup, partial_rollup
+
+    measures = {"v": "sum", "value": "count", "value_mm": "min", "value_mx": "max"}
+
+    def prep(df):
+        return df.select(
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "value",
+            F.col("value").alias("value_mm"),
+            F.col("value").alias("value_mx"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    b1 = prep(ev.filter(F.col("event_id") % 2 == 0))
+    b2 = prep(ev.filter(F.col("event_id") % 2 == 1))
+    keys = ["event_type"]
+    stored = partial_rollup(b1, keys, measures)
+    folded = merge_rollup(stored, partial_rollup(b2, keys, measures), keys, measures)
+    return folded.select(
+        "event_type",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("count_value").alias("count_value"),
+        F.col("min_value_mm").alias("min_value"),
+        F.col("max_value_mx").alias("max_value"),
+    )
+
+
+@_register(
     "a8_pivot_status",
     """
     SELECT o_orderpriority,
@@ -4500,6 +4548,7 @@ _DRIVER_FRONT = [
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",
+    "a11_incremental_rollup",
     "a10_group_percentiles",
     "ta_stratified_sample",
     "f_ecdf_normalize",
