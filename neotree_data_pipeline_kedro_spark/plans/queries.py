@@ -4545,6 +4545,7 @@ _DRIVER_FRONT = [
     "dd_semantic_dedup",
     "dd_contamination_check",
     "j11_range_join_attribution",
+    "j12_salted_skew_join",
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",
@@ -4556,24 +4557,9 @@ _DRIVER_FRONT = [
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
     "mm_video_frames",
-    # modules changed in r5 → every query they implement re-earns a row:
-    # validation.py (value-only confidential count) …
-    "v_confidential_detect",
-    "v_conditional_required",
-    "v_quality_suite",
-    "v_column_profile",
-    "a6_null_rates",
-    # … sampling.py (greedy_pack key guard) …
-    "ta_token_budget_sample",
-    "ta_sequence_packing",
-    # … similarity.py (kmeans clamp+persist) …
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_bruteforce",
-    # … and this file's own oracle edit:
-    "ta_repetition_quality_filter",
-    # green in r3, rotated out of the r4 window (code unchanged since) —
-    # each re-earns a row before its green turns two rounds stale:
+    # green in r3, rotated out of the r4 window — oldest greens first so
+    # none turns two rounds stale (joins.py/neardup.py/windows.py also all
+    # changed this round, so these double as module re-verification):
     "d1_dedup_last_writer",
     "d3_maternity_completeness_dedup",
     "d4_review_numbering",
@@ -4604,6 +4590,20 @@ _DRIVER_FRONT = [
     "sm_maternal_completeness_sort",
     "sm_maternal_outcomes_buckets",
     "v_value_label_consistency",
+    # r4-green but their module changed in r5 → re-earn (validation.py,
+    # sampling.py, similarity.py, this file's oracle edits); one round
+    # stale at most, so they follow the r3 set:
+    "v_confidential_detect",
+    "v_conditional_required",
+    "v_quality_suite",
+    "v_column_profile",
+    "a6_null_rates",
+    "ta_token_budget_sample",
+    "ta_sequence_packing",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_bruteforce",
+    "ta_repetition_quality_filter",
 ]
 
 
