@@ -95,6 +95,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         "N buckets, so every later uid join reads co-located buckets "
         "shuffle-free (sources/warehouse.py)",
     )
+    ap.add_argument(
+        "--compact-mb",
+        type=int,
+        default=0,
+        metavar="MB",
+        help="after the run, compact each --out stage directory into "
+        "~MB-sized parquet files (sources/warehouse.compact_parquet) — the "
+        "small-file maintenance an incremental warehouse needs",
+    )
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -128,6 +137,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
 
     out = Engine(cfg, materialize=materialize).run(build_sessions(spark, args.sf_dir))
     counts = {name: df.count() for name, df in out.items()}
+    if args.compact_mb and args.out:
+        from .sources.warehouse import compact_parquet
+
+        for name in out:
+            import os
+
+            stage_dir = f"{args.out}/{name}"
+            if os.path.isdir(stage_dir):
+                compact_parquet(spark, stage_dir, target_file_mb=args.compact_mb)
     print(json.dumps({"stages": counts, "out": args.out}))
     if own_session:
         spark.stop()

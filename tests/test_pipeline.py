@@ -521,3 +521,24 @@ def test_engine_two_cycle_incremental_delta(tmp_path, spark):
     assert rec["B111-0001"]["NeoTreeOutcome.value"] == "DC"
     assert rec["A7C6-0350"]["is_closed"]  # untouched rows keep their state
     assert rec["A7C6-0350"]["has_admission"] and rec["A7C6-0350"]["has_discharge"]
+
+
+def test_cli_compact_mb_compacts_stage_dirs(spark, tmp_path):
+    import glob as g
+
+    from neotree_data_pipeline_kedro_spark.__main__ import main
+
+    out = str(tmp_path / "wh")
+    counts = main(
+        argv=["--sf-dir", "/root/testdata/sf0.001", "--out", out,
+              "--compact-mb", "128"],
+        spark=spark,
+    )
+    # every materialized stage dir exists, is compacted to one file at this
+    # size, and still reads back with the reported row count
+    for name, n in counts.items():
+        files = g.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            continue
+        assert len(files) == 1, (name, files)
+        assert spark.read.parquet(f"{out}/{name}").count() == n
