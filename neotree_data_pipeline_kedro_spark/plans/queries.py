@@ -2108,6 +2108,73 @@ def u3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u4_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) <= 3
+    """,
+)
+def u4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (each customer's 3 biggest orders): rank window +
+    filter — one shuffle on the group key, the per-group counterpart of
+    u3's global TakeOrdered. Deterministic ties by order key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "f_vector_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)
+                     AS BIGINT))) AS BIGINT) AS sq_norm_micro,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)
+                     * 1000000) AS BIGINT))) AS BIGINT) AS rev_dot_micro
+    FROM embeddings
+    """,
+)
+def f_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit in-row vector arithmetic with the array higher-order
+    functions (`F.transform`/`F.aggregate`/`F.zip_with` — the JVM-side
+    vector-math toolkit): squared L2 norm and a self-reverse dot product,
+    each term quantized to integer micro-units before the in-row sum so
+    the reduction is order-independent and engine-exact (floats multiply
+    identically under IEEE; only summation order could differ)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    term_sq = F.transform(
+        v, lambda x: F.round(x.cast("double") * x.cast("double") * 1_000_000).cast("long")
+    )
+    rev = F.reverse(v)
+    term_rev = F.zip_with(
+        v, rev, lambda a, b: F.round(a.cast("double") * b.cast("double") * 1_000_000).cast("long")
+    )
+    acc = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda s, x: s + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        acc(term_sq).alias("sq_norm_micro"),
+        acc(term_rev).alias("rev_dot_micro"),
+    )
+
+
+@_register(
     "e1_explode_tokens",
     """
     SELECT token, COUNT(*) AS n
@@ -4553,6 +4620,8 @@ _DRIVER_FRONT = [
     "a10_group_percentiles",
     "ta_stratified_sample",
     "f_ecdf_normalize",
+    "u4_topk_per_group",
+    "f_vector_ops",
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",

@@ -87,8 +87,10 @@ def compact_parquet(
     ``sort_within_by`` sorts within output files (sortWithinPartitions —
     NO global shuffle) so min/max row-group statistics on those columns
     become selective and scans with matching filters skip whole files.
-    Writes to a sibling temp dir then atomically swaps, so readers never
-    see a half-written state. Returns the new file count.
+    Writes to a sibling temp dir then swaps via two renames — readers
+    never see a half-written file set (they can race the brief window
+    between renames and retry; on object stores, prefer a manifest/catalog
+    pointer flip instead). Returns the new file count.
     """
     import os
     import shutil
