@@ -2108,6 +2108,75 @@ def u3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w5_event_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup') AS s_ts
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > u.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(u.s_ts) AS BIGINT) AS n_signup,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_click_after_signup,
+           CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchase_after_click
+    FROM u LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def w5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup → first later click → first later
+    purchase): per-user stage timestamps built with CHAINED WINDOWS over
+    one scan — stage N's cutoff is a window aggregate conditioned on stage
+    N-1's window result, so the whole funnel is two window passes on the
+    same user-key shuffle and one final count, with no self-joins (the
+    oracle's three-join formulation is the semantics spec, not the plan).
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    staged = staged.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    ).withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("s_ts").alias("s_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after_signup"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )
+
+
+@_register(
     "u4_topk_per_group",
     """
     SELECT o_custkey, o_orderkey, o_totalprice
@@ -4620,6 +4689,7 @@ _DRIVER_FRONT = [
     "a10_group_percentiles",
     "ta_stratified_sample",
     "f_ecdf_normalize",
+    "w5_event_funnel",
     "u4_topk_per_group",
     "f_vector_ops",
     "f_label_repair",
