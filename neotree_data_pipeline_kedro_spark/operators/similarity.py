@@ -505,3 +505,72 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ann_join_ivf(
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    other: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    other_id_col: str | None = None,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Corpus↔corpus ANN JOIN: for every ``other`` vector, its top-k
+    nearest ``indexed_corpus`` vectors — the all-pairs retrieval shape
+    where BOTH sides are too large to broadcast (cross-dataset near-dup
+    linking, embedding-space train/eval contamination sweeps).
+
+    Only the centroids (k × dim) broadcast. Each ``other`` vector probes
+    its ``nprobe`` nearest cells, then a SHUFFLE equi-join on the cell id
+    co-locates it with just those cells' corpus vectors: candidate volume
+    is |other| · nprobe · avg-cell-size, never |A|×|B|, and the shuffle
+    carries one cell id per probe, with cosine scoring running co-located
+    after the exchange. Top-k per ``other`` row via window, deterministic
+    ties by neighbor id. Self-matches (same id) are kept — filter after if
+    the two sides share an id space.
+    """
+    integer = scale is not None
+    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
+        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    q = prep_vectors(other, other_id_col or id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    probes = q.join(F.broadcast(cc)).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        "cell",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn"), integer=integer
+        ).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    probed = (
+        probes.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "__qn", "cell")
+    )
+    cv = prep_vectors(indexed_corpus, id_col, vec_col, scale, keep=("cell",))
+    cand = cv.join(probed, "cell").select(  # shuffle join on cell — no broadcast
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=integer
+        ).alias("cosine_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

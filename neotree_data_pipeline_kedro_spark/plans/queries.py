@@ -4012,6 +4012,34 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_join_ivf")
+def ann_join_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus↔corpus ANN JOIN (operators/similarity.ann_join_ivf): every
+    embedding retrieves its top-5 neighbors from the whole corpus with
+    BOTH sides large — only the centroids broadcast; each vector probes 4
+    cells and a shuffle join on the cell id co-locates candidates, so the
+    pair volume is n·nprobe·cell-size, never n². Rows-only (cell
+    assignment is engine-specific); recall@5 + exact-score soundness vs a
+    numpy brute force are pinned in tests/test_no_oracle_parity.py."""
+    from ..operators.similarity import ann_join_ivf, build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ncells = min(256, int(math.isqrt(n - 1)) + 1)
+    centroids = (
+        emb.orderBy(F.xxhash64("vec_id"))
+        .limit(ncells)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    indexed = build_ivf_index(emb, centroids, "vec_id", "embedding")
+    return ann_join_ivf(
+        indexed, centroids, emb, "vec_id", "embedding", k=5, nprobe=4
+    )
+
+
 @_register("ann_topk_ivf_kmeans")
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with REAL distributed Lloyd's centroids (kmeans_fit) — the
@@ -4695,6 +4723,7 @@ _DRIVER_FRONT = [
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
+    "ann_join_ivf",
     "mm_video_frames",
     # green in r3, rotated out of the r4 window — oldest greens first so
     # none turns two rounds stale (joins.py/neardup.py/windows.py also all

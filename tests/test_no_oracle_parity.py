@@ -549,3 +549,34 @@ def test_contamination_report_planted(spark):
     assert out[1].containment == 1.0 and not out[1].is_exact
     assert out[2].containment == 1.0 and out[2].is_exact
     assert all(r.benchmark_id == 100 for r in out.values())
+
+
+def test_ann_join_ivf_soundness_and_recall(spark):
+    """The corpus↔corpus ANN join: every emitted score must equal the
+    independent numpy quantized cosine, every query must surface itself
+    (cosine 1.0 is always in some probed cell — its own), and recall@5 vs
+    an all-pairs numpy brute force must clear the IVF floor."""
+    out = QUERIES["ann_join_ivf"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    for r in out.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    ids = sorted(vec)
+    M = np.vstack([np.round(np.asarray(vec[i], dtype=np.float64) * 1_000_000)
+                   for i in ids])
+    norms = np.sqrt((M * M).sum(1))
+    sims = (M @ M.T) / np.outer(norms, norms)
+    got = out.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qi, q in enumerate(ids):
+        order = np.lexsort((ids, -sims[qi]))
+        want = {ids[j] for j in order[:5]}
+        have = got.get(q, set())
+        assert q in have, f"query {q} did not retrieve itself"
+        total += len(want)
+        hits += len(want & have)
+    recall = hits / total
+    assert recall >= 0.5, f"ANN-join recall@5 {recall:.2f} below floor"
