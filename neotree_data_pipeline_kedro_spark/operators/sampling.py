@@ -168,7 +168,8 @@ def stratified_sample(
     cross-engine str()/CAST reason as ``greedy_pack``.
     """
     key_type = dict(df.dtypes)[key_col]
-    if not (key_type in ("string",) or key_type.startswith(("tinyint", "smallint", "int", "bigint"))):
+    # exact names, not startswith: "interval day" would match "int"
+    if key_type not in ("string", "tinyint", "smallint", "int", "bigint"):
         raise ValueError(
             f"stratified_sample: key_col {key_col!r} must be integer or "
             f"string (got {key_type})"

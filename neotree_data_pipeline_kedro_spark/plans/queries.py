@@ -183,6 +183,45 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped revenue forecast: the pure filter+aggregate whose
+    entire cost is the scan — all four predicates must reach the parquet
+    reader (PushedFilters, pinned in tests/test_plan_contracts.py) and the
+    projection must prune to the four touched columns, so at 100 TB the
+    query reads row groups whose min/max stats pass, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
@@ -684,6 +723,7 @@ def a9_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "a10_group_percentiles",
+    "q6_forecast_revenue",
     """
     SELECT o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
@@ -4715,6 +4755,7 @@ _DRIVER_FRONT = [
     "a9_rollup_orders",
     "a11_incremental_rollup",
     "a10_group_percentiles",
+    "q6_forecast_revenue",
     "ta_stratified_sample",
     "f_ecdf_normalize",
     "w5_event_funnel",

@@ -157,3 +157,16 @@ def test_salted_join_no_sort_merge_on_salted_key(spark):
     plan = plan_of(spark, "j12_salted_skew_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushes_all_filters_and_prunes_schema(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in q6 plan"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed: {pushed}"
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m2
+    read_cols = {c.split(":")[0] for c in m2.group(1).split(",") if c}
+    assert read_cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
