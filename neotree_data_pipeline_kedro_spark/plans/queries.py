@@ -723,7 +723,6 @@ def a9_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "a10_group_percentiles",
-    "q6_forecast_revenue",
     """
     SELECT o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
