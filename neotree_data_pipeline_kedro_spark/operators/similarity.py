@@ -574,3 +574,194 @@ def ann_join_ivf(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    max_iter: int = 8,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Train product-quantization codebooks: L2-normalize, split into
+    ``m`` subspaces, Lloyd's per subspace. Returns ``(m, 2**nbits, dim/m)``
+    float64 codebooks (a few KB — they ride into encode/search closures).
+
+    Training is deliberately DRIVER-side on a deterministic hash-ordered
+    sample (≤ ``sample`` vectors): codebooks are tiny and k-means on a
+    bounded sample is how production PQ indexes train (FAISS does exactly
+    this); burning a distributed job per subspace would be 3·m Spark jobs
+    to fit a few KB. The ENCODE and SEARCH passes — the parts proportional
+    to corpus size — stay fully distributed.
+
+    PQ is the memory-bound ANN regime: a 100 TB float corpus becomes
+    ``m`` codes per vector, so the scan side of search reads bytes, not
+    vectors."""
+    ksub = 1 << nbits
+    spdf = (
+        corpus.select(
+            F.col(id_col).alias("id"), _l2_normalize(F.col(vec_col)).alias("nv")
+        )
+        .orderBy(F.xxhash64("id"), "id")
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in spdf["nv"]])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        xs = X[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: first ksub distinct-ish rows in sample order
+        arr = xs[: min(ksub, xs.shape[0])].copy()
+        if arr.shape[0] < ksub:
+            arr = np.vstack([arr] + [arr[:1]] * (ksub - arr.shape[0]))
+        for _ in range(max_iter):
+            d = (arr * arr).sum(1)[None, :] - 2.0 * (xs @ arr.T)
+            cell = d.argmin(axis=1)
+            new = arr.copy()
+            for c in range(ksub):
+                mask = cell == c
+                if mask.sum():
+                    new[c] = xs[mask].mean(0)
+            if np.allclose(new, arr, rtol=0, atol=1e-12):
+                arr = new
+                break
+            arr = new
+        books.append(arr)
+    return np.stack(books)
+
+
+def _l2_normalize(vec: Column) -> Column:
+    sq = F.aggregate(
+        vec, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
+    )
+    nrm = F.sqrt(sq)
+    return F.when(nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)).otherwise(
+        F.transform(vec, lambda x: x.cast("double"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` small codes — nearest
+    codebook entry per subspace, vectorized numpy per Arrow batch. Output
+    ``(id, codes array<int>)`` is what a 100 TB search scan reads."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+    cbn = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            nrm = np.sqrt((x * x).sum(axis=1, keepdims=True))
+            nrm[nrm == 0] = 1.0
+            x = x / nrm
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                d = cbn[j][None, :] - 2.0 * (xs @ cb[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(run, schema="id long, codes array<int>")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ search with ADC + exact rerank: per query build the m×ksub
+    lookup table of subspace distances (driver-side, tiny), scan the CODES
+    (asymmetric distance = sum of m table lookups per row — no vector math
+    on the scan side), keep the best ``rerank·k`` candidates per query,
+    then join those ids back to the real vectors for an exact
+    integer-quantized cosine rerank to ``k``. The scan touches m bytes per
+    corpus row; the rerank touches only rerank·k·|queries| real vectors.
+    Deterministic ties by neighbor id."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), _l2_normalize(F.col(vec_col)).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy()
+    qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+    # LUTs: (nq, m, ksub) squared subspace distances
+    luts = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (cb[j] * cb[j]).sum(axis=1)[None, :] - 2.0 * (qs @ cb[j].T)
+        )
+    keep = rerank * k
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.vstack(list(pdf["codes"]))  # (n, m)
+            n = codes.shape[0]
+            ids = pdf["id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi, qid in enumerate(qids):
+                d = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                top = np.argsort(d, kind="stable")[: min(keep, n)]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["adc_dist"].extend(d[top])
+            yield pd.DataFrame(out)
+
+    cand = codes_df.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    # partial top-keep per partition above; global top-keep per query here
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= keep)
+        .drop("__rn", "adc_dist")
+    )
+    cv = prep_vectors(corpus, id_col, vec_col, scale).select(
+        F.col("id").alias("neighbor_id"), F.col("__v"), F.col("__n")
+    )
+    qv = prep_vectors(queries, id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    rer = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_cosine(
+                F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"), integer=True
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -4079,6 +4079,28 @@ def ann_join_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_topk_pq")
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_*): codebooks
+    train driver-side on a bounded hash sample (the FAISS pattern — the
+    fit target is a few KB), the corpus is ENCODED to m small codes per
+    vector in one distributed pass, and search scans codes with per-query
+    ADC lookup tables — the memory-bound regime where a 100 TB float
+    corpus becomes m bytes/vector — then exact-reranks the short list.
+    Rows-only (codebooks are engine state); recall@10 ≥ 0.7 vs numpy
+    brute force and exact rerank-score soundness pinned in
+    tests/test_no_oracle_parity.py."""
+    from ..operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "vec_id", "embedding", m=16, nbits=4)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(
+        codes, books, emb, queries, "vec_id", "embedding", k=10, rerank=8
+    )
+
+
 @_register("ann_topk_ivf_kmeans")
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with REAL distributed Lloyd's centroids (kmeans_fit) — the
@@ -4763,6 +4785,7 @@ _DRIVER_FRONT = [
     "f_label_repair",
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
+    "ann_topk_pq",
     "ann_join_ivf",
     "mm_video_frames",
     # green in r3, rotated out of the r4 window — oldest greens first so

@@ -580,3 +580,35 @@ def test_ann_join_ivf_soundness_and_recall(spark):
         hits += len(want & have)
     recall = hits / total
     assert recall >= 0.5, f"ANN-join recall@5 {recall:.2f} below floor"
+
+
+def test_ann_pq_soundness_and_recall(spark):
+    """PQ ANN: rerank scores must equal the independent numpy quantized
+    cosine, every query retrieves itself (its own code is its nearest by
+    construction after rerank), and recall@10 vs brute force clears 0.7 —
+    well above the IVF floor because the exact rerank repairs ADC error."""
+    out = QUERIES["ann_topk_pq"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    for r in out.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    ids = sorted(vec)
+    M = np.vstack([np.round(np.asarray(vec[i], dtype=np.float64) * 1_000_000)
+                   for i in ids])
+    norms = np.sqrt((M * M).sum(1))
+    sims = (M @ M.T) / np.outer(norms, norms)
+    got = out.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qi, q in enumerate(ids):
+        if q % 100:
+            continue
+        assert q in got.get(q, set()), f"query {q} did not retrieve itself"
+        order = np.lexsort((ids, -sims[qi]))
+        want = {ids[j] for j in order[:10]}
+        total += len(want)
+        hits += len(want & got.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.7, f"PQ recall@10 {recall:.2f} below floor"
