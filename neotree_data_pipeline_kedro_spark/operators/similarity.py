@@ -738,6 +738,21 @@ def pq_topk(
         .filter(F.col("__rn") <= keep)
         .drop("__rn", "adc_dist")
     )
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k, scale)
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int,
+) -> DataFrame:
+    """Shared ADC tail: join the short-listed (query_id, neighbor_id)
+    pairs back to the real vectors and keep the exact integer-quantized
+    cosine top-k per query. Touches only shortlist-many vectors."""
     cv = prep_vectors(corpus, id_col, vec_col, scale).select(
         F.col("id").alias("neighbor_id"), F.col("__v"), F.col("__n")
     )
@@ -765,3 +780,113 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """The FAISS-IVFPQ layout: every vector carries its IVF cell AND its
+    PQ codes — ``(id, cell, codes)``. Search probes cells first, then
+    ADC-scans only the probed cells' codes; at 100 TB, persist/bucket this
+    frame BY CELL so a probe reads only its cells' files."""
+    cells = build_ivf_index(corpus, centroids, id_col, vec_col, scale=scale).select(
+        F.col(id_col).alias("id"), "cell"
+    )
+    codes = pq_encode(corpus, id_col, vec_col, codebooks)
+    return cells.join(codes, "id")
+
+
+def ivfpq_topk(
+    indexed_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF + PQ composed, the production large-scale ANN shape: each query
+    probes its ``nprobe`` nearest cells (centroids broadcast), the
+    candidate set is just those cells' PQ CODES (m bytes per row — the
+    scan never touches vectors), ADC lookup tables score them per Arrow
+    batch, and the ``rerank·k`` shortlist gets the exact
+    integer-quantized-cosine rerank. Candidate volume: nprobe·cell-size
+    per query; scan bytes: codes only."""
+    m, ksub, dsub = codebooks.shape
+    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
+        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    q = prep_vectors(queries, id_col, vec_col, scale).select(
+        F.col("id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    probes = q.join(F.broadcast(cc)).select(
+        "query_id",
+        "cell",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn"), integer=True
+        ).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    probed = (
+        probes.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = indexed_codes.join(F.broadcast(probed), "cell").select(
+        "query_id", "id", "codes"
+    )
+
+    # per-query ADC LUTs, built driver-side from the (small) query set
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), _l2_normalize(F.col(vec_col)).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy()
+    qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+    luts = np.empty((len(qids), m, ksub))
+    cb = codebooks
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (cb[j] * cb[j]).sum(axis=1)[None, :] - 2.0 * (qs @ cb[j].T)
+    lut_of = {int(qid): luts[i] for i, qid in enumerate(qids)}
+    keep = rerank * k
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.vstack(list(pdf["codes"]))
+            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qid, grp in pdf.groupby("query_id"):
+                lut = lut_of[int(qid)]
+                gc = np.vstack(list(grp["codes"]))
+                d = lut[np.arange(m)[None, :], gc].sum(axis=1)
+                top = np.argsort(d, kind="stable")[: min(keep, len(d))]
+                gids = grp["id"].to_numpy()
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(gids[top])
+                out["adc_dist"].extend(d[top])
+            yield pd.DataFrame(out)
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= keep)
+        .drop("__rn", "adc_dist")
+    )
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k, scale)

@@ -4101,6 +4101,40 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_topk_ivfpq")
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (operators/similarity.build_ivfpq_index /
+    ivfpq_topk) — the production large-scale ANN layout: vectors carry an
+    IVF cell and m PQ codes; a query probes its nprobe cells, ADC-scans
+    ONLY those cells' codes (bytes, not vectors), and the shortlist gets
+    the exact quantized-cosine rerank. Rows-only; recall + soundness twin
+    in tests/test_no_oracle_parity.py."""
+    from ..operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ncells = min(256, int(math.isqrt(n - 1)) + 1)
+    centroids = (
+        emb.orderBy(F.xxhash64("vec_id"))
+        .limit(ncells)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    books = pq_train(emb, "vec_id", "embedding", m=16, nbits=4)
+    index = build_ivfpq_index(emb, centroids, books, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        index, centroids, books, emb, queries, "vec_id", "embedding",
+        k=10, nprobe=8, rerank=8,
+    )
+
+
 @_register("ann_topk_ivf_kmeans")
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with REAL distributed Lloyd's centroids (kmeans_fit) — the
@@ -4786,6 +4820,7 @@ _DRIVER_FRONT = [
     "v_type_conformance",
     "ann_topk_ivf_kmeans",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "ann_join_ivf",
     "mm_video_frames",
     # green in r3, rotated out of the r4 window — oldest greens first so

@@ -612,3 +612,33 @@ def test_ann_pq_soundness_and_recall(spark):
         hits += len(want & got.get(q, set()))
     recall = hits / total
     assert recall >= 0.7, f"PQ recall@10 {recall:.2f} below floor"
+
+
+def test_ann_ivfpq_soundness_and_recall(spark):
+    """IVFPQ: rerank scores exact, recall@10 vs brute force above the IVF
+    floor (cell pruning can drop true neighbors the PQ rerank can't
+    recover, so the floor matches IVF's, not flat PQ's)."""
+    out = QUERIES["ann_topk_ivfpq"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vec = {r.vec_id: np.asarray(r.embedding) for r in emb.itertuples()}
+
+    for r in out.itertuples():
+        expect = _quantized_cosine_np(vec[r.query_id], vec[r.neighbor_id])
+        assert abs(r.cosine_sim - expect) < 1e-12
+
+    ids = sorted(vec)
+    M = np.vstack([np.round(np.asarray(vec[i], dtype=np.float64) * 1_000_000)
+                   for i in ids])
+    norms = np.sqrt((M * M).sum(1))
+    sims = (M @ M.T) / np.outer(norms, norms)
+    got = out.groupby("query_id")["neighbor_id"].apply(set)
+    hits = total = 0
+    for qi, q in enumerate(ids):
+        if q % 100:
+            continue
+        order = np.lexsort((ids, -sims[qi]))
+        want = {ids[j] for j in order[:10]}
+        total += len(want)
+        hits += len(want & got.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.5, f"IVFPQ recall@10 {recall:.2f} below floor"
