@@ -424,3 +424,49 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<long>"))
     )
     return lb.join(rb, [*keys, "__salt"], how).drop("__salt")
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Blocked edit-distance join: pairs whose Levenshtein distance (on
+    lowercased values) is ≤ ``max_dist`` — dictionary canonicalization,
+    typo-tolerant entity matching.
+
+    Blocking must never lose a true match, so it uses only a TRUE
+    invariant of edit distance: ``|len(a) − len(b)| ≤ d``. Strings land in
+    length buckets of width ``d+1``; the left side probes its bucket ±1
+    (an equi-join on the bucket id), and the exact Levenshtein filter runs
+    only within blocks. A first-character block would be cheaper but
+    drops matches whose edit touches position 0 — use ``extra_keys`` for
+    caller-supplied exact blocking (country, category) when both sides
+    are large; length-only blocking bounds candidates by names-per-length,
+    which is the dictionary-join regime.
+    """
+    if set(left.columns) & set(right.columns) - set(extra_keys):
+        raise ValueError(
+            "fuzzy_string_join: overlapping non-key columns; alias them first"
+        )
+    w = max_dist + 1
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.length(F.col(left_col)) / w).cast("long") - 1,
+                (F.length(F.col(left_col)) / w).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", (F.length(F.col(right_col)) / w).cast("long"))
+    dist = F.levenshtein(F.lower(F.col(left_col)), F.lower(F.col(right_col)))
+    return (
+        lb.join(rb, [*extra_keys, "__bucket"])
+        .filter(dist <= max_dist)
+        .withColumn("edit_dist", dist)
+        .drop("__bucket")
+    )

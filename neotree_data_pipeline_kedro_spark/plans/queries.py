@@ -1888,6 +1888,7 @@ def j10_values_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "j12_salted_skew_join",
+    "j13_fuzzy_dictionary_join",
     """
     SELECT s.s_nationkey, COUNT(*) AS n_items,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -1920,6 +1921,45 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum("qty").cast("double").alias("sum_qty"),
         )
+    )
+
+
+@_register(
+    "j13_fuzzy_dictionary_join",
+    """
+    WITH dict AS (SELECT DISTINCT p_name FROM part),
+    probe AS (
+      SELECT substr(p_name, 1, 1) || substr(p_name, 3) AS probe_name
+      FROM dict
+    )
+    SELECT p.probe_name, d.p_name AS matched,
+           CAST(levenshtein(lower(p.probe_name), lower(d.p_name)) AS INTEGER)
+             AS edit_dist
+    FROM probe p JOIN dict d
+      ON levenshtein(lower(p.probe_name), lower(d.p_name)) <= 1
+    """,
+)
+def j13_fuzzy_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant dictionary canonicalization (operators/joins.
+    fuzzy_string_join): the distinct part-name dictionary is probed with
+    deterministically corrupted names (second character dropped) and each
+    probe recovers every dictionary entry within edit distance 1. Blocking
+    uses only the true length invariant (|Δlen| ≤ d ⇒ adjacent length
+    buckets), so no true match can be lost — the oracle is the unblocked
+    all-pairs Levenshtein join."""
+    from ..operators.joins import fuzzy_string_join
+
+    dictionary = _t(spark, sf_dir, "part").select("p_name").distinct()
+    probes = dictionary.select(
+        F.concat(
+            F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+        ).alias("probe_name")
+    )
+    return fuzzy_string_join(
+        probes, dictionary.withColumnRenamed("p_name", "matched"),
+        "probe_name", "matched", max_dist=1,
+    ).select(
+        "probe_name", "matched", F.col("edit_dist").cast("int").alias("edit_dist")
     )
 
 

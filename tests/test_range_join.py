@@ -106,3 +106,42 @@ def test_j11_plan_has_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_string_join_complete_vs_naive(spark):
+    """Length-bucket blocking must not lose any pair within max_dist —
+    including edits at position 0 (which first-char blocking would drop)."""
+    from neotree_data_pipeline_kedro_spark.operators.joins import fuzzy_string_join
+
+    left = spark.createDataFrame(
+        [("kitten",), ("Xold widget",), ("bolt",), ("zzzzz",)], "probe string"
+    )
+    right = spark.createDataFrame(
+        [("sitten",), ("cold widget",), ("bolts",), ("bole",), ("unrelated",)],
+        "name string",
+    )
+    got = {
+        (r.probe, r.name, r.edit_dist)
+        for r in fuzzy_string_join(left, right, "probe", "name", max_dist=1).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (l.probe, r.name, lev(l.probe.lower(), r.name.lower()))
+        for l, r in itertools.product(left.collect(), right.collect())
+        if lev(l.probe.lower(), r.name.lower()) <= 1
+    }
+    assert got == want
+    assert ("kitten", "sitten", 1) in got     # substitution at position 0
+    assert ("Xold widget", "cold widget", 1) in got
