@@ -1888,7 +1888,6 @@ def j10_values_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "j12_salted_skew_join",
-    "j13_fuzzy_dictionary_join",
     """
     SELECT s.s_nationkey, COUNT(*) AS n_items,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -4845,6 +4844,7 @@ _DRIVER_FRONT = [
     "dd_contamination_check",
     "j11_range_join_attribution",
     "j12_salted_skew_join",
+    "j13_fuzzy_dictionary_join",
     "ta_bm25_topk",
     "a8_pivot_status",
     "a9_rollup_orders",
