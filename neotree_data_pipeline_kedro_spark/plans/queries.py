@@ -2255,6 +2255,41 @@ def w5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w6_rolling_7day_features",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w6_rolling_7day_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user features on every event (rolling count and
+    decimal-exact rolling sum) via a RANGE window frame over event-time
+    micros — the feature-engineering shape for behavioral signals. One
+    shuffle on the user key; RANGE frames include value-peers, so ties
+    need no tiebreak to be deterministic. Decimal partial sums keep the
+    rolling sum order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+@_register(
     "u4_topk_per_group",
     """
     SELECT o_custkey, o_orderkey, o_totalprice
@@ -4854,6 +4889,7 @@ _DRIVER_FRONT = [
     "ta_stratified_sample",
     "f_ecdf_normalize",
     "w5_event_funnel",
+    "w6_rolling_7day_features",
     "u4_topk_per_group",
     "f_vector_ops",
     "f_label_repair",
