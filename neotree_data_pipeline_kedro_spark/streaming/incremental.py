@@ -69,3 +69,45 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    sink_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming first-write-wins upsert sink: every micro-batch passes
+    through ``incremental_sink`` (anti-join against the DURABLE sink key
+    set, then append) via ``foreachBatch`` — the streaming form of the
+    reference's NOT-EXISTS import contract. Unlike
+    ``dropDuplicatesWithinWatermark`` (state = keys inside the horizon),
+    the guard here is the sink itself, so a key that arrived months ago
+    still suppresses re-imports; the price is one key-projected sink scan
+    per batch (bucket the sink by key to keep that scan pruned at scale).
+    foreachBatch also makes the write idempotent-enough for retries: a
+    replayed batch anti-joins against its own previous append.
+
+    ``max_files_per_trigger`` defaults to 1 — one source file per
+    micro-batch, the reference's per-file import loop — which makes
+    first-wins deterministic across files (file modification order). The
+    sink guard is CROSS-batch only: widen the trigger only if batches are
+    already key-deduped (compose with operators/dedup upstream)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.parquet(source_path)
+
+    def upsert(batch: DataFrame, _epoch: int) -> None:
+        incremental_sink(batch.sparkSession, batch, sink_path, keys)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

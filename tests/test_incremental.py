@@ -51,3 +51,42 @@ def test_run_available_now_checkpointed(spark, tmp_path):
     )
     out = {r.id: r.v for r in spark.read.parquet(sink).collect()}
     assert out == {1: "A", 2: "B", 3: "C"}
+
+
+def test_foreach_batch_upsert_suppresses_cross_batch_dupes(spark, tmp_path):
+    """Streaming foreachBatch upsert: duplicates across micro-batches AND
+    across separate stream runs are suppressed by the durable sink guard;
+    a replayed batch does not double-append."""
+    import os
+    import time as _time
+
+    from neotree_data_pipeline_kedro_spark.streaming.incremental import (
+        run_foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    schema = "uid string, payload string"
+
+    def drop(name, rows, age):
+        path = os.path.join(src, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        m = _time.time() - age
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (m, m))
+
+    drop("b0.parquet", [("A", "first-A"), ("B", "first-B")], 200)
+    drop("b1.parquet", [("A", "dup-A"), ("C", "first-C")], 150)
+    run_foreach_batch_upsert(spark, src + "/*", schema, sink, ck, ["uid"])
+    got = {r.uid: r.payload for r in spark.read.parquet(sink).collect()}
+    assert got == {"A": "first-A", "B": "first-B", "C": "first-C"}
+
+    # a later run with new + duplicate keys: only the new key lands
+    drop("b2.parquet", [("A", "dup-A-again"), ("D", "first-D")], 100)
+    run_foreach_batch_upsert(spark, src + "/*", schema, sink, ck, ["uid"])
+    got = {r.uid: r.payload for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        "A": "first-A", "B": "first-B", "C": "first-C", "D": "first-D"
+    }
