@@ -83,3 +83,18 @@ def test_bm25_topk_plan_contract(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan
+
+
+def test_contamination_broadcasts_benchmark_index(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    from conftest import SF_SMOKE
+
+    df = QUERIES["dd_contamination_check"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the benchmark's inverted shingle index must ride a broadcast — the
+    # corpus side never shuffles its shingles
+    assert "BroadcastHashJoin" in plan
