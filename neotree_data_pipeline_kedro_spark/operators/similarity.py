@@ -890,3 +890,41 @@ def ivfpq_topk(
         .drop("__rn", "adc_dist")
     )
     return _exact_rerank(short, corpus, queries, id_col, vec_col, k, scale)
+
+
+def save_ann_index(
+    index: DataFrame, codebooks: np.ndarray, centroids: DataFrame, path: str
+) -> None:
+    """Persist an IVFPQ index to a warehouse directory: the (id, cell,
+    codes) frame partitioned BY CELL — so a search that probes nprobe
+    cells reads nprobe directories, nothing else — plus the codebooks
+    (flattened to rows) and centroids as small side tables. Everything is
+    plain parquet: any engine reads it back."""
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    m, ksub, dsub = codebooks.shape
+    spark = index.sparkSession
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ann_index(spark, path: str):
+    """Load a persisted IVFPQ index: returns (index_df, codebooks,
+    centroids_df) ready for ``ivfpq_topk``. The codes read keeps cell as a
+    partition column, so probe filters prune directories."""
+    index = spark.read.parquet(f"{path}/codes")
+    cb = spark.read.parquet(f"{path}/codebooks").toPandas()
+    m = int(cb["subspace"].max()) + 1
+    ksub = int(cb["code"].max()) + 1
+    dsub = len(cb["centroid"].iloc[0])
+    books = np.empty((m, ksub, dsub))
+    for r in cb.itertuples():
+        books[r.subspace, r.code] = np.asarray(r.centroid)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return index, books, centroids

@@ -642,3 +642,50 @@ def test_ann_ivfpq_soundness_and_recall(spark):
         hits += len(want & got.get(q, set()))
     recall = hits / total
     assert recall >= 0.5, f"IVFPQ recall@10 {recall:.2f} below floor"
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted IVFPQ index: search results after save+load must equal
+    the in-memory index's results exactly, and the codes layout must be
+    partitioned by cell (directory pruning for probes)."""
+    import glob as g
+
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ann_index,
+        pq_train,
+        save_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = (
+        emb.orderBy(F.xxhash64("vec_id"))
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    books = pq_train(emb, "vec_id", "embedding", m=8, nbits=4)
+    index = build_ivfpq_index(emb, cents, books, "vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+
+    before = ivfpq_topk(
+        index, cents, books, emb, q, "vec_id", "embedding", k=5, nprobe=4
+    ).toPandas()
+
+    path = str(tmp_path / "ann")
+    save_ann_index(index, books, cents, path)
+    index2, books2, cents2 = load_ann_index(spark, path)
+    assert np.allclose(books, books2)
+    after = ivfpq_topk(
+        index2, cents2, books2, emb, q, "vec_id", "embedding", k=5, nprobe=4
+    ).toPandas()
+
+    key = ["query_id", "neighbor_id", "cosine_sim"]
+    b = before[key].sort_values(key).reset_index(drop=True)
+    a = after[key].sort_values(key).reset_index(drop=True)
+    assert b.equals(a)
+    assert g.glob(path + "/codes/cell=*"), "codes not partitioned by cell"
