@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.nulls import nullify
@@ -474,4 +474,63 @@ def type_conformance(df: DataFrame, column: str, expected: str) -> DataFrame:
             "nonconforming"
         ),
         F.sum(c.isNotNull().cast("long")).alias("non_null"),
+    )
+
+
+def histogram_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-bin histogram drift between two snapshots of the same column —
+    the scan-shaped data-drift check a training pipeline runs between
+    ingestion waves (distribution shift in a quality score / price /
+    length column), extending the §2.11 quality family
+    (data_validation/validate.py's outlier report compares one snapshot to
+    fixed bounds; this compares two snapshots to each other).
+
+    Buckets are FIXED-width (``floor(v / bucket_width)`` clamped to
+    ``[0, n_buckets)``), not quantiles, so the two sides bucket
+    identically without a shared sort and the whole check is two map-side
+    partial aggregations (one per snapshot) + a tiny n_buckets-row join —
+    no data shuffle at any scale. Rates are double divisions of exact
+    integer counts and the squared-gap term is summed nowhere, so every
+    output value is bit-deterministic across engines (no transcendental
+    PSI log — consumers that want PSI can apply it to the rates
+    downstream).
+
+    Output: one row per non-empty bucket:
+    (bucket, base_n, cur_n, base_rate, cur_rate, sq_gap).
+    """
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int"),
+            ),
+        )
+        return df.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias(out))
+
+    b = bucketed(base, "base_n")
+    c = bucketed(cur, "cur_n")
+    joined = b.join(c, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("base_n", F.lit(0)).alias("base_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    base_total = F.sum("base_n").over(Window.partitionBy())
+    cur_total = F.sum("cur_n").over(Window.partitionBy())
+    rate_b = F.col("base_n") / base_total
+    rate_c = F.col("cur_n") / cur_total
+    return joined.select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        rate_b.alias("base_rate"),
+        rate_c.alias("cur_rate"),
+        ((rate_c - rate_b) * (rate_c - rate_b)).alias("sq_gap"),
     )

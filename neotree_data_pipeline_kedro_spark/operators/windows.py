@@ -124,3 +124,47 @@ def ecdf_normalize(
         .withColumn(prefix + "cume_dist", F.cume_dist().over(w))
         .withColumn(prefix + "tile", F.ntile(n_tiles).over(w))
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    attr_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: each row
+    becomes a version interval ``[valid_from, valid_to)`` per key, with
+    ``valid_to`` = the next change's timestamp (NULL on the open current
+    version), ``version`` = 1-based change ordinal, and ``is_current``
+    marking the latest row.
+
+    This is the warehouse-dimension counterpart of the reference's
+    lifecycle/reconcile machinery (conf/common/sql_functions.py upsert +
+    merge_all.py lifecycle flags): instead of overwriting the matched row,
+    history is preserved as intervals — the standard dimensional-modeling
+    shape a 100 TB warehouse needs for as-of joins against facts
+    (pair with ``asof_nearest``).
+
+    Scale shape: ONE window shuffle on the dimension key; lead/row_number
+    are linear per partition, no self-join and no driver involvement. A
+    unique total order is part of the contract — pass ``tiebreak`` when
+    ``ts_col`` can repeat within a key (pandas frame order does not exist
+    distributed).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*_order(ts_col, tiebreak))
+    # attr_cols, when given, is the FULL output projection (keys included)
+    cols = list(attr_cols) if attr_cols is not None else df.columns
+    out = (
+        df.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+    )
+    return out.select(
+        *[c for c in cols if c not in (ts_col,)],
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

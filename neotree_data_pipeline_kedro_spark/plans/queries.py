@@ -4856,6 +4856,552 @@ def v_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 widening: TPC-H-shaped plan showcases (distinct optimizer shapes
+# the engine must keep healthy at 100 TB), SCD2 dimension build, and
+# two-snapshot drift detection.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q7_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN customer ON c_custkey  = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bi-directional nation-pair trade volume: the nation
+    dimension joins twice under different roles (supplier side / customer
+    side), the pair filter is an OR across the two roles, and revenue rolls
+    up per (supp_nation, cust_nation, year).
+
+    Plan shape to protect at scale: nation x2, supplier, customer all
+    broadcast (none is fact-sized); lineitem joins orders on the fact key —
+    the ONLY shuffle-eligible join — then one agg shuffle on the tiny
+    3-column group key. The OR pair-filter must run AFTER both role joins
+    (it references both), but each role join is pre-filtered to the two
+    nations of interest, so the broadcast hash tables stay two-nations
+    small."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped outer-join histogram: LEFT join with a predicate ON
+    the join itself (customers keep their row even when every order is
+    filtered out — a WHERE would silently drop them), count per customer,
+    then a second tiny aggregation over the counts.
+
+    Scale shape: the outer join shuffles both sides on custkey (orders is
+    fact-sized, so no broadcast), the per-customer count is partial-agg
+    friendly, and the histogram agg runs on |customers| rows grouped into
+    a handful of distinct counts — skew-safe because the first agg already
+    collapsed per key."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT promo_rev, total_rev,
+           100.0 * promo_rev / total_rev AS promo_pct
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    ) m
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-share aggregate: one broadcast join
+    (part is dim-sized), one pass computing numerator and denominator
+    together as exact decimal sums, ratio taken in double AFTER both sums
+    are exact — so the percentage is bit-deterministic across engines and
+    partition orders (a double SUM here would be neither).
+
+    At scale this is a scan + broadcast probe + single-row agg: the month
+    filter prunes row groups, only three lineitem columns are read, and no
+    shuffle moves more than the two partial sums per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    pa = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+@_register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type  <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped count-distinct with an exclusion anti-join: how
+    many distinct (reputable) suppliers ship each surviving
+    (brand, type, size) bucket.
+
+    Scale shape: the negative-balance supplier list is tiny -> broadcast
+    anti-join (no shuffle); the part filter is a broadcast semi-side; the
+    COUNT(DISTINCT) expands to Spark's two-phase distinct aggregate —
+    partial distinct on (group key, suppkey) map-side, then one exchange on
+    the group key. That expansion is the skew-safe distinct plan at 100 TB
+    (never collect sets per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive (OR-of-ANDs) join predicate. The scale
+    trap: evaluated only post-join, the OR forces the join to process every
+    row of both tables. The fix is the implied per-side disjunction —
+    part rows must satisfy the brand/size OR, lineitem rows the quantity
+    envelope — applied BEFORE the join so the parquet scans prune and the
+    broadcast table shrinks, with the full cross-column OR re-checked after
+    the join (it is not implied by the per-side filters)."""
+    part_pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    pa = _t(spark, sf_dir, "part").filter(part_pred)
+    full = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(10, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(20, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q20_promo_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(300 AS DECIMAL(12,2))
+    )
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested aggregate -> semi-join: suppliers whose 1997
+    PROMO-part shipments exceed a quantity threshold. The HAVING sum is an
+    exact decimal so the threshold comparison cannot flip with partition
+    order (a double sum could, for values near the boundary).
+
+    Scale shape: part filter broadcasts into the lineitem scan, the
+    per-supplier agg is one shuffle on suppkey (partial sums map-side),
+    and the qualifying-supplier set — at most |supplier| rows — broadcasts
+    back as a LEFT SEMI join, so the supplier table is never shuffled."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = _t(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(300).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return su.join(
+        F.broadcast(qualifying),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_name", "s_acctbal")
+
+
+@_register(
+    "q21_waiting_supplier_blame",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    ), blamed AS (
+      SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      FROM lo JOIN per_order USING (l_orderkey)
+      WHERE lo.late AND per_order.n_supp > 1 AND per_order.n_late_supp = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-blame analysis: on finished multi-supplier
+    orders, find the supplier who was the ONLY one to ship late (>60 days
+    after the order date) and count their blamed orders.
+
+    The textbook form is a correlated EXISTS + NOT-EXISTS pair — two extra
+    fact self-joins. This is the scalable de-correlation: ONE pass
+    computes per-order distinct-supplier and distinct-late-supplier counts
+    (two-phase distinct agg), the late rows re-join that tiny per-order
+    summary on the already-partitioned orderkey, and the supplier name
+    lookup broadcasts. Fact data is shuffled once on l_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        lo.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_register(
+    "q22_dormant_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+      AND c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-high-balance report: customers in selected
+    nations with above-average positive balance and NO orders at all.
+
+    Three classic sub-shapes composed: a scalar aggregate subquery
+    (computed as exact-decimal-sum / count, broadcast as a 1-row cross
+    join — never .collect()), an anti-join against the fact table for
+    "never ordered" (shuffle-free on the customer side once orders'
+    custkey projection is deduped map-side), and a final tiny rollup per
+    nation."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = (
+        cu.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cu.filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "a12_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a12_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets rollup (completes the pivot/rollup analytic
+    family a8/a9): all four grouping combinations of (status, priority) in
+    one pass. Spark plans CUBE as an Expand (4x row replication) feeding
+    one partial-agg-friendly hash aggregate — the replication happens
+    map-side AFTER the scan, so at 100 TB the input is read once and the
+    exchange carries only per-group partials (4 x |groups| rows, not 4 x
+    the fact table)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@_register(
+    "w7_scd2_user_history",
+    """
+    SELECT user_id, value, event_id,
+           ROW_NUMBER() OVER w AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def w7_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD dimension build (operators/windows.py
+    scd2_from_changelog): each purchase event becomes a versioned
+    [valid_from, valid_to) interval per user with an is_current marker —
+    the dimensional-history counterpart of the reference's overwrite-style
+    reconcile (conf/common/sql_functions.py upsert; merge_all.py lifecycle
+    flags), and the dimension side every as-of fact join (J3) needs.
+    One window shuffle on the key; event_id tiebreak makes the version
+    order total, so the build is deterministic under any partitioning."""
+    from ..operators.windows import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return scd2_from_changelog(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak=["event_id"],
+        attr_cols=["user_id", "value", "event_id"],
+    )
+
+
+@_register(
+    "v_drift_histogram",
+    """
+    WITH base AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000) AS INTEGER)))
+               AS bucket,
+             COUNT(*) AS base_n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ), cur AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000) AS INTEGER)))
+               AS bucket,
+             COUNT(*) AS cur_n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(base.bucket, cur.bucket) AS bucket,
+             COALESCE(base_n, 0) AS base_n,
+             COALESCE(cur_n, 0) AS cur_n
+      FROM base FULL OUTER JOIN cur ON base.bucket = cur.bucket
+    )
+    SELECT bucket, base_n, cur_n,
+           base_n / SUM(base_n) OVER () AS base_rate,
+           cur_n  / SUM(cur_n)  OVER () AS cur_rate,
+           (cur_n / SUM(cur_n) OVER () - base_n / SUM(base_n) OVER ())
+           * (cur_n / SUM(cur_n) OVER () - base_n / SUM(base_n) OVER ())
+             AS sq_gap
+    FROM j
+    """,
+)
+def v_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot distribution-drift check (operators/validation.py
+    histogram_drift): fixed-width histogram of o_totalprice before vs
+    after a cutover date, with per-bucket rates and squared-gap terms.
+    Fixed bins mean the two snapshots never need a shared sort or
+    quantile pass — each side is one map-side partial aggregation, the
+    join is n_buckets rows, and every output value is a deterministic
+    double ratio of exact integer counts (no transcendental PSI log in
+    the engine; apply it downstream if wanted)."""
+    from ..operators.validation import histogram_drift
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return histogram_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        bucket_width=50000.0,
+        n_buckets=10,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -4874,6 +5420,17 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "q7_nation_trade_volume",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier_blame",
+    "q22_dormant_customers",
+    "a12_cube_status_priority",
+    "w7_scd2_user_history",
+    "v_drift_histogram",
     "dd_connected_components",
     "dd_semantic_dedup",
     "dd_contamination_check",

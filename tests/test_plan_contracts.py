@@ -170,3 +170,56 @@ def test_q6_pushes_all_filters_and_prunes_schema(spark):
     assert m2
     read_cols = {c.split(":")[0] for c in m2.group(1).split(",") if c}
     assert read_cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q19_pushes_per_side_disjunction_to_scans(spark):
+    # the OR-of-ANDs must not force a full-table join: the implied
+    # brand/size OR reaches the part scan, the quantity envelope reaches
+    # the lineitem scan, and the join side stays broadcast
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p for p in pushed), "quantity envelope not pushed"
+    assert any("Or(" in p and "p_brand" in p for p in pushed), (
+        "per-side brand/size disjunction not pushed to the part scan"
+    )
+
+
+def test_q21_shuffles_fact_once_and_broadcasts_supplier(spark):
+    # decorrelated Q21: per-order distinct counts + the re-join must share
+    # the l_orderkey partitioning; supplier name lookup broadcasts
+    plan = plan_of(spark, "q21_waiting_supplier_blame")
+    assert "BroadcastHashJoin" in plan
+    # fact shuffles: orderkey agg + join reuse, suppkey-ish distinct
+    # expansion, final s_name agg — generous bound, but far below a
+    # correlated-exists triple self-join plan
+    assert exchanges(plan) <= 8, f"too many exchanges:\n{plan[:2000]}"
+
+
+def test_a12_cube_expands_after_scan(spark):
+    # CUBE = Expand feeding ONE hash aggregate pair (partial + final):
+    # replication is map-side, the exchange carries only partials
+    plan = plan_of(spark, "a12_cube_status_priority")
+    assert "Expand" in plan
+    assert exchanges(plan) <= 1, "cube should need a single agg exchange"
+
+
+def test_drift_histogram_shuffles_only_bucket_partials(spark):
+    # two map-side partial aggs + a 10-row join: no exchange may carry
+    # fact-table rows — every exchange key is the bucket id
+    plan = plan_of(spark, "v_drift_histogram")
+    # partial aggregation below each exchange is the real contract: the
+    # fact scans collapse to <=10 bucket partials map-side, so every
+    # exchange/join in the plan moves bucket rows, never order rows
+    assert plan.count("HashAggregate") >= 4  # partial+final per snapshot
+    # the only exchanges allowed: one per-snapshot bucket-partials shuffle
+    # (the bucket expression prints as _groupingexpression) plus the
+    # SinglePartition hop for the 10-row rate window
+    assert exchanges(plan) <= 3, "an exchange is moving more than bucket rows"
+
+
+def test_scd2_single_window_shuffle(spark):
+    plan = plan_of(spark, "w7_scd2_user_history")
+    assert exchanges(plan) <= 1, "SCD2 build must be one window shuffle"
+    assert "Window" in plan
