@@ -1,0 +1,149 @@
+"""Time-series conditioning operators: forward-fill, regular-grid
+resampling, and quantile winsorization.
+
+These extend the §2.6 window family (operators/windows.py) toward the
+feature-engineering shapes a large-scale training pipeline needs: the
+reference's as-of machinery (merge_admissions_discharges, matching.py)
+carries the *latest* observation onto a single probe row; these carry it
+onto every subsequent row (LOCF), onto a dense regular grid (resample),
+or clamp a column into its per-group quantile envelope (winsorize).
+
+Scale shapes:
+- forward_fill: ONE window shuffle on the entity key; `last(ignorenulls)`
+  is linear per partition with O(1) state — no self-join, no driver work.
+- resample_grid: per-key bounds agg (one shuffle) → `sequence`/`explode`
+  builds the grid IN the executors (rows materialize map-side, never on
+  the driver) → left join observed bins on the same key → LOCF window.
+  Grid size is bounded by span/step per key; callers choose the step so
+  a key's grid fits a partition (the natural contract for per-entity
+  series).
+- winsorize: exact per-group percentile bounds (tiny: one row per group)
+  broadcast back onto the fact side — the fact table is scanned once and
+  never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    out_prefix: str = "ffill_",
+) -> DataFrame:
+    """Last-observation-carried-forward per key: each row gains
+    ``{out_prefix}{col}`` = the latest non-null value of ``col`` at or
+    before its timestamp. Null until the first observation (no backfill —
+    that would leak the future into training features).
+
+    A unique total order is part of the contract: pass ``tiebreak`` when
+    ``ts_col`` can repeat within a key.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}", F.last(c, ignorenulls=True).over(w)
+        )
+    return out
+
+
+def resample_grid(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    fill: bool = True,
+) -> DataFrame:
+    """Resample an irregular event series onto a dense regular grid per
+    key: bin events to ``step`` boundaries (sum of ``value_col`` as exact
+    decimal + count per bin), emit EVERY grid point between each key's
+    first and last bin, and — when ``fill`` — carry the last observed bin
+    sum forward across the gaps (``filled_sum``; gap bins keep
+    ``n_events = 0`` so imputation stays distinguishable from data).
+
+    Output: (key..., bin_ts, n_events, bin_sum, filled_sum?).
+    """
+    keys = list(key_cols)
+    bin_ts = F.date_trunc("day", F.col(ts_col)) if step == "1 day" else None
+    if bin_ts is None:
+        raise ValueError(f"unsupported step {step!r}; extend the trunc map")
+    binned = (
+        df.withColumn("bin_ts", bin_ts)
+        .groupBy(*keys, "bin_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("bin_sum"),
+        )
+    )
+    spans = binned.groupBy(*keys).agg(
+        F.min("bin_ts").alias("__lo"), F.max("bin_ts").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bin_ts"),
+    )
+    out = (
+        grid.join(binned, keys + ["bin_ts"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    )
+    if fill:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("bin_ts").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            "filled_sum", F.last("bin_sum", ignorenulls=True).over(w)
+        )
+    return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` into its per-group exact quantile envelope
+    [p_lower, p_upper] — the standard outlier-capping step before scale-
+    sensitive featurization. Exact interpolated percentiles (the
+    quantile_cont definition, same as a10) keep the bounds deterministic;
+    the 100 TB path swaps in percentile_approx with the error bound pinned
+    in tests/test_validation.py.
+
+    Adds ``{out_col}`` (default ``{value_col}_w``) plus the bounds
+    (``__lo``/``__hi`` are retained as ``w_lo``/``w_hi`` for audit).
+    """
+    out_col = out_col or f"{value_col}_w"
+    groups = list(group_cols)
+    bounds = (df.groupBy(*groups) if groups else df.groupBy()).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("w_lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("w_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), groups, "left")
+        if groups
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")),
+    )

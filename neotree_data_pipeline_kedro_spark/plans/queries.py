@@ -5402,6 +5402,179 @@ def v_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w8_forward_fill",
+    """
+    SELECT event_id, user_id, ts, event_type, value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ffill_purchase_value
+    FROM events
+    """,
+)
+def w8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (operators/timeseries.py
+    forward_fill): every event carries the latest purchase value at or
+    before it — null before a user's first purchase (no backfill; future
+    leakage is the training-feature failure mode). One window shuffle on
+    user_id, O(1) state per row, event_id tiebreak makes the carry
+    deterministic under any partitioning."""
+    from ..operators.timeseries import forward_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = forward_fill(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["__purchase_value"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.col("ffill___purchase_value").alias("ffill_purchase_value"),
+    )
+
+
+@_register(
+    "w9_resample_grid",
+    """
+    WITH binned AS (
+      SELECT user_id, date_trunc('day', ts) AS bin_ts,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS bin_sum
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bin_ts) AS lo, MAX(bin_ts) AS hi
+      FROM binned GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bin_ts
+      FROM spans
+    )
+    SELECT g.user_id, g.bin_ts,
+           COALESCE(b.n_events, 0) AS n_events,
+           CAST(b.bin_sum AS DOUBLE) AS bin_sum,
+           CAST(last_value(b.bin_sum IGNORE NULLS)
+                  OVER (PARTITION BY g.user_id ORDER BY g.bin_ts ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_sum
+    FROM grid g LEFT JOIN binned b USING (user_id, bin_ts)
+    """,
+)
+def w9_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling (operators/timeseries.py resample_grid):
+    irregular per-user events become a dense daily series — exact-decimal
+    bin sums, explicit zero-event gap bins, and a forward-filled carry
+    column. The grid rows materialize executor-side via sequence/explode
+    (never on the driver), bounded per key by span/step; gap bins keep
+    n_events = 0 so imputed values stay distinguishable from observed
+    ones."""
+    from ..operators.timeseries import resample_grid
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_grid(
+        ev, key_cols=["user_id"], ts_col="ts", value_col="value", step="1 day"
+    )
+    return out.select(
+        "user_id", "bin_ts", "n_events",
+        F.col("bin_sum").cast("double").alias("bin_sum"),
+        F.col("filled_sum").cast("double").alias("filled_sum"),
+    )
+
+
+@_register(
+    "a13_cohort_retention",
+    """
+    WITH firstev AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+    ), labeled AS (
+      SELECT e.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(FLOOR(date_diff('day', date_trunc('day', f.first_ts),
+                                  date_trunc('day', e.ts)) / 7) AS INTEGER)
+               AS weeks_since
+      FROM events e JOIN firstev f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def a13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, one
+    cell per (cohort_week, weeks_since) counting distinct active users —
+    the standard activation/retention rollup.
+
+    Scale shape: the first-event lookup is a partial-agg min per user
+    re-joined on the SAME user_id partitioning (no second shuffle
+    pattern), week arithmetic is pure integer day-diff (identical across
+    engines — no months_between float), and the final distinct count
+    expands to the two-phase skew-safe distinct aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    firstev = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    labeled = ev.join(firstev, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.date_trunc("day", F.col("first_ts")),
+            )
+            / F.lit(7)
+        )
+        .cast("int")
+        .alias("weeks_since"),
+    )
+    return labeled.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@_register(
+    "f_winsorize",
+    """
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS w_lo,
+             quantile_cont(l_extendedprice, 0.95) AS w_hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           w_lo, w_hi,
+           LEAST(GREATEST(l_extendedprice, w_lo), w_hi) AS l_extendedprice_w
+    FROM lineitem JOIN bounds USING (l_returnflag)
+    """,
+)
+def f_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile winsorization (operators/timeseries.py
+    winsorize): l_extendedprice clamped into its per-returnflag [p05, p95]
+    envelope — outlier capping before scale-sensitive featurization. The
+    bounds frame is one row per group and broadcasts back, so the fact
+    side is scanned once and never shuffled; exact interpolated
+    percentiles (the a10 pattern) keep the bounds engine-deterministic,
+    with percentile_approx as the documented 100 TB swap-in."""
+    from ..operators.timeseries import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(
+        li,
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        lower=0.05,
+        upper=0.95,
+        out_col="l_extendedprice_w",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        "w_lo", "w_hi", "l_extendedprice_w",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5420,6 +5593,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "w8_forward_fill",
+    "w9_resample_grid",
+    "a13_cohort_retention",
+    "f_winsorize",
     "q7_nation_trade_volume",
     "q13_customer_order_distribution",
     "q14_promo_revenue",

@@ -223,3 +223,17 @@ def test_scd2_single_window_shuffle(spark):
     plan = plan_of(spark, "w7_scd2_user_history")
     assert exchanges(plan) <= 1, "SCD2 build must be one window shuffle"
     assert "Window" in plan
+
+
+def test_winsorize_broadcasts_bounds_back(spark):
+    # the per-group envelope is one row per group: it must broadcast onto
+    # the fact side — the fact table is scanned once and never shuffled
+    plan = plan_of(spark, "f_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_forward_fill_single_window_shuffle(spark):
+    plan = plan_of(spark, "w8_forward_fill")
+    assert exchanges(plan) <= 1
+    assert "Window" in plan

@@ -1,0 +1,95 @@
+"""Operator-level contracts for operators/timeseries.py — the semantic
+edges the registry oracle can't isolate: no-backfill, gap-bin visibility,
+clamp idempotence, and the short-circuit cases."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+    forward_fill,
+    resample_grid,
+    winsorize,
+)
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        # key "a": observation on day 1 and day 4; nulls between
+        ("a", _ts(1), 1, 10.0),
+        ("a", _ts(2), 2, None),
+        ("a", _ts(4), 3, 40.0),
+        ("a", _ts(6), 4, None),
+        # key "b": leading null must STAY null (no backfill)
+        ("b", _ts(1), 5, None),
+        ("b", _ts(3), 6, 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, id int, v double")
+
+
+def test_forward_fill_carries_and_never_backfills(series):
+    out = {
+        (r.k, r.id): r.ffill_v
+        for r in forward_fill(
+            series, ["k"], "ts", ["v"], tiebreak=["id"]
+        ).collect()
+    }
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 10.0  # carried
+    assert out[("a", 3)] == 40.0  # replaced by newer observation
+    assert out[("a", 4)] == 40.0
+    assert out[("b", 5)] is None  # before first observation: NO backfill
+    assert out[("b", 6)] == 7.0
+
+
+def test_forward_fill_tiebreak_orders_same_timestamp(spark):
+    rows = [("k", _ts(1), 1, 5.0), ("k", _ts(1), 2, 9.0), ("k", _ts(2), 3, None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id int, v double")
+    out = {r.id: r.ffill_v for r in forward_fill(df, ["k"], "ts", ["v"], ["id"]).collect()}
+    assert out[3] == 9.0  # highest tiebreak at the tied timestamp wins
+
+
+def test_resample_grid_emits_gap_bins_with_zero_events(series):
+    out = resample_grid(series, ["k"], "ts", "v", step="1 day")
+    a = {r.bin_ts.day: r for r in out.filter("k = 'a'").collect()}
+    # span day 1..6 inclusive: all six bins exist
+    assert sorted(a) == [1, 2, 3, 4, 5, 6]
+    assert a[3].n_events == 0 and a[5].n_events == 0  # gap bins explicit
+    assert a[2].n_events == 1  # null-valued event still counts as an event
+    assert a[3].bin_sum is None  # observed sum stays null on gaps...
+    assert float(a[3].filled_sum) == 10.0  # ...but the carry fills it
+    assert float(a[5].filled_sum) == 40.0
+
+
+def test_resample_grid_rejects_unknown_step(series):
+    with pytest.raises(ValueError):
+        resample_grid(series, ["k"], "ts", "v", step="17 fortnights")
+
+
+def test_winsorize_clamps_only_outside_the_envelope(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "g string, x double"
+    )
+    out = winsorize(df, "x", group_cols=["g"], lower=0.05, upper=0.95)
+    rows = out.collect()
+    lo, hi = rows[0].w_lo, rows[0].w_hi
+    # quantile_cont on 1..100: p05 = 5.95, p95 = 95.05
+    assert abs(lo - 5.95) < 1e-9 and abs(hi - 95.05) < 1e-9
+    for r in rows:
+        assert r.x_w == min(max(r.x, lo), hi)
+    # interior values are untouched
+    assert all(r.x_w == r.x for r in rows if lo <= r.x <= hi)
+
+
+def test_winsorize_ungrouped_uses_global_envelope(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 1000]], "x double")
+    out = winsorize(df, "x", lower=0.0, upper=0.5)
+    assert {r.x_w for r in out.collect()} == {1.0, 2.0, 2.5}
