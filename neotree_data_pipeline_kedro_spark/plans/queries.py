@@ -5575,6 +5575,50 @@ def f_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "f_zorder_code",
+    """
+    WITH s0 AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey AS BIGINT) & 2147483647 AS x,
+             CAST(l_suppkey AS BIGINT) & 2147483647 AS y
+      FROM lineitem
+    ), s1 AS (SELECT l_orderkey, l_linenumber,
+              (x | (x << 16)) & 281470681808895 AS x,
+              (y | (y << 16)) & 281470681808895 AS y FROM s0),
+    s2 AS (SELECT l_orderkey, l_linenumber,
+              (x | (x << 8)) & 71777214294589695 AS x,
+              (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+    s3 AS (SELECT l_orderkey, l_linenumber,
+              (x | (x << 4)) & 1085102592571150095 AS x,
+              (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+    s4 AS (SELECT l_orderkey, l_linenumber,
+              (x | (x << 2)) & 3689348814741910323 AS x,
+              (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+    s5 AS (SELECT l_orderkey, l_linenumber,
+              (x | (x << 1)) & 6148914691236517205 AS x,
+              (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+    SELECT l_orderkey, l_linenumber, x | (y << 1) AS zcode
+    FROM s5
+    """,
+)
+def f_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order code of (l_partkey, l_suppkey) per lineitem row
+    (functions/zorder.py morton2) — the sort key compact_parquet's
+    zorder_by layout clusters files on, so scans filtering EITHER key
+    prune most files. Pure JVM bit arithmetic inside whole-stage codegen:
+    no UDF, no shuffle; the oracle replays the identical magic-mask
+    spread in SQL, so the check is bit-exact."""
+    from ..functions.zorder import morton2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton2(F.col("l_partkey"), F.col("l_suppkey")).alias("zcode"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5593,6 +5637,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "f_zorder_code",
     "w8_forward_fill",
     "w9_resample_grid",
     "a13_cohort_retention",

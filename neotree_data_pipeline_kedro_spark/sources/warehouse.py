@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -75,6 +76,7 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     sort_within_by: Sequence[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet location into
     ~``target_file_mb`` files — the maintenance job every long-lived
@@ -84,9 +86,20 @@ def compact_parquet(
 
     File count = ceil(total_bytes / target), measured from the existing
     footprint, so the rewrite is one job with no driver-side data.
-    ``sort_within_by`` sorts within output files (sortWithinPartitions —
-    NO global shuffle) so min/max row-group statistics on those columns
-    become selective and scans with matching filters skip whole files.
+    ``sort_within_by`` range-partitions on its columns and sorts within
+    each output file (one range shuffle — the compaction already moves
+    every row once, so clustering rides the same pass) so min/max file
+    and row-group statistics on those columns become selective and scans
+    with matching filters skip whole files.
+    ``zorder_by=(x_col, y_col)`` clusters files on the Morton interleave
+    of two integer key columns (functions/zorder.py): rows are
+    range-partitioned AND sorted by the code, so each output file covers
+    a small rectangle of (x, y) space and scans filtering EITHER column
+    skip most files — the two-dimensional layout a single-column sort
+    cannot give. ``sort_within_by`` alone also now range-partitions on
+    its first column (global clustering: non-overlapping file ranges,
+    not just row-group-sorted files).
+
     Writes to a sibling temp dir then swaps via two renames — readers
     never see a half-written file set (they can race the brief window
     between renames and retry; on object stores, prefer a manifest/catalog
@@ -101,9 +114,36 @@ def compact_parquet(
             if n.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, n))
     n_files = max(1, -(-total // (target_file_mb << 20)))
-    df = spark.read.parquet(path).repartition(n_files)
-    if sort_within_by:
-        df = df.sortWithinPartitions(*sort_within_by)
+    df = spark.read.parquet(path)
+    if zorder_by is not None:
+        from ..functions.zorder import morton2_scaled
+
+        x_col, y_col = zorder_by
+        # one tiny agg for the bounds (4 scalars to the driver — this is a
+        # maintenance job, not the scan path): scaling both dimensions to a
+        # common bit-width is what makes the interleave balanced when the
+        # keys' ranges differ (raw bits would sort by the wider key alone)
+        lo_x, hi_x, lo_y, hi_y = df.agg(
+            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        ).first()
+        df = (
+            df.withColumn(
+                "__zcode",
+                morton2_scaled(
+                    F.col(x_col), F.col(y_col),
+                    float(lo_x), float(hi_x), float(lo_y), float(hi_y),
+                ),
+            )
+            .repartitionByRange(n_files, "__zcode")
+            .sortWithinPartitions("__zcode")
+            .drop("__zcode")
+        )
+    elif sort_within_by:
+        df = df.repartitionByRange(
+            n_files, *[F.col(c) for c in sort_within_by]
+        ).sortWithinPartitions(*sort_within_by)
+    else:
+        df = df.repartition(n_files)
     tmp = path.rstrip("/") + ".__compact_tmp"
     df.write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".__compact_old"
