@@ -104,6 +104,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         "~MB-sized parquet files (sources/warehouse.compact_parquet) — the "
         "small-file maintenance an incremental warehouse needs",
     )
+    ap.add_argument(
+        "--compact-zorder",
+        default="",
+        metavar="XCOL,YCOL",
+        help="with --compact-mb: Z-order-cluster compacted stages on the "
+        "Morton interleave of two integer columns (functions/zorder.py) so "
+        "scans filtering either column skip files; stages missing either "
+        "column fall back to plain compaction",
+    )
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -145,7 +154,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
 
             stage_dir = f"{args.out}/{name}"
             if os.path.isdir(stage_dir):
-                compact_parquet(spark, stage_dir, target_file_mb=args.compact_mb)
+                zpair = tuple(
+                    c.strip() for c in args.compact_zorder.split(",") if c.strip()
+                )
+                has_both = len(zpair) == 2 and set(zpair) <= set(
+                    out[name].columns
+                )
+                compact_parquet(
+                    spark,
+                    stage_dir,
+                    target_file_mb=args.compact_mb,
+                    zorder_by=zpair if has_both else None,
+                )
     print(json.dumps({"stages": counts, "out": args.out}))
     if own_session:
         spark.stop()

@@ -76,3 +76,37 @@ def merge_rollup(
             combined = F.greatest(sc, dc)
         out_cols.append(combined.alias(name))
     return joined.select(*out_cols)
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Incremental INNER-join maintenance for append-only inputs:
+    Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB.
+
+    Append the result to the stored join and it equals a full recompute
+    of (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) — the algebraic identity the oracle
+    and tests pin. The per-cron cost is each DELTA side against the other
+    STORED side (never stored × stored, which is the rescan this operator
+    exists to delete); with the stored tables bucketed on the join key
+    (sources/warehouse.py), only the delta sides shuffle.
+
+    Inner joins only: outer joins need retraction handling (a formerly
+    unmatched row becomes matched), which an append-only delta cannot
+    express — maintain those as two anti-join-guarded sides instead.
+    """
+    if how != "inner":
+        raise ValueError(
+            "delta_join maintains INNER joins; outer joins need retractions"
+        )
+    keys = list(on)
+    return (
+        a_delta.join(b_old, keys)
+        .unionByName(a_old.join(b_delta, keys))
+        .unionByName(a_delta.join(b_delta, keys))
+    )

@@ -193,3 +193,32 @@ def stratified_sample(
         .filter(F.col("__rn") <= limit)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: Column | str,
+    splits: Sequence[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each key's md5 digest is
+    compared against cumulative hex boundaries, so the split is a pure
+    function of the key — stable across runs, partitionings, engines, and
+    dataset growth (a key keeps its split when new data arrives, the
+    property random() splits lack and training reproducibility needs).
+
+    ``splits`` is an ordered [(name, fraction), ...]; fractions should sum
+    to 1 (the last split absorbs any remainder). Same key contract as
+    hash_gate: integer/string keys only. Stateless map-side expression —
+    no shuffle, composes with any scan.
+    """
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, format(min(16**8 - 1, int(cum * 16**8)), "08x")))
+    digest = F.md5(_col(key_col).cast("string"))
+    assign = F.lit(splits[-1][0])
+    for name, bound in reversed(bounds):
+        assign = F.when(digest < F.lit(bound), F.lit(name)).otherwise(assign)
+    return df.withColumn(out_col, assign)

@@ -534,3 +534,32 @@ def histogram_drift(
         rate_c.alias("cur_rate"),
         ((rate_c - rate_b) * (rate_c - rate_b)).alias("sq_gap"),
     )
+
+
+def fk_orphans(
+    fact: DataFrame,
+    fk_col: str | Column,
+    dim: DataFrame,
+    pk_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity probe: count fact rows whose foreign key has
+    no match in the dimension (NULL fks are not orphans — SQL FK
+    semantics). One row out: (fk, n_orphans).
+
+    Scale shape: the dimension side is reduced to its distinct key column
+    before the LEFT ANTI join, so small dims broadcast and the fact table
+    is scanned once with no wide shuffle; union several probes for a full
+    integrity report (each probe is an independent jobless plan branch).
+    """
+    fk = F.col(fk_col) if isinstance(fk_col, str) else fk_col
+    label = name or f"{fk_col}->{pk_col}"
+    keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
+    orphans = (
+        fact.select(fk.alias("__fk"))
+        .filter(F.col("__fk").isNotNull())
+        .join(keys, F.col("__fk") == F.col("__pk"), "left_anti")
+    )
+    return orphans.agg(
+        F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+    )

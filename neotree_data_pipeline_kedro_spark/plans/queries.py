@@ -5619,6 +5619,205 @@ def f_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j14_table_diff",
+    """
+    WITH old_v AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders
+    ), new_v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             concat_ws(',',
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' END,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'o_orderpriority' END) AS cl
+      FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN in_old AND in_new THEN 'changed'
+                WHEN in_new THEN 'added' ELSE 'removed' END AS change_type,
+           CASE WHEN in_old AND in_new THEN cl ELSE '' END AS changed_columns
+    FROM j
+    WHERE NOT (in_old AND in_new) OR cl <> ''
+    """,
+)
+def j14_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/diff.py table_diff): which order
+    keys were added / removed / changed between two table versions, and
+    which columns changed — the delta the reconcile sinks (S7/J7) apply,
+    computed instead of assumed. The fixture derives version 2 from
+    orders deterministically: every 10th key dropped, every 7th key's
+    total repriced, every 13th key re-minted under a new id. One
+    full-outer shuffle on the key; unchanged rows never leave the plan."""
+    from ..operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old_v = o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    new_v = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    return table_diff(
+        old_v,
+        new_v,
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@_register(
+    "v_referential_integrity",
+    """
+    SELECT 'l_partkey->p_partkey' AS fk, COUNT(*) AS n_orphans
+    FROM (SELECT l_partkey + CASE WHEN l_orderkey % 97 = 0
+                                  THEN 1000000 ELSE 0 END AS fkv
+          FROM lineitem) f
+    WHERE fkv IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = fkv)
+    UNION ALL
+    SELECT 'l_suppkey->s_suppkey', COUNT(*)
+    FROM (SELECT l_suppkey + CASE WHEN l_orderkey % 89 = 0
+                                  THEN 1000000 ELSE 0 END AS fkv
+          FROM lineitem) f
+    WHERE fkv IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = fkv)
+    UNION ALL
+    SELECT 'l_orderkey->o_orderkey', COUNT(*)
+    FROM (SELECT l_orderkey AS fkv FROM lineitem) f
+    WHERE fkv IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = fkv)
+    """,
+)
+def v_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report (operators/validation.py fk_orphans):
+    orphan counts for each fact→dimension foreign key, with two keys
+    deterministically corrupted by the fixture (every 97th / 89th order's
+    part/supplier key shifted out of range) and the order key left intact
+    as the passing case. Each probe reduces the dim to its distinct key
+    and LEFT-ANTI joins (small dims broadcast; the fact scan never wide-
+    shuffles); §2.11's quality family extended to cross-table contracts."""
+    from ..operators.validation import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    bad_part = F.col("l_partkey") + F.when(
+        F.col("l_orderkey") % 97 == 0, 1000000
+    ).otherwise(0)
+    bad_supp = F.col("l_suppkey") + F.when(
+        F.col("l_orderkey") % 89 == 0, 1000000
+    ).otherwise(0)
+    return (
+        fk_orphans(li, bad_part, pa, "p_partkey", name="l_partkey->p_partkey")
+        .unionByName(
+            fk_orphans(li, bad_supp, su, "s_suppkey", name="l_suppkey->s_suppkey")
+        )
+        .unionByName(
+            fk_orphans(li, "l_orderkey", o, "o_orderkey",
+                       name="l_orderkey->o_orderkey")
+        )
+    )
+
+
+@_register(
+    "j15_incremental_join",
+    """
+    WITH a AS (SELECT o_orderkey, o_orderpriority,
+                      (o_orderkey % 5 <> 0) AS is_old FROM orders),
+         b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                      (l_suppkey % 4 <> 0) AS is_old FROM lineitem)
+    SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
+    FROM a JOIN b ON o_orderkey = l_orderkey
+    WHERE NOT (a.is_old AND b.is_old)
+    """,
+)
+def j15_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join maintenance (operators/incremental_agg.py
+    delta_join): the newly-joinable rows when both orders and lineitem
+    receive an append batch — ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, the identity
+    that lets a cron cycle extend a stored join without the stored×stored
+    rescan. The oracle states the same set non-incrementally (full join
+    minus the both-old quadrant), so the check pins the algebra. Each
+    union term shuffles one delta side against one stored side; with the
+    stored tables uid-bucketed the delta alone moves."""
+    from ..operators.incremental_agg import delta_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_suppkey",
+    )
+    a_old = o.filter(F.col("o_orderkey") % 5 != 0)
+    a_delta = o.filter(F.col("o_orderkey") % 5 == 0)
+    b_old = li.filter(F.col("l_suppkey") % 4 != 0).drop("l_suppkey")
+    b_delta = li.filter(F.col("l_suppkey") % 4 == 0).drop("l_suppkey")
+    return delta_join(a_old, a_delta, b_old, b_delta, on=["o_orderkey"]).select(
+        "o_orderkey", "l_linenumber", "o_orderpriority", "l_quantity"
+    )
+
+
+@_register(
+    "ta_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def ta_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    split_assign): assignment is a pure function of the doc id's md5
+    digest against cumulative hex boundaries — stable under reruns,
+    repartitioning, and dataset growth (new docs never move old docs
+    between splits, which random() cannot guarantee). Stateless map-side
+    expression, no shuffle; 80/10/10 here."""
+    from ..operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "split")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5637,6 +5836,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "j15_incremental_join",
+    "ta_split_assign",
+    "j14_table_diff",
+    "v_referential_integrity",
     "f_zorder_code",
     "w8_forward_fill",
     "w9_resample_grid",

@@ -59,3 +59,36 @@ def test_rejects_non_mergeable(spark):
     df = spark.createDataFrame([("x", 1)], "k string, v long")
     with pytest.raises(ValueError, match="not mergeable"):
         partial_rollup(df, ["k"], {"v": "avg"})
+
+
+def test_delta_join_fold_equals_full_recompute(spark):
+    from neotree_data_pipeline_kedro_spark.operators.incremental_agg import (
+        delta_join,
+    )
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, av string")
+    b = spark.createDataFrame(
+        [(i % 10, j, f"b{i}_{j}") for i in range(30) for j in (0, 1)],
+        "k int, j int, bv string",
+    )
+    a_old, a_delta = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+    b_old, b_delta = b.filter("j = 0"), b.filter("j = 1")
+    stored = a_old.join(b_old, ["k"])
+    delta = delta_join(a_old, a_delta, b_old, b_delta, on=["k"])
+    folded = stored.unionByName(delta)
+    full = a.join(b, ["k"])
+    assert folded.count() == full.count()
+    assert folded.exceptAll(full).count() == 0
+    assert full.exceptAll(folded).count() == 0
+
+
+def test_delta_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from neotree_data_pipeline_kedro_spark.operators.incremental_agg import (
+        delta_join,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        delta_join(df, df, df, df, on=["id"], how="left")

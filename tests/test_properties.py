@@ -350,3 +350,23 @@ def test_range_join_matches_naive_property(spark, left, right, bounds):
         if lk == rk and lower_s < (rs - ls) <= upper_s
     }
     assert got == want
+
+
+def test_split_assign_stable_under_growth(spark):
+    """A key's split never changes when the dataset grows — the training
+    reproducibility property random splits lack."""
+    from neotree_data_pipeline_kedro_spark.operators.sampling import split_assign
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    small = spark.range(0, 500)
+    big = spark.range(0, 5000)
+    s = {r.id: r.split for r in split_assign(small, "id", splits).collect()}
+    b = {r.id: r.split for r in split_assign(big, "id", splits).collect()}
+    assert all(b[k] == v for k, v in s.items())
+    # fractions land near the targets (md5 uniformity)
+    from collections import Counter
+
+    frac = Counter(b.values())
+    assert abs(frac["train"] / 5000 - 0.8) < 0.03
+    assert abs(frac["val"] / 5000 - 0.1) < 0.02
+    assert abs(frac["test"] / 5000 - 0.1) < 0.02
