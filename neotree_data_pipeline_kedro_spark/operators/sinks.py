@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.booleans import bool_map
@@ -180,3 +180,59 @@ def reconcile_update(
         else:
             out.append(cur)
     return joined.select(*out)
+
+
+def cascade_delete_keys(
+    spark: SparkSession,
+    warehouse_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    stages: Sequence[str] | None = None,
+) -> dict[str, int]:
+    """Right-to-be-forgotten cascade: remove every row matching a key list
+    from every stage table of a parquet warehouse — the deletion
+    counterpart of the reference's research clean-up sweep
+    (step_6_nodes/data_clean_up.py:229-259 iterates every derived table
+    applying a hygiene pass; here the pass is a key purge).
+
+    For each stage directory that has ``key_col``: LEFT ANTI join against
+    the broadcast key list (deletion lists are small by nature), rewrite
+    to a temp sibling, swap via two renames (same crash-safe shape as
+    compact_parquet — readers never see a half-written table). Stages
+    without the key column are skipped, not errored: a warehouse mixes
+    keyed facts and key-free rollups, and a purge must not stop at the
+    first summary table. Returns {stage: rows_deleted}.
+
+    Scale shape: one anti-join scan-and-rewrite per stage, no wide
+    shuffle (broadcast anti). At real scale prefer partition-aligned
+    deletes (rewrite only partitions whose min/max straddle a doomed key
+    — the Z-order/sort clustering makes that pruning effective).
+    """
+    import os
+    import shutil
+
+    klist = keys.select(F.col(key_col).cast("string").alias("__del_key")).distinct()
+    deleted: dict[str, int] = {}
+    names = stages if stages is not None else sorted(os.listdir(warehouse_dir))
+    for name in names:
+        stage_dir = os.path.join(warehouse_dir, name)
+        if not os.path.isdir(stage_dir):
+            continue
+        df = spark.read.parquet(stage_dir)
+        if key_col not in df.columns:
+            continue
+        before = df.count()
+        kept = df.join(
+            F.broadcast(klist),
+            df[key_col].cast("string") == F.col("__del_key"),
+            "left_anti",
+        )
+        tmp = stage_dir.rstrip("/") + ".__purge_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        old = stage_dir.rstrip("/") + ".__purge_old"
+        os.rename(stage_dir, old)
+        os.rename(tmp, stage_dir)
+        shutil.rmtree(old)
+        deleted[name] = before - after
+    return deleted

@@ -5818,6 +5818,91 @@ def ta_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@_register(
+    "a14_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY month ASC) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month ASC) > 0
+                THEN (revenue - lag(revenue) OVER (ORDER BY month ASC))
+                     / lag(revenue) OVER (ORDER BY month ASC)
+           END AS mom_growth
+    FROM monthly
+    """,
+)
+def a14_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly exact-decimal revenue rollup, then
+    a lag window for the previous month and a double-ratio growth rate
+    (both operands exact decimal-sums cast to double, so the division is
+    bit-deterministic). The lag window is a SINGLE-partition sort — safe
+    here ONLY because the grouped frame is months-sized (~80 rows for 7
+    years), never fact-sized; the agg below it carries the scan."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("month").asc())
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue", "n_orders",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+@_register(
+    "a15_copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def a15_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least two orders. Distinct (order, part) first — dedup BEFORE the
+    pair expansion, so an order with k distinct parts contributes exactly
+    C(k,2) pairs; the a<b inequality rides the equi-join on orderkey
+    (never a cartesian) and the pair count is partial-agg friendly. At
+    100 TB the guard is the per-order item count: baskets are short
+    (TPC-H ~4), so the quadratic term is bounded per key — for long-tail
+    baskets, cap items per order upstream (the standard frequent-itemset
+    mitigation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5836,6 +5921,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "a14_mom_growth",
+    "a15_copurchase_pairs",
     "j15_incremental_join",
     "ta_split_assign",
     "j14_table_diff",
