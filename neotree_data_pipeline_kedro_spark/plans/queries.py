@@ -5201,11 +5201,14 @@ def q21_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the order date) and count their blamed orders.
 
     The textbook form is a correlated EXISTS + NOT-EXISTS pair — two extra
-    fact self-joins. This is the scalable de-correlation: ONE pass
-    computes per-order distinct-supplier and distinct-late-supplier counts
-    (two-phase distinct agg), the late rows re-join that tiny per-order
-    summary on the already-partitioned orderkey, and the supplier name
-    lookup broadcasts. Fact data is shuffled once on l_orderkey."""
+    fact self-joins. First cut here was agg + re-join, but that evaluates
+    the lineitem⋈orders subplan twice (5 scans, no exchange reuse). This
+    form computes the per-order distinct-supplier / distinct-late-supplier
+    counts as collect_set WINDOW functions over the SAME l_orderkey
+    partitioning the blame filter consumes: each fact table is scanned
+    once, the fact data crosses the wire once (the window shuffle), set
+    state is bounded by suppliers-per-order (basket-sized), and only the
+    broadcast supplier lookup + final name rollup follow."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     su = _t(spark, sf_dir, "supplier")
@@ -5217,16 +5220,20 @@ def q21_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     blamed = (
-        lo.filter("late")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
