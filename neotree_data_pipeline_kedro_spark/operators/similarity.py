@@ -345,6 +345,77 @@ def kmeans_fit(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    keep_vec: bool = True,
+) -> DataFrame:
+    """(id[, vec], cell, probe_rank) — each vector's ``nprobe`` nearest
+    centroids by cosine, one numpy GEMM per Arrow batch (the
+    crossJoin+expression+row_number form paid |vectors|·ncells expression
+    cosines AND a per-id window; this is the same data in one map pass
+    with no join and no shuffle).
+
+    Determinism: similarities are quantized to integer micro-units before
+    ranking (the module's scoring contract — absorbs BLAS last-ulp
+    variation) and ties break to the lowest centroid id via a stable sort
+    over centroids pre-sorted by id. Centroids collect to the driver (they
+    are k×dim small by construction) and broadcast in the closure.
+    """
+    cents = (
+        centroids.select(centroid_id_col, centroid_vec_col)
+        .orderBy(centroid_id_col)
+        .toPandas()
+    )
+    cell_ids = cents[centroid_id_col].to_numpy()
+    cmat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in cents[centroid_vec_col]]
+    )
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cunit = cmat / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+    np_ = min(nprobe, len(cell_ids))
+
+    fields = [T.StructField("id", vectors.schema[id_col].dataType)]
+    if keep_vec:
+        fields.append(T.StructField("vec", vectors.schema[vec_col].dataType))
+    fields += [
+        T.StructField("cell", centroids.schema[centroid_id_col].dataType),
+        T.StructField("probe_rank", T.IntegerType()),
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xnorm = np.linalg.norm(x, axis=1)
+            xunit = x / np.where(xnorm > 0, xnorm, 1.0)[:, None]
+            micro = np.rint(1e6 * (xunit @ cunit.T)).astype(np.int64)
+            # stable argsort on -micro: ties keep centroid order = lowest id
+            idx = np.argsort(-micro, axis=1, kind="stable")[:, :np_]
+            out = {
+                "id": np.repeat(pdf[id_col].to_numpy(), np_),
+                "cell": cell_ids[idx].reshape(-1),
+                "probe_rank": np.tile(
+                    np.arange(1, np_ + 1, dtype=np.int32), len(pdf)
+                ),
+            }
+            if keep_vec:
+                out["vec"] = [
+                    v for v in pdf[vec_col] for _ in range(np_)
+                ]
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        batches, schema=T.StructType(fields)
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -356,27 +427,24 @@ def build_ivf_index(
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (IVF cell).
 
-    ``centroids`` is small (k-means output; broadcast). Persist/bucket the
-    result by cell for repeated query workloads.
+    ``centroids`` is small (k-means output; driver-collected into the
+    GEMM closure). One ``assign_cells`` map pass — no join, no window, no
+    shuffle; the crossJoin+expression form this replaces paid
+    |corpus|·ncells expression cosines plus a per-id row_number window.
+    Persist/bucket the result by cell for repeated query workloads.
     """
-    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
-        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
-    )
-    cv = prep_vectors(corpus, id_col, vec_col, scale, keep=(vec_col,))
-    scored = cv.join(F.broadcast(cc)).select(
-        F.col("id").alias(id_col),
-        F.col(vec_col),
-        "cell",
-        pair_cosine(
-            F.col("__v"), F.col("__n"), F.col("__cv"), F.col("__cn"),
-            integer=scale is not None,
-        ).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim")
+    del scale  # ranking is always integer-micro quantized in assign_cells
+    return assign_cells(
+        corpus,
+        centroids,
+        id_col,
+        vec_col,
+        nprobe=1,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        keep_vec=True,
+    ).select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col), "cell"
     )
 
 
@@ -535,28 +603,24 @@ def ann_join_ivf(
     the two sides share an id space.
     """
     integer = scale is not None
-    cc = prep_vectors(centroids, centroid_id_col, centroid_vec_col, scale).select(
-        F.col("id").alias("cell"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    # probe selection is one GEMM map pass (assign_cells) — the previous
+    # crossJoin+expression+window form paid |other|·ncells expression
+    # cosines and a per-query window shuffle for the same nprobe cells
+    assigned = assign_cells(
+        other,
+        centroids,
+        other_id_col or id_col,
+        vec_col,
+        nprobe=nprobe,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        keep_vec=True,
     )
-    q = prep_vectors(other, other_id_col or id_col, vec_col, scale).select(
+    probed = prep_vectors(assigned, "id", "vec", scale, keep=("cell",)).select(
         F.col("id").alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("__n").alias("__qn"),
-    )
-    probes = q.join(F.broadcast(cc)).select(
-        "query_id",
-        "__qv",
-        "__qn",
         "cell",
-        pair_cosine(
-            F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn"), integer=integer
-        ).alias("__sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cell"))
-    probed = (
-        probes.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "__qn", "cell")
     )
     cv = prep_vectors(indexed_corpus, id_col, vec_col, scale, keep=("cell",))
     cand = cv.join(probed, "cell").select(  # shuffle join on cell — no broadcast
