@@ -5910,6 +5910,51 @@ def a15_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_key_skew",
+    """
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM k)
+    SELECT key, n_rows,
+           n_rows / CAST(total AS DOUBLE) AS share,
+           n_rows / (CAST(total AS DOUBLE) / n_keys) AS x_mean
+    FROM k, tot
+    ORDER BY n_rows DESC, key ASC
+    LIMIT 20
+    """,
+)
+def v_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the N heaviest keys with their share of
+    total rows and their multiple of the mean key size — the measurement
+    that decides when a join needs the salted path (j12) or AQE skew
+    handling. One partial-agg key rollup (map-side combine absorbs the
+    hot keys), a 1-row total broadcast, TakeOrdered top-N with a key
+    tiebreak so the report is deterministic under ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = k.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows") / F.col("total").cast("double")).alias("share"),
+            (
+                F.col("n_rows")
+                / (F.col("total").cast("double") / F.col("n_keys"))
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5928,6 +5973,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "v_key_skew",
     "a14_mom_growth",
     "a15_copurchase_pairs",
     "j15_incremental_join",

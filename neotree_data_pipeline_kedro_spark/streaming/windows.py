@@ -58,3 +58,45 @@ def windowed_indicator_rollup(
             *indicators.keys(),
         )
     )
+
+
+def session_window_rollup(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    late_threshold: str,
+    keys: Sequence[str],
+    indicators: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation on a stream via the NATIVE
+    ``session_window`` operator — the declarative sibling of
+    streaming/sessions.py's ``applyInPandasWithState`` sessionizer. Spark
+    maintains one state row per open session per key, MERGES sessions
+    when a new event lands within ``gap`` of either side (including
+    bridging two previously-separate sessions), and emits a finalized row
+    once the watermark passes session end + gap.
+
+    Use this form when the output is an aggregate per session (counts /
+    sums / bounds); use the applyInPandasWithState form when rows must be
+    LABELED with their episode id as they flow through (the native
+    operator only emits per-session rollups, not per-row tags).
+
+    Output: keys..., session_start, session_end, n_rows, one column per
+    indicator (conditional count).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in (indicators or {}).items()
+    ]
+    return (
+        df.withWatermark(ts_col, late_threshold)
+        .groupBy(*keys, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_rows",
+            *[F.col(n) for n in (indicators or {})],
+        )
+    )
