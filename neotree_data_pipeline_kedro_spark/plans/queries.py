@@ -5955,6 +5955,61 @@ def v_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j16_scd2_temporal_join",
+    """
+    WITH dim AS (
+      SELECT user_id, value, event_id,
+             ROW_NUMBER() OVER w AS version,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.version, d.value AS dim_value
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND d.valid_from <= e.ts
+     AND (e.ts < d.valid_to OR d.valid_to IS NULL)
+    """,
+)
+def j16_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact→dimension join: every event picks the SCD2 version
+    (w7's build) valid AT its timestamp — the standard dimensional-
+    modeling read path that interval history exists for. The equi-join on
+    the entity key carries the shuffle; the [valid_from, valid_to)
+    containment is a post-join predicate over the handful of versions per
+    key, so candidate volume is |facts|·versions-per-key, never a range
+    cartesian. Exactly one version matches per fact by construction
+    (intervals partition the timeline)."""
+    from ..operators.windows import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        ev.filter(F.col("event_type") == "purchase"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak=["event_id"],
+        attr_cols=["user_id", "value", "event_id"],
+    ).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("value").alias("dim_value"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        ev.join(dim, F.col("user_id") == F.col("d_user_id"))
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "event_type", "version", "dim_value")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5973,6 +6028,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "j16_scd2_temporal_join",
     "v_key_skew",
     "a14_mom_growth",
     "a15_copurchase_pairs",
