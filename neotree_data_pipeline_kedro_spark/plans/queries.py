@@ -6010,6 +6010,269 @@ def j16_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: one nation's fraction of a region's
+    PROMO-part trade volume per year. Eight-way star join where every dim
+    (part, supplier, customer, nation x2, region) broadcasts and the fact
+    chain lineitem→orders is the single shuffle-eligible join; the share
+    is a conditional-sum ratio of exact decimals taken in double AFTER
+    both sums — the q14 determinism pattern over a wider star."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    base = (
+        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(re_), F.col("c_rkey") == F.col("r_regionkey"))
+    )
+    return base.groupBy(
+        F.year("o_orderdate").alias("o_year")
+    ).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+            .cast("double")
+            / F.sum(vol).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.1 * l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit by supplier nation and year (the fixture has
+    no partsupp, so supply cost is modeled as 10% of p_retailprice — the
+    plan shape, a fact chain against four broadcast dims with a LIKE
+    filter on the part name and a two-column rollup, is Q9's). Profit
+    terms are cast to decimal BEFORE the sum so the rollup is
+    order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    term = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(term).cast("double").alias("profit"))
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item revenue: which customers returned
+    the most value in a half-year window. Customer/nation broadcast, the
+    orders date filter prunes the fact scan, one agg shuffle on the
+    customer key, deterministic top-20 via TakeOrdered with the custkey
+    tiebreak."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with the maximum
+    quarterly revenue — the max-of-an-aggregate scalar-subquery shape.
+    The revenue rollup is computed ONCE and reused for both the max and
+    the equality probe (window max over the rollup, not a second scan);
+    exact-decimal sums make the max/equality comparison safe where double
+    sums would tie-break nondeterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    su = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    top = revenue.withColumn(
+        "__max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max"))
+    return su.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH threshold AS (
+      SELECT l_partkey AS t_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*)) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN threshold ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity analysis: revenue from lineitems
+    below half their part's average quantity. The correlated AVG subquery
+    de-correlates into ONE per-part rollup re-joined on the partkey the
+    fact side already hashes; the threshold is an exact-decimal sum over
+    an integer count divided in double (deterministic), and the brand
+    filter broadcasts into both the fact scan and the rollup probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    threshold = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .join(threshold, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6028,6 +6291,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "j16_scd2_temporal_join",
     "v_key_skew",
     "a14_mom_growth",

@@ -238,3 +238,28 @@ def test_forward_fill_single_window_shuffle(spark):
     plan = plan_of(spark, "w8_forward_fill")
     assert exchanges(plan) <= 1
     assert "Window" in plan
+
+
+def test_q8_star_stays_broadcast_single_agg_shuffle(spark):
+    # eight-way market-share star: every dim broadcast, the lineitem→orders
+    # chain is the only shuffle-eligible join, one agg exchange on o_year
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5 * 2  # tree+details print
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_reuses_revenue_rollup(spark):
+    # the max-of-aggregate probe must window over the ONE rollup, not
+    # recompute it: a single lineitem scan in the plan
+    plan = plan_of(spark, "q15_top_supplier")
+    assert plan.count("Scan parquet") // 2 <= 2  # lineitem + supplier
+    assert "Window" in plan
+
+
+def test_q17_decorrelates_into_single_rollup_join(spark):
+    # the correlated AVG becomes one per-part rollup re-joined on the
+    # partkey hash the fact side already has — no nested-loop, no cartesian
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
