@@ -6273,6 +6273,142 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT partkey, MIN(unit_cost) AS best_cost FROM offers GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM offers
+      JOIN best     USING (partkey)
+      JOIN part     ON p_partkey = partkey
+      JOIN supplier ON s_suppkey = suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE unit_cost = best_cost AND p_size = 10
+    ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped min-cost supplier (the fixture has no partsupp, so
+    an offer's supply cost is the minimum unit price that supplier ever
+    charged for the part in lineitem — the correlated-MIN + equality
+    join-back shape is Q2's exactly). The per-part best cost is ONE
+    rollup over the offers rollup (both share the partkey hash); winners
+    re-join it with an equality probe — unit costs are identical double
+    divisions on both sides of the compare, so the probe is exact — and
+    the dim lookups broadcast. Deterministic top-100 by
+    (acctbal desc, name, partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    best = offers.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        offers.join(best, "partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(pa), F.col("p_partkey") == F.col("partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important-stock report (no partsupp: a part's
+    held value is its lineitem revenue through the selected nations'
+    suppliers — the group-rollup + global-scalar-threshold HAVING shape
+    is Q11's). The rollup is computed once; the threshold is an exact
+    decimal grand total cast to double, broadcast as a 1-row cross join —
+    never a .collect() — and the compare runs on identically-derived
+    doubles on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    pv = (
+        li.join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    thr = pv.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("value").cast("double").alias("part_value"))
+    )
+
+
+@_register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag AS flag_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority split (no l_shipmode column: the return
+    flag stands in as the category — the fact-join + conditional
+    high/low count pivot per category is Q12's shape). The date and flag
+    filters push to the lineitem scan; one shuffle-eligible join on the
+    order key; the two counts are one conditional-aggregate pass."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("flag_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6291,6 +6427,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_revenue",
