@@ -278,3 +278,49 @@ def sample_video_frames(
     return src.mapInPandas(
         run, schema="id bigint, frame_index int, ts_ms bigint, frame binary"
     )
+
+
+def ahash_image(
+    df: DataFrame, id_col: str, binary_col: str, hash_size: int = 8
+) -> DataFrame:
+    """Perceptual average-hash per image: decode → grayscale → nearest-
+    resize to ``hash_size``² → threshold each cell against the mean →
+    pack into one signed long (row-major, bit 0 = top-left). aHash is
+    EXACTLY invariant to uniform brightness shifts (the mean shifts with
+    the pixels, so every comparison is unchanged) and robust to small
+    local edits — the standard first-pass image near-dup key: group on it
+    for exact perceptual dups, or feed the 64-bit codes to the SimHash
+    hamming-band machinery (operators/neardup.py) for near-dup joins.
+
+    Arrow-batched mapInPandas over the same decoder seam as decode_image;
+    undecodable payloads drop (tolerant-ingest contract). Output:
+    (id, ahash long).
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+    hs = hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        dec = default_image_decoder()
+        weights = (1 << np.arange(hs * hs, dtype=np.uint64))
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    px = dec(payload)
+                except Exception:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                rows = (np.arange(hs) * h) // hs
+                cols = (np.arange(hs) * w) // hs
+                small = gray[np.ix_(rows, cols)]
+                bits = (small > small.mean()).reshape(-1)
+                ids.append(i)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {"id": ids, "ahash": np.array(hashes, dtype=np.uint64).view(np.int64)}
+            )
+
+    return src.mapInPandas(run, schema="id bigint, ahash bigint")

@@ -6409,6 +6409,60 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm_phash_dedup",
+    """
+    WITH src AS (
+      SELECT event_id // 10 AS k FROM events WHERE event_id % 10 = 0
+    ), g AS (
+      SELECT k % 50 AS g, COUNT(*) AS n FROM src GROUP BY 1
+    )
+    SELECT n AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY 1
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.ahash_image): images
+    are synthesized per event as an 8x8 bit-pattern of its group id g
+    PLUS a per-variant uniform brightness offset; aHash is exactly
+    invariant to the brightness shift (mean moves with the pixels), so
+    every variant of a group collapses to ONE hash while distinct
+    patterns stay distinct. The query groups by the hash and emits the
+    group-size histogram; the oracle derives the same histogram in
+    closed form from the fixture arithmetic — a decoder or hash bug
+    (wrong pixel bytes, wrong threshold, lost invariance) changes the
+    histogram and hash-mismatches. PNG encode, decode, and hashing are
+    all Arrow-batched; the dedup itself is one groupBy on a long key."""
+    import numpy as np  # pickled into the closure
+
+    from ..functions.png import encode_png
+    from ..operators.multimodal import ahash_image
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0).select(
+        "event_id", F.expr("event_id div 10").alias("k")
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            imgs = []
+            for k in pdf["k"]:
+                g, d = int(k) % 50, int(k) % 3  # pattern id, brightness variant
+                pos = np.arange(64) % 6
+                bits = (g >> pos) & 1
+                px = (d + 200 * bits).astype(np.uint8).reshape(8, 8, 1)
+                imgs.append(bytearray(encode_png(px)))
+            yield pd.DataFrame({"id": pdf["event_id"], "img": imgs})
+
+    images = ev.mapInPandas(enc, schema="id bigint, img binary")
+    hashed = ahash_image(images, "id", "img")
+    groups = hashed.groupBy("ahash").agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6427,6 +6481,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "mm_phash_dedup",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_priority_by_returnflag",

@@ -197,3 +197,48 @@ def test_decode_audio_operator(spark):
     assert set(out) == {0, 1}
     assert out[0]["duration_ms"] == 100 and out[0]["rms"] == pytest.approx(100.0)
     assert out[1]["sample_rate"] == 8000 and out[1]["peak"] == 200
+
+
+def test_ahash_brightness_invariant_pattern_sensitive(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_png
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import (
+        ahash_image,
+    )
+
+    # top-half bright, bottom-half dark: row reversal genuinely flips it
+    pattern = np.zeros((8, 8, 1), dtype=np.uint8)
+    pattern[:4] = 200
+    rows = [
+        (1, bytearray(encode_png(pattern))),
+        (2, bytearray(encode_png(pattern + 5))),   # uniform brightness shift
+        (3, bytearray(encode_png(pattern[::-1]))),  # different pattern
+        (4, bytearray(b"not a png")),               # undecodable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    out = {r.id: r.ahash for r in ahash_image(df, "id", "img").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2], "aHash must be exactly brightness-invariant"
+    assert out[1] != out[3], "distinct patterns must hash apart"
+
+
+def test_ahash_downsamples_larger_images(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_png
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import (
+        ahash_image,
+    )
+
+    # 16x16 image whose 8x8 nearest-downsample equals the 8x8 original:
+    # each 2x2 block repeats one pixel -> identical hash across scales
+    base = (np.arange(64).reshape(8, 8) % 2 * 200).astype(np.uint8)
+    big = np.kron(base, np.ones((2, 2), dtype=np.uint8))[:, :, None]
+    rows = [
+        (1, bytearray(encode_png(base[:, :, None]))),
+        (2, bytearray(encode_png(big))),
+    ]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    out = {r.id: r.ahash for r in ahash_image(df, "id", "img").collect()}
+    assert out[1] == out[2]
