@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _order(ts_col: str, tiebreak: Sequence[str]) -> list[Column]:
@@ -167,4 +168,95 @@ def scd2_from_changelog(
         "valid_from",
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency: for every boundary instant, how many
+    half-open intervals ``[start, end)`` are active from that instant
+    until the next boundary — max concurrent sessions / open orders /
+    admitted patients over time.
+
+    The naive form is a running sum over ONE global ordering — an
+    ``ORDER BY t`` window with a single-partition sort that caps out on
+    one executor. This is the scalable two-phase prefix sum instead:
+
+    1. boundary deltas (+1 at start, −1 at end) aggregate per distinct
+       instant (one key shuffle; equal instants collapse so the total
+       order is over unique keys and needs no tiebreak);
+    2. instants are RANGE-partitioned and sorted within partitions; a
+       mapInPandas pass computes each partition's LOCAL running sum
+       (linear, streaming over Arrow batches);
+    3. per-partition grand totals — one tiny row per partition — come to
+       the driver, their exclusive prefix sums become per-partition
+       offsets, and a broadcast join adds offset to local sum.
+
+    Every phase is delta-sized or partition-count-sized; no single-
+    executor global sort at any scale. The intermediate is persisted so
+    the totals pass and the final pass see one consistent partition
+    assignment.
+
+    Output: (t, concurrency) — the active-interval count on [t, next t).
+    """
+    deltas = (
+        df.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+        .unionByName(df.select(F.col(end_col).alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        deltas.repartitionByRange(n_parts, "t")
+        .sortWithinPartitions("t")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def local_cumsum(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        running = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cum = pdf["net"].cumsum() + running
+            running = int(cum.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "t": pdf["t"],
+                    "pid": pdf["pid"],
+                    "net": pdf["net"],
+                    "local_cum": cum,
+                }
+            )
+
+    local = parted.mapInPandas(
+        local_cumsum,
+        schema=T.StructType(
+            [
+                T.StructField("t", df.schema[start_col].dataType),
+                T.StructField("pid", T.IntegerType()),
+                T.StructField("net", T.LongType()),
+                T.StructField("local_cum", T.LongType()),
+            ]
+        ),
+    ).persist()
+    # a partition's grand total = sum of its deltas (NOT max of the cumsum:
+    # negative deltas make the running sum non-monotone) — one tiny row per
+    # partition to the driver
+    totals = sorted(
+        (r.pid, r.total)
+        for r in local.groupBy("pid").agg(F.sum("net").alias("total")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in totals:
+        offsets.append((pid, acc))
+        acc += int(total)
+    off_df = df.sparkSession.createDataFrame(offsets, "pid int, offset long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select("t", (F.col("local_cum") + F.col("offset")).alias("concurrency"))
     )

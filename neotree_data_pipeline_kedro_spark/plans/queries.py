@@ -6463,6 +6463,42 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w10_interval_concurrency",
+    """
+    WITH iv AS (
+      SELECT o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    ), deltas AS (
+      SELECT t, SUM(d) AS net FROM (
+        SELECT s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM iv
+      ) GROUP BY t
+    )
+    SELECT t, CAST(SUM(net) OVER (ORDER BY t ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS concurrency
+    FROM deltas
+    """,
+)
+def w10_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency (operators/windows.py interval_concurrency):
+    open orders over time, each order an interval [orderdate,
+    orderdate+30d). The oracle states the semantics as the naive global
+    running sum; the engine computes it as the distributed two-phase
+    prefix sum (range-partitioned local cumsums + per-partition offsets
+    broadcast back) — same answer, no single-executor global sort at any
+    scale."""
+    from ..operators.windows import interval_concurrency
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+    )
+    return interval_concurrency(o, "s", "e")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6481,6 +6517,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "w10_interval_concurrency",
     "mm_phash_dedup",
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -93,3 +93,36 @@ def test_winsorize_ungrouped_uses_global_envelope(spark):
     df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 1000]], "x double")
     out = winsorize(df, "x", lower=0.0, upper=0.5)
     assert {r.x_w for r in out.collect()} == {1.0, 2.0, 2.5}
+
+
+def test_interval_concurrency_matches_bruteforce(spark):
+    import datetime as dt
+
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        interval_concurrency,
+    )
+
+    D = dt.datetime
+    # overlapping, nested, touching, and instant-swap ([a,b) then [b,c))
+    iv = [
+        (D(2024, 1, 1), D(2024, 1, 5)),
+        (D(2024, 1, 2), D(2024, 1, 3)),   # nested
+        (D(2024, 1, 3), D(2024, 1, 7)),   # starts exactly when one ends
+        (D(2024, 1, 5), D(2024, 1, 6)),
+        (D(2024, 1, 10), D(2024, 1, 11)),  # isolated
+    ]
+    df = spark.createDataFrame(iv, "s timestamp, e timestamp")
+    got = {
+        r.t: r.concurrency
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    # brute force: at instant t, count of intervals with s <= t < e
+    boundaries = sorted({t for pair in iv for t in pair})
+    want = {
+        t: sum(1 for s, e in iv if s <= t < e) for t in boundaries
+    }
+    assert got == want
+    # half-open semantics: at Jan 3 the nested interval is gone and the
+    # touching one is active — net concurrency stays 2
+    assert got[D(2024, 1, 3)] == 2
+    assert got[D(2024, 1, 11)] == 0  # all closed at the end
