@@ -470,3 +470,72 @@ def fuzzy_string_join(
         .withColumn("edit_dist", dist)
         .drop("__bucket")
     )
+
+
+def grid_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Spatial radius join: all (left, right) pairs within euclidean
+    ``radius`` — the 2-D sibling of range_join's 1-D bucket blocking.
+
+    Each left point lands in exactly ONE grid cell of side ``radius``;
+    each right point replicates to its 3x3 cell neighborhood (a bounded
+    9x fan-out). Any pair within ``radius`` shares at least one of those
+    cells, so the equi-join on the composite cell key finds every
+    candidate exactly once (one cell per left point -> no dedup pass),
+    and the exact squared-distance filter runs post-join. Candidate
+    volume is neighborhood density x |right|, never |left| x |right|;
+    the join key is a pair of longs, so the shuffle carries no geometry
+    beyond the two coordinates.
+
+    Output: (left_id, right_id, dist_sq). Distances are compared SQUARED
+    — no sqrt, so integer-valued coordinates stay exact across engines.
+    """
+    r = float(radius)
+    lx, ly = F.col(x_col), F.col(y_col)
+    l_pts = left.select(
+        F.col(left_id).alias("__lid"),
+        lx.alias("__lx"),
+        ly.alias("__ly"),
+        F.floor(lx / r).alias("__cx"),
+        F.floor(ly / r).alias("__cy"),
+    )
+    dxy = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    r_pts = (
+        right.select(
+            F.col(right_id).alias("__rid"),
+            F.col(x_col).alias("__rx"),
+            F.col(y_col).alias("__ry"),
+            F.floor(F.col(x_col) / r).alias("__rcx"),
+            F.floor(F.col(y_col) / r).alias("__rcy"),
+        )
+        .withColumn("__dx", dxy)
+        .withColumn("__dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "__rid",
+            "__rx",
+            "__ry",
+            (F.col("__rcx") + F.col("__dx")).alias("__cx"),
+            (F.col("__rcy") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    dist_sq = (F.col("__lx") - F.col("__rx")) * (F.col("__lx") - F.col("__rx")) + (
+        F.col("__ly") - F.col("__ry")
+    ) * (F.col("__ly") - F.col("__ry"))
+    return (
+        l_pts.join(r_pts, ["__cx", "__cy"])
+        .filter(dist_sq <= F.lit(r * r))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            dist_sq.alias("dist_sq"),
+        )
+    )

@@ -6499,6 +6499,110 @@ def w10_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(o, "s", "e")
 
 
+@_register(
+    "a16_trend_slope",
+    """
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                            l_shipdate) AS BIGINT) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(x * x AS DECIMAL(28,0))) AS sxx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy
+      FROM pts GROUP BY flag
+    )
+    SELECT flag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope
+    FROM s
+    """,
+)
+def a16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-only least-squares trend: price-vs-time slope per return
+    flag from the five classical sums (n, Σx, Σx², Σy, Σxy) — linear
+    regression as ONE partial-agg-friendly pass, no iterative solver and
+    no per-group sort. Every sum is exact (integer days, decimal prices,
+    decimal products) and the closed-form slope is evaluated in double
+    from those exact sums, so the result is bit-deterministic at any
+    partitioning — the trick that makes regression safe to distribute."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.datediff(
+        F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp")
+    ).cast("long")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = (
+        li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    return s.select(
+        "flag",
+        "n",
+        (
+            (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("slope"),
+    )
+
+
+@_register(
+    "j17_spatial_radius_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 13) % 997 AS DOUBLE) AS x,
+             CAST((c_custkey * 31) % 991 AS DOUBLE) AS y
+      FROM customer
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225.0
+    """,
+)
+def j17_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (operators/joins.py grid_distance_join):
+    all point pairs within euclidean distance 15, points synthesized
+    deterministically from customer keys. The oracle states the naive
+    O(n²) self-join; the engine blocks on radius-sized grid cells (one
+    cell per left point, 3x3 replication on the right) so candidates are
+    neighborhood-local and the pair volume never goes quadratic —
+    the 2-D sibling of the 1-D bucket range join (j11). Squared-distance
+    compare keeps integer-valued coordinates exact across engines."""
+    from ..operators.joins import grid_distance_join
+
+    cu = _t(spark, sf_dir, "customer")
+    pts = cu.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 13) % 997).cast("double").alias("x"),
+        ((F.col("c_custkey") * 31) % 991).cast("double").alias("y"),
+    )
+    out = grid_distance_join(
+        pts.withColumnRenamed("id", "a_id"),
+        pts.withColumnRenamed("id", "b_id"),
+        "x",
+        "y",
+        radius=15.0,
+        left_id="a_id",
+        right_id="b_id",
+    )
+    return out.filter(F.col("a_id") < F.col("b_id"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6517,6 +6621,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "j17_spatial_radius_join",
+    "a16_trend_slope",
     "w10_interval_concurrency",
     "mm_phash_dedup",
     "q2_min_cost_supplier",

@@ -145,3 +145,61 @@ def test_fuzzy_string_join_complete_vs_naive(spark):
     assert got == want
     assert ("kitten", "sitten", 1) in got     # substitution at position 0
     assert ("Xold widget", "cold widget", 1) in got
+
+
+def test_grid_distance_join_exact_vs_bruteforce(spark):
+    """Grid blocking must find EVERY pair within radius exactly once —
+    including pairs straddling cell boundaries — and none outside."""
+    import itertools
+
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    pts = [
+        (1, 0.0, 0.0),
+        (2, 9.9, 0.0),    # within r=10 of 1, straddles the cell boundary
+        (3, 10.1, 0.0),   # within r of 2, NOT of 1 (dist 10.1)
+        (4, 0.0, 25.0),   # isolated
+        (5, 7.0, 7.0),    # within r of 1 and 2
+        (6, -9.0, -3.0),  # negative coords: within r of 1
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = grid_distance_join(
+        df.withColumnRenamed("id", "a"),
+        df.withColumnRenamed("id", "b"),
+        "x", "y", radius=10.0, left_id="a", right_id="b",
+    ).filter("a < b")
+    got = {(r.a, r.b) for r in out.collect()}
+    want = {
+        (i, j)
+        for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2)
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= 100.0
+    }
+    assert got == want
+    # each pair exactly once (no dup from the 3x3 replication)
+    assert out.count() == len(got)
+
+
+def test_grid_distance_join_no_cartesian_plan(spark):
+    import contextlib
+    import io
+
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 37 AS DOUBLE) x", "CAST(id % 41 AS DOUBLE) y"
+    )
+    out = grid_distance_join(
+        df.withColumnRenamed("id", "a"),
+        df.withColumnRenamed("id", "b"),
+        "x", "y", radius=3.0, left_id="a", right_id="b",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
