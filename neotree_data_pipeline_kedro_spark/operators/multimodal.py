@@ -324,3 +324,52 @@ def ahash_image(
             )
 
     return src.mapInPandas(run, schema="id bigint, ahash bigint")
+
+
+def afingerprint_audio(
+    df: DataFrame, id_col: str, binary_col: str, n_segments: int = 16
+) -> DataFrame:
+    """Perceptual audio fingerprint per clip: decode PCM16 → split into
+    ``n_segments`` equal segments → mean absolute amplitude per segment →
+    threshold each against the clip's overall mean → pack into one long
+    (bit 0 = first segment). The audio sibling of ``ahash_image``:
+    exactly invariant to uniform gain (scaling every sample scales the
+    segment means AND the clip mean by the same factor, so every
+    comparison is unchanged) and robust to small local edits — group on
+    it for perceptual dedup, or feed the codes to the hamming-band
+    machinery for near-dup joins.
+
+    Arrow-batched mapInPandas; undecodable payloads drop (tolerant-
+    ingest contract). Output: (id, afp long).
+    """
+    from ..functions.png import decode_wav
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+    ns = n_segments
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        weights = 1 << np.arange(ns, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    _, samples = decode_wav(payload)
+                except Exception:
+                    continue
+                if not len(samples):
+                    continue
+                x = np.abs(samples.astype(np.float64))
+                # pad to a multiple of ns so reshape segments evenly; the
+                # zero pad only dilutes the LAST segment's mean
+                pad = (-len(x)) % ns
+                seg = np.pad(x, (0, pad)).reshape(ns, -1).mean(axis=1)
+                bits = seg > x.mean()
+                ids.append(i)
+                fps.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {"id": ids, "afp": np.array(fps, dtype=np.uint64).view(np.int64)}
+            )
+
+    return src.mapInPandas(run, schema="id bigint, afp bigint")

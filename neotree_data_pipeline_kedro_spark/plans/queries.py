@@ -6603,6 +6603,58 @@ def j17_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("a_id") < F.col("b_id"))
 
 
+@_register(
+    "mm_afp_dedup",
+    """
+    WITH src AS (
+      SELECT event_id // 10 AS k FROM events WHERE event_id % 10 = 5
+    ), g AS (
+      SELECT k % 40 AS g, COUNT(*) AS n FROM src GROUP BY 1
+    )
+    SELECT n AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY 1
+    """,
+)
+def mm_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup (operators/multimodal.afingerprint_audio):
+    clips are synthesized per event as a 16-segment amplitude pattern of
+    the group id g, each at a per-variant GAIN (1x/2x/3x); the
+    fingerprint is exactly gain-invariant (segment means and the clip
+    mean scale together), so variants collapse to one code while
+    distinct patterns stay apart. Groups by the code and emits the
+    group-size histogram against a closed-form oracle — the audio
+    sibling of mm_phash_dedup, same WAV encode → decode → hash → groupBy
+    shape, all Arrow-batched."""
+    import numpy as np  # pickled into the closure
+
+    from ..functions.png import encode_wav
+    from ..operators.multimodal import afingerprint_audio
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 5).select(
+        "event_id", F.expr("event_id div 10").alias("k")
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            clips = []
+            for k in pdf["k"]:
+                g, gain = int(k) % 40, int(k) % 3 + 1
+                seg_bits = (g >> (np.arange(16) % 6)) & 1
+                amp = np.where(seg_bits == 1, 100, 10) * gain
+                samples = np.repeat(amp, 10).astype(np.int16)
+                clips.append(bytearray(encode_wav(samples)))
+            yield pd.DataFrame({"id": pdf["event_id"], "clip": clips})
+
+    clips = ev.mapInPandas(enc, schema="id bigint, clip binary")
+    hashed = afingerprint_audio(clips, "id", "clip")
+    groups = hashed.groupBy("afp").agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6621,6 +6673,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "mm_afp_dedup",
     "j17_spatial_radius_join",
     "a16_trend_slope",
     "w10_interval_concurrency",

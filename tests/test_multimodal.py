@@ -242,3 +242,27 @@ def test_ahash_downsamples_larger_images(spark):
     df = spark.createDataFrame(rows, "id long, img binary")
     out = {r.id: r.ahash for r in ahash_image(df, "id", "img").collect()}
     assert out[1] == out[2]
+
+
+def test_afingerprint_gain_invariant_pattern_sensitive(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_wav
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import (
+        afingerprint_audio,
+    )
+
+    loud_front = np.repeat(
+        np.array([500] * 8 + [50] * 8), 10
+    ).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(loud_front))),
+        (2, bytearray(encode_wav((loud_front * 3).astype(np.int16)))),  # gain
+        (3, bytearray(encode_wav(loud_front[::-1].copy()))),  # reversed
+        (4, bytearray(b"RIFFxxxxJUNK")),  # undecodable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, clip binary")
+    out = {r.id: r.afp for r in afingerprint_audio(df, "id", "clip").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2], "fingerprint must be exactly gain-invariant"
+    assert out[1] != out[3], "distinct patterns must hash apart"
