@@ -76,3 +76,35 @@ def redact(
                 mc, F.map_filter(F.col(mc), lambda k, _v: ~_confidential(k))
             )
     return out
+
+
+def k_anonymity_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    measures: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """k-anonymity publishing guard: aggregate by the quasi-identifier
+    columns and FLAG every group smaller than ``k`` — the release rule
+    for person-derived aggregates (a county×week×age-bucket cell of 2
+    patients re-identifies them; the reference redacts confidential
+    COLUMNS (P6), this guards confidential GROUP SIZES, the other half
+    of safe publishing).
+
+    Suppressed groups are flagged, not dropped, so the publisher can
+    both filter them out AND report how much data the suppression cost
+    (sum of n_rows where suppressed). ``measures`` adds
+    (column, 'sum'|'min'|'max') aggregates to the released cells; they
+    are computed for suppressed cells too but must be dropped with them.
+
+    One partial-agg shuffle on the quasi key; the flag is a free
+    post-aggregation expression.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        getattr(F, how)(F.col(c)).alias(f"{how}_{c}") for c, how in measures
+    ]
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .withColumn("suppressed", F.col("n_rows") < F.lit(k))
+    )

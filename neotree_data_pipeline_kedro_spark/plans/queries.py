@@ -6655,6 +6655,47 @@ def mm_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_k_anonymity",
+    """
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           CAST(FLOOR(value / 20) AS BIGINT) AS vbucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) < 5 AS suppressed
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def v_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity publishing guard (operators/redact.py
+    k_anonymity_groups): cells of (event_type, day, value-bucket) flagged
+    when under 5 members — the group-size half of safe publishing next to
+    P6's column redaction. Flag-don't-drop lets the release pipeline both
+    filter and account for the suppression cost. One partial-agg
+    shuffle."""
+    from ..operators.redact import k_anonymity_groups
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 20).cast("bigint").alias("vbucket"),
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+    )
+    out = k_anonymity_groups(
+        ev,
+        ["event_type", "day", "vbucket"],
+        k=5,
+        measures=[("value_dec", "sum")],
+    )
+    return out.select(
+        "event_type", "day", "vbucket", "n_rows",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "suppressed",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6673,6 +6714,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "v_k_anonymity",
     "mm_afp_dedup",
     "j17_spatial_radius_join",
     "a16_trend_slope",

@@ -45,3 +45,26 @@ def test_confidential_columns():
         "KinPhone",
         "ok",
     ]
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from neotree_data_pipeline_kedro_spark.operators.redact import (
+        k_anonymity_groups,
+    )
+
+    rows = [("a", i) for i in range(7)] + [("b", 1), ("b", 2)] + [("c", 1)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {
+        r.g: r
+        for r in k_anonymity_groups(
+            df, ["g"], k=3, measures=[("v", "max")]
+        ).collect()
+    }
+    assert not out["a"].suppressed and out["a"].n_rows == 7
+    assert out["b"].suppressed and out["b"].n_rows == 2
+    assert out["c"].suppressed
+    assert out["a"].max_v == 6  # measures ride the same aggregation pass
+    # the release filter + suppression accounting both derive from the flag
+    released = [g for g, r in out.items() if not r.suppressed]
+    cost = sum(r.n_rows for r in out.values() if r.suppressed)
+    assert released == ["a"] and cost == 3
