@@ -222,3 +222,38 @@ def split_assign(
     for name, bound in reversed(bounds):
         assign = F.when(digest < F.lit(bound), F.lit(name)).otherwise(assign)
     return df.withColumn(out_col, assign)
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: Column | str,
+    weight_col: Column | str,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic weighted sampling via priority sampling (Duffield/
+    Lund/Thorup): each row gets priority q = w / u with u a
+    hash-derived uniform in (0, 1], and the k highest-priority rows are
+    the sample — heavier rows win proportionally more often, with no
+    transcendental in the key (the exponential-clock A-ExpJ variant
+    needs ln(u); q = w/u is the published ln-free scheme, so the
+    priorities are exact double divisions and the sample is identical on
+    any engine/partitioning).
+
+    The uniform comes from a Knuth multiplicative hash of the key
+    (pure integer arithmetic — portable where md5-hex parsing is not);
+    ``key_col`` must be integer-typed. Ties break to the lowest key.
+    One top-k window per group (TakeOrdered when ungrouped).
+    """
+    h = (_col(key_col).cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+    u_inv = F.lit(4294967297.0) / (h + 1).cast("double")  # = 1/u in [1, 2^32]
+    q = _col(weight_col).cast("double") * u_inv
+    ranked = df.withColumn("__priority", q)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__priority"), _col(key_col).asc()
+    )
+    return (
+        ranked.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

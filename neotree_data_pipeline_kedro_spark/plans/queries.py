@@ -6696,6 +6696,80 @@ def v_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_weighted_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             n_chars * (4294967297.0 /
+               ((doc_id * 2654435761) % 4294967296 + 1)) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pri
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py
+    priority_sample): top-100 documents by priority q = weight/u with u a
+    Knuth-multiplicative-hash uniform of the doc id — the published
+    ln-free priority-sampling scheme, so longer documents win
+    proportionally more often and the sample is a pure function of the
+    keys (identical across engines, partitionings, and re-runs; no
+    stored sampling state). Priorities are exact double arithmetic on
+    integers; the top-k is TakeOrdered with a doc-id tiebreak."""
+    from ..operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "n_chars", F.col("__priority").alias("priority")
+    )
+
+
+@_register(
+    "ta_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(t)),
+                    i -> t[i] = 'merge' AND t[i+1] = 'slow')) AS BIGINT)
+             AS n_hits
+    FROM toks
+    WHERE len(list_filter(range(1, len(t)),
+              i -> t[i] = 'merge' AND t[i+1] = 'slow')) > 0
+    """,
+)
+def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: documents containing the exact bigram
+    "merge slow", with occurrence counts. The engine builds positional
+    postings (posexplode) and self-joins term rows on (doc, pos+1) — the
+    inverted-index adjacency plan an IR system runs, where each term's
+    postings are a tiny filtered slice so the join is postings-sized,
+    never corpus-sized. The oracle states the same result by scanning
+    token arrays in place. Complements ta_bm25_topk (scoring) with exact
+    phrase match (retrieval)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    )
+    t1 = postings.filter(F.col("term") == "merge").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = postings.filter(F.col("term") == "slow").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(t2, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6714,6 +6788,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "ta_weighted_sample",
+    "ta_phrase_search",
     "v_k_anonymity",
     "mm_afp_dedup",
     "j17_spatial_radius_join",

@@ -370,3 +370,33 @@ def test_split_assign_stable_under_growth(spark):
     assert abs(frac["train"] / 5000 - 0.8) < 0.03
     assert abs(frac["val"] / 5000 - 0.1) < 0.02
     assert abs(frac["test"] / 5000 - 0.1) < 0.02
+
+
+def test_priority_sample_weights_bias_and_determinism(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    # two strata of equal size: heavy rows weigh 50x light rows
+    rows = [(i, 50 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = priority_sample(df, "id", "w", k=200).collect()
+    heavy = sum(1 for r in out if r.w == 50)
+    # PPS-ish: heavy rows should dominate the sample decisively
+    assert heavy > 150, f"only {heavy}/200 heavy rows sampled"
+    # deterministic: a repartitioned rerun picks the identical set
+    again = priority_sample(df.repartition(13), "id", "w", k=200).collect()
+    assert {r.id for r in out} == {r.id for r in again}
+
+
+def test_priority_sample_per_group(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(g, i, 1) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    out = priority_sample(df, "id", "w", k=5, group_cols=["g"]).collect()
+    from collections import Counter
+
+    assert Counter(r.g for r in out) == {"a": 5, "b": 5}
