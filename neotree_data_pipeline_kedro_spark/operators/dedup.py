@@ -128,3 +128,59 @@ def incremental_append(
         on=list(keys),
         how="left_anti",
     )
+
+
+def survivorship(
+    df: DataFrame,
+    cluster_col: str,
+    ts_col: str,
+    rules: Sequence[tuple[str, str]],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Golden-record survivorship: collapse each duplicate cluster (the
+    output of connected-components / semantic dedup / D1's key groups)
+    into ONE record by per-column merge rules — the master-data step
+    after matching decides WHO is the same entity, this decides WHAT the
+    merged entity says.
+
+    Rules (per ``(column, rule)``):
+    - ``latest``: value from the newest row whose value is non-null
+      (D1's keep-latest generalized to per-COLUMN recency — a cluster's
+      golden record can mix columns from different source rows);
+    - ``longest``: the longest non-null string (most-complete-value
+      heuristic), ties to the lexicographically largest (max-struct
+      ordering);
+    - ``max`` / ``min``: numeric extremes.
+
+    One aggregation per cluster: ``latest`` rides max_by over a struct
+    rank (newest non-null wins), so the whole merge is a single
+    partial-agg-friendly shuffle on the cluster key — no window, no
+    self-join, no per-cluster pandas.
+    """
+    order_rank = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for col, rule in rules:
+        c = F.col(col)
+        if rule == "latest":
+            aggs.append(
+                F.max(
+                    F.when(c.isNotNull(), F.struct(order_rank.alias("o"), c.alias("v")))
+                ).getField("v").alias(col)
+            )
+        elif rule == "longest":
+            aggs.append(
+                F.max(
+                    F.when(
+                        c.isNotNull(),
+                        # longer wins; equal lengths fall to the max string
+                        F.struct(F.length(c).alias("l"), c.alias("v")),
+                    )
+                ).getField("v").alias(col)
+            )
+        elif rule in ("max", "min"):
+            aggs.append(getattr(F, rule)(c).alias(col))
+        else:
+            raise ValueError(f"survivorship: unknown rule {rule!r} for {col!r}")
+    return df.groupBy(cluster_col).agg(*aggs)

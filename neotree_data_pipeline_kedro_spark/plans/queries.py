@@ -6770,6 +6770,199 @@ def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "d10_survivorship",
+    """
+    WITH src AS (
+      SELECT user_id AS cluster,
+             ts,
+             event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+             CASE WHEN event_id % 4 = 0 THEN NULL
+                  ELSE repeat(event_type, 1 + event_id % 3) END AS label
+      FROM events
+    ), latest_v AS (
+      SELECT cluster, v FROM (
+        SELECT cluster, v,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src WHERE v IS NOT NULL) WHERE rn = 1
+    ), longest_l AS (
+      SELECT cluster, label FROM (
+        SELECT cluster, label,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY length(label) DESC, label DESC) AS rn
+        FROM src WHERE label IS NOT NULL) WHERE rn = 1
+    ), base AS (
+      SELECT cluster, COUNT(*) AS n_members, MAX(v) AS max_v
+      FROM src GROUP BY 1
+    )
+    SELECT b.cluster, b.n_members, lv.v AS v, ll.label AS label, b.max_v
+    FROM base b
+      LEFT JOIN latest_v lv ON b.cluster = lv.cluster
+      LEFT JOIN longest_l ll ON b.cluster = ll.cluster
+    """,
+)
+def d10_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/dedup.py survivorship):
+    collapse each user's event cluster into one record mixing per-column
+    rules — latest non-null value, longest label, numeric max — the
+    master-data merge step after matching (J1/J2, connected components)
+    decides cluster membership. The engine computes every rule as ONE
+    max-of-struct aggregate (single partial-agg shuffle, no windows or
+    self-joins); the oracle states the same semantics as three window
+    subqueries re-joined, so the agg encoding is pinned against the
+    textbook form."""
+    from ..operators.dedup import survivorship
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cluster"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_id") % 4 == 0, None)
+        .otherwise(F.repeat(F.col("event_type"), (F.lit(1) + F.col("event_id") % 3).cast("int")))
+        .alias("label"),
+    )
+    out = survivorship(
+        ev,
+        cluster_col="cluster",
+        ts_col="ts",
+        rules=[("v", "latest"), ("label", "longest"), ("v", "max")],
+        tiebreak=["event_id"],
+    )
+    # the third rule re-aggregates v as max: alias the duplicate column
+    cols = out.columns
+    assert cols.count("v") == 2
+    return out.toDF("cluster", "n_members", "v", "label", "max_v")
+
+
+@_register(
+    "w11_event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type || '>' ||
+             lead(event_type)    OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT path, COUNT(*) AS n
+    FROM seq WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 20
+    """,
+)
+def w11_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event sequences
+    across users. Sequences come from lead() chains over the per-user
+    time order — no collect_list materialization, no explode of
+    quadratic n-grams; one window shuffle on the user key, then the
+    skew-safe partial-agg count and a TakeOrdered top-k with a path
+    tiebreak. (Any event whose user has fewer than 2 successors yields a
+    NULL path and drops — string concat with NULL is NULL in both
+    engines, stated explicitly in the oracle.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # leads are computed ONCE, before the tail filter — re-evaluating
+    # lead() after the filter would skip to the next SURVIVING row and
+    # fabricate trigrams across gaps. concat_ws SKIPS nulls (unlike ||),
+    # so the explicit non-null gate reproduces the oracle's
+    # NULL-propagating || tail-drop.
+    return (
+        ev.withColumn("__l1", F.lead("event_type").over(w))
+        .withColumn("__l2", F.lead("event_type", 2).over(w))
+        .filter(F.col("__l1").isNotNull() & F.col("__l2").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("__l1"), F.col("__l2")
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@_register(
+    "v_benford_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT digit, n,
+           n / CAST(total AS DOUBLE) AS observed_rate,
+           CASE digit
+             WHEN 1 THEN 0.3010299957 WHEN 2 THEN 0.1760912591
+             WHEN 3 THEN 0.1249387366 WHEN 4 THEN 0.0969100130
+             WHEN 5 THEN 0.0791812460 WHEN 6 THEN 0.0669467896
+             WHEN 7 THEN 0.0579919470 WHEN 8 THEN 0.0511525224
+             WHEN 9 THEN 0.0457574906
+           END AS expected_rate,
+           (n / CAST(total AS DOUBLE) -
+            CASE digit
+              WHEN 1 THEN 0.3010299957 WHEN 2 THEN 0.1760912591
+              WHEN 3 THEN 0.1249387366 WHEN 4 THEN 0.0969100130
+              WHEN 5 THEN 0.0791812460 WHEN 6 THEN 0.0669467896
+              WHEN 7 THEN 0.0579919470 WHEN 8 THEN 0.0511525224
+              WHEN 9 THEN 0.0457574906
+            END)
+           * (n / CAST(total AS DOUBLE) -
+              CASE digit
+                WHEN 1 THEN 0.3010299957 WHEN 2 THEN 0.1760912591
+                WHEN 3 THEN 0.1249387366 WHEN 4 THEN 0.0969100130
+                WHEN 5 THEN 0.0791812460 WHEN 6 THEN 0.0669467896
+                WHEN 7 THEN 0.0579919470 WHEN 8 THEN 0.0511525224
+                WHEN 9 THEN 0.0457574906
+              END) AS sq_gap
+    FROM obs, tot
+    """,
+)
+def v_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: observed leading-digit distribution of
+    order totals vs the log10(1+1/d) expectation — the classic
+    fabricated-data / unit-error screen for financial-shaped columns,
+    rounding out the §2.11 quality family. Expected rates are fixed
+    10-decimal literals (identical constants both engines, no runtime
+    log); observed rates are double ratios of exact counts; ONE
+    partial-agg pass over the scan plus a 9-row broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = (
+        F.substring(F.floor(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = o.select(digit).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = {
+        1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+        4: 0.0969100130, 5: 0.0791812460, 6: 0.0669467896,
+        7: 0.0579919470, 8: 0.0511525224, 9: 0.0457574906,
+    }
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in benford.items() for x in kv]),
+        F.col("digit"),
+    )
+    rate = F.col("n") / F.col("total").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        rate.alias("observed_rate"),
+        expected.alias("expected_rate"),
+        ((rate - expected) * (rate - expected)).alias("sq_gap"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6788,6 +6981,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "w11_event_paths",
+    "v_benford_audit",
+    "d10_survivorship",
     "ta_weighted_sample",
     "ta_phrase_search",
     "v_k_anonymity",
