@@ -263,3 +263,15 @@ def test_q17_decorrelates_into_single_rollup_join(spark):
     plan = plan_of(spark, "q17_small_quantity_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_product_fleet_wide(spark):
+    """Registry-wide contract: NO query may plan a CartesianProduct. The
+    broadcast nested-loop joins some queries use (tiny broadcast side:
+    ANN query sets, 1-row scalar thresholds) are fine; an unpartitioned
+    full cross product is never the intended plan at 100 TB."""
+    offenders = []
+    for name in QUERIES:
+        if "CartesianProduct" in plan_of(spark, name):
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
