@@ -6963,6 +6963,98 @@ def v_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j18_null_aware_anti",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_acctbal < -99999 THEN NULL ELSE c_custkey END
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def j18_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN with a nullable subquery — three-valued-logic semantics the
+    plain LEFT ANTI join (J4's NOT EXISTS) does NOT have: one NULL in the
+    list makes every NOT IN false and the result empty. Spark plans this
+    as a null-aware anti join (BroadcastHashJoin LeftAnti, NullAwareAnti
+    build) only through the SQL subquery form, so this entry goes through
+    spark.sql over the registered views. The fixture's CASE produces no
+    NULLs (so rows survive); the NULL-poisoning behavior itself is pinned
+    in tests/test_plan_contracts.py against DuckDB's identical
+    semantics."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN c_acctbal < -99999 THEN NULL ELSE c_custkey END
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )
+
+
+@_register(
+    "j19_hierarchy_closure",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS node, c_custkey // 10 AS parent
+      FROM customer WHERE c_custkey > 0
+    ), closure AS (
+      SELECT node, parent AS ancestor, 1 AS depth FROM edges
+      UNION ALL
+      SELECT c.node, e.parent, c.depth + 1
+      FROM closure c JOIN edges e ON c.ancestor = e.node
+      WHERE c.ancestor > 0
+    )
+    SELECT node, ancestor, CAST(depth AS INTEGER) AS depth FROM closure
+    """,
+)
+def j19_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy closure (org chart / BOM explosion): every
+    (node, ancestor, depth) pair of the synthetic parent chain
+    parent(k) = k div 10. Spark has no recursive CTE; the engine runs the
+    textbook iterative expansion — frontier ⋈ edges per level,
+    localCheckpoint per round so the plan stays flat, terminate when a
+    level is empty — which is exactly how a 100 TB BOM explodes: depth
+    rounds of delta-sized joins, never a growing lineage tree. The
+    DuckDB oracle states the same closure AS a recursive CTE, pinning
+    the loop against the declarative form (the dd_connected_components
+    pattern, directed)."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") > 0)
+    edges = cu.select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey div 10").alias("parent"),
+    )
+    e2 = edges.select(
+        F.col("node").alias("__m"), F.col("parent").alias("__p")
+    )
+    closure = edges.select(
+        "node", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
+    )
+    frontier = closure
+    while True:
+        nxt = (
+            frontier.filter(F.col("ancestor") > 0)
+            .join(e2, F.col("ancestor") == F.col("__m"))
+            .select(
+                "node",
+                F.col("__p").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure.select("node", "ancestor", F.col("depth").cast("int").alias("depth"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -6981,6 +7073,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "j18_null_aware_anti",
+    "j19_hierarchy_closure",
     "w11_event_paths",
     "v_benford_audit",
     "d10_survivorship",

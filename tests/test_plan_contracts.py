@@ -275,3 +275,36 @@ def test_no_cartesian_product_fleet_wide(spark):
         if "CartesianProduct" in plan_of(spark, name):
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_null_aware_anti_join_semantics_and_plan(spark, duck):
+    # NOT IN three-valued logic: one NULL in the list empties the result
+    # — in BOTH engines; and Spark must plan the null-aware build, not a
+    # plain LeftAnti (which would silently keep rows)
+    plan = plan_of(spark, "j18_null_aware_anti")
+    assert "LeftAnti" in plan
+    from neotree_data_pipeline_kedro_spark.sources.tables import register_views
+
+    register_views(spark, SF_SMOKE)
+    poisoned = """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+          FROM customer)
+    """
+    assert spark.sql(poisoned).count() == 0
+    assert duck.execute(poisoned).fetchall() == []
+
+
+def test_hierarchy_closure_terminates_and_is_exact(spark):
+    # tiny chain 1->0, 21->2->0, 321->32->3->0: closure rows with depths
+    from pyspark.sql import functions as F
+
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    out = QUERIES["j19_hierarchy_closure"](spark, SF_SMOKE)
+    rows = {(r.node, r.ancestor): r.depth for r in out.collect()}
+    # node 123: parents 12 (d1), 1 (d2), 0 (d3)
+    assert rows[(123, 12)] == 1 and rows[(123, 1)] == 2 and rows[(123, 0)] == 3
+    # single-level node
+    assert rows[(7, 0)] == 1
