@@ -212,3 +212,38 @@ def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Co
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def weighted_median_udaf():
+    """GROUPED_AGG pandas UDF computing an exact weighted median —
+    the Arrow-batched aggregation path (pandas_udf) the rest of the
+    package's Python stages (mapInPandas / applyInPandas) don't cover.
+
+    Definition (lower weighted median): the smallest value v such that
+    the cumulative weight of all values <= v reaches half the total
+    weight. Sort + cumsum in numpy per group — deterministic for fixed
+    inputs, exact (no interpolation), and expressible in SQL as a
+    window cumsum for the oracle twin.
+
+    Use for weight-aware robust centers (e.g. token-weighted median
+    quality score per source) where percentile_approx has no weighted
+    form. The UDF is a partial-agg BARRIER (Spark ships whole groups to
+    Python), so keep groups bounded — the same contract as
+    applyInPandas.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: the type-hint route only infers
+    # single-argument aggregations
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_median(v, w):
+        x = v.to_numpy(dtype=np.float64)
+        wt = w.to_numpy(dtype=np.float64)
+        order = np.argsort(x, kind="stable")
+        x, wt = x[order], wt[order]
+        cum = np.cumsum(wt)
+        half = cum[-1] / 2.0
+        return float(x[np.searchsorted(cum, half)])
+
+    return weighted_median

@@ -7055,6 +7055,48 @@ def j19_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closure.select("node", "ancestor", F.col("depth").cast("int").alias("depth"))
 
 
+@_register(
+    "u5_weighted_median",
+    """
+    WITH ranked AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) AS v,
+             CAST(doc_id % 7 + 1 AS DOUBLE) AS w,
+             SUM(CAST(doc_id % 7 + 1 AS DOUBLE))
+               OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(CAST(doc_id % 7 + 1 AS DOUBLE))
+               OVER (PARTITION BY source) AS total_w
+      FROM documents
+    )
+    SELECT source, MIN(v) AS wmedian
+    FROM ranked
+    WHERE cum_w >= total_w / 2.0
+    GROUP BY source
+    """,
+)
+def u5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per source (functions/text.py
+    weighted_median_udaf): the GROUPED_AGG pandas-UDF aggregation path —
+    Arrow ships each group's (value, weight) columns to one vectorized
+    numpy reduction. Weights are synthesized from doc ids; the oracle
+    states the same lower-weighted-median as a window cumsum. The UDF is
+    a deliberate API-surface demo: for weight-free medians use the JVM
+    percentile/approx forms (a10); the pandas route exists for the
+    weighted case SQL builtins lack."""
+    from ..functions.text import weighted_median_udaf
+
+    wm = weighted_median_udaf()
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("v"),
+        (F.col("doc_id") % 7 + 1).cast("double").alias("w"),
+    )
+    return docs.groupBy("source").agg(
+        wm(F.col("v"), F.col("w")).alias("wmedian")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7073,6 +7115,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "u5_weighted_median",
     "j18_null_aware_anti",
     "j19_hierarchy_closure",
     "w11_event_paths",
