@@ -498,6 +498,8 @@ def grid_distance_join(
     — no sqrt, so integer-valued coordinates stay exact across engines.
     """
     r = float(radius)
+    if not r > 0:
+        raise ValueError(f"grid_distance_join: radius must be > 0, got {radius}")
     lx, ly = F.col(x_col), F.col(y_col)
     l_pts = left.select(
         F.col(left_id).alias("__lid"),

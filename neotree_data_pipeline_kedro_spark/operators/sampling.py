@@ -212,6 +212,14 @@ def split_assign(
     hash_gate: integer/string keys only. Stateless map-side expression —
     no shuffle, composes with any scan.
     """
+    if not splits:
+        raise ValueError("split_assign: at least one split required")
+    total = sum(f for _, f in splits)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(
+            f"split_assign: fractions sum to {total}, expected ~1.0 "
+            "(the last split only absorbs rounding, not a missing share)"
+        )
     bounds: list[tuple[str, str]] = []
     cum = 0.0
     for name, frac in splits[:-1]:

@@ -198,7 +198,9 @@ def interval_concurrency(
     Every phase is delta-sized or partition-count-sized; no single-
     executor global sort at any scale. The intermediate is persisted so
     the totals pass and the final pass see one consistent partition
-    assignment.
+    assignment; it stays cached until the session evicts it (callers
+    embedding this in a long-lived pipeline can unpersist the RETURNED
+    frame's lineage after materializing downstream).
 
     Output: (t, concurrency) — the active-interval count on [t, next t).
     """
