@@ -111,3 +111,63 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_rollup(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    rollup_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    measures,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming materialized-view maintenance: every micro-batch is
+    partially aggregated and MERGED into the stored rollup
+    (operators/incremental_agg partial_rollup + merge_rollup via
+    foreachBatch) — the continuously-current form of the reference's
+    rebuild-the-summary-every-cron (create_summary_counts_sql.py), with
+    per-cycle cost = |batch| + |rollup|, never the history.
+
+    Crash safety: the rollup rewrites to a temp sibling then swaps via
+    two renames (the compact_parquet pattern), and the checkpoint makes
+    batch delivery exactly-once ACROSS restarts — a replayed batch after
+    a crash-before-checkpoint re-merges, which is why ``measures`` must
+    be the decomposable set partial_rollup enforces AND the source must
+    be append-only (the merge_rollup caveats apply unchanged).
+    """
+    import os
+    import shutil
+
+    from ..operators.incremental_agg import merge_rollup, partial_rollup
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.parquet(source_path)
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        s = batch.sparkSession
+        delta = partial_rollup(batch, keys, measures)
+        stored = (
+            s.read.parquet(rollup_path) if os.path.isdir(rollup_path) else None
+        )
+        merged = merge_rollup(stored, delta, keys, measures)
+        tmp = rollup_path.rstrip("/") + ".__rollup_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(rollup_path):
+            old = rollup_path.rstrip("/") + ".__rollup_old"
+            os.rename(rollup_path, old)
+            os.rename(tmp, rollup_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, rollup_path)
+
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
