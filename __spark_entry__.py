@@ -41,10 +41,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins, column-name aligned with queries().
     Keys absent here (dd_minhash_lsh, dd_simhash,
     j3_tiered_greedy_assignment, ann_topk_lsh, ann_topk_ivf,
-    ann_topk_ivf_kmeans, v_column_profile) are genuinely
-    non-SQL-expressible (LSH banding / IVF probe internals, the iterative
-    Lloyd's index build, greedy stateful assignment, engine-specific
-    sketches) and take the driver's rows-only check; each is verified in
+    ann_topk_ivf_kmeans, ann_topk_pq, ann_topk_ivfpq, ann_join_ivf,
+    dd_semantic_dedup, g1_pagerank, v_column_profile) are genuinely
+    non-SQL-expressible (LSH banding / IVF / PQ probe internals, the
+    iterative Lloyd's and PageRank loops, greedy stateful assignment,
+    engine-specific sketches) and take the driver's rows-only check; each is verified in
     tests/test_no_oracle_parity.py against an independent pandas/numpy twin
     (exact-Jaccard soundness+completeness, brute-force hamming equality,
     quantized-cosine recomputation + recall@10 floors, and an independent

@@ -273,3 +273,72 @@ def dedup_groups(
         F.count("*").over(w).cast("bigint").alias("component_size"),
         (F.col(id_col) == F.col(comp_col)).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an edge list — the iterative graph-centrality
+    sibling of connected components: each pass distributes every node's
+    rank equally over its out-edges, sums contributions per destination
+    (one key shuffle, partial-agg friendly), and applies the damping
+    teleport. Dangling nodes (no out-edges) teleport their whole rank —
+    the standard correction, applied as one tiny scalar per pass.
+
+    Scale shape per iteration: ONE join of the (node, rank) frame with
+    the out-degree-annotated edges on the source key and ONE aggregate
+    shuffle on the destination key; localCheckpoint per pass keeps the
+    plan flat (the connected-components lesson). Ranks are plain doubles
+    — floating-point partial-sum order makes last-ulp wiggle possible
+    across partitionings, so this is a rows-only operator: parity is
+    pinned against a numpy power-iteration twin with a tolerance in
+    tests, and convergence callers should use a rank-delta threshold,
+    not bit equality.
+
+    Returns (node, rank) with ranks summing to ~1.
+    """
+    sc = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(out_deg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e_deg, ranks["node"] == e_deg["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -7097,6 +7097,85 @@ def u5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a17_ab_experiment_lift",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '80000000'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END AS purchase_value
+      FROM events
+    ), per_variant AS (
+      SELECT variant,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(purchase_value) AS DOUBLE) AS total_value
+      FROM assigned GROUP BY variant
+    )
+    SELECT variant, n_users, total_value,
+           total_value / n_users AS value_per_user
+    FROM per_variant
+    """,
+)
+def a17_ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to variants by the
+    hash-gate (sampling.hash_gate's md5-prefix compare at 50%), purchase
+    value totaled exactly per variant, value-per-user as a deterministic
+    double ratio. The assignment is a pure function of the user id —
+    the experiment-analysis property that joins cleanly across event
+    tables and survives reruns (same contract as ta_split_assign).
+    One pass: partial-agg sums + two-phase distinct user count."""
+    from ..operators.sampling import hash_gate
+
+    ev = _t(spark, sf_dir, "events")
+    assigned = ev.select(
+        "user_id",
+        F.when(hash_gate("user_id", "80000000"), "A").otherwise("B").alias("variant"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("purchase_value"),
+    )
+    per = assigned.groupBy("variant").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("purchase_value").cast("double").alias("total_value"),
+    )
+    return per.select(
+        "variant", "n_users", "total_value",
+        (F.col("total_value") / F.col("n_users")).alias("value_per_user"),
+    )
+
+
+@_register("g1_pagerank")
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/components.pagerank) over the supplier→customer
+    trade graph (distinct pairs linked through orders): who accumulates
+    influence when rank flows along trade edges. Rows-only: double
+    partial-sum order can wiggle the last ulp across partitionings, so
+    the driver records rows and parity is pinned in pytest against a
+    numpy power-iteration twin (tolerance 1e-9). Per iteration: one
+    source-key join + one destination-key aggregate, localCheckpoint
+    keeping the plan flat — the bounded-iteration shape shared with
+    connected components and k-means."""
+    from ..operators.components import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),  # disjoint id space
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7115,6 +7194,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 additions (no prior row by construction):
+    "g1_pagerank",
+    "a17_ab_experiment_lift",
     "u5_weighted_median",
     "j18_null_aware_anti",
     "j19_hierarchy_closure",

@@ -689,3 +689,37 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
     a = after[key].sort_values(key).reset_index(drop=True)
     assert b.equals(a)
     assert g.glob(path + "/codes/cell=*"), "codes not partitioned by cell"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank vs an independent dense numpy power iteration with the
+    same damping/dangling handling, on a small directed graph with a
+    dangling node and a hub."""
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.components import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 via dst only
+    edges.append((4, 0))
+    # make node 5 dangling (appears only as a destination)
+    edges.append((1, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=20).collect()}
+
+    n = 6
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    d_f = 0.85
+    for _ in range(20):
+        inflow = np.zeros(n)
+        for s in range(n):
+            if deg[s]:
+                inflow += r[s] * A[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - d_f) / n + d_f * dangling / n + d_f * inflow
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-9, (node, got[node], r[node])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
