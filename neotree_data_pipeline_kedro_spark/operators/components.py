@@ -301,10 +301,12 @@ def pagerank(
 
     Returns (node, rank) with ranks summing to ~1.
     """
-    sc = edges.sparkSession
+    # materialize the deduped edge list ONCE: it is referenced four times
+    # below (both node projections, the degree rollup, the degree join) and
+    # each lazy reference would re-run the caller's upstream join
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -322,20 +324,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+        # dangling mass stays IN the plan: ranks sum to 1 and every node
+        # WITH out-edges pours its whole rank into inflow, so
+        # dangling = 1 - sum(inflow) — a one-row aggregate broadcast into
+        # the update, replacing the per-pass driver collect (which cost an
+        # extra job per iteration; 2x fewer jobs per pass)
+        total_inflow = contribs.agg(
+            F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("__s")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(total_inflow))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * (F.lit(1.0) - F.col("__s"))
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )

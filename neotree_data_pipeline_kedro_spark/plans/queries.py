@@ -7160,7 +7160,9 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy power-iteration twin (tolerance 1e-9). Per iteration: one
     source-key join + one destination-key aggregate, localCheckpoint
     keeping the plan flat — the bounded-iteration shape shared with
-    connected components and k-means."""
+    connected components and k-means. Three fixture iterations keep the
+    bench honest about per-pass cost; production convergence uses a
+    rank-delta stop, not a fixed count."""
     from ..operators.components import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
@@ -7173,7 +7175,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank(edges, iterations=5)
+    return pagerank(edges, iterations=3)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
