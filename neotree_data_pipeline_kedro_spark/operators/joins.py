@@ -541,3 +541,80 @@ def grid_distance_join(
             dist_sq.alias("dist_sq"),
         )
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    m_bits: int = 1 << 16,
+    hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi join with an explicit bloom-filter prefilter: build a compact
+    bitset over the dim side's keys, push the membership test into the
+    fact scan, then (optionally) close with the exact semi join.
+
+    This is the runtime-filter pattern Spark itself injects for
+    shuffle-heavy joins (InjectRuntimeFilters), made explicit so a
+    pipeline can build the filter ONCE and reuse it across many scans —
+    the reference's B-tree probe has no Spark analogue, but a bloom
+    prefilter recovers the "skip rows that cannot match" effect at scan
+    time. No false negatives, so ``exact=True`` output EQUALS the plain
+    semi join; ``exact=False`` skips the closing join for pipelines that
+    tolerate the bloom's false-positive rate (~0.5% at the defaults for
+    ~6k keys).
+
+    Build phase: k=``hashes`` positions per key via seeded xxhash64,
+    OR-folded into ``m_bits/64`` longs with ONE tiny aggregate (a
+    word-indexed bit_or — bounded by m_bits, not by dim rows); the
+    resulting words come to the driver (bounded: 8 KiB at the default
+    m=65536) and re-enter the plan as an array literal, exactly how
+    kmeans centroids travel (similarity.py). Probe phase: pure JVM
+    bit-test expressions inside the scan stage — no shuffle touches fact
+    rows that fail the filter.
+    """
+    n_words = m_bits // 64
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)).cast("long")
+            for i in range(hashes)
+        ]
+
+    # pyspark's F.shiftleft only takes a Python-int shift, so the bit
+    # arithmetic runs as SQL expressions over named position columns
+    words = (
+        dim.select(F.explode(F.array(*positions(F.col(dim_key)))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    wmap = {int(r["w"]): int(r["bits"]) for r in words.collect()}
+    arr = [wmap.get(i, 0) for i in range(n_words)]
+
+    probe = fact.withColumn("__bloom", F.lit(arr))
+    pos_names = []
+    for i, p in enumerate(positions(F.col(fact_key))):
+        name = f"__bp{i}"
+        pos_names.append(name)
+        probe = probe.withColumn(name, p)
+    conds = [
+        f"(element_at(__bloom, CAST({n} / 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({n}, 64) AS INT))) != 0"
+        for n in pos_names
+    ]
+    pre = probe.filter(" AND ".join(conds)).drop("__bloom", *pos_names)
+    if not exact:
+        return pre
+    return pre.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
+        [fact_key],
+        "left_semi",
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import normalize_text
+from ..functions.text import normalize_text, tokens
 
 _M64 = (1 << 64) - 1
 
@@ -724,4 +724,53 @@ def contamination_report(
             "containment",
             (F.col("fp_c") == F.col("fp_b")).alias("is_exact"),
         )
+    )
+
+
+def duplicate_ngram_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate token runs: every n-token window that
+    appears verbatim in >= ``min_docs`` distinct documents, with how many
+    documents and occurrences carry it — the detection half of
+    substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": boilerplate and licence
+    blocks repeat as runs inside otherwise-distinct documents, which
+    document-level fingerprints never see).
+
+    Shape: rolling windows come from an in-row ``transform`` over the
+    token array (no UDF, no self-join); each window is collapsed to its
+    md5 BEFORE the explode so the shuffle carries 32-byte digests, not
+    n-token strings; one groupBy on the digest with map-side partial
+    aggregation. At 100 TB this is the word-count plan over ~L windows
+    per document — the only shuffle key is the digest, uniformly
+    distributed by construction.
+
+    Output: (gram, n_docs, n_occ) for flagged runs. Removal (masking the
+    flagged spans) stays with the caller — policy differs per corpus.
+    """
+    toks = tokens(F.col(text_col))
+    # sequence(1, 0) counts DOWN in Spark — docs shorter than n windows
+    # must short-circuit to an empty gram list, not a descending range
+    grams = F.when(
+        F.size("__toks") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+        .select("__doc", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("__doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )

@@ -236,3 +236,44 @@ def cascade_delete_keys(
         shutil.rmtree(old)
         deleted[name] = before - after
     return deleted
+
+
+def apply_cdc(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    *,
+    delete_op: str = "D",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Collapse an insert/update/delete change log into the final snapshot
+    — the batch CDC-apply that replays what the reference performs row by
+    row against Postgres (sql_functions.py's insert/update/delete calls)
+    as ONE deterministic transform: the highest-``seq_col`` change per key
+    wins, and a winning delete removes the key.
+
+    ``base``, when given, is the prior snapshot; its rows participate as
+    seq-NULL entries that lose to any change for the same key (desc order,
+    NULLS LAST), so unchanged keys pass through untouched.
+
+    Scale shape: one window shuffle on the key set — the same single
+    exchange as D1 last-writer dedup, with delete tombstones folded into
+    the same pass instead of a second scan. AQE splits skewed reorder
+    keys; no driver loop, no per-row round trips.
+    """
+    keys = list(keys)
+    log = changelog
+    if base is not None:
+        log = changelog.unionByName(
+            base.withColumn(op_col, F.lit("I")).withColumn(
+                seq_col, F.lit(None).cast(changelog.schema[seq_col].dataType)
+            ),
+            allowMissingColumns=True,
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc_nulls_last())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .drop("__rn")
+    )

@@ -262,3 +262,101 @@ def interval_concurrency(
         local.join(F.broadcast(off_df), "pid")
         .select("t", (F.col("local_cum") + F.col("offset")).alias("concurrency"))
     )
+
+
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (both dimensions minimized): keep every row not
+    dominated by another — B dominates A when B.x <= A.x, B.y <= A.y and
+    at least one is strict. Duplicate frontier points all survive (no
+    point strictly beats its twin), matching the declarative NOT EXISTS
+    form an oracle states.
+
+    The naive form is the O(n^2) dominance anti-join; the classic
+    single-node form is one global sort + running min — a one-partition
+    window that caps out on one executor. This runs the scalable
+    decomposition instead:
+
+    1. per-x minima (one groupBy shuffle — candidates are at most one
+       per distinct x);
+    2. running min over x-ascending minima via the same two-phase
+       prefix pattern as ``interval_concurrency``: range-partition by x,
+       per-partition local running min, per-partition totals to the
+       driver (one tiny row per partition), exclusive prefix-min
+       re-broadcast as offsets;
+    3. frontier xs = those whose ymin beats every smaller x's min;
+       broadcast-join back to the input keeps all rows AT frontier
+       points and drops dominated rows.
+
+    Every phase is distinct-x-sized or partition-count-sized.
+    """
+    minima = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.min(F.col(y_col)).alias("__ymin")
+    )
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        minima.repartitionByRange(n_parts, "__x")
+        .sortWithinPartitions("__x")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def local_cummin(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        running = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cum = pdf["__ymin"].cummin()
+            if running is not None:
+                cum = cum.clip(upper=running)
+            running = cum.iloc[-1]
+            out = pdf[["__x", "__ymin", "__pid"]].copy()
+            out["__localmin"] = cum
+            yield out
+
+    local = parted.mapInPandas(
+        local_cummin,
+        schema=T.StructType(
+            [
+                parted.schema["__x"],
+                parted.schema["__ymin"],
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__localmin", parted.schema["__ymin"].dataType),
+            ]
+        ),
+    ).persist()
+    totals = (
+        local.groupBy("__pid").agg(F.min("__localmin").alias("__pmin")).collect()
+    )
+    prefix: dict[int, float | None] = {}
+    best = None
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        prefix[row["__pid"]] = best  # EXCLUSIVE prefix: min of all earlier parts
+        cand = row["__pmin"]
+        best = cand if best is None or (cand is not None and cand < best) else best
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(pid, v) for pid, v in prefix.items()],
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__before", parted.schema["__ymin"].dataType),
+            ]
+        ),
+    )
+    # frontier: strictly better than everything at a smaller x. Same-x ties
+    # collapsed in phase 1; the EXCLUSIVE local shift compares against
+    # predecessors only.
+    w = Window.partitionBy("__pid").orderBy("__x")
+    frontier = (
+        local.withColumn("__prevlocal", F.lag("__localmin").over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn("__beforeme", F.least("__prevlocal", "__before"))
+        .filter(F.col("__beforeme").isNull() | (F.col("__ymin") < F.col("__beforeme")))
+        .select(F.col("__x"), F.col("__ymin"))
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymin")),
+        "left_semi",
+    )

@@ -7178,6 +7178,272 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+# ---------------------------------------------------------------------------
+# round-5 continuation: CDC apply, ORC roundtrip, bloom prefilter join,
+# triangle counting, pareto frontier, substring-run dedup, DP counts
+# ---------------------------------------------------------------------------
+
+@_register(
+    "s10_cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderkey,
+             CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                                ELSE 'D' END AS op,
+             CAST(o_totalprice AS DOUBLE) AS payload
+      FROM orders
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey DESC) AS rn
+      FROM log
+    )
+    SELECT o_custkey, o_orderkey AS seq, op, payload
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def s10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC apply (operators/sinks.apply_cdc): an insert/update/delete
+    change log derived from orders (op from o_orderstatus, sequence =
+    o_orderkey) collapses to the final snapshot — highest-seq change per
+    customer wins, a winning delete drops the key. The one-window-shuffle
+    replacement for the reference's row-at-a-time Postgres mutation replay
+    (sql_functions.py insert/update/delete family); the oracle states the
+    same last-writer-wins semantics declaratively."""
+    from ..operators.sinks import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("U"))
+        .when(F.col("o_orderstatus") == "O", F.lit("I"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.col("o_totalprice").cast("double").alias("payload"),
+    )
+    out = apply_cdc(log, ["o_custkey"], "o_orderkey", "op")
+    return out.select(
+        "o_custkey", F.col("o_orderkey").alias("seq"), "op", "payload"
+    )
+
+
+@_register(
+    "s9_orc_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           min(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange fidelity (sources/warehouse.roundtrip_format):
+    orders written through Spark's native ORC writer, read back with the
+    vectorized ORC reader, then rolled up — the oracle aggregates the
+    parquet ORIGINAL, so any decimal/date/string mutilation in the
+    format hop breaks the hash. Covers the reference's ability to ingest
+    from non-parquet columnar estates; the engine's own stages stay
+    parquet."""
+    import hashlib
+    import os
+
+    from ..sources.warehouse import roundtrip_format
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        "/tmp",
+        "neotree_orc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    back = roundtrip_format(o, path, "orc")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@_register(
+    "j20_bloom_prefilter_join",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    GROUP BY l_returnflag
+    """,
+)
+def j20_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.bloom_semi_join): a
+    64 Kbit filter over the qualifying suppliers' keys is built by one
+    tiny bit_or aggregate, re-enters the plan as an array literal, and
+    the membership test runs INSIDE the lineitem scan — rows that cannot
+    match never reach the closing broadcast semi join. No false
+    negatives, so the result equals the plain IN-subquery the oracle
+    states; the explicit filter is the reusable version of Spark's own
+    injected runtime bloom filters (build once, probe many scans)."""
+    from ..operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    hit = bloom_semi_join(li, dim, "l_suppkey", "s_suppkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+    )
+
+
+@_register(
+    "g2_triangle_count",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/components.triangle_count) over
+    the co-purchase graph — parts linked when they ship in the same order
+    (subset via l_partkey % 10 < 3 to keep the fixture graph bounded).
+    The oriented-wedge enumeration counts each triangle once as a<b<c;
+    the oracle states the same three-way self-join declaratively. The
+    cohesion signal validates near-dup clusters: chains of borderline
+    pairs have no triangles, cliques of true duplicates are dense."""
+    from ..operators.components import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return triangle_count(edges, "src", "dst")
+
+
+@_register(
+    "u6_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price, p_size
+      FROM part
+    )
+    SELECT p_partkey, price, p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.p_size <= p.p_size
+        AND (q.price < p.price OR q.p_size < p.p_size)
+    )
+    """,
+)
+def u6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/windows.pareto_frontier_2d): parts not
+    dominated on (retail price, size), both minimized — the
+    cheapest-and-smallest frontier. The oracle is the quadratic NOT
+    EXISTS dominance test; the engine runs the scalable decomposition
+    (per-x minima, two-phase distributed prefix-min, broadcast-semi
+    join back), so the pair never materializes. Duplicate frontier
+    points survive on both sides (dominance is strict-in-one)."""
+    from ..operators.windows import pareto_frontier_2d
+
+    pts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        "p_size",
+    )
+    return pareto_frontier_2d(pts, "price", "p_size")
+
+
+@_register(
+    "dd_substring_dupes",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+      FROM toks
+      CROSS JOIN UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+    )
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dd_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection
+    (operators/neardup.duplicate_ngram_runs): every 8-token window
+    appearing verbatim in >= 2 distinct documents — the boilerplate/
+    licence-block detector document-level fingerprints miss (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"). Windows
+    are md5-collapsed in-row BEFORE the explode so the single shuffle
+    carries 32-byte digests; the oracle replays the same rolling windows
+    with DuckDB list slicing."""
+    from ..operators.neardup import duplicate_ngram_runs
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_runs(docs, "doc_id", "text", n=8, min_docs=2)
+
+
+@_register(
+    "v_dp_noisy_counts",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_true,
+             md5(c_mktsegment || '|dp1') AS h
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n_true + (CASE WHEN h < '00015f' THEN -10 WHEN h < '00051c' THEN -9 WHEN h < '000f45' THEN -8 WHEN h < '002ae3' THEN -7 WHEN h < '0075f6' THEN -6 WHEN h < '014206' THEN -5 WHEN h < '036cbc' THEN -4 WHEN h < '095096' THEN -3 WHEN h < '19535c' THEN -2 WHEN h < '44d8f9' THEN -1 WHEN h < 'bb2706' THEN 0 WHEN h < 'e6aca3' THEN 1 WHEN h < 'f6af69' THEN 2 WHEN h < 'fc9343' THEN 3 WHEN h < 'febdf9' THEN 4 WHEN h < 'ff8a09' THEN 5 WHEN h < 'ffd51c' THEN 6 WHEN h < 'fff0ba' THEN 7 WHEN h < 'fffae3' THEN 8 WHEN h < 'fffea0' THEN 9 WHEN h < 'gggggg' THEN 10 ELSE 10 END) AS BIGINT) AS n_noisy
+    FROM counts
+    """,
+)
+def v_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private segment counts (operators/privacy.
+    dp_noisy_counts): exact counts plus discrete-Laplace noise drawn
+    deterministically from md5(group||salt) through a precomputed
+    hex-threshold ladder — no ln() at query time, so both engines map
+    the same digest to the same noise and the release is bit-
+    reproducible (production rotates the salt per release; see module
+    docstring). One partial-aggregated count shuffle; noise is free."""
+    from ..operators.privacy import dp_noisy_counts
+
+    cu = _t(spark, sf_dir, "customer")
+    return dp_noisy_counts(cu, ["c_mktsegment"], eps=1.0, kmax=10, salt="dp1")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7195,6 +7461,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
+    # round-5 continuation (no prior row by construction):
+    "s10_cdc_apply",
+    "s9_orc_roundtrip",
+    "j20_bloom_prefilter_join",
+    "g2_triangle_count",
+    "u6_pareto_frontier",
+    "dd_substring_dupes",
+    "v_dp_noisy_counts",
     # round-5 additions (no prior row by construction):
     "g1_pagerank",
     "a17_ab_experiment_lift",

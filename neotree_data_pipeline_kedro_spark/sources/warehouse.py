@@ -151,3 +151,20 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def roundtrip_format(df: DataFrame, path: str, fmt: str = "orc") -> DataFrame:
+    """Write ``df`` through a columnar file format and read it back —
+    the interchange seam for warehouses that standardize on ORC (Spark's
+    second native columnar format; same predicate-pushdown and column-
+    pruning contract as parquet via the vectorized ORC reader). The
+    engine's own stages stay parquet; this covers ingesting from /
+    exporting to ORC estates.
+
+    `s9_orc_roundtrip` pins cross-format fidelity: decimals, dates and
+    strings must survive the ORC writer/reader byte-for-byte (the hash
+    oracle reads the parquet original).
+    """
+    spark = df.sparkSession
+    df.write.mode("overwrite").format(fmt).save(path)
+    return spark.read.format(fmt).load(path)

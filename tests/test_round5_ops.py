@@ -1,0 +1,202 @@
+"""Operator-level tests for the round-5 continuation batch: CDC apply,
+bloom prefilter join, pareto frontier, substring-run dedup, triangle
+count, DP noisy counts, ORC roundtrip."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.operators.components import triangle_count
+from neotree_data_pipeline_kedro_spark.operators.joins import bloom_semi_join, semi_join
+from neotree_data_pipeline_kedro_spark.operators.neardup import duplicate_ngram_runs
+from neotree_data_pipeline_kedro_spark.operators.privacy import (
+    dp_noisy_counts,
+    laplace_hex_ladder,
+)
+from neotree_data_pipeline_kedro_spark.operators.sinks import apply_cdc
+from neotree_data_pipeline_kedro_spark.operators.windows import pareto_frontier_2d
+from neotree_data_pipeline_kedro_spark.sources.warehouse import roundtrip_format
+
+
+# ---------------------------------------------------------------- apply_cdc
+def test_apply_cdc_last_writer_and_delete(spark):
+    log = spark.createDataFrame(
+        [
+            ("a", 1, "I", 10),
+            ("a", 2, "U", 20),
+            ("b", 1, "I", 30),
+            ("b", 3, "D", None),
+            ("c", 5, "D", None),
+            ("c", 7, "I", 70),
+        ],
+        "k string, seq int, op string, v int",
+    )
+    out = apply_cdc(log, ["k"], "seq", "op")
+    rows = {r["k"]: (r["seq"], r["op"], r["v"]) for r in out.collect()}
+    assert rows == {"a": (2, "U", 20), "c": (7, "I", 70)}  # b deleted
+
+
+def test_apply_cdc_base_loses_to_changes(spark):
+    base = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    log = spark.createDataFrame(
+        [("a", 10, "U", 99), ("b", 11, "D", None)],
+        "k string, seq int, op string, v int",
+    )
+    out = apply_cdc(log, ["k"], "seq", "op", base=base)
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {"a": 99, "c": 3}  # a updated, b deleted, c passthrough
+
+
+# ---------------------------------------------------------- bloom_semi_join
+def test_bloom_semi_join_equals_plain_semi(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("key"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 200).select((F.col("id") * 7 % 997).alias("dkey"))
+    got = bloom_semi_join(fact, dim, "key", "dkey")
+    want = semi_join(
+        fact, dim.select(F.col("dkey").alias("key")), ["key"]
+    )
+    assert got.orderBy("payload").collect() == want.orderBy("payload").collect()
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    fact = spark.range(0, 2000).select((F.col("id") % 101).alias("key"))
+    dim = spark.range(0, 30).select((F.col("id") * 3).alias("dkey"))
+    pre = bloom_semi_join(fact, dim, "key", "dkey", exact=False)
+    exact = bloom_semi_join(fact, dim, "key", "dkey", exact=True)
+    # every true match survives the prefilter; prefilter never exceeds fact
+    assert pre.count() >= exact.count()
+    assert pre.count() <= fact.count()
+    missing = exact.select("key").exceptAll(pre.select("key"))
+    assert missing.count() == 0
+
+
+# ------------------------------------------------------- pareto_frontier_2d
+def _brute_frontier(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (qx <= x and qy <= y and (qx < x or qy < y)) for qx, qy in pts
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pareto_frontier_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    pts = [(rng.randint(0, 40) / 2.0, rng.randint(0, 40)) for _ in range(300)]
+    pts += pts[:5]  # duplicates must all survive when on the frontier
+    df = spark.createDataFrame(pts, "x double, y bigint")
+    got = sorted((r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect())
+    want = []
+    for x, y in pts:
+        if not any(qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in pts):
+            want.append((x, y))
+    assert got == sorted(want)
+
+
+def test_pareto_frontier_single_partition_agrees(spark):
+    pts = [(float(i % 13), (i * 7) % 17) for i in range(200)]
+    df = spark.createDataFrame(pts, "x double, y bigint")
+    a = sorted(map(tuple, pareto_frontier_2d(df, "x", "y").collect()))
+    b = sorted(
+        map(tuple, pareto_frontier_2d(df.coalesce(1), "x", "y").collect())
+    )
+    assert a == b
+
+
+# --------------------------------------------------- duplicate_ngram_runs
+def test_duplicate_ngram_runs_flags_shared_boilerplate(spark):
+    boiler = "this content is licensed under the terms of the license"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, "unrelated words only here totally different text stream"),
+            (3, "intro text then " + boiler),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = duplicate_ngram_runs(docs, "doc_id", "text", n=8, min_docs=2)
+    rows = out.collect()
+    assert rows, "shared 8-token runs must be flagged"
+    assert all(r["n_docs"] >= 2 for r in rows)
+    # the full 10-token boilerplate yields 3 distinct 8-gram windows
+    assert len(rows) == 3
+    assert all(r["n_occ"] == 2 for r in rows)
+
+
+def test_duplicate_ngram_runs_short_docs_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    assert duplicate_ngram_runs(docs, "doc_id", "text", n=8).count() == 0
+
+
+# ---------------------------------------------------------- triangle_count
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    edges.append((2, 1))  # duplicate reverse edge must not double-count
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_triangle_free(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    assert triangle_count(df).count() == 0
+
+
+# --------------------------------------------------------- dp_noisy_counts
+def test_laplace_hex_ladder_is_monotone_and_total():
+    lad = laplace_hex_ladder(1.0, 10)
+    assert [k for _, k in lad] == list(range(-10, 11))
+    hexes = [t for t, _ in lad[:-1]]
+    assert hexes == sorted(hexes)
+    assert lad[-1][0] > "ffffff"  # catch-all above any md5 digest
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 4}",) for i in range(400)], "g string"
+    )
+    out1 = {r["g"]: r["n_noisy"] for r in dp_noisy_counts(df, ["g"]).collect()}
+    out2 = {r["g"]: r["n_noisy"] for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert out1 == out2  # same salt -> same release
+    for g, noisy in out1.items():
+        assert abs(noisy - 100) <= 10  # |noise| <= kmax
+    out3 = {
+        r["g"]: r["n_noisy"]
+        for r in dp_noisy_counts(df, ["g"], salt="other").collect()
+    }
+    assert out3 != out1  # rotating the salt redraws the noise
+
+
+def test_dp_noise_matches_manual_ladder(spark):
+    df = spark.createDataFrame([("seg",)] * 50, "g string")
+    (row,) = dp_noisy_counts(df, ["g"], salt="dp1").collect()
+    h = hashlib.md5(b"seg|dp1").hexdigest()
+    noise = next(k for thr, k in laplace_hex_ladder(1.0, 10) if h < thr)
+    assert row["n_noisy"] == 50 + noise
+
+
+# -------------------------------------------------------- roundtrip_format
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 10.5), (2, None, -0.25)], "id bigint, s string, v double"
+    ).withColumn("d", F.to_date(F.lit("2024-02-29")))
+    back = roundtrip_format(df, str(tmp_path / "orc"), "orc")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
