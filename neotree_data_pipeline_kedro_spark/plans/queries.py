@@ -7444,6 +7444,81 @@ def v_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(cu, ["c_mktsegment"], eps=1.0, kmax=10, salt="dp1")
 
 
+@_register(
+    "ta_frequent_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token
+    HAVING count(*) >= (SELECT ceil(0.01 * n) FROM tot)
+    """,
+)
+def ta_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items (operators/frequency.frequent_items): every
+    token with corpus frequency >= 1%, found via per-partition
+    Misra-Gries candidate sketches (bounded state, mergeable-summaries
+    reduction) and an exact verification count of the bounded candidate
+    list — the long tail never reaches the shuffle. The result is exact,
+    so the oracle is the plain GROUP BY ... HAVING form. Threshold
+    arithmetic (ceil(0.01 * N)) is the same IEEE double op on both
+    engines."""
+    from ..operators.frequency import frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return frequent_items(tok, "token", support=0.01)
+
+
+@_register(
+    "ann_maxsim_topk",
+    f"""
+    WITH q AS ({_QVEC_DUCK}),
+    s AS (
+      SELECT vec_id,
+             list_transform(range(0, 4), s -> qv[s*16+1 : s*16+16]) AS subs
+      FROM q
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(qs.subs, qsub ->
+                 list_max(list_transform(c.subs, dsub ->
+                     list_sum(list_transform(range(1, 17),
+                                             i -> qsub[i] * dsub[i]))))))
+                  AS BIGINT) AS score
+      FROM s qs, s c
+      WHERE qs.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC NULLS LAST,
+                                            neighbor_id ASC NULLS FIRST)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (operators/similarity.
+    maxsim_topk): the 64-dim embedding treated as 4 x 16-dim token
+    sub-embeddings; pair score = sum over query sub-vectors of the best
+    dot against any document sub-vector — multi-vector (ColBERT-style)
+    matching that rewards covering every query facet. Integer-quantized
+    dots keep the nested max/sum exact, so the DuckDB twin reproduces
+    the scores bit-for-bit; same broadcast-queries one-corpus-scan shape
+    as ann_topk_bruteforce."""
+    from ..operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return maxsim_topk(
+        emb, queries, "vec_id", "embedding", k=10, subvectors=4, dim=64
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7462,6 +7537,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "ta_frequent_tokens",
+    "ann_maxsim_topk",
     "s10_cdc_apply",
     "s9_orc_roundtrip",
     "j20_bloom_prefilter_join",

@@ -1,0 +1,57 @@
+"""Stream-stream interval join (SURVEY.md §2.9 streaming surface).
+
+The reference's admission↔discharge and vitals↔episode joins run as batch
+NOT-EXISTS/as-of passes per cron cycle; on a live feed the same pairing is
+a watermarked stream-stream join with a time-range predicate — Spark keeps
+both sides' unmatched rows in state ONLY for the interval bound plus the
+watermark delay, then evicts. That bounded-state property is what makes a
+join of two unbounded 100 TB/day feeds feasible: state is
+rate × (interval + watermark), independent of stream length.
+
+Semantics note: results arrive as matches are found; a row whose partner
+never arrives inside the horizon is silently dropped (inner join). The
+batch as-of pass (`operators/joins.asof_join`) remains the durable
+backfill for late partners, the same stream+batch composition as
+streaming/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Inner-join two streams on ``key`` where
+    ``right_ts ∈ [left_ts - lower, left_ts + upper]``.
+
+    Both sides get the same watermark; Spark derives each side's state
+    retention from the watermark plus the interval bounds (the
+    JOIN-condition time range is what licenses state eviction — an
+    unconstrained stream-stream join would require unbounded state and
+    Spark rejects it in append mode).
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (
+            r_wm[right_ts]
+            >= l_wm[left_ts] - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            r_wm[right_ts]
+            <= l_wm[left_ts] + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])

@@ -200,3 +200,72 @@ def test_orc_roundtrip_preserves_types(spark, tmp_path):
     back = roundtrip_format(df, str(tmp_path / "orc"), "orc")
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------- frequent_items
+def test_frequent_items_exact_vs_groupby(spark):
+    from neotree_data_pipeline_kedro_spark.operators.frequency import frequent_items
+
+    # zipf-ish: value v appears ~ 1000/v times
+    rows = [(f"v{v}",) for v in range(1, 60) for _ in range(1000 // v)]
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+    got = {
+        (r["tok"], r["cnt"])
+        for r in frequent_items(df, "tok", support=0.02).collect()
+    }
+    import math
+
+    n = len(rows)
+    thresh = math.ceil(0.02 * n)
+    exact = {
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .filter(F.col("cnt") >= thresh)
+        .collect()
+    }
+    assert got == exact and got  # non-degenerate
+
+
+def test_frequent_items_partitioning_invariant(spark):
+    from neotree_data_pipeline_kedro_spark.operators.frequency import frequent_items
+
+    rows = [(f"t{v % 7}",) for v in range(500)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "tok string")
+    a = sorted(map(tuple, frequent_items(df.coalesce(1), "tok", 0.05).collect()))
+    b = sorted(map(tuple, frequent_items(df.repartition(32), "tok", 0.05).collect()))
+    assert a == b
+    assert ("rare", 3) not in a
+
+
+# -------------------------------------------------------------- maxsim_topk
+def test_maxsim_matches_numpy(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.similarity import maxsim_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = maxsim_topk(
+        df, queries, "vec_id", "embedding", k=5, subvectors=2, scale=1000, dim=8
+    ).collect()
+
+    qv = np.round(vecs.astype("float64") * 1000).astype("int64").reshape(40, 2, 4)
+    for qid in range(3):
+        scores = np.einsum("sd,ntd->snt", qv[qid], qv.reshape(40, 2, 4)).max(
+            axis=2
+        ).sum(axis=0)
+        order = sorted(range(40), key=lambda i: (-scores[i], i))[:5]
+        mine = [
+            (r["neighbor_id"], r["score"])
+            for r in sorted(
+                (x for x in got if x["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == [(i, int(scores[i])) for i in order]

@@ -1,0 +1,97 @@
+"""Stream-stream interval join: watermarked two-stream join with a
+time-range predicate (streaming/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from neotree_data_pipeline_kedro_spark.streaming.joins import interval_join_streams
+
+ADM_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("adm_ts", T.TimestampType()),
+        T.StructField("ward", T.StringType()),
+    ]
+)
+VIT_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("vit_ts", T.TimestampType()),
+        T.StructField("hr", T.IntegerType()),
+    ]
+)
+
+D = dt.datetime
+
+ADMISSIONS = [
+    ("A", D(2024, 3, 1, 10, 0), "w1"),
+    ("B", D(2024, 3, 1, 11, 0), "w2"),
+]
+VITALS = [
+    ("A", D(2024, 3, 1, 10, 20), 120),  # inside [adm, adm+1h]
+    ("A", D(2024, 3, 1, 12, 30), 130),  # outside the interval
+    ("B", D(2024, 3, 1, 11, 59), 95),  # inside
+    ("C", D(2024, 3, 1, 10, 5), 80),  # no matching admission
+]
+
+
+def _write(spark, rows, schema, d):
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    mtime = time.time() - 100
+    for root, _, files in os.walk(d):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+@pytest.fixture(scope="module")
+def joined(spark, tmp_path_factory):
+    adm_dir = str(tmp_path_factory.mktemp("adm_src"))
+    vit_dir = str(tmp_path_factory.mktemp("vit_src"))
+    ckpt = str(tmp_path_factory.mktemp("ij_ckpt"))
+    _write(spark, ADMISSIONS, ADM_SCHEMA, os.path.join(adm_dir, "b0.parquet"))
+    _write(spark, VITALS, VIT_SCHEMA, os.path.join(vit_dir, "b0.parquet"))
+
+    adm = spark.readStream.schema(ADM_SCHEMA).parquet(adm_dir + "/*")
+    vit = spark.readStream.schema(VIT_SCHEMA).parquet(vit_dir + "/*")
+    out = interval_join_streams(
+        adm,
+        vit,
+        "uid",
+        "adm_ts",
+        "vit_ts",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from ij_out").collect()
+
+
+def test_matches_inside_interval_only(joined):
+    got = sorted((r["uid"], r["hr"]) for r in joined)
+    assert got == [("A", 120), ("B", 95)]
+
+
+def test_no_partner_no_row(joined):
+    assert all(r["uid"] != "C" for r in joined)
+
+
+def test_columns_from_both_sides(joined):
+    r = next(x for x in joined if x["uid"] == "A")
+    assert r["ward"] == "w1" and r["adm_ts"] < r["vit_ts"]
