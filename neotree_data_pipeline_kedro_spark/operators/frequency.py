@@ -76,3 +76,44 @@ def frequent_items(
         .filter(F.col("cnt") >= F.ceil(F.lit(support) * F.col("__n")))
         .drop("__n")
     )
+
+
+def unigram_logprob(
+    tokens_df: DataFrame,
+    doc_col: str,
+    token_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unigram language-model scoring: each document's corpus
+    log-likelihood sum(ln(count(token)/N)) — the cheap fluency/quality
+    signal (gibberish and boilerplate-free text score very differently
+    against the corpus's own unigram model; pair with perplexity
+    thresholds for filtering).
+
+    Cross-engine exactness: each token's ln(p) is quantized to integer
+    micro-units BEFORE the per-document sum, so only the single ln call
+    can differ between engines and the round absorbs last-ulp drift
+    (the BM25 idf discipline, functions/text.py). Vocabulary counts
+    broadcast back onto the token stream — one count shuffle, one
+    per-doc sum shuffle, both map-side-combined.
+
+    Input: one row per (doc, token). Output: (doc, n_tokens,
+    logprob_micro) with logprob_micro = sum of round(ln(c/N)*scale).
+    """
+    vocab = tokens_df.groupBy(token_col).agg(F.count(F.lit(1)).alias("__c"))
+    total = tokens_df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    contrib = (
+        tokens_df.join(F.broadcast(vocab), [token_col])
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.round(
+                F.log(F.col("__c").cast("double") / F.col("__n")) * scale, 0
+            ).cast("long"),
+        )
+    )
+    return contrib.groupBy(doc_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__lp").alias("logprob_micro"),
+    )

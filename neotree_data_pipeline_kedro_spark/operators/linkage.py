@@ -1,0 +1,70 @@
+"""Probabilistic record linkage: Fellegi-Sunter scoring.
+
+The reference resolves admission↔discharge candidates with a hand-tuned
+fuzzy score (create_joined_table_and_derived_columns.py:268-394 — exact
+uid + date proximity); this module adds the principled generalization a
+dedup/linkage pipeline needs at corpus scale: each comparison field
+carries match/non-match weights log2(m/u) and log2((1-m)/(1-u)) from its
+estimated m- (P(agree | same entity)) and u- (P(agree | different
+entity)) probabilities, and a pair's evidence is the sum over fields
+(Fellegi & Sunter 1969, "A Theory for Record Linkage").
+
+Cross-engine exactness: weights are computed ONCE in Python and embedded
+as integer micro-bit literals, so the per-pair score is pure bigint
+arithmetic — no log() at query time (the same constants-not-
+transcendentals discipline as the DP ladder in operators/privacy.py).
+
+Scale shape: candidate pairs must come from BLOCKING (the caller joins on
+a block key — never all-pairs); scoring is then per-row expressions, and
+the classify thresholds are plain filters. One equi-shuffle on the block
+key, nothing else.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # micro-bits
+
+
+def field_weights(m: float, u: float, scale: int = SCALE) -> tuple[int, int]:
+    """(agreement, disagreement) weights in integer micro-bits for a field
+    with match probability ``m`` and chance-agreement probability ``u``."""
+    if not (0 < u < m < 1):
+        raise ValueError(f"need 0 < u < m < 1, got m={m} u={u}")
+    wa = round(math.log2(m / u) * scale)
+    wd = round(math.log2((1 - m) / (1 - u)) * scale)
+    return wa, wd
+
+
+def fs_score(fields: Sequence[tuple[Column, float, float]]) -> Column:
+    """Summed Fellegi-Sunter evidence (integer micro-bits) for one
+    candidate pair. ``fields``: (agreement boolean column, m, u)."""
+    total: Column | None = None
+    for agree, m, u in fields:
+        wa, wd = field_weights(m, u)
+        term = F.when(agree, F.lit(wa)).otherwise(F.lit(wd)).cast("long")
+        total = term if total is None else total + term
+    if total is None:
+        raise ValueError("at least one comparison field required")
+    return total
+
+
+def fs_classify(
+    score: Column,
+    upper: int = 2 * SCALE,
+    lower: int = 0,
+) -> Column:
+    """Three-way decision on the summed evidence: >= upper micro-bits →
+    'match', >= lower → 'possible' (clerical review band), else
+    'non_match'. Defaults: 2 bits of evidence for match, nonnegative for
+    the review band."""
+    return (
+        F.when(score >= F.lit(upper), F.lit("match"))
+        .when(score >= F.lit(lower), F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+    )

@@ -563,3 +563,57 @@ def fk_orphans(
     return orphans.agg(
         F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
     )
+
+
+
+def grid_density_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_width: float,
+    y_width: float,
+    min_pts: Column | int,
+) -> DataFrame:
+    """Grid-based density outliers (DBSCAN's noise set, approximated on a
+    fixed grid): a point is an outlier when its 3x3 cell neighborhood
+    holds fewer than ``min_pts`` points. The pairwise radius search
+    becomes two cell-key aggregates plus a 9-way smear — the same
+    integer-cell discipline as grid_distance_join (operators/joins.py),
+    so no distance pair ever materializes.
+
+    Cells are FLOOR(x/width) (explicit floor — Spark truncates casts
+    toward zero but DuckDB's cast rounds, so oracles must mirror the
+    FLOOR). ``min_pts`` may be a 1-row-aggregate Column for relative
+    thresholds (e.g. 0.1% of N) so the cutoff scales with the corpus.
+
+    Scale shape: one groupBy per cell (bounded by occupied cells), a 9x
+    explode of the CELL-COUNT table (not the points), one cell-key join
+    back. Output: input rows flagged as outliers, plus their
+    neighborhood count ``nb_count``.
+    """
+    cx = F.floor(F.col(x_col) / x_width).cast("long")
+    cy = F.floor(F.col(y_col) / y_width).cast("long")
+    pts = df.withColumn("__cx", cx).withColumn("__cy", cy)
+    cnt = pts.groupBy("__cx", "__cy").agg(F.count(F.lit(1)).alias("__c"))
+    off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    smear = (
+        cnt.select("__cx", "__cy", "__c", F.explode(off).alias("__dx"))
+        .select(
+            (F.col("__cx") + F.col("__dx")).alias("__nx"),
+            "__cy",
+            "__c",
+            F.explode(off).alias("__dy"),
+        )
+        .select("__nx", (F.col("__cy") + F.col("__dy")).alias("__ny"), "__c")
+        .groupBy("__nx", "__ny")
+        .agg(F.sum("__c").alias("nb_count"))
+    )
+    out = pts.join(
+        smear,
+        (F.col("__cx") == F.col("__nx")) & (F.col("__cy") == F.col("__ny")),
+    )
+    thresh = F.lit(min_pts) if isinstance(min_pts, int) else min_pts
+    return out.filter(F.col("nb_count") < thresh).drop(
+        "__cx", "__cy", "__nx", "__ny"
+    )

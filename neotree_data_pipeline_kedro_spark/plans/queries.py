@@ -7519,6 +7519,180 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j21_fellegi_sunter",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+             CAST(c_acctbal AS DOUBLE) AS bal,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS blk
+      FROM customer
+    ), pairs AS (
+      SELECT (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN 2169925 ELSE -3000000 END
+            + CASE WHEN substr(a.c_name, 17, 2) = substr(b.c_name, 17, 2)
+                   THEN 6569856 ELSE -4307429 END
+            + CASE WHEN abs(a.bal - b.bal) < 100
+                   THEN 4000000 ELSE -2247928 END) AS score
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT CASE WHEN score >= 2000000 THEN 'match'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'non_match' END AS cls,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM pairs GROUP BY 1
+    """,
+)
+def j21_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage (operators/linkage.py):
+    customers blocked on (nation, 1000-unit balance band), candidate
+    pairs scored by summed integer micro-bit evidence over three
+    comparison fields (segment, name tail digits, balance proximity)
+    and three-way classified. Weights are log2(m/u) literals computed
+    once in Python — no log() at query time, so the oracle reproduces
+    every pair score exactly. Output is the per-class summary (pair
+    lists are fixture-unbounded)."""
+    from ..operators.linkage import fs_classify, fs_score
+
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("blk"),
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    score = fs_score(
+        [
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 0.9, 0.2),
+            (
+                F.substring("a.c_name", 17, 2) == F.substring("b.c_name", 17, 2),
+                0.95,
+                0.01,
+            ),
+            (F.abs(F.col("a.bal") - F.col("b.bal")) < 100, 0.8, 0.05),
+        ]
+    )
+    scored = pairs.select(score.alias("score"))
+    return scored.groupBy(fs_classify(F.col("score")).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum("score").alias("sum_score"),
+    )
+
+
+@_register(
+    "v_density_outliers",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / (25000 * count(*)))
+                  AS BIGINT) AS pb
+      FROM orders GROUP BY o_custkey
+    ), cnt AS (
+      SELECT n_orders AS cx, pb AS cy, count(*) AS c
+      FROM per_cust GROUP BY 1, 2
+    ), nb AS (
+      SELECT a.cx, a.cy, CAST(SUM(b.c) AS BIGINT) AS nb_count
+      FROM cnt a JOIN cnt b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      GROUP BY a.cx, a.cy
+    ), thresh AS (SELECT ceil(0.005 * count(*)) AS mp FROM per_cust)
+    SELECT p.o_custkey, p.n_orders, p.pb, nb.nb_count
+    FROM per_cust p
+    JOIN nb ON p.n_orders = nb.cx AND p.pb = nb.cy
+    WHERE nb.nb_count < (SELECT mp FROM thresh)
+    """,
+)
+def v_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density outliers (operators/validation.grid_density_outliers):
+    customers plotted on (order count, 25k-wide average-price band); one
+    is an outlier when its 3x3 neighborhood holds fewer than 0.5% of all
+    customers. The DBSCAN-noise approximation as two cell aggregates and
+    a 9-way smear of the CELL-COUNT table — no pairwise distances. The
+    price band goes through exact decimal sums and a single double
+    division (FLOOR on both engines), so cells are bit-identical; the
+    relative threshold scales with the corpus."""
+    from ..operators.validation import grid_density_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / (25000 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("pb"),
+    )
+    n = per_cust.groupBy().agg(
+        F.ceil(F.lit(0.005) * F.count(F.lit(1))).alias("__mp")
+    )
+    out = grid_density_outliers(
+        per_cust.crossJoin(F.broadcast(n)),
+        "n_orders",
+        "pb",
+        x_width=1,
+        y_width=1,
+        min_pts=F.col("__mp"),
+    )
+    return out.select("o_custkey", "n_orders", "pb", "nb_count")
+
+
+@_register(
+    "ta_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM tok),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM tot))
+                        * 1000000, 0) AS BIGINT) AS lp
+      FROM tok t JOIN v USING (token)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp) AS BIGINT) AS logprob_micro
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus log-likelihood per document
+    (operators/frequency.unigram_logprob): the cheap fluency signal for
+    quality filtering. Per-token ln(count/N) contributions are micro-
+    quantized BEFORE summation (the BM25 idf discipline) so the
+    per-document bigint sums match the oracle exactly; vocabulary
+    broadcasts back onto the token stream, leaving one count shuffle and
+    one per-doc sum."""
+    from ..operators.frequency import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return unigram_logprob(tok, "doc_id", "token")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7537,6 +7711,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "j21_fellegi_sunter",
+    "v_density_outliers",
+    "ta_unigram_logprob",
     "ta_frequent_tokens",
     "ann_maxsim_topk",
     "s10_cdc_apply",

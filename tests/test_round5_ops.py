@@ -269,3 +269,86 @@ def test_maxsim_matches_numpy(spark):
             )
         ]
         assert mine == [(i, int(scores[i])) for i in order]
+
+
+# --------------------------------------------------------- fellegi-sunter
+def test_fs_weights_signs_and_exact_points():
+    from neotree_data_pipeline_kedro_spark.operators.linkage import field_weights
+
+    wa, wd = field_weights(0.8, 0.05)
+    assert wa == 4_000_000  # log2(16) exactly
+    assert wd < 0
+    wa2, wd2 = field_weights(0.9, 0.2)
+    assert wd2 == -3_000_000  # log2(1/8) exactly
+    with pytest.raises(ValueError):
+        field_weights(0.2, 0.9)
+
+
+def test_fs_score_and_classify(spark):
+    from neotree_data_pipeline_kedro_spark.operators.linkage import (
+        fs_classify,
+        fs_score,
+    )
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, False)], "a boolean, b boolean"
+    )
+    score = fs_score([(F.col("a"), 0.8, 0.05), (F.col("b"), 0.9, 0.2)])
+    out = df.select(
+        score.alias("s"), fs_classify(score).alias("cls")
+    ).collect()
+    by = {(r["s"], r["cls"]) for r in out}
+    # exact: 4e6 + log2(4.5)e6 ; 4e6 - 3e6 ; wd1 - 3e6
+    assert (4_000_000 + 2_169_925, "match") in by
+    assert (1_000_000, "possible") in by
+    assert any(cls == "non_match" and s < 0 for s, cls in by)
+
+
+# ---------------------------------------------------- grid_density_outliers
+def test_grid_density_outliers_flags_isolated_point(spark):
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        grid_density_outliers,
+    )
+
+    # dense blob near origin + one isolated point far away
+    rows = [(float(i % 5), float(i // 5 % 5)) for i in range(100)]
+    rows.append((500.0, 500.0))
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = grid_density_outliers(
+        df, "x", "y", x_width=10.0, y_width=10.0, min_pts=5
+    ).collect()
+    assert [(r["x"], r["y"]) for r in out] == [(500.0, 500.0)]
+    assert out[0]["nb_count"] == 1
+
+
+def test_grid_density_outliers_neighborhood_counts(spark):
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        grid_density_outliers,
+    )
+
+    # two adjacent cells: counts smear into each other's neighborhoods
+    rows = [(0.5, 0.5)] * 3 + [(1.5, 0.5)] * 4
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = grid_density_outliers(df, "x", "y", x_width=1.0, y_width=1.0, min_pts=100)
+    assert {r["nb_count"] for r in out.collect()} == {7}
+
+
+# -------------------------------------------------------- unigram_logprob
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    from neotree_data_pipeline_kedro_spark.operators.frequency import unigram_logprob
+
+    toks = [
+        (1, "the"), (1, "cat"), (2, "the"), (2, "the"), (2, "dog"),
+    ]
+    df = spark.createDataFrame(toks, "doc bigint, token string")
+    got = {r["doc"]: (r["n_tokens"], r["logprob_micro"])
+           for r in unigram_logprob(df, "doc", "token").collect()}
+    counts = {"the": 3, "cat": 1, "dog": 1}
+    n = 5
+    lp = {t: round(math.log(c / n) * 1_000_000) for t, c in counts.items()}
+    assert got == {
+        1: (2, lp["the"] + lp["cat"]),
+        2: (3, 2 * lp["the"] + lp["dog"]),
+    }
