@@ -360,3 +360,121 @@ def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymin")),
         "left_semi",
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str] | str,
+    value_col: str,
+    *,
+    window: int = 7,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling median over the trailing ``window`` rows per group,
+    emitted only once the window is full (partial windows are bias, not
+    signal). Implemented as collect_list over a bounded rows-frame +
+    in-row sort — exact and engine-portable, unlike percentile_approx.
+    For odd windows the median is one element, so no float interpolation
+    can diverge between engines.
+
+    Scale: one window shuffle on the group key; per-row state is the
+    ``window`` values (bounded, small). This is the right shape when
+    window is tens-of-rows; for thousands-wide windows switch to a
+    two-heap/mergeable-sketch pandas UDF."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    # the ordering must be TOTAL — a rows-frame with ties admits any of
+    # several trailing windows and the median stops being well-defined
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    mid = window // 2
+    med = F.when(
+        F.size(arr) == window,
+        F.when(
+            F.lit(window % 2 == 1), F.element_at(arr, mid + 1)
+        ).otherwise(
+            (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2
+        ),
+    )
+    return df.withColumn(out_col, med)
+
+
+def running_distinct(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Cumulative-distinct time series: for each distinct ``time_col``
+    value, how many distinct keys have been seen at-or-before it, plus
+    how many appeared first at that instant. Count-distinct over a
+    cumulative window is unsupported (and inherently quadratic); the
+    standard decomposition is exact: each key contributes +1 at its FIRST
+    appearance (one groupBy min), and the running sum of first-appearance
+    counts IS the cumulative distinct.
+
+    The running sum goes over distinct time values (one row each). A
+    single window over them is time-cardinality-bounded — fine for
+    calendar-grained series; reuse the two-phase prefix pattern
+    (interval_concurrency / pareto_frontier_2d) when the time axis is
+    itself unbounded.
+
+    Output: (time_col, new_keys, cum_distinct)."""
+    first = df.groupBy(key_col).agg(F.min(time_col).alias("__t0"))
+    per_t = first.groupBy(F.col("__t0").alias(time_col)).agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    all_t = df.select(time_col).distinct().join(per_t, [time_col], "left").select(
+        time_col, F.coalesce("new_keys", F.lit(0)).alias("new_keys")
+    )
+    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    return all_t.withColumn("cum_distinct", F.sum("new_keys").over(w))
+
+
+def ewma_integer(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_micro_col: str,
+    *,
+    num: int = 1,
+    den: int = 4,
+    out_col: str = "ewma_micro",
+) -> DataFrame:
+    """Exponentially-weighted moving average as a pure-integer recurrence:
+    s_t = floor((num * x_t + (den - num) * s_{t-1}) / den) over
+    micro-quantized values — alpha = num/den. The floor-div keeps every
+    step in exact bigint arithmetic, so any engine replaying the same
+    walk (e.g. a recursive-CTE oracle) lands on identical values;
+    float EWMA recurrences accumulate rounding that makes cross-engine
+    equality a coin flip.
+
+    Inherently sequential WITHIN a group, so it runs as applyInPandas —
+    the greedy_pack shape (operators/sampling.py): full cross-group
+    parallelism, vectorized per group via the closed-form prefix scan
+    being unavailable for floor-div, a plain loop over the group's rows
+    (groups are per-entity series, bounded).
+
+    Output: input + ``out_col`` (bigint micro-units)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    part_cols = list(part_cols)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col]).reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf[value_micro_col].astype("int64"):
+            s = int(x) if s is None else (num * int(x) + (den - num) * s) // den
+            out.append(s)
+        pdf[out_col] = pd.Series(out, dtype="int64")
+        return pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return df.groupBy(*part_cols).applyInPandas(walk, schema=schema)

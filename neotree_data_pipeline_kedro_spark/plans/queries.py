@@ -7693,6 +7693,196 @@ def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(tok, "doc_id", "token")
 
 
+@_register(
+    "w12_rolling_median",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             list(CAST(o_totalprice AS DOUBLE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, price,
+           CASE WHEN len(win) = 7 THEN list_sort(win)[4] END AS rolling_median
+    FROM ordered
+    """,
+)
+def w12_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7 rolling median per customer
+    (operators/windows.rolling_median): collect the bounded rows-frame,
+    sort in-row, take the middle — exact and engine-portable where
+    percentile_approx is neither. Odd window means no interpolation, so
+    the oracle's list_sort[4] is bit-identical; emitted only on full
+    windows (warm-up rows stay NULL). One window shuffle on the
+    customer key."""
+    from ..operators.windows import rolling_median
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    out = rolling_median(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "price", window=7
+    )
+    return out.select("o_custkey", "o_orderkey", "price", "rolling_median")
+
+
+@_register(
+    "w14_running_distinct",
+    """
+    WITH first AS (
+      SELECT o_custkey, min(o_orderdate) AS t0 FROM orders GROUP BY o_custkey
+    ), per_t AS (
+      SELECT t0 AS o_orderdate, CAST(count(*) AS BIGINT) AS new_keys
+      FROM first GROUP BY t0
+    ), all_t AS (
+      SELECT DISTINCT o_orderdate FROM orders
+    )
+    SELECT a.o_orderdate,
+           COALESCE(p.new_keys, 0) AS new_keys,
+           CAST(SUM(COALESCE(p.new_keys, 0)) OVER (
+             ORDER BY a.o_orderdate ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct
+    FROM all_t a LEFT JOIN per_t p USING (o_orderdate)
+    """,
+)
+def w14_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct customers by order date
+    (operators/windows.running_distinct): running COUNT(DISTINCT) is
+    unsupported over cumulative frames and inherently quadratic if
+    forced; the exact decomposition charges each customer +1 at their
+    FIRST order and running-sums the per-date first-appearance counts.
+    The final window runs over distinct dates (calendar-bounded); the
+    heavy lifting is one min-per-key aggregate."""
+    from ..operators.windows import running_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    out = running_distinct(o, "o_custkey", "o_orderdate")
+    return out.select(
+        "o_orderdate",
+        F.col("new_keys").cast("bigint").alias("new_keys"),
+        F.col("cum_distinct").cast("bigint").alias("cum_distinct"),
+    )
+
+
+@_register(
+    "w13_ewma",
+    """
+    WITH RECURSIVE src AS (
+      SELECT o_custkey,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS x_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), walk AS (
+      SELECT o_custkey, rn, x_cents, x_cents AS ewma_cents
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.o_custkey, s.rn, s.x_cents,
+             CAST(FLOOR((1 * s.x_cents + 3 * w.ewma_cents) / 4.0) AS BIGINT)
+      FROM walk w JOIN src s
+        ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+    )
+    SELECT o_custkey, CAST(rn AS BIGINT) AS rn, x_cents, ewma_cents
+    FROM walk
+    """,
+)
+def w13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha = 1/4) of order value per customer
+    (operators/windows.ewma_integer): the smoothing recurrence runs in
+    exact bigint floor-div arithmetic over cent-quantized prices, so the
+    sequential walk is bit-reproducible — the recursive-CTE oracle
+    replays it to identical values (float EWMA would drift). Inherently
+    sequential within a customer, applyInPandas across customers — the
+    greedy_pack shape."""
+    from ..operators.windows import ewma_integer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    src = o.withColumn("rn", F.row_number().over(w)).select(
+        "o_custkey", "rn", "x_cents"
+    )
+    out = ewma_integer(
+        src, ["o_custkey"], "rn", "x_cents", num=1, den=4, out_col="ewma_cents"
+    )
+    return out.select(
+        "o_custkey", F.col("rn").cast("bigint").alias("rn"), "x_cents", "ewma_cents"
+    )
+
+
+@_register(
+    "ta_keyword_extraction",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY token
+    ), n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             t.tf * CAST(round(ln((CAST((SELECT nd FROM n) AS DOUBLE) + 1)
+                                  / (df.dfreq + 1)) * 1000000, 0) AS BIGINT)
+               AS score
+      FROM tf t JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def ta_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 tokens by
+    tf * micro-quantized idf (idf = ln((N+1)/(df+1)), the +1 smoothing
+    keeping corpus-wide tokens finite). The idf quantization makes the
+    score exact bigint (BM25 discipline); document frequency broadcasts
+    back onto per-doc term counts, and the only shuffles are the two
+    token-keyed aggregates plus the per-doc top-3 window."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    nd = tok.groupBy().agg(F.countDistinct("doc_id").alias("nd"))
+    idf = F.round(
+        F.log((F.col("nd").cast("double") + 1) / (F.col("dfreq") + 1)) * 1_000_000,
+        0,
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), ["token"])
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "token", "tf", (F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7711,6 +7901,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "w12_rolling_median",
+    "w13_ewma",
+    "w14_running_distinct",
+    "ta_keyword_extraction",
     "j21_fellegi_sunter",
     "v_density_outliers",
     "ta_unigram_logprob",

@@ -352,3 +352,68 @@ def test_unigram_logprob_matches_python(spark):
         1: (2, lp["the"] + lp["cat"]),
         2: (3, 2 * lp["the"] + lp["dog"]),
     }
+
+
+# ----------------------------------------------------------- rolling_median
+def test_rolling_median_matches_pandas(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import rolling_median
+
+    rows = [(1, i, float((i * 7) % 23)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g bigint, t bigint, v double")
+    got = {
+        r["t"]: r["rolling_median"]
+        for r in rolling_median(df, ["g"], "t", "v", window=5).collect()
+    }
+    import pandas as pd
+
+    s = pd.Series([v for _, _, v in rows])
+    want = s.rolling(5).median()
+    for i in range(20):
+        if i < 4:
+            assert got[i] is None
+        else:
+            assert got[i] == want[i]
+
+
+# --------------------------------------------------------- running_distinct
+def test_running_distinct_counts(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import running_distinct
+
+    rows = [("a", 1), ("b", 1), ("a", 2), ("c", 3), ("b", 3), ("d", 5)]
+    df = spark.createDataFrame(rows, "k string, t bigint")
+    got = {
+        r["t"]: (r["new_keys"], r["cum_distinct"])
+        for r in running_distinct(df, "k", "t").collect()
+    }
+    # b first appears at t=1; its t=3 row adds nothing
+    assert got == {1: (2, 2), 2: (0, 2), 3: (1, 3), 5: (1, 4)}
+
+
+# -------------------------------------------------------------- ewma_integer
+def test_ewma_integer_matches_manual_walk(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import ewma_integer
+
+    xs = [1000, 2000, 400, 400, 10000]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "g bigint, rn bigint, x bigint"
+    )
+    out = ewma_integer(df, ["g"], "rn", "x", num=1, den=4, out_col="s")
+    got = [r["s"] for r in out.orderBy("rn").collect()]
+    s = None
+    want = []
+    for x in xs:
+        s = x if s is None else (x + 3 * s) // 4
+        want.append(s)
+    assert got == want
+
+
+def test_ewma_integer_groups_independent(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import ewma_integer
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 900), (1, 1, 200), (2, 1, 100)],
+        "g bigint, rn bigint, x bigint",
+    )
+    out = {(r["g"], r["rn"]): r["s"] for r in
+           ewma_integer(df, ["g"], "rn", "x", out_col="s").collect()}
+    assert out == {(1, 0): 100, (1, 1): 125, (2, 0): 900, (2, 1): 700}
