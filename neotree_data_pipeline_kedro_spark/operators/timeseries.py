@@ -147,3 +147,53 @@ def winsorize(
         out_col,
         F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    *,
+    out_col: str = "interp",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key series: each missing
+    point takes prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    from its nearest observed neighbors; leading/trailing gaps fall back
+    to the single available neighbor (LOCF / back-fill) — the imputation
+    step after ``resample_grid`` turns irregular events into a dense grid
+    (forward_fill carries, this one SLOPES, which matters for rates and
+    gauges).
+
+    ``t_col`` must be numeric (days/seconds since epoch — cast before
+    calling): the fraction is then pure arithmetic on exact integers and
+    the interpolated double is the same IEEE expression on any engine.
+    Two window passes (backward + forward) over one key shuffle; state
+    per row is O(1), no self-join against observed points.
+    """
+    keys = list(key_cols)
+    obs_t = F.when(F.col(value_col).isNotNull(), F.col(t_col))
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * (F.col(t_col) - prev_t)
+            / (next_t - prev_t),
+        ).otherwise(F.coalesce(prev_v, next_v))
+    )
+    return df.withColumn(out_col, interp)

@@ -7883,6 +7883,219 @@ def ta_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_clean_pipeline",
+    """
+    WITH scr AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                 '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(trim(t), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM scr
+    ), m AS (
+      SELECT doc_id, t, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                             / CAST(len(toks) - 1 AS DOUBLE)
+                  ELSE 0.0 END AS dup_bigram_frac,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','is','in','it','a'))) AS en,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des','un','une','est'))) AS fr,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist','ein','nicht','mit'))) AS de,
+             len(list_filter(toks, x -> lower(x) IN ('el','los','de','y','que','en','un','es'))) AS es
+      FROM tok
+    ), l AS (
+      SELECT doc_id, n_tokens, md5(t) AS fp,
+             CASE WHEN GREATEST(en, fr, de, es) = 0 THEN 'und'
+                  WHEN en = GREATEST(en, fr, de, es) THEN 'en'
+                  WHEN fr = GREATEST(en, fr, de, es) THEN 'fr'
+                  WHEN de = GREATEST(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang,
+             (n_tokens BETWEEN 5 AND 10000) AND dup_bigram_frac < 0.15 AS q
+      FROM m
+    ), g AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM l WHERE q AND lang = 'en'
+    )
+    SELECT l.doc_id, l.lang, CAST(l.n_tokens AS BIGINT) AS n_tokens, l.fp,
+           (l.q AND l.lang = 'en') AS passes_gates,
+           COALESCE(g.rn = 1, FALSE) AS kept
+    FROM l LEFT JOIN g USING (doc_id)
+    """,
+)
+def ta_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning funnel a training corpus actually runs —
+    PII scrub -> repetition/length quality gate -> language filter ->
+    exact dedup of the survivors — as ONE registry query, pinning that
+    the stages compose (each stage is individually oracle-checked:
+    ta_pii_scrub, ta_repetition_quality_filter, ta_text_metrics,
+    dd_exact_fingerprint). Canonical-pick runs WITHIN the gated set:
+    gating before dedup is the contract (a kept doc must never owe its
+    survival to a filtered twin). All flags emitted for every doc so the
+    funnel's attrition is visible, not just the survivor list."""
+    docs = _t(spark, sf_dir, "documents")
+    scr = scrub_pii(F.col("text"))
+    rep = repetition_components(scr)
+    lang = language_id(scr)
+    base = docs.select(
+        "doc_id",
+        lang.alias("lang"),
+        rep["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.md5(scr).alias("fp"),
+        (
+            rep["n_tokens"].between(5, 10000)
+            & (rep["dup_bigram_frac"] < 0.15)
+            & (lang == "en")
+        ).alias("passes_gates"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    gated = (
+        base.filter(F.col("passes_gates"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+    )
+    return base.join(gated, ["doc_id"], "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "fp",
+        "passes_gates",
+        F.coalesce(F.col("rn") == 1, F.lit(False)).alias("kept"),
+    )
+
+
+@_register(
+    "s11_minmax_skipping",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-03-01' AND DATE '1997-08-31'
+    GROUP BY 1
+    """,
+)
+def s11_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven data skipping (sources/warehouse.file_minmax_stats
+    + minmax_prune_scan): orders re-clustered into date-sorted files, a
+    per-file min/max manifest built with one file-keyed aggregate, and a
+    6-month scan that opens ONLY intersecting files (the residual filter
+    keeps correctness independent of pruning). This is the mechanism
+    that makes sort/Z-order clustering pay at 100 TB — most files never
+    leave the object store; tests/test_round5_ops.py pins that pruning
+    actually skips files on the clustered layout."""
+    import hashlib
+    import os
+
+    from ..sources.warehouse import minmax_prune_scan
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    path = os.path.join(
+        "/tmp",
+        "neotree_mm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import datetime as dt
+
+    pruned, _read, _total = minmax_prune_scan(
+        spark, path, "o_orderdate", dt.date(1997, 3, 1), dt.date(1997, 8, 31)
+    )
+    return pruned.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@_register(
+    "w15_interpolate",
+    """
+    WITH binned AS (
+      SELECT user_id, date_trunc('day', ts) AS bin_ts,
+             SUM(CAST(value AS DECIMAL(18,6))) AS bin_sum
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bin_ts) AS lo, MAX(bin_ts) AS hi
+      FROM binned GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bin_ts
+      FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bin_ts,
+             CAST(b.bin_sum AS DOUBLE) AS v,
+             datediff('day', DATE '1970-01-01', CAST(g.bin_ts AS DATE)) AS t
+      FROM grid g LEFT JOIN binned b USING (user_id, bin_ts)
+    ), w AS (
+      SELECT user_id, bin_ts, v, t,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, bin_ts, v AS bin_sum,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                ELSE COALESCE(pv, nv) END AS interp
+    FROM w
+    """,
+)
+def w15_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (operators/timeseries.interpolate_linear)
+    over the resampled daily grid: missing bins take the slope between
+    their nearest observed neighbors (forward_fill carries levels; this
+    slopes rates/gauges), edges fall back to the lone neighbor. The time
+    axis is integer epoch-days, so the interpolation fraction is exact-
+    integer arithmetic and the one double expression is identical IEEE
+    on both engines. Two O(1)-state window passes over one user-key
+    shuffle — no self-join against observed points."""
+    from ..operators.timeseries import interpolate_linear, resample_grid
+
+    ev = _t(spark, sf_dir, "events")
+    grid = resample_grid(
+        ev, key_cols=["user_id"], ts_col="ts", value_col="value", step="1 day"
+    ).select(
+        "user_id",
+        "bin_ts",
+        F.col("bin_sum").cast("double").alias("v"),
+        F.datediff(F.col("bin_ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("t"),
+    )
+    out = interpolate_linear(grid, ["user_id"], "t", "v", out_col="interp")
+    return out.select(
+        "user_id", "bin_ts", F.col("v").alias("bin_sum"), "interp"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -7901,6 +8114,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "ta_clean_pipeline",
+    "s11_minmax_skipping",
+    "w15_interpolate",
     "w12_rolling_median",
     "w13_ewma",
     "w14_running_distinct",

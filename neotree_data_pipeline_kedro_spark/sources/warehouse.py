@@ -168,3 +168,56 @@ def roundtrip_format(df: DataFrame, path: str, fmt: str = "orc") -> DataFrame:
     spark = df.sparkSession
     df.write.mode("overwrite").format(fmt).save(path)
     return spark.read.format(fmt).load(path)
+
+
+def file_minmax_stats(
+    spark: SparkSession, table_dir: str, col: str
+) -> DataFrame:
+    """Per-file min/max manifest for ``col`` over a parquet directory —
+    the hand-rolled equivalent of a lakehouse table format's file-level
+    statistics (Delta/Iceberg manifests). One aggregate keyed by
+    input_file_name(); the result is file-count-sized."""
+    df = spark.read.parquet(table_dir)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(F.min(col).alias("min_v"), F.max(col).alias("max_v"))
+    )
+
+
+def minmax_prune_scan(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Scan ``table_dir`` for rows with ``col`` in [lo, hi], reading ONLY
+    the files whose min/max range intersects the predicate — data
+    skipping via a manifest, the mechanism that makes Z-order/sort
+    clustering (functions/zorder.py, compact_parquet) pay off: after
+    clustering, most files' ranges are disjoint from most predicates and
+    never leave the object store.
+
+    Returns (dataframe, files_read, files_total). The residual filter is
+    still applied (file granularity over-approximates); correctness
+    never depends on the pruning, only scan cost does. The manifest
+    collect is file-count-sized — at real scale persist it once per
+    table (it is the same information a lakehouse manifest caches) and
+    broadcast-join instead of re-deriving per query.
+    """
+    stats = file_minmax_stats(spark, table_dir, col).collect()
+    keep = [
+        r["file"]
+        for r in stats
+        if r["min_v"] is not None and r["max_v"] >= lo and r["min_v"] <= hi
+    ]
+    base = (
+        spark.read.parquet(*keep)
+        if keep
+        else spark.read.parquet(table_dir).limit(0)
+    )
+    return (
+        base.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
+        len(keep),
+        len(stats),
+    )

@@ -417,3 +417,87 @@ def test_ewma_integer_groups_independent(spark):
     out = {(r["g"], r["rn"]): r["s"] for r in
            ewma_integer(df, ["g"], "rn", "x", out_col="s").collect()}
     assert out == {(1, 0): 100, (1, 1): 125, (2, 0): 900, (2, 1): 700}
+
+
+# ------------------------------------------------------ minmax_prune_scan
+def test_minmax_pruning_skips_disjoint_files(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        minmax_prune_scan,
+    )
+
+    d = str(tmp_path / "clustered")
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    df.repartitionByRange(10, "k").sortWithinPartitions("k").write.parquet(d)
+    out, read, total = minmax_prune_scan(spark, d, "k", 2500, 3499)
+    assert total == 10
+    assert read <= 2  # clustered layout -> predicate touches ~1 file
+    assert out.count() == 1000
+    assert out.agg(F.min("k"), F.max("k")).collect()[0] == (2500, 3499)
+
+
+def test_minmax_pruning_unclustered_still_correct(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        minmax_prune_scan,
+    )
+
+    d = str(tmp_path / "shuffled")
+    spark.range(0, 5000).select((F.col("id") * 37 % 5000).alias("k")).repartition(
+        8
+    ).write.parquet(d)
+    out, read, total = minmax_prune_scan(spark, d, "k", 100, 199)
+    assert out.count() == 100  # pruning never costs correctness
+    assert read == total  # random layout -> nothing skippable
+
+
+def test_minmax_empty_range(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        minmax_prune_scan,
+    )
+
+    d = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(d)
+    out, read, total = minmax_prune_scan(spark, d, "k", 5000, 6000)
+    assert read == 0 and out.count() == 0
+
+
+# ----------------------------------------------------- interpolate_linear
+def test_interpolate_linear_slopes_and_edges(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        (1, 0, None),   # leading gap -> backfill 10.0
+        (1, 1, 10.0),
+        (1, 2, None),   # 10 + (40-10)*(2-1)/(4-1) = 20
+        (1, 3, None),   # 30
+        (1, 4, 40.0),
+        (1, 5, None),   # trailing gap -> LOCF 40
+        (2, 0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g bigint, t bigint, v double")
+    got = {
+        (r["g"], r["t"]): r["interp"]
+        for r in interpolate_linear(df, ["g"], "t", "v").collect()
+    }
+    assert got == {
+        (1, 0): 10.0,
+        (1, 1): 10.0,
+        (1, 2): 20.0,
+        (1, 3): 30.0,
+        (1, 4): 40.0,
+        (1, 5): 40.0,
+        (2, 0): 7.0,
+    }
+
+
+def test_interpolate_all_null_group(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, None)], "g bigint, t bigint, v double"
+    )
+    out = interpolate_linear(df, ["g"], "t", "v").collect()
+    assert all(r["interp"] is None for r in out)
