@@ -774,3 +774,96 @@ def duplicate_ngram_runs(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    *,
+    tau_num: int = 6,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (PPJoin-lite,
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection"): all pairs with Jaccard >= tau_num/tau_den, WITHOUT the
+    all-pairs product. Prefix-filter completeness: order every set by
+    ascending global token frequency (rare first); two sets with
+    Jaccard >= tau MUST share a token inside each other's first
+    n - ceil(tau*n) + 1 tokens, so joining on prefix tokens generates a
+    candidate superset and the exact integer cross-multiplied Jaccard
+    test (inter * den >= num * (na + nb - inter)) finishes the job — no
+    floats anywhere, so any engine's brute-force twin agrees exactly.
+
+    Unlike MinHash-LSH (probabilistic recall) this is EXACT at scale:
+    candidates ~ pairs sharing rare tokens, not all pairs. Shuffles:
+    token-frequency aggregate, per-set regroup, prefix-token join —
+    all equi-keyed; the rare-first order keeps the hottest join key as
+    cold as possible (frequency ties broken by token for determinism).
+
+    Output: (id_a, id_b, inter, union_n, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(set_col)).alias("__s"),
+    ).filter(F.size("__s") > 0)
+    tok = base.select("__id", F.explode("__s").alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    ordered = (
+        tok.join(freq, "__t")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__f", "__t"))
+            ).alias("__ord")
+        )
+        .select(
+            "__id",
+            F.transform("__ord", lambda s: s["__t"]).alias("__s"),
+            F.size("__ord").alias("__n"),
+        )
+    )
+    # prefix length p = n - ceil(tau*n) + 1, in exact integers
+    p = F.col("__n") - F.floor(
+        (F.lit(tau_num) * F.col("__n") + tau_den - 1) / tau_den
+    ).cast("int") + 1
+    prefixes = ordered.select(
+        "__id", F.explode(F.slice("__s", 1, p)).alias("__pt")
+    )
+    cand = (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb"), F.col("pa.__pt") == F.col("pb.__pt"))
+        .filter(F.col("pa.__id") < F.col("pb.__id"))
+        .select(
+            F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb")
+        )
+        .distinct()
+    )
+    a = ordered.select(
+        F.col("__id").alias("__ida"), F.col("__s").alias("__sa"), F.col("__n").alias("__na")
+    )
+    b = ordered.select(
+        F.col("__id").alias("__idb"), F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(a, "__ida")
+        .join(b, "__idb")
+        .withColumn("inter", inter)
+        .filter(
+            F.col("inter") * tau_den
+            >= tau_num * (F.col("__na") + F.col("__nb") - F.col("inter"))
+        )
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("__na") + F.col("__nb") - F.col("inter"))
+            .cast("bigint")
+            .alias("union_n"),
+            (
+                F.col("inter")
+                / (F.col("__na") + F.col("__nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -8096,6 +8096,152 @@ def w15_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dd_ppjoin_pairs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy'
+      FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+                                          i -> array_to_string(tk[i:i+2], ' ')))
+               AS s
+      FROM toks WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+             AS union_n,
+           len(list_intersect(a.s, b.s))
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10
+          >= 8 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+)
+def dd_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering
+    (operators/neardup.set_similarity_join, PPJoin-lite): all document
+    pairs whose 3-gram shingle sets have Jaccard >= 0.8, found without
+    the all-pairs product — rare-first prefix tokens generate a complete
+    candidate superset, the integer cross-multiplied test finishes.
+    Complements MinHash-LSH (probabilistic recall) with guaranteed
+    recall; the fixture plants near-identical clones of every 10th doc
+    so the threshold band is populated. The oracle IS the brute-force
+    quadratic join, so any prefix-filter completeness bug
+    hash-mismatches."""
+    from ..operators.neardup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    tk = tokens(F.col("text"))
+    shingled = corpus.select(
+        "doc_id", tk.alias("__tk")
+    ).filter(F.size("__tk") >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, 3)),
+        ).alias("sh"),
+    )
+    return set_similarity_join(
+        shingled, "doc_id", "sh", tau_num=8, tau_den=10
+    ).select("id_a", "id_b", "inter", "union_n", "jaccard")
+
+
+@_register(
+    "g3_degree_stats",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM nodes GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def g3_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the supplier→customer trade graph
+    (g1_pagerank's edge set): degree per node, then nodes per degree —
+    the first diagnostic run on any production graph (hubs and skew
+    decide whether pagerank/components need degree-aware orientation or
+    salting; see triangle_count's high-degree note). Two key-aggregates,
+    no joins beyond the edge build."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@_register(
+    "a18_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a grouping-id disambiguator — the
+    general form behind a9's ROLLUP and a12's CUBE: three aggregation
+    granularities in ONE pass (Spark expands the sets map-side, so the
+    fact is scanned once, not three times), with GROUPING() telling
+    subtotal NULLs apart from genuine NULL group values. Decimal partial
+    sums keep revenue exact."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8114,6 +8260,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "dd_ppjoin_pairs",
+    "g3_degree_stats",
+    "a18_grouping_sets",
     "ta_clean_pipeline",
     "s11_minmax_skipping",
     "w15_interpolate",

@@ -501,3 +501,51 @@ def test_interpolate_all_null_group(spark):
     )
     out = interpolate_linear(df, ["g"], "t", "v").collect()
     assert all(r["interp"] is None for r in out)
+
+
+# ------------------------------------------------------ set_similarity_join
+def test_ppjoin_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        set_similarity_join,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = [rng.sample(vocab, rng.randint(5, 15)) for _ in range(60)]
+    sets[10] = sets[5] + ["extra"]  # planted near-dup
+    sets[20] = list(sets[7])  # planted exact dup
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets)], "id bigint, s array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(df, "id", "s", tau_num=6, tau_den=10).collect()
+    }
+    want = set()
+    dsets = [set(s) for s in sets]
+    for a, b in itertools.combinations(range(60), 2):
+        inter = len(dsets[a] & dsets[b])
+        union = len(dsets[a] | dsets[b])
+        if inter * 10 >= 6 * union:
+            want.add((a, b))
+    assert got == want
+    assert (5, 10) in got and (7, 20) in got
+
+
+def test_ppjoin_exact_jaccard_values(spark):
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "e"]), (3, ["x"])],
+        "id bigint, s array<string>",
+    )
+    rows = set_similarity_join(df, "id", "s", tau_num=6, tau_den=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["inter"], r["union_n"]) == (1, 2, 3, 5)
+    assert r["jaccard"] == 0.6
