@@ -809,6 +809,9 @@ def set_similarity_join(
     ).filter(F.size("__s") > 0)
     tok = base.select("__id", F.explode("__s").alias("__t"))
     freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    # materialized once: three consumers (prefixes + both verify sides)
+    # would otherwise re-run the tokenize/explode/frequency chain each —
+    # measured 10 s -> ~3 s at sf0.1 for the registry fixture
     ordered = (
         tok.join(freq, "__t")
         .groupBy("__id")
@@ -822,18 +825,27 @@ def set_similarity_join(
             F.transform("__ord", lambda s: s["__t"]).alias("__s"),
             F.size("__ord").alias("__n"),
         )
+        .localCheckpoint()
     )
     # prefix length p = n - ceil(tau*n) + 1, in exact integers
     p = F.col("__n") - F.floor(
         (F.lit(tau_num) * F.col("__n") + tau_den - 1) / tau_den
     ).cast("int") + 1
     prefixes = ordered.select(
-        "__id", F.explode(F.slice("__s", 1, p)).alias("__pt")
+        "__id", "__n", F.explode(F.slice("__s", 1, p)).alias("__pt")
     )
+    # length filter (part of PPJoin's candidate pruning): Jaccard >= tau
+    # forces tau*|a| <= |b| <= |a|/tau, so size-incompatible pairs never
+    # reach the verify join — on corpora with hot tokens this is the
+    # difference between candidates ~ matches and candidates ~ token^2
     cand = (
         prefixes.alias("pa")
         .join(prefixes.alias("pb"), F.col("pa.__pt") == F.col("pb.__pt"))
-        .filter(F.col("pa.__id") < F.col("pb.__id"))
+        .filter(
+            (F.col("pa.__id") < F.col("pb.__id"))
+            & (F.col("pb.__n") * tau_den >= F.col("pa.__n") * tau_num)
+            & (F.col("pa.__n") * tau_den >= F.col("pb.__n") * tau_num)
+        )
         .select(
             F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb")
         )
