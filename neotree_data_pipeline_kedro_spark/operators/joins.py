@@ -618,3 +618,66 @@ def bloom_semi_join(
         [fact_key],
         "left_semi",
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, str]],
+    *,
+    salts: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation by explicit two-phase salting: phase 1
+    aggregates on (key, salt) — the hot key's rows spread over ``salts``
+    reducers — phase 2 re-aggregates the bounded partials on the key
+    alone. ``aggs`` maps output names to (phase-1 aggregate column,
+    merge) pairs where merge is 'sum', 'min', or 'max' — only
+    DECOMPOSABLE aggregates qualify (counts merge with 'sum').
+
+    Spark's map-side partial aggregation usually makes this redundant —
+    partials already combine before the shuffle — but it stops helping
+    when the agg buffer is large (collect_list-ish) or when AQE's skew
+    handling is off; the explicit salt is the portable fallback, and the
+    registry query pins that its two-exchange plan stays intact.
+
+    The salt is hashed from the whole row (xxhash64 of all columns), so
+    it is deterministic under retries, unlike a rand() salt.
+    """
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[c.alias(f"__p_{name}") for name, (c, _) in aggs.items()])
+    )
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    mergers = []
+    for name, (_, merge) in aggs.items():
+        if merge not in merge_fns:
+            raise ValueError(f"merge must be one of {sorted(merge_fns)}: {merge}")
+        mergers.append(merge_fns[merge](F.col(f"__p_{name}")).alias(name))
+    return phase1.groupBy(*keys).agg(*mergers)
+
+
+def nullsafe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where NULL matches NULL (`<=>` / IS NOT DISTINCT FROM)
+    on every key — the semantics a changelog diff or dimension-merge
+    needs when NULL is a legitimate key value (plain `=` silently drops
+    those rows, the classic lost-update in reconcile pipelines; compare
+    j14_table_diff's coalesce workaround). Spark plans `<=>` as a normal
+    hash join (null keys hash like any value), so the scale shape is
+    identical to the plain equi-join."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    out = left.join(right, cond, how)
+    # drop the duplicate right-side key columns, as list-form joins do
+    for k in keys:
+        out = out.drop(right[k])
+    return out

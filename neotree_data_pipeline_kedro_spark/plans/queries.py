@@ -8281,6 +8281,89 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a19_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           CAST(min(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS min_price,
+           CAST(max(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a19_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/joins.salted_agg) on
+    l_returnflag — three values over the whole fact, the worst-case
+    reducer skew. Phase 1 groups on (key, salt-of-row) so no reducer
+    owns a hot key alone; phase 2 merges the bounded partials. Decimal
+    partial sums keep the merge exact, and the deterministic row-hash
+    salt survives retries where rand() salting double-counts. Oracle is
+    the plain GROUP BY — the decomposition must be invisible in the
+    result."""
+    from ..operators.joins import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count(F.lit(1)), "sum"),
+            "qty": (F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum"),
+            "min_price": (F.min(F.col("l_extendedprice").cast("double")), "min"),
+            "max_price": (F.max(F.col("l_extendedprice").cast("double")), "max"),
+        },
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("qty").cast("double").alias("qty"),
+        "min_price",
+        "max_price",
+    )
+
+
+@_register(
+    "j22_nullsafe_join",
+    """
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS k
+      FROM orders
+    ), r AS (
+      SELECT DISTINCT k, COALESCE(k, '<NULL>') || '-tag' AS label FROM l
+    )
+    SELECT l.o_orderkey, l.k, r.label
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def j22_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (operators/joins.nullsafe_join, `<=>`): NULL
+    keys match the NULL dimension row instead of silently dropping — the
+    semantics changelog diffs and dimension merges need when NULL is a
+    legitimate key value (every 7th order's priority is nulled so the
+    band is populated). Spark hashes null like any key, so the plan is
+    the ordinary hash join; the oracle states IS NOT DISTINCT FROM."""
+    from ..operators.joins import nullsafe_join
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+    )
+    right = left.select("k").distinct().select(
+        "k",
+        F.concat(F.coalesce(F.col("k"), F.lit("<NULL>")), F.lit("-tag")).alias(
+            "label"
+        ),
+    )
+    return nullsafe_join(left, right, ["k"]).select("o_orderkey", "k", "label")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8299,6 +8382,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "a19_salted_agg",
+    "j22_nullsafe_join",
     "dd_ppjoin_pairs",
     "g3_degree_stats",
     "a18_grouping_sets",

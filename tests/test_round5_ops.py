@@ -549,3 +549,81 @@ def test_ppjoin_exact_jaccard_values(spark):
     r = rows[0]
     assert (r["id_a"], r["id_b"], r["inter"], r["union_n"]) == (1, 2, 3, 5)
     assert r["jaccard"] == 0.6
+
+
+# ---------------------------------------------------------------- salted_agg
+def test_salted_agg_equals_plain_groupby(spark):
+    from neotree_data_pipeline_kedro_spark.operators.joins import salted_agg
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), "sum"),
+                "s": (F.sum("v"), "sum"),
+                "lo": (F.min("v"), "min"),
+                "hi": (F.max("v"), "max"),
+            },
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_bad_merge(spark):
+    from neotree_data_pipeline_kedro_spark.operators.joins import salted_agg
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"x": (F.avg("k"), "avg")}).collect()
+
+
+# -------------------------------------------------------------- nullsafe_join
+def test_nullsafe_join_matches_null_keys(spark):
+    from neotree_data_pipeline_kedro_spark.operators.joins import nullsafe_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id bigint, k string"
+    )
+    right = spark.createDataFrame(
+        [("a", "A"), (None, "N")], "k string, label string"
+    )
+    got = {(r["id"], r["label"]) for r in nullsafe_join(left, right, ["k"]).collect()}
+    assert got == {(1, "A"), (2, "N"), (4, "N")}  # plain = would drop 2 and 4
+
+
+# ------------------------------------------- dynamic partition pruning (DPP)
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        write_partitioned,
+    )
+
+    fact_dir = str(tmp_path / "fact_part")
+    fact = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 12).alias("part")
+    )
+    write_partitioned(fact, fact_dir, ["part"])
+    dim = spark.range(0, 12).select(
+        F.col("id").alias("part"), (F.col("id") % 2 == 0).alias("keep")
+    )
+    f = spark.read.parquet(fact_dir)
+    j = f.join(dim.filter(F.col("keep")), ["part"]).groupBy("part").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the fact scan's partition filter must reference the runtime subquery
+    assert "dynamicpruning" in plan.lower()
+    assert {r["part"] for r in j.collect()} == {0, 2, 4, 6, 8, 10}
