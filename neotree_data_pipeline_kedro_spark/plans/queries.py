@@ -8364,6 +8364,88 @@ def j22_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nullsafe_join(left, right, ["k"]).select("o_orderkey", "k", "label")
 
 
+@_register(
+    "ta_url_dedup_caps",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR)
+               || '.COM/Path/' || CAST(doc_id % 300 AS VARCHAR)
+               || '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+               || '#frag' AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+                                  '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+             || substr(regexp_replace(url, '[?#].*$', ''),
+                       length(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+                              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1)
+               AS url_canon,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM src
+    ), d AS (
+      SELECT doc_id, url_canon,
+             lower(regexp_extract(url_canon,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS domain,
+             row_number() OVER (PARTITION BY url_canon ORDER BY h, doc_id)
+               AS url_rn
+      FROM canon
+    ), capped AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS dom_rn
+      FROM d WHERE url_rn = 1
+    )
+    SELECT d.doc_id, d.url_canon, d.domain,
+           d.url_rn = 1 AS is_url_canonical,
+           COALESCE(c.dom_rn <= 5, FALSE) AS kept
+    FROM d LEFT JOIN capped c ON c.doc_id = d.doc_id
+    """,
+)
+def ta_url_dedup_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL hygiene (functions/urls.py): canonicalize (drop
+    query+fragment, lowercase scheme+host, path byte-exact), keep ONE
+    doc per canonical URL (deterministic md5 order), then cap each
+    domain at 5 survivors — the pair of passes that stops refetched
+    URLs and boilerplate-heavy domains from flooding a pretraining
+    mixture. The fixture synthesizes colliding mixed-case URLs from
+    doc_id (~1.7 docs/URL, 20 domains) so both windows bite. Two window
+    shuffles (URL key, then domain key), everything else is scan-stage
+    regexp."""
+    from ..functions.urls import canonicalize_url, url_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (did % 20).cast("string"),
+        F.lit(".COM/Path/"), (did % 300).cast("string"),
+        F.lit("?utm_source=x&id="), (did % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    canon = docs.select(
+        "doc_id",
+        canonicalize_url(url).alias("url_canon"),
+        F.md5(did.cast("string")).alias("__h"),
+    ).withColumn("domain", url_domain(F.col("url_canon")))
+    w_url = Window.partitionBy("url_canon").orderBy("__h", "doc_id")
+    d = canon.withColumn("url_rn", F.row_number().over(w_url))
+    w_dom = Window.partitionBy("domain").orderBy("__h", "doc_id")
+    capped = (
+        d.filter(F.col("url_rn") == 1)
+        .withColumn("dom_rn", F.row_number().over(w_dom))
+        .select("doc_id", "dom_rn")
+    )
+    return d.join(capped, ["doc_id"], "left").select(
+        "doc_id",
+        "url_canon",
+        "domain",
+        (F.col("url_rn") == 1).alias("is_url_canonical"),
+        F.coalesce(F.col("dom_rn") <= 5, F.lit(False)).alias("kept"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8382,6 +8464,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "ta_url_dedup_caps",
     "a19_salted_agg",
     "j22_nullsafe_join",
     "dd_ppjoin_pairs",

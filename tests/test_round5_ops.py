@@ -627,3 +627,29 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # the fact scan's partition filter must reference the runtime subquery
     assert "dynamicpruning" in plan.lower()
     assert {r["part"] for r in j.collect()} == {0, 2, 4, 6, 8, 10}
+
+
+# ------------------------------------------------------------ url functions
+def test_canonicalize_url_policy(spark):
+    from neotree_data_pipeline_kedro_spark.functions.urls import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.Example.COM/Path/File?q=1&utm=x#frag",),
+            ("http://host.org/CaseSensitivePath",),
+            ("https://plain.net",),
+            ("not-a-url",),
+        ],
+        "u string",
+    )
+    out = df.select(
+        canonicalize_url("u").alias("c"), url_domain("u").alias("d")
+    ).collect()
+    assert out[0]["c"] == "https://www.example.com/Path/File"  # path case kept
+    assert out[0]["d"] == "www.example.com"
+    assert out[1]["c"] == "http://host.org/CaseSensitivePath"
+    assert out[2]["c"] == "https://plain.net" and out[2]["d"] == "plain.net"
+    assert out[3]["c"] == "not-a-url" and out[3]["d"] == ""
