@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def forward_fill(
@@ -197,3 +198,64 @@ def interpolate_linear(
         ).otherwise(F.coalesce(prev_v, next_v))
     )
     return df.withColumn(out_col, interp)
+
+
+def cusum_integer(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_micro_col: str,
+    *,
+    k_micro: int,
+    h_micro: int,
+    out_col: str = "cusum",
+    alarm_col: str = "alarm",
+) -> DataFrame:
+    """One-sided CUSUM change-point detection as an exact integer
+    recurrence: s_t = max(0, s_{t-1} + (x_t - k)), alarm when s_t > h —
+    the classic drift detector (Page 1954) for per-entity metric series
+    (order values, latencies, vitals). ``k_micro`` is the reference
+    level plus slack; ``h_micro`` the decision threshold, both in the
+    value's micro units so every step is bigint arithmetic a
+    recursive-CTE oracle replays bit-for-bit.
+
+    Same partition-scan shape as ewma_integer (operators/windows.py):
+    hash-repartition on the single group key, sort within partitions,
+    one mapInPandas pass with a cross-batch (group, state) carry —
+    per-group overhead is zero, Python touches each row once.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    part_cols = list(part_cols)
+    if len(part_cols) != 1:
+        raise ValueError("cusum_integer expects exactly one group column")
+    g = part_cols[0]
+    parted = df.repartition(F.col(g)).sortWithinPartitions(g, order_col)
+
+    def scan(batches):
+        carry_g = None
+        carry_s = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs = pdf[g].to_numpy()
+            xs = pdf[value_micro_col].to_numpy()
+            out = []
+            cg, cs = carry_g, carry_s
+            for gi, xi in zip(gs, xs):
+                if gi != cg:
+                    cs = 0
+                cs = max(0, cs + int(xi) - k_micro)
+                cg = gi
+                out.append(cs)
+            carry_g, carry_s = cg, cs
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(out, dtype="int64").values
+            pdf[alarm_col] = pdf[out_col] > h_micro
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.LongType()), T.StructField(alarm_col, T.BooleanType())]
+    )
+    return parted.mapInPandas(scan, schema=schema)

@@ -617,3 +617,76 @@ def grid_density_outliers(
     return out.filter(F.col("nb_count") < thresh).drop(
         "__cx", "__cy", "__nx", "__ny"
     )
+
+
+def run_contract(
+    spark_tables: dict[str, DataFrame],
+    contract: dict,
+) -> DataFrame:
+    """Declarative data-contract runner (the dbt-tests / Great-
+    Expectations shape of the reference's validation suite): one config
+    dict in, one violations report out — so a pipeline can assert its
+    published tables in CI without writing per-check code.
+
+    ``contract`` maps table name → list of checks; each check is one of
+      {"type": "not_null", "columns": [...]}
+      {"type": "unique", "keys": [...]}
+      {"type": "accepted_values", "column": c, "values": [...]}
+      {"type": "relationship", "column": c, "to_table": t, "to_column": d}
+
+    Output: (table, check, n_violations, passed) — one row per check,
+    computed as one aggregate/anti-join per check over the named table
+    (Catalyst shares scans across checks on the same table via exchange
+    reuse where shapes allow). All checks are pure DataFrame plans: at
+    100 TB each is a scan-plus-aggregate, never a collect.
+    """
+    reports: list[DataFrame] = []
+    for table, checks in contract.items():
+        df = spark_tables[table]
+        for chk in checks:
+            kind = chk["type"]
+            if kind == "not_null":
+                cond = None
+                for c in chk["columns"]:
+                    n = F.col(c).isNull()
+                    cond = n if cond is None else cond | n
+                n_bad = df.filter(cond).count() if chk["columns"] else 0
+                label = "not_null(" + ",".join(chk["columns"]) + ")"
+            elif kind == "unique":
+                keys = list(chk["keys"])
+                n_bad = (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__v"))
+                    .collect()[0]["__v"]
+                )
+                label = "unique(" + ",".join(keys) + ")"
+            elif kind == "accepted_values":
+                c = chk["column"]
+                n_bad = df.filter(
+                    F.col(c).isNotNull() & ~F.col(c).isin(*chk["values"])
+                ).count()
+                label = f"accepted_values({c})"
+            elif kind == "relationship":
+                c, tt, tc = chk["column"], chk["to_table"], chk["to_column"]
+                dim = spark_tables[tt].select(F.col(tc).alias(c)).distinct()
+                n_bad = (
+                    df.filter(F.col(c).isNotNull())
+                    .join(dim, [c], "left_anti")
+                    .count()
+                )
+                label = f"relationship({c}->{tt}.{tc})"
+            else:
+                raise ValueError(f"unknown check type: {kind}")
+            spark = df.sparkSession
+            reports.append(
+                spark.createDataFrame(
+                    [(table, label, int(n_bad), int(n_bad) == 0)],
+                    "table string, check string, n_violations bigint, passed boolean",
+                )
+            )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -8446,6 +8446,142 @@ def ta_url_dedup_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_data_contract",
+    """
+    SELECT 'orders' AS tbl, 'not_null(o_orderkey,o_custkey)' AS chk,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey IS NULL OR o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'orders', 'unique(o_orderkey)',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+             SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+             HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'accepted_values(o_orderstatus)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'relationship(o_custkey->customer.c_custkey)',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer', 'unique(c_custkey)',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+             SELECT count(*) AS n FROM customer GROUP BY c_custkey
+             HAVING count(*) > 1)), 0) AS BIGINT)
+    """,
+)
+def v_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract runner (operators/validation.
+    run_contract): a dbt-tests-style config — not-null, unique,
+    accepted-values, FK relationship — executed as one scan-plus-
+    aggregate plan per check, reported one row per check. This is the
+    CI surface over the §2.11 validation family: publish-time contracts
+    without per-check code. The oracle restates each check as a scalar
+    subquery; `passed` is derived, so only the violation counts are
+    compared."""
+    from ..operators.validation import run_contract
+
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    contract = {
+        "orders": [
+            {"type": "not_null", "columns": ["o_orderkey", "o_custkey"]},
+            {"type": "unique", "keys": ["o_orderkey"]},
+            {
+                "type": "accepted_values",
+                "column": "o_orderstatus",
+                "values": ["F", "O", "P"],
+            },
+            {
+                "type": "relationship",
+                "column": "o_custkey",
+                "to_table": "customer",
+                "to_column": "c_custkey",
+            },
+        ],
+        "customer": [{"type": "unique", "keys": ["c_custkey"]}],
+    }
+    out = run_contract(tables, contract)
+    return out.select(
+        F.col("table").alias("tbl"),
+        F.col("check").alias("chk"),
+        "n_violations",
+    )
+
+
+@_register(
+    "w16_cusum_changepoint",
+    """
+    WITH RECURSIVE src AS (
+      SELECT o_custkey,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS x_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), walk AS (
+      SELECT o_custkey, rn, x_cents,
+             GREATEST(CAST(0 AS BIGINT), x_cents - 30000000) AS cusum
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.o_custkey, s.rn, s.x_cents,
+             GREATEST(CAST(0 AS BIGINT), w.cusum + s.x_cents - 30000000)
+      FROM walk w JOIN src s
+        ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+    )
+    SELECT o_custkey, CAST(rn AS BIGINT) AS rn, x_cents, cusum,
+           cusum > 50000000 AS alarm
+    FROM walk
+    """,
+)
+def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per customer
+    (operators/timeseries.cusum_integer, Page 1954): cumulative excess
+    of order value over a 300,000-cent reference accumulates in exact
+    bigint arithmetic and alarms past a 500,000-cent threshold — the
+    change-point detector for per-entity metric series. The recursive-
+    CTE oracle replays the max(0, s + x - k) walk bit-for-bit; Spark
+    runs it as the zero-per-group-overhead partition scan shared with
+    w13_ewma."""
+    from ..operators.timeseries import cusum_integer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    src = o.withColumn("rn", F.row_number().over(w)).select(
+        "o_custkey", "rn", "x_cents"
+    )
+    out = cusum_integer(
+        src,
+        ["o_custkey"],
+        "rn",
+        "x_cents",
+        k_micro=30_000_000,
+        h_micro=50_000_000,
+        out_col="cusum",
+        alarm_col="alarm",
+    )
+    return out.select(
+        "o_custkey", F.col("rn").cast("bigint").alias("rn"),
+        "x_cents", "cusum", "alarm",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8464,6 +8600,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "w16_cusum_changepoint",
+    "v_data_contract",
     "ta_url_dedup_caps",
     "a19_salted_agg",
     "j22_nullsafe_join",

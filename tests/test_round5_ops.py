@@ -653,3 +653,80 @@ def test_canonicalize_url_policy(spark):
     assert out[1]["c"] == "http://host.org/CaseSensitivePath"
     assert out[2]["c"] == "https://plain.net" and out[2]["d"] == "plain.net"
     assert out[3]["c"] == "not-a-url" and out[3]["d"] == ""
+
+
+# ------------------------------------------------------------- run_contract
+def test_run_contract_flags_each_violation_kind(spark):
+    from neotree_data_pipeline_kedro_spark.operators.validation import run_contract
+
+    facts = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (2, "zz", 30), (4, None, 40)],
+        "id bigint, status string, fk int",
+    )
+    dim = spark.createDataFrame([(10,), (30,)], "d int")
+    out = run_contract(
+        {"facts": facts, "dim": dim},
+        {
+            "facts": [
+                {"type": "not_null", "columns": ["status"]},
+                {"type": "unique", "keys": ["id"]},
+                {"type": "accepted_values", "column": "status", "values": ["a", "b"]},
+                {"type": "relationship", "column": "fk", "to_table": "dim", "to_column": "d"},
+            ]
+        },
+    )
+    got = {r["check"]: (r["n_violations"], r["passed"]) for r in out.collect()}
+    assert got["not_null(status)"] == (1, False)
+    assert got["unique(id)"] == (2, False)  # both rows of the dup key count
+    assert got["accepted_values(status)"] == (1, False)  # 'zz'
+    assert got["relationship(fk->dim.d)"] == (1, False)  # 40 orphaned
+
+
+def test_run_contract_all_green(spark):
+    from neotree_data_pipeline_kedro_spark.operators.validation import run_contract
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    out = run_contract(
+        {"t": t},
+        {"t": [{"type": "unique", "keys": ["id"]},
+               {"type": "not_null", "columns": ["id", "s"]}]},
+    )
+    assert all(r["passed"] for r in out.collect())
+
+
+# ------------------------------------------------------------ cusum_integer
+def test_cusum_integer_matches_manual_walk(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import cusum_integer
+
+    xs = [5, 15, 25, 5, 30, 30]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "g bigint, rn bigint, x bigint"
+    )
+    out = cusum_integer(
+        df, ["g"], "rn", "x", k_micro=10, h_micro=20, out_col="s", alarm_col="a"
+    )
+    got = [(r["s"], r["a"]) for r in out.orderBy("rn").collect()]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x - 10)
+        want.append((s, s > 20))
+    assert got == want
+    assert any(a for _, a in got)  # the drift at the tail alarms
+
+
+# --------------------------------------------------------- observe metrics
+def test_observe_metrics_on_write(spark):
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("null_v"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == 1000 and got["null_v"] == 100
