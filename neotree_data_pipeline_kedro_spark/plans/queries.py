@@ -8582,6 +8582,108 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_code_detect",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || chr(10) || 'def f(x):' || chr(10)
+                       || '    return (x + 1);' || chr(10) || '}'
+                  ELSE text END AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(string_split(t, chr(10))) AS n_lines,
+             len(list_filter(string_split(t, chr(10)),
+                 l -> regexp_matches(l, '[;{})]\\s*$'))) AS n_code_end,
+             len(list_filter(string_split(t, chr(10)),
+                 l -> regexp_matches(l, '^\\s{4}'))) AS n_indented,
+             length(t) - length(regexp_replace(t, '[(){}\\[\\];=<>]', '', 'g'))
+               AS n_symbols,
+             length(t) AS n_chars
+      FROM src
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_code_end AS BIGINT) AS n_code_end,
+           CAST(n_indented AS BIGINT) AS n_indented,
+           n_symbols / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS symbol_ratio,
+           (n_code_end * 2 >= n_lines)
+             OR (n_indented > 0 AND n_symbols * 20 >= n_chars) AS is_code
+    FROM m
+    """,
+)
+def ta_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic (the mixture-routing gate a pretraining
+    pipeline runs before choosing tokenizer/quality rules): line-ending
+    punctuation, 4-space indentation, and symbol density — pure regexp/
+    split expressions, integer-ratio decisions (cross-multiplied, no
+    float thresholds). Every 9th doc gets a code snippet appended so
+    both branches of the gate fire; DuckDB replays the same regexes."""
+    did = F.col("doc_id")
+    t = F.when(
+        did % 9 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\ndef f(x):\n    return (x + 1);\n}"),
+        ),
+    ).otherwise(F.col("text"))
+    src = _t(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+    lines = F.split(F.col("t"), "\n", -1)
+    n_lines = F.size(lines)
+    n_code_end = F.size(F.filter(lines, lambda l: l.rlike(r"[;{})]\s*$")))
+    n_indented = F.size(F.filter(lines, lambda l: l.rlike(r"^\s{4}")))
+    n_symbols = F.length("t") - F.length(
+        F.regexp_replace(F.col("t"), r"[(){}\[\];=<>]", "")
+    )
+    n_chars = F.length("t")
+    return src.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_code_end.cast("bigint").alias("n_code_end"),
+        n_indented.cast("bigint").alias("n_indented"),
+        (n_symbols / F.greatest(n_chars, F.lit(1)).cast("double")).alias(
+            "symbol_ratio"
+        ),
+        (
+            (n_code_end * 2 >= n_lines)
+            | ((n_indented > 0) & (n_symbols * 20 >= n_chars))
+        ).alias("is_code"),
+    )
+
+
+@_register(
+    "a20_duplicate_rate",
+    """
+    WITH fp AS (
+      SELECT source, md5(text) AS f FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_distinct,
+           (count(*) - count(DISTINCT f)) / CAST(count(*) AS DOUBLE)
+             AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def a20_duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate observability: docs, distinct raw-text
+    fingerprints, and the dup fraction — the dashboard number that
+    decides which source needs the heavy near-dup passes. One aggregate
+    over 16-byte digests (count distinct partial-aggregates map-side);
+    the rate is an exact integer ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5("text").alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("f").cast("bigint").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("f"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8600,6 +8702,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "ta_code_detect",
+    "a20_duplicate_rate",
     "w16_cusum_changepoint",
     "v_data_contract",
     "ta_url_dedup_caps",
