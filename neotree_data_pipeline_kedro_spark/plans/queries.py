@@ -8656,7 +8656,11 @@ def ta_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a20_duplicate_rate",
     """
     WITH fp AS (
-      SELECT source, md5(text) AS f FROM documents
+      SELECT source,
+             md5(array_to_string(
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')[1:3], ' ')) AS f
+      FROM documents
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -8667,13 +8671,18 @@ def ta_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a20_duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source duplicate-rate observability: docs, distinct raw-text
-    fingerprints, and the dup fraction — the dashboard number that
-    decides which source needs the heavy near-dup passes. One aggregate
-    over 16-byte digests (count distinct partial-aggregates map-side);
-    the rate is an exact integer ratio."""
+    """Per-source duplicate-rate observability: docs, distinct
+    3-token-OPENING fingerprints, and the dup fraction — duplicated
+    openings are the boilerplate signal that decides which source needs
+    the heavy near-dup passes (full-text md5 is degenerate on corpora
+    where every doc differs somewhere in its tail). One aggregate over
+    16-byte digests (count distinct partial-aggregates map-side); the
+    rate is an exact integer ratio."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("source", F.md5("text").alias("f"))
+    fp = docs.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3))).alias("f"),
+    )
     return fp.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("f").cast("bigint").alias("n_distinct"),
