@@ -634,12 +634,23 @@ def run_contract(
       {"type": "accepted_values", "column": c, "values": [...]}
       {"type": "relationship", "column": c, "to_table": t, "to_column": d}
 
-    Output: (table, check, n_violations, passed) — one row per check,
-    computed as one aggregate/anti-join per check over the named table
-    (Catalyst shares scans across checks on the same table via exchange
-    reuse where shapes allow). All checks are pure DataFrame plans: at
-    100 TB each is a scan-plus-aggregate, never a collect.
+    Output: (table, check, n_violations, passed) — one row per check.
+    Every check compiles to a 1-row aggregate plan and the report is
+    their UNION, so the WHOLE contract is one lazy DataFrame: the
+    engine runs every check in a single action (shared scans via
+    exchange reuse), and nothing touches the driver until the caller
+    collects. At 100 TB each check is a scan-plus-aggregate, never a
+    collect inside the runner.
     """
+    def report(table: str, label: str, viol: DataFrame) -> DataFrame:
+        # viol: 1-row frame with column __v = violation count
+        return viol.select(
+            F.lit(table).alias("table"),
+            F.lit(label).alias("check"),
+            F.col("__v").cast("bigint").alias("n_violations"),
+            (F.col("__v") == 0).alias("passed"),
+        )
+
     reports: list[DataFrame] = []
     for table, checks in contract.items():
         df = spark_tables[table]
@@ -650,42 +661,38 @@ def run_contract(
                 for c in chk["columns"]:
                     n = F.col(c).isNull()
                     cond = n if cond is None else cond | n
-                n_bad = df.filter(cond).count() if chk["columns"] else 0
+                viol = df.agg(
+                    F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias("__v")
+                )
                 label = "not_null(" + ",".join(chk["columns"]) + ")"
             elif kind == "unique":
                 keys = list(chk["keys"])
-                n_bad = (
+                viol = (
                     df.groupBy(*keys)
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .filter(F.col("__n") > 1)
                     .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__v"))
-                    .collect()[0]["__v"]
                 )
                 label = "unique(" + ",".join(keys) + ")"
             elif kind == "accepted_values":
                 c = chk["column"]
-                n_bad = df.filter(
-                    F.col(c).isNotNull() & ~F.col(c).isin(*chk["values"])
-                ).count()
+                bad = F.col(c).isNotNull() & ~F.col(c).isin(*chk["values"])
+                viol = df.agg(
+                    F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias("__v")
+                )
                 label = f"accepted_values({c})"
             elif kind == "relationship":
                 c, tt, tc = chk["column"], chk["to_table"], chk["to_column"]
                 dim = spark_tables[tt].select(F.col(tc).alias(c)).distinct()
-                n_bad = (
+                viol = (
                     df.filter(F.col(c).isNotNull())
                     .join(dim, [c], "left_anti")
-                    .count()
+                    .agg(F.count(F.lit(1)).alias("__v"))
                 )
                 label = f"relationship({c}->{tt}.{tc})"
             else:
                 raise ValueError(f"unknown check type: {kind}")
-            spark = df.sparkSession
-            reports.append(
-                spark.createDataFrame(
-                    [(table, label, int(n_bad), int(n_bad) == 0)],
-                    "table string, check string, n_violations bigint, passed boolean",
-                )
-            )
+            reports.append(report(table, label, viol))
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
