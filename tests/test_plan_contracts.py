@@ -308,3 +308,48 @@ def test_hierarchy_closure_terminates_and_is_exact(spark):
     assert rows[(123, 12)] == 1 and rows[(123, 1)] == 2 and rows[(123, 0)] == 3
     # single-level node
     assert rows[(7, 0)] == 1
+
+
+def test_bloom_prefilter_join_shape(spark):
+    # the membership test must run as a Filter before the closing
+    # broadcast semi join — fact rows failing the bloom never reach it
+    plan = plan_of(spark, "j20_bloom_prefilter_join")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "shiftleft" in plan  # the bit test survives into the scan stage
+
+
+def test_salted_agg_is_two_phase(spark):
+    # phase 1 on (key, salt) + phase 2 on key, each with partial+final
+    # HashAggregates; no single-reducer shape anywhere
+    plan = plan_of(spark, "a19_salted_agg")
+    assert plan.count("HashAggregate") >= 4
+    assert exchanges(plan) <= 3
+    assert "xxhash64" in plan  # deterministic salt, not rand()
+
+
+def test_ppjoin_never_cartesian_and_verifies_once(spark):
+    plan = plan_of(spark, "dd_ppjoin_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_frontier_keeps_input_unshuffled(spark):
+    # the input joins the broadcast frontier — no sort-merge on the data
+    plan = plan_of(spark, "u6_pareto_frontier")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cdc_apply_single_window_shuffle(spark):
+    plan = plan_of(spark, "s10_cdc_apply")
+    assert plan.count("Window") >= 1
+    assert exchanges(plan) <= 1  # one key shuffle, nothing else
+
+
+def test_data_contract_single_plan_runs_all_checks(spark):
+    # the whole contract is ONE lazy union; five 1-row aggregates appear
+    # in a single plan (no per-check driver actions to pin, by design)
+    plan = plan_of(spark, "v_data_contract")
+    assert plan.count("Union") >= 1
+    assert "LeftAnti" in plan  # the relationship check compiled in
