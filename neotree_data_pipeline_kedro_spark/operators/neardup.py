@@ -879,3 +879,79 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+
+
+def scrub_duplicate_ngram_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    sentinel: str = "<DUP>",
+) -> DataFrame:
+    """The removal half of substring-level dedup: every token covered by
+    an n-token window that ``duplicate_ngram_runs`` flags (verbatim in
+    >= min_docs documents) is replaced with ``sentinel`` — completing
+    the Lee-et-al. loop (detect repeated runs, then mask them out of
+    every carrier, not just drop whole documents).
+
+    Shape: windows are (position, digest) pairs built in-row; the
+    flagged-digest list broadcasts back onto them; covered positions
+    collapse to one set per document (one key shuffle); masking is an
+    indexed in-row transform. No self-joins over text, and the only
+    wide exchange carries (doc, position) ints.
+
+    Output: (id, n_masked, clean_fp) — masked-token count and the md5
+    of the cleaned text (the fingerprint downstream exact-dedup keys
+    on; emitting full text is the caller's variant).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    wins = base.filter(F.size("__toks") >= n).select(
+        "__doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))).alias(
+                        "g"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("__doc", F.col("w.i").alias("__i"), F.col("w.g").alias("__g"))
+    flagged = (
+        wins.groupBy("__g")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    cov = (
+        wins.join(F.broadcast(flagged), "__g")
+        .select(
+            "__doc",
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + (n - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy("__doc")
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    masked = F.transform(
+        F.col("__toks"),
+        lambda t, idx: F.when(
+            F.array_contains(F.col("__cov"), idx + 1), F.lit(sentinel)
+        ).otherwise(t),
+    )
+    out = base.join(cov, "__doc", "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    return out.select(
+        F.col("__doc").alias(id_col),
+        F.size("__cov").cast("bigint").alias("n_masked"),
+        F.md5(F.concat_ws(" ", masked)).alias("clean_fp"),
+    )

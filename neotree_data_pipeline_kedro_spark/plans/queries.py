@@ -8693,6 +8693,53 @@ def a20_duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dd_substring_scrub",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+    wins AS (
+      SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS g
+      FROM nz
+      CROSS JOIN UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, v.p
+      FROM wins w JOIN flagged f USING (g)
+      CROSS JOIN UNNEST(range(w.i, w.i + 8)) AS v(p)
+    ), masked AS (
+      SELECT t.doc_id,
+             string_agg(CASE WHEN c.p IS NOT NULL THEN '<DUP>'
+                             ELSE t.tk[u.i] END, ' ' ORDER BY u.i) AS clean,
+             CAST(count(c.p) AS BIGINT) AS n_masked
+      FROM nz t
+      CROSS JOIN UNNEST(range(1, len(tk) + 1)) AS u(i)
+      LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = u.i
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_masked, md5(clean) AS clean_fp FROM masked
+    """,
+)
+def dd_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of substring-level dedup
+    (operators/neardup.scrub_duplicate_ngram_runs): every token covered
+    by a cross-document duplicate 8-token run is masked with a sentinel
+    — completing the Lee-et-al. loop that dd_substring_dupes only
+    detects. Windows carry (position, digest) pairs; the flagged-digest
+    list broadcasts back; positions collapse to one set per doc; the
+    mask is an indexed in-row transform. The oracle rebuilds the masked
+    text with an ordered string_agg over exploded positions."""
+    from ..operators.neardup import scrub_duplicate_ngram_runs
+
+    docs = _t(spark, sf_dir, "documents")
+    return scrub_duplicate_ngram_runs(docs, "doc_id", "text", n=8, min_docs=2)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8711,6 +8758,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "dd_substring_scrub",
     "ta_code_detect",
     "a20_duplicate_rate",
     "w16_cusum_changepoint",

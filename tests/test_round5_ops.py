@@ -730,3 +730,36 @@ def test_observe_metrics_on_write(spark):
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
     assert got["rows"] == 1000 and got["null_v"] == 100
+
+
+# ------------------------------------------------ scrub_duplicate_ngram_runs
+def test_substring_scrub_masks_shared_runs_only(spark):
+    import hashlib as hl
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        scrub_duplicate_ngram_runs,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one"),
+            (2, "front matter here then " + boiler),
+            (3, "totally unrelated text with no shared runs at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_masked"], r["clean_fp"])
+        for r in scrub_duplicate_ngram_runs(docs, "doc_id", "text").collect()
+    }
+    masked = " ".join(["<DUP>"] * 8)
+    assert got[1] == (8, hl.md5((masked + " unique tail one").encode()).hexdigest())
+    assert got[2] == (
+        8,
+        hl.md5(("front matter here then " + masked).encode()).hexdigest(),
+    )
+    assert got[3][0] == 0  # untouched
+    assert got[3][1] == hl.md5(
+        b"totally unrelated text with no shared runs at all"
+    ).hexdigest()
