@@ -393,3 +393,60 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """K-core decomposition by iterative peeling: repeatedly remove
+    nodes of degree < k (with their edges) until the survivor graph is
+    stable; the survivors are the k-core — the "dense enough to trust"
+    subgraph used to separate structural near-dup cliques and real
+    communities from stringy periphery (triangle_count's cousin with a
+    global guarantee).
+
+    Not expressible as a monotone recursive CTE (peeling DELETES), so
+    the driver's check is rows-only; parity is pinned in pytest against
+    a direct peel twin. Each round: one degree aggregate + one semi
+    join, localCheckpoint keeps the plan flat (the CC/pagerank loop
+    discipline); rounds are bounded by the graph's degeneracy order —
+    tens, not thousands, on real graphs.
+
+    Output: (node, degree) of the k-core survivors (degree within the
+    core).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    while True:
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("n").localCheckpoint()
+        kept_edges = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        if kept_edges.count() == e.count():
+            e = kept_edges
+            break
+        e = kept_edges
+        if e.isEmpty():
+            break
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -497,3 +497,48 @@ def ewma_integer(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     return parted.mapInPandas(scan, schema=schema)
+
+
+def rolling_zscore_outliers(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_int_col: str,
+    *,
+    window: int = 7,
+    z: int = 3,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Rolling z-score outlier flag WITHOUT sqrt or float thresholds:
+    x is compared against the ``window`` rows STRICTLY BEFORE it — flag
+    when (x - mean)^2 > z^2 * variance, cross-multiplied into pure
+    bigint arithmetic on integer-quantized values:
+    (x*n - sum)^2 > z^2 * (n*sumsq - sum^2). Exact, so any engine
+    replays the boundary decision bit-for-bit (a sqrt-based z-score
+    flips on float rounding).
+
+    The baseline EXCLUDES the current row by construction: a point
+    inside its own n-row window can never exceed z = (n-1)/sqrt(n)
+    (~2.27 at n=7), so a self-inclusive 3-sigma test is structurally
+    blind — the classic rolling-outlier bug.
+
+    Partial baselines emit NULL (variance of a warm-up is bias). One
+    window shuffle; sums and sums-of-squares are the only state. Values
+    must be pre-quantized ints sized so n*sumsq fits int64 (cents of
+    6-figure amounts over tens-of-rows windows are safe).
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_int_col).cast("long")
+    s = F.sum(x).over(w)
+    sq = F.sum(x * x).over(w)
+    cnt = F.count(x).over(w)
+    n = F.lit(window).cast("long")
+    dev = x * n - s
+    flag = dev * dev > F.lit(z * z) * (n * sq - s * s)
+    return df.withColumn(
+        out_col, F.when(cnt == window, flag)
+    )

@@ -8740,6 +8740,156 @@ def dd_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicate_ngram_runs(docs, "doc_id", "text", n=8, min_docs=2)
 
 
+@_register(
+    "w17_rolling_zscore",
+    """
+    WITH src AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS x,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), stats AS (
+      SELECT o_custkey, o_orderkey, x, rn,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS sq,
+             count(*) OVER w AS c
+      FROM src
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT o_custkey, o_orderkey, x,
+           CASE WHEN c = 7
+                THEN (x * 7 - s) * (x * 7 - s) > 9 * (7 * sq - s * s)
+           END AS is_outlier
+    FROM stats
+    """,
+)
+def w17_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier flag with NO sqrt and NO float threshold
+    (operators/windows.rolling_zscore_outliers): the |x - mean| > 3*std
+    test cross-multiplied into pure bigint arithmetic over cent-
+    quantized order values — (x*n - sum)^2 > 9 * (n*sumsq - sum^2) — so
+    the boundary decision is exact and the oracle replays it
+    bit-for-bit. Partial windows stay NULL. One window shuffle on the
+    customer key."""
+    from ..operators.windows import rolling_zscore_outliers
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    src = o.withColumn("rn", F.row_number().over(w))
+    out = rolling_zscore_outliers(
+        src, ["o_custkey"], ["rn"], "x", window=7, z=3
+    )
+    return out.select("o_custkey", "o_orderkey", "x", "is_outlier")
+
+
+@_register("g4_kcore")
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core survivors (operators/components.k_core, k=4) of the
+    co-purchase part graph (g2's edge set): iterative peeling of
+    degree-<4 nodes until stable. Rows-only by design — peeling DELETES,
+    which no monotone recursive CTE expresses; parity is pinned in
+    pytest against a direct Python peel twin
+    (tests/test_round5_ops.py). Per round: one degree aggregate + two
+    semi joins, localCheckpoint keeping the plan flat (the CC/pagerank
+    loop discipline)."""
+    from ..operators.components import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return k_core(edges, k=4)
+
+
+@_register(
+    "ta_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM toks
+      CROSS JOIN UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+    ), cb AS (
+      SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2
+    ), cw AS (
+      SELECT w1, count(*) AS cw FROM bi GROUP BY w1
+    ), contrib AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(cb.c AS DOUBLE) / cw.cw) * 1000000, 0)
+                  AS BIGINT) AS lp
+      FROM bi b JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cw ON cw.w1 = b.w1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS logprob_micro
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def ta_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model corpus log-likelihood per document:
+    sum of ln(c(w1,w2) / c(w1->)) over adjacent token pairs, the
+    next-step-up fluency signal from ta_unigram_logprob (word ORDER now
+    matters — shuffled text scores far lower than fluent text with the
+    same unigram profile). Every document bigram exists in the corpus
+    model by construction, so no backoff is needed; per-pair
+    contributions are micro-quantized before the per-doc sum (the BM25
+    discipline). Two bigram-keyed aggregates broadcast back onto the
+    pair stream."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    bi = (
+        docs.select("doc_id", tk.alias("__tk"))
+        .filter(F.size("__tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__tk", i).alias("w1"),
+                        F.element_at("__tk", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("cw")) * 1_000_000, 0
+    ).cast("long")
+    contrib = bi.join(F.broadcast(cb), ["w1", "w2"]).join(
+        F.broadcast(cw), ["w1"]
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(lp).alias("logprob_micro"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8758,6 +8908,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "w17_rolling_zscore",
+    "g4_kcore",
+    "ta_bigram_lm",
     "dd_substring_scrub",
     "ta_code_detect",
     "a20_duplicate_rate",

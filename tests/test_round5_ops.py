@@ -763,3 +763,69 @@ def test_substring_scrub_masks_shared_runs_only(spark):
     assert got[3][1] == hl.md5(
         b"totally unrelated text with no shared runs at all"
     ).hexdigest()
+
+
+# ------------------------------------------------------------------- k_core
+def _py_kcore(edges, k):
+    import collections
+
+    es = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg = collections.Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return dict(deg)
+        es = {e for e in es if drop.isdisjoint(e)}
+        if not es:
+            return {}
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_python_peel(spark, k):
+    import random
+
+    from neotree_data_pipeline_kedro_spark.operators.components import k_core
+
+    rng = random.Random(11)
+    edges = {(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
+
+
+def test_k_core_peels_pendant_chain(spark):
+    from neotree_data_pipeline_kedro_spark.operators.components import k_core
+
+    # triangle core + chain hanging off it: chain must peel away at k=2
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"] for r in k_core(df, k=2).collect()}
+    assert got == {1, 2, 3}
+
+
+# ----------------------------------------------------- rolling_zscore_outliers
+def test_rolling_zscore_flags_spike_exactly(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        rolling_zscore_outliers,
+    )
+
+    xs = [100, 102, 98, 101, 99, 100, 103, 5000, 100, 101]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "g bigint, rn bigint, x bigint"
+    )
+    out = rolling_zscore_outliers(df, ["g"], ["rn"], "x", window=7, z=3)
+    got = [r["is_outlier"] for r in out.orderBy("rn").collect()]
+    assert got[:7] == [None] * 7  # warm-up baselines stay NULL
+    assert got[7] is True  # 5000 vs the 7 rows strictly before it
+    # 101 vs a baseline containing the spike: huge variance, not flagged
+    assert got[8] is False
+    for t in (7, 8):
+        win = xs[t - 7 : t]  # baseline EXCLUDES the current row
+        n, s = 7, sum(win)
+        sq = sum(v * v for v in win)
+        want = (xs[t] * n - s) ** 2 > 9 * (n * sq - s * s)
+        assert got[t] == want
