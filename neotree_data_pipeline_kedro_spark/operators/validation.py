@@ -693,6 +693,8 @@ def run_contract(
             else:
                 raise ValueError(f"unknown check type: {kind}")
             reports.append(report(table, label, viol))
+    if not reports:
+        raise ValueError("contract defines no checks")
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
