@@ -8890,6 +8890,78 @@ def ta_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j23_interval_proration",
+    """
+    WITH promos AS (
+      SELECT CAST(p AS INTEGER) AS promo_id,
+             DATE '1995-01-01' + CAST(p * 183 AS INTEGER) AS p_start,
+             DATE '1995-01-01' + CAST(p * 183 + 120 AS INTEGER) AS p_end
+      FROM UNNEST(range(0, 12)) AS u(p)
+    ), o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    ), alloc AS (
+      SELECT p.promo_id, o.o_orderkey,
+             datediff('day',
+                      GREATEST(p.p_start, o.d),
+                      LEAST(p.p_end, o.d + 30)) AS overlap_days,
+             o.cents
+      FROM o JOIN promos p
+        ON o.d < p.p_end AND o.d + 30 > p.p_start
+    )
+    SELECT promo_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(cents * overlap_days * 1000000 / 30.0)
+                         AS BIGINT)) AS BIGINT) AS alloc_micro_cents
+    FROM alloc GROUP BY promo_id
+    """,
+)
+def j23_interval_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval proration: each order's 30-day activity window allocates
+    revenue to every overlapping promo period, weighted by overlap days
+    — the alignment-and-allocation join behind campaign attribution,
+    insurance earned-premium, and budget amortization. Overlap lengths
+    are exact integer day arithmetic; allocations go through FLOOR into
+    integer micro-cents (truncating cast vs rounding cast differs
+    between engines — FLOOR on both sides, the v_benford rule). The
+    12-row promo calendar broadcasts; at real scale bucket both sides
+    by month so the range predicate becomes an equi-join prefilter
+    (the j11_range_join_attribution pattern)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH promos AS (
+          SELECT CAST(p AS INT) AS promo_id,
+                 DATE '1995-01-01' + CAST(p * 183 AS INT) AS p_start,
+                 DATE '1995-01-01' + CAST(p * 183 + 120 AS INT) AS p_end
+          FROM (SELECT explode(sequence(0, 11)) AS p)
+        ), o AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                 CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS cents
+          FROM orders
+        ), alloc AS (
+          SELECT p.promo_id, o.o_orderkey,
+                 datediff(LEAST(p.p_end, o.d + 30),
+                          GREATEST(p.p_start, o.d)) AS overlap_days,
+                 o.cents
+          FROM o JOIN promos p
+            ON o.d < p.p_end AND o.d + 30 > p.p_start
+        )
+        SELECT promo_id,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(cents * overlap_days * 1000000 / 30.0)
+                             AS BIGINT)) AS BIGINT) AS alloc_micro_cents
+        FROM alloc GROUP BY promo_id
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -8908,6 +8980,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
     "ta_bigram_lm",
