@@ -7822,6 +7822,85 @@ def w13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w18_holt_forecast",
+    """
+    WITH RECURSIVE src AS (
+      SELECT o_custkey,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS x_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), walk AS (
+      SELECT o_custkey, rn, x_cents,
+             x_cents AS level_cents, CAST(0 AS BIGINT) AS trend_cents
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.o_custkey, s.rn, s.x_cents,
+             CAST(FLOOR((1 * s.x_cents
+                         + 3 * (w.level_cents + w.trend_cents)) / 4.0)
+                  AS BIGINT) AS level_cents,
+             CAST(FLOOR((1 * (CAST(FLOOR((1 * s.x_cents
+                                  + 3 * (w.level_cents + w.trend_cents)) / 4.0)
+                               AS BIGINT) - w.level_cents)
+                         + 3 * w.trend_cents) / 4.0) AS BIGINT) AS trend_cents
+      FROM walk w JOIN src s
+        ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+    )
+    SELECT o_custkey, CAST(rn AS BIGINT) AS rn, x_cents,
+           level_cents, trend_cents,
+           level_cents + trend_cents AS forecast_cents
+    FROM walk
+    """,
+)
+def w18_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend double exponential smoothing (alpha = beta = 1/4)
+    of order value per customer (operators/windows.holt_linear_integer):
+    level AND trend recurrences run in exact bigint floor-div arithmetic
+    over cent-quantized prices, so the sequential walk is bit-reproducible
+    and the recursive-CTE oracle replays it to identical values (the float
+    form drifts cross-engine). The one-step-ahead forecast is
+    level + trend. Same execution shape as w13_ewma: hash-repartition on
+    the customer key, sortWithinPartitions, ONE mapInPandas scan with a
+    cross-batch (group, level, trend) carry — zero per-group overhead."""
+    from ..operators.windows import holt_linear_integer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    src = o.withColumn("rn", F.row_number().over(w)).select(
+        "o_custkey", "rn", "x_cents"
+    )
+    out = holt_linear_integer(
+        src,
+        ["o_custkey"],
+        "rn",
+        "x_cents",
+        alpha_num=1,
+        alpha_den=4,
+        beta_num=1,
+        beta_den=4,
+        level_col="level_cents",
+        trend_col="trend_cents",
+        forecast_col="forecast_cents",
+    )
+    return out.select(
+        "o_custkey",
+        F.col("rn").cast("bigint").alias("rn"),
+        "x_cents",
+        "level_cents",
+        "trend_cents",
+        "forecast_cents",
+    )
+
+
+@_register(
     "ta_keyword_extraction",
     """
     WITH tok AS (
@@ -8980,6 +9059,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "w18_holt_forecast",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

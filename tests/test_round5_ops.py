@@ -419,6 +419,57 @@ def test_ewma_integer_groups_independent(spark):
     assert out == {(1, 0): 100, (1, 1): 125, (2, 0): 900, (2, 1): 700}
 
 
+# -------------------------------------------------------- holt_linear_integer
+def test_holt_linear_matches_manual_walk(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        holt_linear_integer,
+    )
+
+    xs = [1000, 2000, 400, 400, 10000, 9000]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "g bigint, rn bigint, x bigint"
+    )
+    out = holt_linear_integer(df, ["g"], "rn", "x")
+    got = [
+        (r["level_micro"], r["trend_micro"], r["forecast_micro"])
+        for r in out.orderBy("rn").collect()
+    ]
+    lvl = trend = None
+    want = []
+    for x in xs:
+        if lvl is None:
+            lvl, trend = x, 0
+        else:
+            prev = lvl
+            lvl = (x + 3 * (lvl + trend)) // 4
+            trend = ((lvl - prev) + 3 * trend) // 4
+        want.append((lvl, trend, lvl + trend))
+    assert got == want
+
+
+def test_holt_linear_groups_independent(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        holt_linear_integer,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 900), (1, 1, 200), (2, 1, 100)],
+        "g bigint, rn bigint, x bigint",
+    )
+    out = {
+        (r["g"], r["rn"]): (r["level_micro"], r["trend_micro"])
+        for r in holt_linear_integer(df, ["g"], "rn", "x").collect()
+    }
+    # g=1: l0=100,b0=0; l1=(200+3*100)//4=125, b1=(25+0)//4=6
+    # g=2: l0=900,b0=0; l1=(100+3*900)//4=700, b1=(-200+0)//4=-50
+    assert out == {
+        (1, 0): (100, 0),
+        (1, 1): (125, 6),
+        (2, 0): (900, 0),
+        (2, 1): (700, -50),
+    }
+
+
 # ------------------------------------------------------ minmax_prune_scan
 def test_minmax_pruning_skips_disjoint_files(spark, tmp_path):
     from neotree_data_pipeline_kedro_spark.sources.warehouse import (
