@@ -264,6 +264,93 @@ def interval_concurrency(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+) -> DataFrame:
+    """1-based global row number over ONE total ordering, without the
+    single-partition sort a bare ``row_number() OVER (ORDER BY ...)``
+    forces. Same two-phase shape as ``interval_concurrency``:
+
+    1. range-partition + sort within partitions on ``order_cols``;
+    2. a linear mapInPandas pass assigns each partition's LOCAL 1-based
+       index (streaming over Arrow batches with a carry);
+    3. per-partition row counts — one tiny row per partition — come to
+       the driver, their exclusive prefix sums become offsets, and a
+       broadcast join turns local index into global rank.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    column) or equal rows get arbitrary-but-stable relative ranks.
+    The intermediate persists so the counts pass and the final pass see
+    one consistent partition assignment."""
+    order_cols = list(order_cols)
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def local_index(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["_local_rn"] = pd.RangeIndex(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    schema = T.StructType(
+        list(parted.schema.fields) + [T.StructField("_local_rn", T.LongType())]
+    )
+    local = parted.mapInPandas(local_index, schema=schema).persist()
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += int(n)
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_local_rn") + F.col("_offset"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def ntile_from_rank(rn: Column, n_total: Column, n_buckets: int) -> Column:
+    """ANSI ntile bucket from a 1-based global rank and the total row
+    count, as a pure expression: the first ``n_total % n_buckets``
+    buckets hold ``ceil(n/b)`` rows, the rest ``floor(n/b)`` — exactly
+    the SQL-standard remainder-first distribution, so a DuckDB
+    ``ntile(b) OVER (ORDER BY ...)`` twin reproduces it bit-for-bit.
+    All arithmetic is bigint ``div`` (exact cross-engine; everything is
+    non-negative so truncation == floor)."""
+    def idiv(num: Column, den: Column) -> Column:
+        # exact bigint floor-div for non-negative operands: subtracting
+        # num % den makes the numerator exactly divisible, so the double
+        # division is an exact integer at any magnitude
+        return ((num - num % den) / den).cast("bigint")
+
+    b = F.lit(n_buckets).cast("bigint")
+    n = n_total.cast("bigint")
+    q_size = idiv(n, b)  # small-bucket size; big buckets hold q_size + 1
+    r = n % b
+    threshold = r * (q_size + F.lit(1))
+    in_big = rn <= threshold
+    big_bucket = idiv(rn + q_size, q_size + F.lit(1))
+    small_bucket = r + idiv(
+        rn - threshold + q_size - F.lit(1), F.greatest(q_size, F.lit(1))
+    )
+    return F.when(in_big, big_bucket).otherwise(small_bucket)
+
+
 def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """2-D skyline (both dimensions minimized): keep every row not
     dominated by another — B dominates A when B.x <= A.x, B.y <= A.y and

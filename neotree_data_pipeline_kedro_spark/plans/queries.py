@@ -5911,6 +5911,253 @@ def a15_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a21_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ), pc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+      FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ca.n_part AS n_a, cb.n_part AS n_b,
+           (1000000 * p.n_ab) // t.n_orders AS support_ppm,
+           (1000000 * p.n_ab) // ca.n_part AS conf_a_to_b_ppm,
+           (1000000 * p.n_ab) // cb.n_part AS conf_b_to_a_ppm,
+           (1000000 * p.n_ab * t.n_orders) // (ca.n_part * cb.n_part)
+             AS lift_ppm
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN tot t
+    """,
+)
+def a21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase baskets (a15's pair base):
+    support, both directional confidences, and lift, all in exact ppm
+    integers — counts are bigints and every ratio goes through integer
+    floor-div (Spark `div`, DuckDB `//`; operands non-negative so
+    truncation == floor), never a float, so the oracle matches
+    bit-for-bit. Plan: one distinct, one pair-expansion equi-join (a<b
+    rides the orderkey join — no cartesian), then the pair counts join
+    two BROADCAST copies of the per-part support table and a 1-row
+    broadcast total. Lift numerator 1e6·n_ab·N stays far inside bigint
+    at any TPC-H scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("(1000000 * n_ab) div n_orders").alias("support_ppm"),
+        F.expr("(1000000 * n_ab) div n_a").alias("conf_a_to_b_ppm"),
+        F.expr("(1000000 * n_ab) div n_b").alias("conf_b_to_a_ppm"),
+        F.expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").alias(
+            "lift_ppm"
+        ),
+    )
+
+
+@_register(
+    "a22_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT o_custkey, last_order, frequency, monetary_cents,
+             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey)
+                  AS BIGINT) AS r_q,
+             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)
+                  AS BIGINT) AS f_q,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey)
+                  AS BIGINT) AS m_q
+      FROM rfm
+    )
+    SELECT o_custkey, last_order, frequency, monetary_cents, r_q, f_q, m_q,
+           CASE WHEN r_q = 4 AND f_q = 4 AND m_q = 4 THEN 'champion'
+                WHEN r_q >= 3 AND f_q >= 3 THEN 'loyal'
+                WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk'
+                WHEN r_q <= 1 AND f_q <= 1 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM q
+    """,
+)
+def a22_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    plus a named segment. The interesting part is the ntile: a bare
+    ``ntile(4) OVER (ORDER BY ...)`` is a single-partition global sort —
+    the one window shape that cannot scale — so each quartile comes from
+    operators/windows.global_row_number (two-phase range-partitioned
+    rank, the interval_concurrency pattern) + ntile_from_rank, which
+    reproduces ANSI ntile's remainder-first bucket sizes from (rank, n)
+    with exact bigint arithmetic. The DuckDB twin uses native ntile over
+    the same (metric, custkey) total order and matches bit-for-bit."""
+    from ..operators.windows import global_row_number, ntile_from_rank
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    tot = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    cur = rfm
+    for metric, rank_name in [
+        ("last_order", "r_rn"),
+        ("frequency", "f_rn"),
+        ("monetary_cents", "m_rn"),
+    ]:
+        cur = global_row_number(cur, [metric, "o_custkey"], out_col=rank_name)
+    cur = cur.crossJoin(F.broadcast(tot))
+    n = F.col("n_cust")
+    r_q = ntile_from_rank(F.col("r_rn"), n, 4)
+    f_q = ntile_from_rank(F.col("f_rn"), n, 4)
+    m_q = ntile_from_rank(F.col("m_rn"), n, 4)
+    seg = (
+        F.when((r_q == 4) & (f_q == 4) & (m_q == 4), F.lit("champion"))
+        .when((r_q >= 3) & (f_q >= 3), F.lit("loyal"))
+        .when((r_q <= 2) & (f_q >= 3), F.lit("at_risk"))
+        .when((r_q <= 1) & (f_q <= 1), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return cur.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary_cents",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+        seg.alias("segment"),
+    )
+
+
+@_register(
+    "a23_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, rev_cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY rev_cents, o_custkey) AS i
+      FROM rev
+    ), agg AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+             CAST(SUM(i * rev_cents) AS BIGINT) AS s1
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_nationkey, n_customers, total_cents,
+           CAST(2 * s1 - (n_customers + 1) * total_cents AS DOUBLE)
+             / CAST(n_customers * total_cents AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def a23_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per nation — the
+    rank-formula form G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i) over
+    cent-quantized revenue sorted ascending. Every sum is an exact
+    bigint (order-independent), so the only float op is ONE final
+    division of two exactly-represented integers — identical IEEE result
+    in both engines (exact while n·Σx < 2^53; rescale the quantization
+    unit for cohorts beyond ~1e6 customers). Plan: customer dim
+    broadcast into the orders fact, one (nation, cust) agg shuffle, a
+    nation-partitioned rank window, and the final nation rollup reuses
+    the window's partitioning — no extra exchange. Low-cardinality
+    cohorts are fine here because the per-cohort series is
+    customer-sized; a single giant cohort would use the two-phase
+    global rank instead."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("rev_cents")).cast("bigint").alias("s1"),
+    )
+    gini = (
+        F.lit(2) * F.col("s1")
+        - (F.col("n_customers") + F.lit(1)) * F.col("total_cents")
+    ).cast("double") / (F.col("n_customers") * F.col("total_cents")).cast(
+        "double"
+    )
+    return agg.select(
+        "c_nationkey", "n_customers", "total_cents", gini.alias("gini")
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -9059,6 +9306,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-5 continuation (no prior row by construction):
+    "a21_association_rules",
+    "a22_rfm_segmentation",
+    "a23_gini_concentration",
     "w18_holt_forecast",
     "j23_interval_proration",
     "w17_rolling_zscore",

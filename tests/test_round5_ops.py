@@ -470,6 +470,41 @@ def test_holt_linear_groups_independent(spark):
     }
 
 
+# ----------------------------------------------- global_row_number / ntile
+def test_global_row_number_matches_window(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rows = [(i * 7919 % 101, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "v bigint, k bigint")
+    out = global_row_number(df, ["v", "k"], out_col="rn")
+    got = {(r["v"], r["k"]): r["rn"] for r in out.collect()}
+    want = {
+        (v, k): i + 1 for i, (v, k) in enumerate(sorted(rows))
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        ntile_from_rank,
+    )
+    from pyspark.sql import Window as W
+
+    for n in (4, 5, 7, 8, 11):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "k bigint")
+        native = df.select(
+            "k", F.ntile(4).over(W.orderBy("k")).cast("bigint").alias("b")
+        )
+        mine = df.crossJoin(
+            df.agg(F.count(F.lit(1)).alias("n"))
+        ).select("k", ntile_from_rank(F.col("k"), F.col("n"), 4).alias("b"))
+        assert {(r["k"], r["b"]) for r in native.collect()} == {
+            (r["k"], r["b"]) for r in mine.collect()
+        }, f"n={n}"
+
+
 # ------------------------------------------------------ minmax_prune_scan
 def test_minmax_pruning_skips_disjoint_files(spark, tmp_path):
     from neotree_data_pipeline_kedro_spark.sources.warehouse import (
