@@ -259,3 +259,66 @@ def cusum_integer(
         + [T.StructField(out_col, T.LongType()), T.StructField(alarm_col, T.BooleanType())]
     )
     return parted.mapInPandas(scan, schema=schema)
+
+
+def km_survival_integer(
+    df: DataFrame,
+    cohort_col: str,
+    order_col: str,
+    n_risk_col: str,
+    d_events_col: str,
+    *,
+    scale: int = 10**9,
+    out_col: str = "survival_ppb",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate as an exact integer
+    recurrence in parts-per-``scale``:
+
+        S_0 = scale;  S_t = (S_{t-1} * (n_t - d_t)) // n_t
+
+    over the cohort's event times in ascending ``order_col`` order,
+    where ``n_t`` is the at-risk count and ``d_t`` the events at t.
+    Every step is bigint floor-div on non-negative operands, so a
+    recursive-CTE oracle (DuckDB ``//``) replays the product limit
+    bit-for-bit — the float cumulative product drifts cross-engine.
+    ``scale * max(n)`` must stay inside bigint (ppb is safe to ~1e9
+    subjects per cohort).
+
+    Input is the ALREADY-AGGREGATED per-(cohort, time) life table —
+    calendar-bounded, tiny relative to the subject table — so the
+    sequential walk touches few rows; the same partition-scan shape as
+    cusum_integer keeps per-group overhead at zero regardless of how
+    many cohorts there are.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    parted = df.repartition(F.col(cohort_col)).sortWithinPartitions(
+        cohort_col, order_col
+    )
+
+    def scan(batches):
+        carry_g, carry_s = None, scale
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs = pdf[cohort_col].to_numpy()
+            ns = pdf[n_risk_col].to_numpy()
+            ds = pdf[d_events_col].to_numpy()
+            out = []
+            cg, cs = carry_g, carry_s
+            for gi, ni, di in zip(gs, ns, ds):
+                if gi != cg:
+                    cs = scale
+                ni, di = int(ni), int(di)
+                cs = (cs * (ni - di)) // ni
+                cg = gi
+                out.append(cs)
+            carry_g, carry_s = cg, cs
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(out, dtype="int64").values
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return parted.mapInPandas(scan, schema=schema)

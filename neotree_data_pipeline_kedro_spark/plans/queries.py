@@ -8148,6 +8148,274 @@ def w18_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w19_kaplan_meier",
+    """
+    WITH RECURSIVE subj AS (
+      SELECT o_custkey, min(o_orderdate) AS first_o, max(o_orderdate) AS last_o
+      FROM orders GROUP BY 1
+    ), subj2 AS (
+      SELECT c.c_mktsegment AS cohort,
+             CAST(date_diff('day', s.first_o, s.last_o) AS BIGINT) AS dur,
+             CASE WHEN s.last_o < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev
+      FROM subj s JOIN customer c ON c.c_custkey = s.o_custkey
+    ), life AS (
+      SELECT cohort, dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM subj2 GROUP BY 1, 2
+    ), tot AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_tot FROM subj2 GROUP BY 1
+    ), risk AS (
+      SELECT l.cohort, l.dur, l.d,
+             CAST(t.n_tot - COALESCE(SUM(l.n_all) OVER (
+               PARTITION BY l.cohort ORDER BY l.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM life l JOIN tot t ON t.cohort = l.cohort
+    ), ev AS (
+      SELECT cohort, dur, d, n_risk,
+             row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn
+      FROM risk WHERE d > 0
+    ), walk AS (
+      SELECT cohort, dur, d, n_risk, rn,
+             CAST((1000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s_ppb
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.cohort, e.dur, e.d, e.n_risk, e.rn,
+             CAST((w.s_ppb * (e.n_risk - e.d)) // e.n_risk AS BIGINT)
+      FROM walk w JOIN ev e ON e.cohort = w.cohort AND e.rn = w.rn + 1
+    )
+    SELECT cohort, dur AS duration_days, d AS n_events,
+           n_risk AS n_at_risk, s_ppb AS survival_ppb
+    FROM walk
+    """,
+)
+def w19_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves per market segment
+    (operators/timeseries.km_survival_integer): subject = customer,
+    duration = days between first and last order, event = churn (last
+    order before 2001-01-01), censored otherwise. The life table
+    (at-risk counts via a cumulative window over the aggregated
+    per-(cohort, duration) rows) is calendar-bounded and tiny; the
+    product limit runs as the exact integer recurrence
+    S_t = S_prev·(n−d) // n in parts-per-billion, which the
+    recursive-CTE oracle replays bit-for-bit — a float cumprod (or
+    exp-sum-log) drifts cross-engine. Heavy work is one per-customer
+    agg + a broadcast dim join; the sequential walk only sees the
+    aggregated event-time rows."""
+    from ..operators.timeseries import km_survival_integer
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    subj = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("cohort"),
+            F.datediff("last_o", "first_o").cast("bigint").alias("dur"),
+            F.when(F.col("last_o") < F.lit("2001-01-01").cast("date"), 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    life = subj.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    tot = subj.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        life.join(F.broadcast(tot), "cohort")
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_tot")
+                - F.coalesce(F.sum("n_all").over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+        .select("cohort", "dur", "d", "n_risk")
+    )
+    km = km_survival_integer(risk, "cohort", "dur", "n_risk", "d")
+    return km.select(
+        "cohort",
+        F.col("dur").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_risk").alias("n_at_risk"),
+        "survival_ppb",
+    )
+
+
+@_register(
+    "g5_link_prediction",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), nb AS (
+      SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+    ), deg AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY 1
+    ), wedge AS (
+      SELECT n1.x AS x, n2.x AS y, n1.z AS z
+      FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n1.x < n2.x
+    ), scored AS (
+      SELECT w.x, w.y, CAST(COUNT(*) AS BIGINT) AS common_cnt,
+             CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+      FROM wedge w JOIN deg d ON d.z = w.z
+      GROUP BY 1, 2
+    )
+    SELECT s.x, s.y, s.common_cnt, s.ra_micro
+    FROM scored s
+    LEFT JOIN e ON e.a = s.x AND e.b = s.y
+    WHERE e.a IS NULL AND s.common_cnt >= 2
+    """,
+)
+def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase part graph (g2's graph) by the
+    Resource-Allocation index (Zhou et al. 2009): for each non-adjacent
+    pair, RA = Σ_z 1/deg(z) over common neighbors z. RA is chosen over
+    Adamic-Adar deliberately — 1/deg is an exact rational, so the
+    per-neighbor weight 1000000 div deg and its sum are exact bigints
+    both engines agree on, where 1/ln(deg) would hinge on libm ulp
+    differences under the micro-floor. Plan: wedge enumeration is an
+    equi-join on the center node (never a cartesian), degrees join
+    BROADCAST, existing edges drop via LEFT ANTI. At 100 TB the guard is
+    hub degree — Σdeg² wedges — capped upstream like every wedge
+    algorithm (the same bound g2's triangle count documents)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("la")
+        .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
+        .filter(F.col("la.p") < F.col("lb.p"))
+        .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
+        .distinct()
+    )
+    nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = nb.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wedge = (
+        nb.alias("n1")
+        .join(nb.alias("n2"), F.col("n1.z") == F.col("n2.z"))
+        .filter(F.col("n1.x") < F.col("n2.x"))
+        .select(
+            F.col("n1.x").alias("x"),
+            F.col("n2.x").alias("y"),
+            F.col("n1.z").alias("z"),
+        )
+    )
+    scored = (
+        wedge.join(F.broadcast(deg), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
+            F.sum(F.expr("1000000 div deg")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    out = scored.join(
+        e,
+        (scored.x == e.a) & (scored.y == e.b),
+        "left_anti",
+    ).filter(F.col("common_cnt") >= 2)
+    return out.select("x", "y", "common_cnt", "ra_micro")
+
+
+@_register(
+    "a24_acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT CAST(range AS BIGINT) AS k FROM range(1, 15)
+    ), pairs AS (
+      SELECT l.k, a.x AS x, b.x AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+    ), s AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT k, n AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+    FROM s
+    """,
+)
+def a24_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..14 — the seasonality
+    probe behind forecasting (weekly cycles show as a lag-7 peak). The
+    fact scan collapses to a calendar-sized daily series in ONE
+    date-keyed agg (the only shuffle that sees data volume); lagged
+    pairs come from a date-shift self-join of that tiny series, and all
+    moments (n, Σx, Σy, Σx², Σy², Σxy) are exact bigints in whole-dollar
+    units — order-independent, overflow-safe — so the single final
+    Pearson expression is the same IEEE double in both engines (casts
+    and operation order written identically on both sides; sqrt is
+    correctly rounded everywhere)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+            " AS BIGINT)) AS BIGINT) div 100"
+        ).alias("x")
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("bigint").alias("k"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("y"))
+    pairs = a.join(
+        b, F.col("d2") == F.date_add(F.col("d"), F.col("k").cast("int"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col(
+        "sy"
+    ).cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    acf = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select("k", F.col("n").alias("n_pairs"), acf.alias("acf"))
+
+
+@_register(
     "ta_keyword_extraction",
     """
     WITH tok AS (
@@ -9310,6 +9578,9 @@ _DRIVER_FRONT = [
     "a22_rfm_segmentation",
     "a23_gini_concentration",
     "w18_holt_forecast",
+    "w19_kaplan_meier",
+    "g5_link_prediction",
+    "a24_acf_daily_revenue",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

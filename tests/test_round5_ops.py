@@ -470,6 +470,32 @@ def test_holt_linear_groups_independent(spark):
     }
 
 
+# ------------------------------------------------------ km_survival_integer
+def test_km_survival_matches_manual_product_limit(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        km_survival_integer,
+    )
+
+    # (cohort, t, n_at_risk, d_events)
+    rows = [("a", 1, 10, 2), ("a", 3, 7, 1), ("a", 9, 4, 3),
+            ("b", 2, 5, 1), ("b", 4, 4, 4)]
+    df = spark.createDataFrame(rows, "g string, t bigint, n bigint, d bigint")
+    out = {
+        (r["g"], r["t"]): r["survival_ppb"]
+        for r in km_survival_integer(df, "g", "t", "n", "d").collect()
+    }
+    want = {}
+    for g in ("a", "b"):
+        s = 10**9
+        for (gg, t, n, d) in rows:
+            if gg != g:
+                continue
+            s = (s * (n - d)) // n
+            want[(g, t)] = s
+    assert out == want
+    assert out[("b", 4)] == 0  # everyone at risk died -> survival hits zero
+
+
 # ----------------------------------------------- global_row_number / ntile
 def test_global_row_number_matches_window(spark):
     from neotree_data_pipeline_kedro_spark.operators.windows import (
