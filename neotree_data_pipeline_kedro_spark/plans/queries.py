@@ -6158,6 +6158,202 @@ def a23_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "f_feature_hashing",
+    """
+    WITH feats AS (
+      SELECT o_orderkey, 'priority=' || o_orderpriority AS feature
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'status=' || o_orderstatus FROM orders
+    )
+    SELECT o_orderkey, feature,
+           ('0x' || substr(md5(feature), 1, 15))::BIGINT % 1024 AS idx,
+           CASE WHEN ('0x' || substr(md5(feature), 16, 1))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END AS sign
+    FROM feats
+    """,
+)
+def f_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) for categorical
+    features: each name=value string maps to a bucket in [0, 1024) via
+    md5, with an independent md5 nibble supplying the ±1 sign that keeps
+    the estimator unbiased under collisions. md5 is the one hash both
+    engines share bit-for-bit (Spark conv(hex)→bigint, DuckDB '0x'-cast),
+    so the oracle reproduces every index — unlike engine-native hash().
+    Stateless per-row expressions in the scan stage: no shuffle, no
+    vocabulary build, no driver state — the property that makes feature
+    hashing THE encoder at 100 TB (a learned vocabulary needs a global
+    distinct + broadcast; this needs nothing)."""
+    o = _t(spark, sf_dir, "orders")
+    feats = o.select(
+        "o_orderkey",
+        F.concat(F.lit("priority="), F.col("o_orderpriority")).alias(
+            "feature"
+        ),
+    ).unionByName(
+        o.select(
+            "o_orderkey",
+            F.concat(F.lit("status="), F.col("o_orderstatus")).alias(
+                "feature"
+            ),
+        )
+    )
+    h = F.md5(F.col("feature"))
+    idx = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % 1024
+    ).alias("idx")
+    sign = (
+        F.when(F.conv(F.substring(h, 16, 1), 16, 10).cast("bigint") % 2 == 0, 1)
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("sign")
+    )
+    return feats.select("o_orderkey", "feature", idx, sign)
+
+
+@_register(
+    "f_target_encode_loo",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    ), g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM src GROUP BY 1, 2
+    )
+    SELECT s.o_orderkey, s.o_orderpriority, s.o_orderstatus, s.cents,
+           CASE WHEN g.n > 1
+                THEN CAST(g.s - s.cents AS DOUBLE)
+                     / CAST(g.n - 1 AS DOUBLE)
+           END AS loo_enc_cents
+    FROM src s JOIN g USING (o_orderpriority, o_orderstatus)
+    """,
+)
+def f_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder: each row gets its group's target mean EXCLUDING itself,
+    (Σ−x)/(n−1), NULL for singleton groups. Sums are exact bigint cents
+    (order-independent), so the single final division is the same IEEE
+    double in both engines. Plan: one partial-agg group rollup, then the
+    per-group (sum, count) — bounded by category cardinality — joins
+    back BROADCAST; the fact table is touched twice but shuffled
+    never."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = src.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    out = src.join(F.broadcast(g), ["o_orderpriority", "o_orderstatus"])
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("cents")).cast("double")
+        / (F.col("n") - 1).cast("double"),
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "cents",
+        loo.alias("loo_enc_cents"),
+    )
+
+
+@_register(
+    "s12_csv_quarantine",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src WHERE o_orderkey % 97 <> 0 GROUP BY 1
+    UNION ALL
+    SELECT '_QUARANTINED', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM src WHERE o_orderkey % 97 = 0
+    """,
+)
+def s12_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with malformed-row quarantine: PERMISSIVE parse with
+    columnNameOfCorruptRecord splits clean rows from a quarantine lane
+    instead of failing the batch or silently dropping — the standard
+    untrusted-feed front door. The fixture (driver-side scaffolding, NOT
+    the scan path) renders a deterministic orders subset to CSV with a
+    type-violating third field on every 97th key; the engine path is the
+    real spark.read.csv → corrupt-split → per-status rollup, and the
+    oracle restates the expected outcome straight from the orders table.
+    The parsed frame is cached before filtering on the corrupt column
+    (Spark refuses plans that select ONLY the internal corrupt record
+    from an unmaterialized CSV scan)."""
+    import hashlib
+    import os
+    import tempfile
+
+    rows = sorted(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect(),
+        key=lambda r: r.o_orderkey,
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "neotree_s12_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    for fn in os.listdir(d):
+        os.remove(os.path.join(d, fn))
+    with open(os.path.join(d, "feed.csv"), "w") as f:
+        for r in rows:
+            cents = int(round(r.o_totalprice * 100))
+            if r.o_orderkey % 97 == 0:
+                f.write(f"{r.o_orderkey},{r.o_orderstatus},notanumber\n")
+            else:
+                f.write(f"{r.o_orderkey},{r.o_orderstatus},{cents}\n")
+
+    parsed = (
+        spark.read.schema(
+            "o_orderkey BIGINT, status STRING, cents BIGINT, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(d)
+        .cache()
+    )
+    good = (
+        parsed.filter(F.col("_corrupt").isNull())
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    quarantined = (
+        parsed.filter(F.col("_corrupt").isNotNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            F.lit("_QUARANTINED").alias("status"),
+            "n_rows",
+            F.lit(None).cast("bigint").alias("sum_cents"),
+        )
+    )
+    return good.unionByName(quarantined)
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -9581,6 +9777,9 @@ _DRIVER_FRONT = [
     "w19_kaplan_meier",
     "g5_link_prediction",
     "a24_acf_daily_revenue",
+    "f_feature_hashing",
+    "f_target_encode_loo",
+    "s12_csv_quarantine",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
