@@ -6354,6 +6354,591 @@ def s12_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u7_largest_remainder",
+    """
+    WITH w AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS wt
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ), t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+    b AS (
+      SELECT c_nationkey, wt,
+             (1000 * wt) // t.tot AS base,
+             (1000 * wt) % t.tot AS rem
+      FROM w, t
+    ), l AS (
+      SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b
+    ), r AS (
+      SELECT c_nationkey, wt, base, rem,
+             row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rn
+      FROM b
+    )
+    SELECT c_nationkey, wt,
+           CAST(base + CASE WHEN rn <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM r, l
+    """,
+)
+def u7_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed budget
+    of 1000 units across nations proportional to revenue so the shares
+    are integers that sum EXACTLY to the budget — quota sampling, ad
+    pacing, shard assignment. floor-quotas and scaled remainders
+    (budget·w mod W — same denominator for every group, so raw
+    remainders compare exactly) are pure bigint arithmetic; the +1
+    top-up goes to the L largest remainders via
+    operators/windows.global_row_number — the two-phase rank, because at
+    real scale "rank ALL groups by remainder" is a global sort. W and L
+    ride 1-row broadcast joins."""
+    from ..operators.windows import global_row_number
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("wt")
+        )
+    )
+    t = w.agg(F.sum("wt").cast("bigint").alias("tot"))
+    b = w.crossJoin(F.broadcast(t)).select(
+        "c_nationkey",
+        "wt",
+        F.expr("(1000 * wt) div tot").alias("base"),
+        ((F.lit(1000) * F.col("wt")) % F.col("tot")).alias("rem"),
+        # descending remainder as an ascending sort key for the 2-phase rank
+        (-((F.lit(1000) * F.col("wt")) % F.col("tot"))).alias("neg_rem"),
+    )
+    leftover = b.agg(
+        (F.lit(1000) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    ranked = global_row_number(b, ["neg_rem", "c_nationkey"], out_col="rn")
+    out = ranked.crossJoin(F.broadcast(leftover))
+    seats = (
+        F.col("base")
+        + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+    ).cast("bigint")
+    return out.select("c_nationkey", "wt", seats.alias("seats"))
+
+
+@_register(
+    "w20_seasonal_index",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM orders GROUP BY 1
+    ), dowed AS (
+      SELECT d, x,
+             CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT)
+               AS dow
+      FROM daily
+    ), per_dow AS (
+      SELECT dow, CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                    AS mean_dow
+      FROM dowed GROUP BY 1
+    ), overall AS (
+      SELECT CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_all
+      FROM dowed
+    )
+    SELECT s.d, s.dow, s.x,
+           (1000000 * p.mean_dow) // o.mean_all AS idx_ppm,
+           (1000000 * s.x) // ((1000000 * p.mean_dow) // o.mean_all)
+             AS x_deseasonalized
+    FROM dowed s
+    JOIN per_dow p ON p.dow = s.dow
+    CROSS JOIN overall o
+    """,
+)
+def w20_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekly seasonal decomposition: per-day-of-week
+    index = floor-mean(dow) / floor-mean(overall) in ppm, and each daily
+    value divided by its dow index — the classical ratio-to-moving-
+    average shortcut for a stable weekly cycle, feeding Holt (w18) a
+    deseasonalized series. Day-of-week comes from days-since-epoch mod 7
+    (identical in every engine; dayofweek() conventions differ between
+    Sunday=0 and Sunday=1 engines). Floor-means keep every ratio in
+    exact bounded bigint arithmetic regardless of scale. The fact scan
+    collapses to the calendar-sized daily series in one agg; the 7-row
+    index and 1-row overall mean join back broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+            " AS BIGINT)) AS BIGINT) div 100"
+        ).alias("x")
+    )
+    dowed = daily.withColumn(
+        "dow",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).cast(
+            "bigint"
+        ),
+    )
+    per_dow = dowed.groupBy("dow").agg(
+        F.expr(
+            "CAST(sum(x) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("mean_dow")
+    )
+    overall = dowed.agg(
+        F.expr(
+            "CAST(sum(x) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("mean_all")
+    )
+    out = dowed.join(F.broadcast(per_dow), "dow").crossJoin(
+        F.broadcast(overall)
+    )
+    return out.select(
+        "d",
+        "dow",
+        "x",
+        F.expr("(1000000 * mean_dow) div mean_all").alias("idx_ppm"),
+        F.expr(
+            "(1000000 * x) div ((1000000 * mean_dow) div mean_all)"
+        ).alias("x_deseasonalized"),
+    )
+
+
+@_register(
+    "v_ks_drift",
+    """
+    WITH src AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END
+               AS is_a
+      FROM orders
+    ), per_v AS (
+      SELECT grp, v,
+             CAST(SUM(is_a) AS BIGINT) AS a_cnt,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b_cnt
+      FROM src GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, v,
+             CAST(SUM(a_cnt) OVER (PARTITION BY grp ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(SUM(b_cnt) OVER (PARTITION BY grp ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM per_v
+    ), tot AS (
+      SELECT grp, CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+             CAST(SUM(b_cnt) AS BIGINT) AS n_b
+      FROM per_v GROUP BY 1
+    )
+    SELECT c.grp, t.n_a, t.n_b,
+           CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+             AS d_num,
+           (1000000 * CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                           AS BIGINT)) // (t.n_a * t.n_b) AS ks_ppm
+    FROM cum c JOIN tot t ON t.grp = c.grp
+    GROUP BY c.grp, t.n_a, t.n_b
+    """,
+)
+def v_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per order priority: D =
+    max |ECDF_before(v) − ECDF_after(v)| across the 1998-01-01 split,
+    computed EXACTLY as max |cumA·nB − cumB·nA| over the merged distinct
+    values — one shared denominator nA·nB turns the sup of ECDF gaps
+    into pure bigint arithmetic (histogram-drift metrics like
+    v_drift_histogram depend on bin choices; KS doesn't). Plan: one
+    (group, value) agg collapses duplicates BEFORE the windows, the
+    cumulative windows partition on the group key, and the final
+    per-group max reuses that partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    per_v = src.groupBy("grp", "v").agg(
+        F.sum("is_a").cast("bigint").alias("a_cnt"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("b_cnt"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.select(
+        "grp",
+        "v",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(w).cast("bigint").alias("cum_a"),
+        F.sum("b_cnt").over(w).cast("bigint").alias("cum_b"),
+    )
+    tot = per_v.groupBy("grp").agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        F.sum("b_cnt").cast("bigint").alias("n_b"),
+    )
+    j = cum.join(F.broadcast(tot), "grp")
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = j.groupBy("grp", "n_a", "n_b").agg(
+        F.max(gap).cast("bigint").alias("d_num")
+    )
+    return agg.select(
+        "grp",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("(1000000 * d_num) div (n_a * n_b)").alias("ks_ppm"),
+    )
+
+
+@_register(
+    "g6_node_jaccard",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), nb AS (
+      SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+    ), deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY 1
+    ), wedge AS (
+      SELECT n1.x AS x, n2.x AS y
+      FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n1.x < n2.x
+    ), common AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common_cnt
+      FROM wedge GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c.x, c.y, c.common_cnt,
+           (1000000 * c.common_cnt)
+             // (dx.deg + dy.deg - c.common_cnt) AS jaccard_ppm
+    FROM common c
+    JOIN deg dx ON dx.x = c.x
+    JOIN deg dy ON dy.x = c.y
+    """,
+)
+def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for node pairs of the co-purchase
+    graph: |N(x)∩N(y)| / |N(x)∪N(y)| with the union expanded as
+    deg(x)+deg(y)−common — so the whole score is common-neighbor counts
+    plus two broadcast degree lookups in exact ppm integer arithmetic
+    (the structural-equivalence companion to g5's resource-allocation
+    score; the same wedge equi-join enumerates candidates, never a
+    cartesian)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("la")
+        .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
+        .filter(F.col("la.p") < F.col("lb.p"))
+        .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
+        .distinct()
+    )
+    nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wedge = (
+        nb.alias("n1")
+        .join(nb.alias("n2"), F.col("n1.z") == F.col("n2.z"))
+        .filter(F.col("n1.x") < F.col("n2.x"))
+        .select(F.col("n1.x").alias("x"), F.col("n2.x").alias("y"))
+    )
+    common = (
+        wedge.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_cnt"))
+        .filter(F.col("common_cnt") >= 2)
+    )
+    dx = deg.select(F.col("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("x").alias("y"), F.col("deg").alias("deg_y"))
+    out = common.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    return out.select(
+        "x",
+        "y",
+        "common_cnt",
+        F.expr(
+            "(1000000 * common_cnt) div (deg_x + deg_y - common_cnt)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+@_register(
+    "v_mad_outliers",
+    """
+    WITH src AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    ), med AS (
+      SELECT grp, CAST(2 * median(cents) AS BIGINT) AS med2
+      FROM src GROUP BY 1
+    ), dev AS (
+      SELECT s.grp, s.cents, m.med2,
+             abs(2 * s.cents - m.med2) AS dev2
+      FROM src s JOIN med m ON m.grp = s.grp
+    ), mad AS (
+      SELECT grp, CAST(2 * median(dev2) AS BIGINT) AS mad4
+      FROM dev GROUP BY 1
+    )
+    SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n, d.med2, a.mad4,
+           CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * a.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.grp = d.grp
+    GROUP BY d.grp, d.med2, a.mad4
+    """,
+)
+def v_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per priority class — the
+    robust alternative to the IQR rule (a6). Both medians are EXACT
+    (Spark `percentile`, DuckDB `median`; even-count interpolation is an
+    exact .5 double for integer cents, both engines identical), and
+    doubling twice (med2 = 2·median, mad4 = 2·median(|2x − med2|))
+    keeps every comparison in pure bigint: |x−med| > 3·MAD becomes
+    2·dev2 > 3·mad4. Exact grouped percentile buffers each group's
+    values — the auditor's path for bounded groups; unbounded cohorts
+    use the KLL sketch profiler (v_column_profile) instead. Two grouped
+    median passes on the same key; the tiny per-group frames join back
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = src.groupBy("grp").agg(
+        (F.lit(2) * F.percentile(F.col("cents"), F.lit(0.5)))
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = src.join(F.broadcast(med), "grp").select(
+        "grp",
+        "cents",
+        "med2",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("grp").agg(
+        (F.lit(2) * F.percentile(F.col("dev2"), F.lit(0.5)))
+        .cast("bigint")
+        .alias("mad4")
+    )
+    j = dev.join(F.broadcast(mad), "grp")
+    return j.groupBy("grp", "med2", "mad4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select("grp", "n", "med2", "mad4", "n_outliers")
+
+
+@_register(
+    "s13_schema_evolution",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                ELSE o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src
+    GROUP BY 1
+    """,
+)
+def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a warehouse directory holding two parquet
+    generations — gen-1 files lack the o_orderstatus column a later
+    writer added — scanned in ONE pass with mergeSchema, old files
+    yielding NULL for the new column (the additive-evolution contract
+    every long-lived ingest needs; fixture written driver-side via
+    pyarrow, scaffolding NOT the scan path). The rollup groups by the
+    evolved column so the oracle can restate the expected split straight
+    from orders. mergeSchema reconciles footers at planning time; the
+    scan itself stays a plain columnar read with pruning intact."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect(),
+        key=lambda r: r.o_orderkey,
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "neotree_s13_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    for fn in os.listdir(d):
+        os.remove(os.path.join(d, fn))
+    gen1 = [r for r in rows if r.o_orderkey % 50 == 0]
+    gen2 = [r for r in rows if r.o_orderkey % 50 != 0]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": [r.o_orderkey for r in gen1],
+                "cents": [int(round(r.o_totalprice * 100)) for r in gen1],
+            }
+        ),
+        os.path.join(d, "gen1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": [r.o_orderkey for r in gen2],
+                "cents": [int(round(r.o_totalprice * 100)) for r in gen2],
+                "status": [r.o_orderstatus for r in gen2],
+            }
+        ),
+        os.path.join(d, "gen2.parquet"),
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@_register(
+    "emb_dimension_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(t.i AS BIGINT) AS pos,
+             CAST(round(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS v_micro
+      FROM embeddings e JOIN range(0, 64) t(i) ON TRUE
+    )
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+           CAST(MIN(v_micro) AS BIGINT) AS min_micro,
+           CAST(MAX(v_micro) AS BIGINT) AS max_micro,
+           CAST(SUM(v_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS mean_micro
+    FROM ex GROUP BY 1
+    """,
+)
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (n, sum, min, max, floor-mean in
+    micro units) — the drift/health check run before any ANN index
+    build: a dimension whose range collapses or explodes flags a broken
+    encoder version. posexplode keeps the work in-row (no join); values
+    quantize to exact micro bigints BEFORE summing so the aggregate is
+    order-independent and engine-portable (float sums are neither).
+    One agg shuffle on the 64-value dimension key; partial aggregation
+    reduces each scan partition to 64 rows before the exchange. The
+    oracle's range(0,64) states the fixture's dimension count
+    (TESTDATA.md: embeddings are dim-64)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("v").cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    return ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_micro").cast("bigint").alias("sum_micro"),
+        F.min("v_micro").cast("bigint").alias("min_micro"),
+        F.max("v_micro").cast("bigint").alias("max_micro"),
+        F.expr(
+            "CAST(sum(v_micro) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+
+
+@_register(
+    "a25_status_transitions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus AS s,
+             lead(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS s_next
+      FROM orders
+    ), trans AS (
+      SELECT s AS from_status, s_next AS to_status,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE s_next IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_status, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM trans GROUP BY 1
+    )
+    SELECT t.from_status, t.to_status, t.n, o.row_total,
+           (1000000 * t.n) // o.row_total AS p_ppm
+    FROM trans t JOIN tot o ON o.from_status = t.from_status
+    """,
+)
+def a25_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's order
+    status sequence: counts of consecutive (from → to) pairs and the
+    row-normalized transition probability in exact ppm (integer
+    floor-div — the chain everything sequence-modeling starts from).
+    lead() is computed ONCE before any filter (re-windowing after a
+    filter would fabricate transitions across dropped rows — the
+    w11_event_paths lesson); one window shuffle on the customer key,
+    then a status-pair rollup whose row totals join back broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("s"),
+        F.lead("o_orderstatus").over(w).alias("s_next"),
+    )
+    trans = (
+        seq.filter(F.col("s_next").isNotNull())
+        .groupBy(
+            F.col("s").alias("from_status"), F.col("s_next").alias("to_status")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("from_status").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    out = trans.join(F.broadcast(tot), "from_status")
+    return out.select(
+        "from_status",
+        "to_status",
+        "n",
+        "row_total",
+        F.expr("(1000000 * n) div row_total").alias("p_ppm"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -9780,6 +10365,14 @@ _DRIVER_FRONT = [
     "f_feature_hashing",
     "f_target_encode_loo",
     "s12_csv_quarantine",
+    "u7_largest_remainder",
+    "w20_seasonal_index",
+    "v_ks_drift",
+    "g6_node_jaccard",
+    "v_mad_outliers",
+    "s13_schema_evolution",
+    "emb_dimension_stats",
+    "a25_status_transitions",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
