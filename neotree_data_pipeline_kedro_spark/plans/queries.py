@@ -6530,18 +6530,18 @@ def w20_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(b_cnt) OVER (PARTITION BY grp ORDER BY v
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
       FROM per_v
-    ), tot AS (
-      SELECT grp, CAST(SUM(a_cnt) AS BIGINT) AS n_a,
-             CAST(SUM(b_cnt) AS BIGINT) AS n_b
-      FROM per_v GROUP BY 1
+    ), fullc AS (
+      SELECT grp, cum_a, cum_b,
+             CAST(MAX(cum_a) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+             CAST(MAX(cum_b) OVER (PARTITION BY grp) AS BIGINT) AS n_b
+      FROM cum
     )
-    SELECT c.grp, t.n_a, t.n_b,
-           CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
-             AS d_num,
-           (1000000 * CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
-                           AS BIGINT)) // (t.n_a * t.n_b) AS ks_ppm
-    FROM cum c JOIN tot t ON t.grp = c.grp
-    GROUP BY c.grp, t.n_a, t.n_b
+    SELECT grp, n_a, n_b,
+           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           (1000000 * CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT))
+             // (n_a * n_b) AS ks_ppm
+    FROM fullc
+    GROUP BY grp, n_a, n_b
     """,
 )
 def v_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6551,9 +6551,12 @@ def v_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — one shared denominator nA·nB turns the sup of ECDF gaps
     into pure bigint arithmetic (histogram-drift metrics like
     v_drift_histogram depend on bin choices; KS doesn't). Plan: one
-    (group, value) agg collapses duplicates BEFORE the windows, the
-    cumulative windows partition on the group key, and the final
-    per-group max reuses that partitioning."""
+    (group, value) agg collapses duplicates BEFORE the windows; the
+    sample sizes come from the SAME group-partitioned window (max of
+    the cumulative = the total — no second aggregation branch
+    re-scanning the fact), so the whole query is two exchanges: the
+    (grp, v) rollup and the grp window, which the final per-group max
+    reuses."""
     o = _t(spark, sf_dir, "orders")
     src = o.select(
         F.col("o_orderpriority").alias("grp"),
@@ -6575,23 +6578,22 @@ def v_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wfull = Window.partitionBy("grp")
     cum = per_v.select(
         "grp",
-        "v",
-        "a_cnt",
-        "b_cnt",
         F.sum("a_cnt").over(w).cast("bigint").alias("cum_a"),
         F.sum("b_cnt").over(w).cast("bigint").alias("cum_b"),
+    ).select(
+        "grp",
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(wfull).cast("bigint").alias("n_a"),
+        F.max("cum_b").over(wfull).cast("bigint").alias("n_b"),
     )
-    tot = per_v.groupBy("grp").agg(
-        F.sum("a_cnt").cast("bigint").alias("n_a"),
-        F.sum("b_cnt").cast("bigint").alias("n_b"),
-    )
-    j = cum.join(F.broadcast(tot), "grp")
     gap = F.abs(
         F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
     )
-    agg = j.groupBy("grp", "n_a", "n_b").agg(
+    agg = cum.groupBy("grp", "n_a", "n_b").agg(
         F.max(gap).cast("bigint").alias("d_num")
     )
     return agg.select(

@@ -8,11 +8,14 @@ watermark delay, then evicts. That bounded-state property is what makes a
 join of two unbounded 100 TB/day feeds feasible: state is
 rate × (interval + watermark), independent of stream length.
 
-Semantics note: results arrive as matches are found; a row whose partner
-never arrives inside the horizon is silently dropped (inner join). The
-batch as-of pass (`operators/joins.asof_join`) remains the durable
-backfill for late partners, the same stream+batch composition as
-streaming/dedup.py.
+Semantics note: inner results arrive as matches are found; a row whose
+partner never arrives inside the horizon is silently dropped. With
+``how="leftOuter"`` Spark instead emits the unmatched left row null-padded
+— but only once the watermark has passed the row's join horizon (state
+eviction time), i.e. unmatched rows surface one watermark-delay late, at a
+batch boundary. The batch as-of pass (`operators/joins.asof_join`) remains
+the durable backfill for late partners, the same stream+batch composition
+as streaming/dedup.py.
 """
 
 from __future__ import annotations
@@ -31,9 +34,12 @@ def interval_join_streams(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key`` where
-    ``right_ts ∈ [left_ts - lower, left_ts + upper]``.
+    """Join two streams on ``key`` where
+    ``right_ts ∈ [left_ts - lower, left_ts + upper]``; ``how`` is
+    ``inner`` or ``leftOuter`` (unmatched left rows null-padded once
+    their horizon expires — see module docstring).
 
     Both sides get the same watermark; Spark derives each side's state
     retention from the watermark plus the interval bounds (the
@@ -54,4 +60,6 @@ def interval_join_streams(
             <= l_wm[left_ts] + F.expr(f"INTERVAL {upper}")
         )
     )
-    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner or leftOuter, got {how!r}")
+    return l_wm.join(r_wm, cond, how).drop(r_wm[key])

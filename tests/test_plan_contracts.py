@@ -347,6 +347,61 @@ def test_cdc_apply_single_window_shuffle(spark):
     assert exchanges(plan) <= 1  # one key shuffle, nothing else
 
 
+def test_association_rules_broadcast_supports(spark):
+    # pair counts join per-part supports + the 1-row total broadcast;
+    # the only real shuffles are the distinct and the pair agg
+    plan = plan_of(spark, "a21_association_rules")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_exact_ntile_without_window(spark):
+    # the whole point: ANSI-exact quartiles with NO window operator (the
+    # 1-row customer-count aggregate still plans its own tiny
+    # SinglePartition exchange — that one is data-free and fine)
+    plan = plan_of(spark, "a22_rfm_segmentation")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_reuses_window_partitioning_for_rollup(spark):
+    # dim broadcast + one (nation, cust) agg shuffle + the nation window;
+    # the final nation rollup must NOT add an exchange
+    plan = plan_of(spark, "a23_gini_concentration")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert exchanges(plan) <= 2
+
+
+def test_link_prediction_broadcast_degrees_anti_edges(spark):
+    plan = plan_of(spark, "g5_link_prediction")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hashing_is_shuffle_free(spark):
+    # stateless scan-stage expressions: the plan may not shuffle at all
+    plan = plan_of(spark, "f_feature_hashing")
+    assert exchanges(plan) == 0
+
+
+def test_target_encode_single_agg_shuffle(spark):
+    plan = plan_of(spark, "f_target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert exchanges(plan) <= 1  # the group rollup; the join-back rides it
+
+
+def test_ks_drift_single_key_shuffle_chain(spark):
+    # (grp, v) agg -> grp windows (cum + totals from max-of-cum) -> grp
+    # rollup reusing the window partitioning: exactly two shuffles, no
+    # join and no second aggregation branch re-scanning the fact
+    plan = plan_of(spark, "v_ks_drift")
+    assert "Join" not in plan
+    assert exchanges(plan) <= 2
+
+
 def test_data_contract_single_plan_runs_all_checks(spark):
     # the whole contract is ONE lazy union; five 1-row aggregates appear
     # in a single plan (no per-check driver actions to pin, by design)

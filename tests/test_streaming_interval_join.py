@@ -95,3 +95,68 @@ def test_no_partner_no_row(joined):
 def test_columns_from_both_sides(joined):
     r = next(x for x in joined if x["uid"] == "A")
     assert r["ward"] == "w1" and r["adm_ts"] < r["vit_ts"]
+
+
+def test_left_outer_emits_unmatched_after_horizon(spark, tmp_path):
+    """leftOuter: an admission with no vitals inside its horizon emits
+    null-padded — but only after the watermark passes its eviction time,
+    which takes a later batch to advance the watermark."""
+    adm_dir, vit_dir = str(tmp_path / "adm"), str(tmp_path / "vit")
+    ckpt = str(tmp_path / "ckpt")
+    # X at 08:00 never gets vitals; A at 10:00 matches
+    _write(
+        spark,
+        [("X", D(2024, 3, 1, 8, 0), "w0")] + ADMISSIONS,
+        ADM_SCHEMA,
+        os.path.join(adm_dir, "b0.parquet"),
+    )
+    _write(spark, VITALS, VIT_SCHEMA, os.path.join(vit_dir, "b0.parquet"))
+
+    adm = spark.readStream.schema(ADM_SCHEMA).parquet(adm_dir + "/*")
+    vit = spark.readStream.schema(VIT_SCHEMA).parquet(vit_dir + "/*")
+    out = interval_join_streams(
+        adm, vit, "uid", "adm_ts", "vit_ts",
+        lower="0 seconds", upper="1 hour",
+        watermark="30 minutes", how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_lo")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["uid"], r["hr"])
+            for r in spark.sql("select uid, hr from ij_lo").collect()
+        }
+        assert ("A", 120) in got and ("B", 95) in got  # inner matches emit
+        # advance the watermark far past every horizon with a later batch
+        _write(
+            spark,
+            [("Z", D(2024, 3, 2, 9, 0), 70)],
+            VIT_SCHEMA,
+            os.path.join(vit_dir, "b1.parquet"),
+        )
+        q.processAllAvailable()
+        got = {
+            (r["uid"], r["hr"])
+            for r in spark.sql("select uid, hr from ij_lo").collect()
+        }
+    finally:
+        q.stop()
+    assert ("X", None) in got  # unmatched left row surfaced null-padded
+    assert all(uid != "C" for uid, _ in got)  # right orphans still drop
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join_streams(
+            spark.readStream.schema(ADM_SCHEMA).parquet("/tmp/nope/*"),
+            spark.readStream.schema(VIT_SCHEMA).parquet("/tmp/nope2/*"),
+            "uid", "adm_ts", "vit_ts", how="full",
+        )
