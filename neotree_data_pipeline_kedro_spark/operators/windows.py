@@ -668,6 +668,101 @@ def holt_linear_integer(
     return parted.mapInPandas(scan, schema=schema)
 
 
+def holt_winters_integer(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    period: int = 7,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    gamma_num: int = 1,
+    gamma_den: int = 4,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing as a pure
+    integer recurrence (level + trend + a ``period``-slot seasonal
+    vector):
+
+        l_t = floor((an*(x_t − s[i]) + (ad−an)*(l+b)) / ad)
+        b_t = floor((bn*(l_t − l) + (bd−bn)*b) / bd)
+        s[i] = floor((gn*(x_t − l_t) + (gd−gn)*s[i]) / gd),  i = (t−1) % period
+
+    seeded l=x_1, b=0, s=0s; ``fitted`` is the one-step-ahead forecast
+    l+b+s[i] made before observing x_t (NULL at t=1). Denominators must
+    be powers of two: the oracle replays the walk with FLOOR(expr/4.0)
+    — exact for dyadic denominators and flooring toward −inf like
+    Python ``//`` (DuckDB's integer ``//`` truncates on negatives, and
+    trend/seasonal terms DO go negative). Same partition-scan shape as
+    ewma/holt: one repartition on the group key, sorted scan, carry =
+    (group, t, level, trend, seasonal list) across Arrow batches.
+
+    Output: input + level, trend, seasonal (slot i after update),
+    fitted — all bigint.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    for den in (alpha_den, beta_den, gamma_den):
+        if den & (den - 1):
+            raise ValueError(f"denominators must be powers of two, got {den}")
+    part_cols = list(part_cols)
+    if len(part_cols) != 1:
+        raise ValueError("holt_winters_integer expects exactly one group column")
+    g = part_cols[0]
+    an, ad, bn, bd, gn, gd = (
+        alpha_num, alpha_den, beta_num, beta_den, gamma_num, gamma_den,
+    )
+    parted = df.repartition(F.col(g)).sortWithinPartitions(g, order_col)
+
+    def scan(batches):
+        carry = (None, 0, 0, 0, None)  # (group, t, level, trend, s list)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs = pdf[g].to_numpy()
+            xs = pdf[value_col].to_numpy()
+            lvls, trends, seas, fits = [], [], [], []
+            cg, ct, cl, cb, cs = carry
+            for gi, xi in zip(gs, xs):
+                xi = int(xi)
+                if gi != cg:
+                    cg, ct, cl, cb, cs = gi, 1, xi, 0, [0] * period
+                    fit = None
+                else:
+                    ct += 1
+                    i = (ct - 1) % period
+                    sp = cs[i]
+                    fit = cl + cb + sp
+                    l_new = (an * (xi - sp) + (ad - an) * (cl + cb)) // ad
+                    cb = (bn * (l_new - cl) + (bd - bn) * cb) // bd
+                    cs[i] = (gn * (xi - l_new) + (gd - gn) * sp) // gd
+                    cl = l_new
+                lvls.append(cl)
+                trends.append(cb)
+                seas.append(cs[(ct - 1) % period])
+                fits.append(fit)
+            carry = (cg, ct, cl, cb, cs)
+            pdf = pdf.copy()
+            pdf["level"] = pd.Series(lvls, dtype="int64").values
+            pdf["trend"] = pd.Series(trends, dtype="int64").values
+            pdf["seasonal"] = pd.Series(seas, dtype="int64").values
+            pdf["fitted"] = pd.array(fits, dtype="Int64")
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.LongType()),
+            T.StructField("trend", T.LongType()),
+            T.StructField("seasonal", T.LongType()),
+            T.StructField("fitted", T.LongType()),
+        ]
+    )
+    return parted.mapInPandas(scan, schema=schema)
+
+
 def rolling_zscore_outliers(
     df: DataFrame,
     part_cols: Sequence[str],

@@ -6941,6 +6941,128 @@ def a25_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a26_growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT o_custkey,
+             CAST((year(o_orderdate) - 1970) * 12 + (month(o_orderdate) - 1)
+                  AS BIGINT) AS m
+      FROM orders
+    ), seq AS (
+      SELECT o_custkey, m,
+             lag(m)  OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m,
+             lead(m) OVER (PARTITION BY o_custkey ORDER BY m) AS next_m
+      FROM act
+    ), mx AS (SELECT CAST(MAX(m) AS BIGINT) AS max_m FROM act),
+    events AS (
+      SELECT m, CASE WHEN prev_m IS NULL THEN 'new'
+                     WHEN prev_m = m - 1 THEN 'retained'
+                     ELSE 'resurrected' END AS cls
+      FROM seq
+      UNION ALL
+      SELECT m + 1, 'churned'
+      FROM seq, mx
+      WHERE (next_m IS NULL AND m < mx.max_m) OR next_m > m + 1
+    )
+    SELECT m AS month_num, cls, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a26_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting (the new / retained / resurrected /
+    churned decomposition every subscription dashboard runs): customer
+    activity collapses to distinct (customer, month-number) — months as
+    integers since 1970, so adjacency is plain arithmetic and no engine
+    calendar convention is involved — then ONE customer-keyed window
+    pass derives both lag and lead, classifying each active month and
+    emitting a churn event into the first silent month (bounded by the
+    dataset's last month via a 1-row broadcast max). One distinct
+    shuffle + one window shuffle + the final month rollup."""
+    o = _t(spark, sf_dir, "orders")
+    act = o.select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1970) * 12 + (F.month("o_orderdate") - 1)
+        )
+        .cast("bigint")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    seq = act.select(
+        "o_custkey",
+        "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.lead("m").over(w).alias("next_m"),
+    )
+    mx = act.agg(F.max("m").cast("bigint").alias("max_m"))
+    cls = (
+        F.when(F.col("prev_m").isNull(), F.lit("new"))
+        .when(F.col("prev_m") == F.col("m") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    active = seq.select(F.col("m"), cls.alias("cls"))
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_m").isNull() & (F.col("m") < F.col("max_m")))
+            | (F.col("next_m") > F.col("m") + 1)
+        )
+        .select((F.col("m") + 1).alias("m"), F.lit("churned").alias("cls"))
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy(F.col("m").alias("month_num"), "cls")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@_register(
+    "a27_unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+             CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+             CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'F' AS status, f_cnt AS n FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'O', o_cnt FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'P', p_cnt FROM wide
+    """,
+)
+def a27_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: the status-count matrix built with
+    groupBy().pivot() (explicit value list — never the
+    distinct-scanning implicit form) melted back to long form with the
+    native DataFrame.unpivot (Spark's MELT/stack operator, a27's whole
+    point — the wide↔long reshaping every metrics store does). Absent
+    combinations surface as pivot NULLs; coalesce(0) matches the
+    oracle's FILTER counts. Columns are renamed in one select — Spark
+    resolves names case-insensitively, so withColumn('f_cnt') would
+    REPLACE the pivot's 'F' column instead of adding (the a8 lesson)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="n_raw",
+    )
+    return long.select(
+        "o_orderpriority",
+        "status",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -9199,6 +9321,78 @@ def a24_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w21_holt_winters",
+    """
+    WITH RECURSIVE base AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), src AS (
+      SELECT seg, d, x,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY d)
+                  AS BIGINT) AS rn
+      FROM base
+    ), walk AS (
+      SELECT seg, d, rn, x, x AS l, CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s,
+             CAST(NULL AS BIGINT) AS fitted
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT n.seg, n.d, n.rn, n.x,
+             CAST(FLOOR((1 * (n.x - w.s[CAST((n.rn - 1) % 7 AS INTEGER) + 1])
+                         + 3 * (w.l + w.b)) / 4.0) AS BIGINT) AS l_new,
+             CAST(FLOOR((1 * (l_new - w.l) + 3 * w.b) / 4.0) AS BIGINT)
+               AS b_new,
+             list_transform(w.s, (e, i) ->
+               CASE WHEN i = CAST((n.rn - 1) % 7 AS INTEGER) + 1
+                    THEN CAST(FLOOR((1 * (n.x - l_new)
+                             + 3 * w.s[CAST((n.rn - 1) % 7 AS INTEGER) + 1])
+                             / 4.0) AS BIGINT)
+                    ELSE e END) AS s_new,
+             w.l + w.b + w.s[CAST((n.rn - 1) % 7 AS INTEGER) + 1] AS fitted
+      FROM walk w JOIN src n ON n.seg = w.seg AND n.rn = w.rn + 1
+    )
+    SELECT seg, d, x, l AS level, b AS trend,
+           s[CAST((rn - 1) % 7 AS INTEGER) + 1] AS seasonal, fitted
+    FROM walk
+    """,
+)
+def w21_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonal, α=β=γ=1/4)
+    over per-segment daily revenue — the triple-smoothing forecaster
+    completing the EWMA (w13) → Holt (w18) ladder, with the seasonal
+    state carried as a 7-slot vector. Every update is integer floor-div
+    with power-of-two denominators, so the recursive-CTE oracle (list
+    state via list_transform, FLOOR(../4.0) to floor toward −inf — the
+    trend/seasonal terms go negative, where DuckDB's `//` would
+    truncate) replays the walk bit-for-bit. Heavy work is the one
+    (segment, day) agg with a broadcast dim join; the sequential scan
+    only sees the calendar-sized series
+    (operators/windows.holt_winters_integer)."""
+    from ..operators.windows import holt_winters_integer
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+                " AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    out = holt_winters_integer(base, ["seg"], "d", "x", period=7)
+    return out.select("seg", "d", "x", "level", "trend", "seasonal", "fitted")
+
+
+@_register(
     "ta_keyword_extraction",
     """
     WITH tok AS (
@@ -10375,6 +10569,9 @@ _DRIVER_FRONT = [
     "s13_schema_evolution",
     "emb_dimension_stats",
     "a25_status_transitions",
+    "w21_holt_winters",
+    "a26_growth_accounting",
+    "a27_unpivot_metrics",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

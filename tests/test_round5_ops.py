@@ -470,6 +470,49 @@ def test_holt_linear_groups_independent(spark):
     }
 
 
+# ------------------------------------------------- holt_winters_integer
+def test_holt_winters_matches_manual_walk(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        holt_winters_integer,
+    )
+
+    xs = [100, 220, 90, 340, 100, 250, 80, 360, 110, 230]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "g bigint, rn bigint, x bigint"
+    )
+    out = holt_winters_integer(df, ["g"], "rn", "x", period=4)
+    got = [
+        (r["level"], r["trend"], r["seasonal"], r["fitted"])
+        for r in out.orderBy("rn").collect()
+    ]
+    l = b = None
+    s = [0] * 4
+    want = []
+    for t, x in enumerate(xs, start=1):
+        i = (t - 1) % 4
+        if l is None:
+            l, b, fit = x, 0, None
+        else:
+            sp = s[i]
+            fit = l + b + sp
+            ln = ((x - sp) + 3 * (l + b)) // 4
+            b = ((ln - l) + 3 * b) // 4
+            s[i] = ((x - ln) + 3 * sp) // 4
+            l = ln
+        want.append((l, b, s[i], fit))
+    assert got == want
+
+
+def test_holt_winters_rejects_non_dyadic_denominator(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        holt_winters_integer,
+    )
+
+    df = spark.createDataFrame([(1, 0, 1)], "g bigint, rn bigint, x bigint")
+    with pytest.raises(ValueError):
+        holt_winters_integer(df, ["g"], "rn", "x", alpha_den=3)
+
+
 # ------------------------------------------------------ km_survival_integer
 def test_km_survival_matches_manual_product_limit(spark):
     from neotree_data_pipeline_kedro_spark.operators.timeseries import (
