@@ -324,6 +324,76 @@ def global_row_number(
     )
 
 
+def global_prefix_scan(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    rn_col: str = "rn",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Global 1-based rank AND running sum of ``value_col`` over one
+    total ordering, in a single two-phase pass (global_row_number's
+    shape, carrying two accumulators): range-partition + sorted local
+    scan producing local index and local cumsum, then per-partition
+    (count, sum) rows — one per partition — become driver-side
+    exclusive-prefix offsets broadcast back. No single-partition sort
+    at any scale. ``order_cols`` must be a total order."""
+    order_cols = list(order_cols)
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def local_scan(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        seen, run = 0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["_local_rn"] = pd.RangeIndex(seen + 1, seen + 1 + len(pdf))
+            cum = pdf[value_col].cumsum() + run
+            pdf["_local_cum"] = cum
+            seen += len(pdf)
+            run = int(cum.iloc[-1])
+            yield pdf
+
+    schema = T.StructType(
+        list(parted.schema.fields)
+        + [
+            T.StructField("_local_rn", T.LongType()),
+            T.StructField("_local_cum", T.LongType()),
+        ]
+    )
+    local = parted.mapInPandas(local_scan, schema=schema).persist()
+    stats = sorted(
+        (r["_pid"], r["n"], r["s"])
+        for r in local.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).cast("bigint").alias("s"),
+        )
+        .collect()
+    )
+    offsets, n_acc, s_acc = [], 0, 0
+    for pid, n, s in stats:
+        offsets.append((pid, n_acc, s_acc))
+        n_acc += int(n)
+        s_acc += int(s)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _rn_off long, _cum_off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rn_col, F.col("_local_rn") + F.col("_rn_off"))
+        .withColumn(cum_col, F.col("_local_cum") + F.col("_cum_off"))
+        .drop("_pid", "_local_rn", "_local_cum", "_rn_off", "_cum_off")
+    )
+
+
 def ntile_from_rank(rn: Column, n_total: Column, n_buckets: int) -> Column:
     """ANSI ntile bucket from a 1-based global rank and the total row
     count, as a pure expression: the first ``n_total % n_buckets``

@@ -7063,6 +7063,123 @@ def a27_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a28_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l_partkey, rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents DESC, l_partkey)
+                  AS BIGINT) AS rn,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    ), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM rev)
+    SELECT l_partkey, rev_cents, rn, cum_cents,
+           CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+    """,
+)
+def a28_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue descending,
+    class A until 80% of cumulative revenue, B until 95%, C after — the
+    Pareto cut every supply chain runs. The rank AND the running total
+    come from ONE two-phase pass (operators/windows.global_prefix_scan:
+    range-partition, local scan, driver offsets) because at catalog
+    scale a bare `SUM() OVER (ORDER BY ...)` is a single-partition
+    sort. Class boundaries compare cum·100 against total·{80,95} in
+    exact bigint — no percentage floats. The revenue rollup is the only
+    data-sized shuffle."""
+    from ..operators.windows import global_prefix_scan
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice").cast("double") * 100, 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    ranked = global_prefix_scan(
+        rev.withColumn("neg_rev", -F.col("rev_cents")),
+        ["neg_rev", "l_partkey"],
+        "rev_cents",
+        rn_col="rn",
+        cum_col="cum_cents",
+    )
+    t = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    out = ranked.crossJoin(F.broadcast(t))
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return out.select(
+        "l_partkey", "rev_cents", "rn", "cum_cents", cls.alias("abc_class")
+    )
+
+
+@_register(
+    "a30_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), ex AS (
+      SELECT u.user_id, u.day + CAST(t.i AS INTEGER) AS d, t.i AS o
+      FROM ud u JOIN range(0, 28) t(i) ON TRUE
+    )
+    SELECT d,
+           CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS BIGINT)
+             AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN o < 7 THEN user_id END) AS BIGINT)
+             AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM ex GROUP BY 1
+    """,
+)
+def a30_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU / MAU in one pass: sliding-window COUNT(DISTINCT)
+    has no window-function form in any engine, so each distinct
+    (user, active-day) row is expanded to the 28 report days it can
+    influence and ONE grouped aggregate takes three filtered distinct
+    counts (offset 0 → DAU, <7 → WAU, <28 → MAU). The expansion is a
+    bounded 28× of the DEDUPLICATED user-day table — the standard exact
+    decomposition; the sketch path for when even that is too much is
+    the HLL profiler (v_column_profile). Trailing days past the last
+    activity appear with their decaying windows by construction,
+    identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    ex = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+    ).select(
+        "user_id",
+        F.expr("date_add(day, o)").alias("d"),
+        "o",
+    )
+    return ex.groupBy("d").agg(
+        F.countDistinct(F.when(F.col("o") == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(F.when(F.col("o") < 7, F.col("user_id")))
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -10572,6 +10689,8 @@ _DRIVER_FRONT = [
     "w21_holt_winters",
     "a26_growth_accounting",
     "a27_unpivot_metrics",
+    "a28_abc_analysis",
+    "a30_active_users",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

@@ -513,6 +513,24 @@ def test_holt_winters_rejects_non_dyadic_denominator(spark):
         holt_winters_integer(df, ["g"], "rn", "x", alpha_den=3)
 
 
+# -------------------------------------------------------- global_prefix_scan
+def test_global_prefix_scan_matches_window_cumsum(spark):
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        global_prefix_scan,
+    )
+
+    rows = [((i * 37) % 19, i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, u bigint, v bigint")
+    out = {
+        (r["k"], r["u"]): (r["rn"], r["cum"])
+        for r in global_prefix_scan(df, ["k", "u"], "v").collect()
+    }
+    run = 0
+    for i, (k, u, v) in enumerate(sorted(rows)):
+        run += v
+        assert out[(k, u)] == (i + 1, run)
+
+
 # ------------------------------------------------------ km_survival_integer
 def test_km_survival_matches_manual_product_limit(spark):
     from neotree_data_pipeline_kedro_spark.operators.timeseries import (
