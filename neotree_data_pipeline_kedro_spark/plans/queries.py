@@ -7180,6 +7180,175 @@ def a30_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w22_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), a AS (SELECT d, x FROM daily WHERE seg = 'BUILDING'),
+    b AS (SELECT d, x FROM daily WHERE seg = 'MACHINERY'),
+    j AS (SELECT a.d, a.x AS xa, b.x AS xb FROM a JOIN b ON b.d = a.d),
+    wsum AS (
+      SELECT d, xa, xb,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(xa) OVER win AS BIGINT) AS sx,
+             CAST(SUM(xb) OVER win AS BIGINT) AS sy,
+             CAST(SUM(xa * xa) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(xb * xb) OVER win AS BIGINT) AS syy,
+             CAST(SUM(xa * xb) OVER win AS BIGINT) AS sxy
+      FROM j
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, xa, xb,
+           CASE WHEN n = 28 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0 THEN
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS rolling_corr
+    FROM wsum
+    """,
+)
+def w22_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day Pearson correlation between two segments' daily
+    revenue — the co-movement monitor behind pairs analysis. All six
+    window moments are exact bigint sums over the bounded rows frame
+    (order-independent), the degeneracy guards are integer comparisons,
+    and the one float expression is written with identical casts and
+    operation order on both sides, so the correlation is the same IEEE
+    double in both engines. The fact scan collapses to per-segment
+    daily series first; the global rows-frame window then runs on the
+    calendar-sized join — small by construction (a data-sized global
+    ordering would use the two-phase scan instead). Warm-up rows
+    (n < 28) stay NULL."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+                " AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    a = daily.filter(F.col("seg") == "BUILDING").select("d", F.col("x").alias("xa"))
+    b = daily.filter(F.col("seg") == "MACHINERY").select(
+        "d", F.col("x").alias("xb")
+    )
+    j = a.join(b, "d")
+    win = Window.orderBy("d").rowsBetween(-27, 0)
+    wsum = j.select(
+        "d",
+        "xa",
+        "xb",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("xa").over(win).cast("bigint").alias("sx"),
+        F.sum("xb").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).over(win).cast("bigint").alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).over(win).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    var_ok = (
+        (F.col("n") == 28)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return wsum.select(
+        "d", "xa", "xb", F.when(var_ok, corr).alias("rolling_corr")
+    )
+
+
+@_register(
+    "j24_twap",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)
+               AS v_milli,
+             lead(ts) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS nts
+      FROM events
+    ), seg AS (
+      SELECT event_type,
+             CAST(date_diff('microseconds', ts, nts) AS BIGINT) AS dt_us,
+             v_milli
+      FROM seq WHERE nts IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(SUM(v_milli * dt_us) AS BIGINT) AS weighted_milli_us,
+           CAST(SUM(v_milli * dt_us) AS BIGINT)
+             // CAST(SUM(dt_us) AS BIGINT) AS twap_milli
+    FROM seg GROUP BY 1
+    """,
+)
+def j24_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per event type: each observation
+    holds its value until the next one, so the mean weights each value
+    by its holding interval in MICROSECONDS — the finance TWAP /
+    irregular-series average a plain AVG silently gets wrong. One
+    lead() window on the type key derives the intervals (computed
+    BEFORE any filter — the w11 lesson), weights and products stay in
+    exact bigint (5e5 milli-value × ~1e9 µs gaps × 1e6 rows ≈ 1e17,
+    inside bigint), and the final TWAP is integer floor-div. Timestamp
+    differences go through unix_micros on TIMESTAMP (the session-tz
+    shift cancels in differences)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.round(F.col("value").cast("double") * 1000, 0)
+        .cast("bigint")
+        .alias("v_milli"),
+        F.lead("ts").over(w).alias("nts"),
+    )
+    seg = seq.filter(F.col("nts").isNotNull()).select(
+        "event_type",
+        (
+            F.unix_micros(F.col("nts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+        "v_milli",
+    )
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dt_us").cast("bigint").alias("total_us"),
+        F.sum(F.col("v_milli") * F.col("dt_us"))
+        .cast("bigint")
+        .alias("weighted_milli_us"),
+        F.expr(
+            "CAST(sum(v_milli * dt_us) AS BIGINT)"
+            " div CAST(sum(dt_us) AS BIGINT)"
+        ).alias("twap_milli"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -10691,6 +10860,8 @@ _DRIVER_FRONT = [
     "a27_unpivot_metrics",
     "a28_abc_analysis",
     "a30_active_users",
+    "w22_rolling_corr",
+    "j24_twap",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
