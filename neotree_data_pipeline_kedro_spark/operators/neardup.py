@@ -424,6 +424,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    block_col: str | None = None,
+    allow_small_blocks: bool = False,
+    max_block_rows: int = 5000,
+) -> DataFrame:
+    """Blocked exact n-gram CONTAINMENT join: |A∩B| / |A| (and /|B|) in
+    exact ppm integers — the asymmetric companion to Jaccard that
+    catches a short document quoted inside a long one, where resemblance
+    stays low (Broder's containment, the metric behind
+    benchmark-contamination checks). No size-ratio prune exists for
+    containment (a 10-shingle doc can be fully contained in a 10k-
+    shingle doc), so blocking must come from a real key; the same
+    coarse-block guard as ngram_jaccard_pairs refuses quadratic blocks.
+    Same meta/payload split: bare id pairs ride the block join, shingle
+    arrays re-join on the id hash so verification distributes.
+
+    Output: (id_a, id_b, inter, na, nb, cont_a_ppm, cont_b_ppm) for
+    pairs where either direction reaches ``threshold_ppm``.
+    """
+    if block_col is None:
+        raise ValueError(
+            "ngram_containment_pairs requires a block_col: containment has "
+            "no size-bucket blocking (no lower bound ties |A| to |B|)"
+        )
+    if not allow_small_blocks:
+        st = df.agg(
+            F.approx_count_distinct(block_col).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        avg = st["n"] / max(st["c"], 1)
+        if avg > max_block_rows:
+            raise ValueError(
+                f"ngram_containment_pairs: block_col={block_col!r} averages "
+                f"~{avg:.0f} rows/block > max_block_rows={max_block_rows}; "
+                "pass allow_small_blocks=True only for genuinely small "
+                "corpora"
+            )
+    release_ngram_cache()
+    blocked = shingle_sets(df, id_col, text_col, n, keep=(block_col,)).persist()
+    _NGRAM_CACHE.append(blocked)
+    meta = blocked.select(F.col(block_col).alias("bucket"), "id", "nsh")
+    cand = (
+        meta.alias("a")
+        .join(meta.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nsh").cast("bigint").alias("na"),
+            F.col("b.nsh").cast("bigint").alias("nb"),
+        )
+    )
+    sh = blocked.select("id", "sh")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    out = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b")),
+            "id_b",
+        )
+        .withColumn("inter", inter)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "na",
+            "nb",
+            F.expr("(1000000 * inter) div na").alias("cont_a_ppm"),
+            F.expr("(1000000 * inter) div nb").alias("cont_b_ppm"),
+        )
+    )
+    return out.filter(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= F.lit(threshold_ppm)
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,

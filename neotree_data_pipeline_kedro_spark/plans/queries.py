@@ -7349,6 +7349,164 @@ def j24_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dd_shingle_containment",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK})
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(a.sh) AS BIGINT) AS na,
+             CAST(len(b.sh) AS BIGINT) AS nb,
+             (1000000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+               // CAST(len(a.sh) AS BIGINT) AS cont_a_ppm,
+             (1000000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+               // CAST(len(b.sh) AS BIGINT) AS cont_b_ppm
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 500000
+    """,
+)
+def dd_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| (Broder) in exact ppm —
+    the quote-inclusion detector Jaccard misses: a short doc fully
+    embedded in a long one has containment 1.0 but tiny resemblance.
+    This is the metric behind benchmark-contamination sweeps
+    (operators/neardup.ngram_containment_pairs; source-blocked like
+    dd_ngram_jaccard, same meta/payload shuffle split, with the coarse-
+    block guard opted out for the demo corpus)."""
+    from ..operators.neardup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold_ppm=500_000,
+        block_col="source", allow_small_blocks=True,
+    )
+
+
+@_register(
+    "g7_assortativity",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), nb AS (
+      SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+    ), deg AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY 1
+    ), de AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM nb n JOIN deg da ON da.z = n.z JOIN deg db ON db.z = n.x
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM de
+    )
+    SELECT n AS n_directed_edges,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS assortativity
+    FROM s
+    """,
+)
+def g7_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman): Pearson
+    correlation of endpoint degrees over all DIRECTED edges (each
+    undirected edge contributes both orientations — the standard
+    symmetrization). Positive = hubs link hubs; negative = hub-leaf
+    structure — the one-number summary that predicts whether the wedge
+    stages (g2/g5/g6) face quadratic hot spots. Degrees join the edge
+    list broadcast; all five moments are exact bigint sums, and the
+    single final expression is the same IEEE double in both engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("la")
+        .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
+        .filter(F.col("la.p") < F.col("lb.p"))
+        .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
+        .distinct()
+    )
+    nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = nb.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    da = deg.select(F.col("z"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("z").alias("x"), F.col("deg").alias("dy"))
+    de = nb.join(F.broadcast(da), "z").join(F.broadcast(db), "x")
+    s = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"), r.alias("assortativity")
+    )
+
+
+@_register(
+    "v_l_diversity",
+    """
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT o_orderpriority) < 3 AS below_l
+    FROM j GROUP BY 1, 2
+    """,
+)
+def v_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release check k-anonymity (v_k_anonymity)
+    cannot replace: a quasi-identifier group can be large yet reveal its
+    sensitive attribute when every member shares one value. Per
+    (nation, segment) equivalence class: row count, distinct sensitive
+    values (order priority), and the l < 3 violation flag. One
+    distinct-agg over the quasi-identifier key with the dim side
+    broadcast into the fact."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+        (F.countDistinct("o_orderpriority") < 3).alias("below_l"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -10862,6 +11020,9 @@ _DRIVER_FRONT = [
     "a30_active_users",
     "w22_rolling_corr",
     "j24_twap",
+    "dd_shingle_containment",
+    "g7_assortativity",
+    "v_l_diversity",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
