@@ -255,6 +255,58 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_cols: "list[str] | tuple[str, ...]",
+    query_id_col: str | None = None,
+    k: int = 10,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k vector search: neighbors must match
+    the query row on ``filter_cols`` (tenant id, language, label …) —
+    the "filtered vector search" every retrieval stack needs once
+    corpora are multi-tenant. Pre-filtering semantics: the metadata
+    equi-join prunes candidates BEFORE any scoring, so the plan is a
+    broadcast HASH join on the filter key (brute force is a broadcast
+    nested loop over everything), one corpus scan, then the per-query
+    top-k window. Post-filtering an unfiltered ANN result would return
+    < k rows for selective filters; this never does. Deterministic:
+    quantized-cosine scoring, ties broken by neighbor id."""
+    fc = list(filter_cols)
+    if not fc:
+        raise ValueError("filtered_topk needs at least one filter column")
+    q = prep_vectors(
+        queries, query_id_col or id_col, vec_col, scale, keep=tuple(fc)
+    ).select(
+        F.col("id").alias("query_id"),
+        *fc,
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    c = prep_vectors(corpus, id_col, vec_col, scale, keep=tuple(fc)).select(
+        F.col("id").alias("neighbor_id"), *fc, "__v", "__n"
+    )
+    scored = c.join(F.broadcast(q), fc).select(
+        "query_id",
+        "neighbor_id",
+        pair_cosine(
+            F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"),
+            integer=scale is not None,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str,

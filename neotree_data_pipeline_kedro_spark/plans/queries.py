@@ -3562,6 +3562,146 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_filtered",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                                               i -> qs.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE)))
+               AS cosine_sim
+      FROM n qs JOIN n c ON c.label = qs.label
+      WHERE qs.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC NULLS LAST,
+                                            neighbor_id ASC NULLS FIRST)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k vector search
+    (operators/similarity.filtered_topk): neighbors must share the
+    query's label — the multi-tenant / language-scoped retrieval shape.
+    PRE-filtering: the label equi-join prunes candidates before any
+    scoring, so the broadcast nested loop of brute force becomes a
+    broadcast HASH join and the per-query cost scales with the
+    partition, not the corpus; post-filtering an unfiltered ANN result
+    would under-fill k on selective filters. Quantized-cosine scoring,
+    deterministic ties."""
+    from ..operators.similarity import filtered_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return filtered_topk(
+        emb, queries, "vec_id", "embedding", ["label"], k=5, scale=1_000_000
+    )
+
+
+@_register(
+    "j25_point_in_time_features",
+    """
+    WITH lab AS (
+      SELECT o_orderkey, o_custkey,
+             CAST((year(o_orderdate) - 1970) * 12 + (month(o_orderdate) - 1)
+                  AS BIGINT) AS lm
+      FROM orders
+    ), mon AS (
+      SELECT o_custkey,
+             CAST((year(o_orderdate) - 1970) * 12 + (month(o_orderdate) - 1)
+                  AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_m,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_m
+      FROM orders GROUP BY 1, 2
+    ), snap AS (
+      SELECT o_custkey, m,
+             CAST(SUM(n_m) OVER (PARTITION BY o_custkey ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders,
+             CAST(SUM(rev_m) OVER (PARTITION BY o_custkey ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      FROM mon
+    ), cand AS (
+      SELECT l.o_orderkey, l.lm, s.m AS fm, s.cum_orders, s.cum_rev_cents,
+             row_number() OVER (PARTITION BY l.o_orderkey
+                                ORDER BY s.m DESC) AS rk
+      FROM lab l
+      JOIN range(1, 4) t(off) ON TRUE
+      JOIN snap s ON s.o_custkey = l.o_custkey AND s.m = l.lm - t.off
+    )
+    SELECT l.o_orderkey, l.lm AS label_month,
+           c.fm AS feature_month, c.cum_orders, c.cum_rev_cents
+    FROM lab l
+    LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+      ON c.o_orderkey = l.o_orderkey
+    """,
+)
+def j25_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join — the feature-store primitive that
+    keeps training data leakage-free: each label (an order) joins the
+    LATEST monthly customer snapshot STRICTLY BEFORE its own month
+    (never the current month — that would leak the label into its own
+    features), with a 3-month staleness bound (older snapshots → null
+    features, surfacing coverage gaps instead of silently training on
+    stale state). The as-of-with-tolerance resolves as a BOUNDED offset
+    explode (3 rows per label) + equi-join + per-label top-1 window —
+    never a range join, so the plan is shuffle-hash all the way.
+    Snapshots themselves are one (customer, month) rollup + cumulative
+    window over months-since-epoch integers."""
+    o = _t(spark, sf_dir, "orders")
+    mnum = (
+        (F.year("o_orderdate") - 1970) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("bigint")
+    lab = o.select("o_orderkey", "o_custkey", mnum.alias("lm"))
+    mon = o.groupBy("o_custkey", mnum.alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_m"),
+    )
+    wcum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snap = mon.select(
+        "o_custkey",
+        "m",
+        F.sum("n_m").over(wcum).cast("bigint").alias("cum_orders"),
+        F.sum("rev_m").over(wcum).cast("bigint").alias("cum_rev_cents"),
+    )
+    cand = (
+        lab.withColumn("off", F.explode(F.sequence(F.lit(1), F.lit(3))))
+        .withColumn("fm", F.col("lm") - F.col("off"))
+        .join(
+            snap.withColumnRenamed("m", "fm"),
+            ["o_custkey", "fm"],
+        )
+    )
+    rk = Window.partitionBy("o_orderkey").orderBy(F.desc("fm"))
+    best = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("o_orderkey", "fm", "cum_orders", "cum_rev_cents")
+    )
+    return lab.join(best, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.col("lm").alias("label_month"),
+        F.col("fm").alias("feature_month"),
+        "cum_orders",
+        "cum_rev_cents",
+    )
+
+
+@_register(
     "ta_text_metrics",
     f"""
     WITH t AS (
@@ -11023,6 +11163,8 @@ _DRIVER_FRONT = [
     "dd_shingle_containment",
     "g7_assortativity",
     "v_l_diversity",
+    "ann_topk_filtered",
+    "j25_point_in_time_features",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
