@@ -261,6 +261,66 @@ def cusum_integer(
     return parted.mapInPandas(scan, schema=schema)
 
 
+def decayed_sum_integer(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    *,
+    half_life_days: int = 30,
+    out_col: str = "decayed",
+) -> DataFrame:
+    """Time-decayed accumulator for IRREGULAR series — the ranking /
+    popularity counter (Reddit-hot style) where each observation decays
+    by half every ``half_life_days``:
+
+        s_t = x_t + (s_prev >> min(Δdays // half_life_days, 62))
+
+    Quantizing the decay to power-of-two halvings keeps every step in
+    exact bigint shift arithmetic, so a recursive-CTE oracle (``>>`` in
+    DuckDB) replays it bit-for-bit — where EWMA (w13) assumes regular
+    spacing and float exp(−λΔt) drifts cross-engine. ``day_col`` must
+    be an epoch-day integer (datediff from 1970-01-01): pure-int gaps
+    sidestep every engine date convention. Same partition-scan shape as
+    ewma/cusum/km: one group-key repartition, sorted scan, cross-batch
+    (group, day, state) carry.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    part_cols = list(part_cols)
+    if len(part_cols) != 1:
+        raise ValueError("decayed_sum_integer expects exactly one group column")
+    g = part_cols[0]
+    parted = df.repartition(F.col(g)).sortWithinPartitions(g, day_col)
+
+    def scan(batches):
+        cg, cd, cs = None, 0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs = pdf[g].to_numpy()
+            ds = pdf[day_col].to_numpy()
+            xs = pdf[value_col].to_numpy()
+            out = []
+            for gi, di, xi in zip(gs, ds, xs):
+                di, xi = int(di), int(xi)
+                if gi != cg:
+                    cs = xi
+                else:
+                    shift = min((di - cd) // half_life_days, 62)
+                    cs = xi + (cs >> shift)
+                cg, cd = gi, di
+                out.append(cs)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(out, dtype="int64").values
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return parted.mapInPandas(scan, schema=schema)
+
+
 def km_survival_integer(
     df: DataFrame,
     cohort_col: str,

@@ -9977,6 +9977,116 @@ def w21_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w23_decayed_popularity",
+    """
+    WITH RECURSIVE src AS (
+      SELECT l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS dn,
+             CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE), 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem
+      WHERE l_partkey % 10 = 0
+      GROUP BY 1, 2
+    ), rs AS (
+      SELECT l_partkey, dn, x,
+             CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY dn)
+                  AS BIGINT) AS rn
+      FROM src
+    ), walk AS (
+      SELECT l_partkey, dn, rn, x, x AS decayed
+      FROM rs WHERE rn = 1
+      UNION ALL
+      SELECT n.l_partkey, n.dn, n.rn, n.x,
+             n.x + (w.decayed >> CAST(LEAST((n.dn - w.dn) // 30, 62)
+                                      AS INTEGER))
+      FROM walk w JOIN rs n
+        ON n.l_partkey = w.l_partkey AND n.rn = w.rn + 1
+    )
+    SELECT l_partkey, dn AS day_num, x AS qty, decayed
+    FROM walk
+    """,
+)
+def w23_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed part popularity over IRREGULAR ship events
+    (operators/timeseries.decayed_sum_integer): each day's quantity adds
+    to a score that halves every 30 days of silence — the feed-ranking
+    /trending counter. Decay quantized to power-of-two halvings =
+    bigint shift arithmetic, replayed exactly by the recursive-CTE
+    oracle (EWMA assumes regular spacing; float exp(−λΔt) drifts
+    cross-engine). Days ride as epoch-day integers so no engine
+    calendar convention is involved. One (part, day) rollup, then the
+    sorted partition scan."""
+    from ..operators.timeseries import decayed_sum_integer
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0)
+    src = li.groupBy(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("dn"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity").cast("double"), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    out = decayed_sum_integer(
+        src, ["l_partkey"], "dn", "x", half_life_days=30
+    )
+    return out.select(
+        "l_partkey",
+        F.col("dn").alias("day_num"),
+        F.col("x").alias("qty"),
+        "decayed",
+    )
+
+
+@_register(
+    "u9_keyset_pagination",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+           CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '1996-06-15'
+       OR (CAST(o_orderdate AS DATE) = DATE '1996-06-15'
+           AND o_orderkey > 12345)
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    LIMIT 100
+    """,
+)
+def u9_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: the next page after cursor
+    (1996-06-15, #12345) under the total order (date, key) — the
+    OFFSET-free pagination that stays O(page) at any depth, because the
+    cursor predicate pushes into the scan (OFFSET n scans-and-discards
+    n rows; at page 10⁶ that is the whole table). The expanded
+    (d > c) OR (d = c AND k > k_c) form reaches the parquet scan as
+    PushedFilters and the sort+limit plans as TakeOrdered — pinned in
+    the plan contracts. Deterministic page: the ORDER BY is total."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cursor_d = F.lit("1996-06-15").cast("date")
+    page = (
+        o.filter(
+            (d > cursor_d) | ((d == cursor_d) & (F.col("o_orderkey") > 12345))
+        )
+        .select(
+            "o_orderkey",
+            d.alias("d"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("d", "o_orderkey")
+        .limit(100)
+    )
+    return page
+
+
+@_register(
     "ta_keyword_extraction",
     """
     WITH tok AS (
@@ -11165,6 +11275,8 @@ _DRIVER_FRONT = [
     "v_l_diversity",
     "ann_topk_filtered",
     "j25_point_in_time_features",
+    "w23_decayed_popularity",
+    "u9_keyset_pagination",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
