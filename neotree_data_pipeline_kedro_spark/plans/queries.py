@@ -7647,6 +7647,132 @@ def v_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s15_variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN json_valid(props)
+                           THEN json_extract(props, '$.k') END) AS BIGINT)
+             AS n_with_k,
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
+           CAST(MIN(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS min_k,
+           CAST(MAX(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def s15_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    try_parse_json keeps the payload as a binary variant (parsed once,
+    no schema declared up front — the open-schema path from_json can't
+    give) and try_variant_get pulls typed fields lazily; malformed
+    payloads become NULL instead of poisoning the batch. The rollup
+    aggregates the extracted field per event type; the oracle states it
+    via DuckDB's JSON path functions under the same null-on-invalid
+    semantics. For fixed schemas from_json + struct pruning (p2_p4)
+    remains the faster path — variant is the schema-drift-proof one."""
+    e = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@_register(
+    "a31_price_volume_mix",
+    """
+    WITH p1 AS (
+      SELECT o_orderpriority AS grp,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev1,
+             CAST(COUNT(*) AS BIGINT) AS n1
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ), p2 AS (
+      SELECT o_orderpriority AS grp,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev2,
+             CAST(COUNT(*) AS BIGINT) AS n2
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    ), j AS (
+      SELECT grp, rev1, n1, rev2, n2,
+             (1000000 * rev1) // n1 AS pm1,
+             (1000000 * rev2) // n2 AS pm2
+      FROM p1 JOIN p2 USING (grp)
+    )
+    SELECT grp, rev1, rev2, n1, n2,
+           ((n2 - n1) * pm1) // 1000000 AS volume_effect,
+           ((pm2 - pm1) * n2) // 1000000 AS price_effect,
+           (rev2 - rev1)
+             - ((n2 - n1) * pm1) // 1000000
+             - ((pm2 - pm1) * n2) // 1000000 AS residual
+    FROM j
+    """,
+)
+def a31_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge 1996 → 1997 per priority class —
+    the FP&A waterfall decomposing Δrevenue into volume effect
+    ((n₂−n₁)·p₁), price effect ((p₂−p₁)·n₂) and an explicit residual, so
+    the three parts sum EXACTLY to Δrevenue by construction (integer
+    accounting — no floating percentages that don't reconcile). Unit
+    prices are micro-cent integer divs; every product stays inside
+    bigint. Effect numerators CAN be negative (volumes or prices can
+    fall year-over-year): that is safe because Spark `div` and DuckDB
+    `//` both truncate toward zero on integers — identical on every
+    sign — and the residual column absorbs the truncation, keeping the
+    bridge exact. (Python `//` floors and would NOT match here; no
+    Python touches these expressions.)"""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+        "bigint"
+    )
+
+    def period(year: int, rev: str, n: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_orderpriority").alias("grp"))
+            .agg(
+                F.sum(cents).cast("bigint").alias(rev),
+                F.count(F.lit(1)).cast("bigint").alias(n),
+            )
+        )
+
+    j = (
+        period(1996, "rev1", "n1")
+        .join(period(1997, "rev2", "n2"), "grp")
+        .select(
+            "grp",
+            "rev1",
+            "n1",
+            "rev2",
+            "n2",
+            F.expr("(1000000 * rev1) div n1").alias("pm1"),
+            F.expr("(1000000 * rev2) div n2").alias("pm2"),
+        )
+    )
+    return j.select(
+        "grp",
+        "rev1",
+        "rev2",
+        "n1",
+        "n2",
+        F.expr("((n2 - n1) * pm1) div 1000000").alias("volume_effect"),
+        F.expr("((pm2 - pm1) * n2) div 1000000").alias("price_effect"),
+        F.expr(
+            "(rev2 - rev1) - ((n2 - n1) * pm1) div 1000000"
+            " - ((pm2 - pm1) * n2) div 1000000"
+        ).alias("residual"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -11277,6 +11403,8 @@ _DRIVER_FRONT = [
     "j25_point_in_time_features",
     "w23_decayed_popularity",
     "u9_keyset_pagination",
+    "s15_variant_extract",
+    "a31_price_volume_mix",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
