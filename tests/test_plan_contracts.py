@@ -402,6 +402,42 @@ def test_ks_drift_single_key_shuffle_chain(spark):
     assert exchanges(plan) <= 2
 
 
+def test_filtered_ann_is_hash_join_not_nested_loop(spark):
+    # the point of pre-filtering: the label predicate turns brute
+    # force's broadcast nested loop into a broadcast HASH join
+    plan = plan_of(spark, "ann_topk_filtered")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):
+    plan = plan_of(spark, "u9_keyset_pagination")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "cursor predicate not pushed to scan"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_features_never_range_joins(spark):
+    # the bounded offset explode keeps the as-of equi-joinable
+    plan = plan_of(spark, "j25_point_in_time_features")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_abc_analysis_no_window_no_single_partition_sort(spark):
+    # rank + running sum come from the two-phase scan, not a window
+    plan = plan_of(spark, "a28_abc_analysis")
+    assert "Window" not in plan
+
+
+def test_active_users_single_agg_after_expand(spark):
+    # distinct user-days -> bounded 28x expand -> ONE grouped aggregate
+    # (Spark plans multi-distinct via Expand, not extra shuffles of data)
+    plan = plan_of(spark, "a30_active_users")
+    assert "Expand" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_data_contract_single_plan_runs_all_checks(spark):
     # the whole contract is ONE lazy union; five 1-row aggregates appear
     # in a single plan (no per-check driver actions to pin, by design)
