@@ -2017,6 +2017,88 @@ def j11_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j26_multitouch_attribution",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id, c.click_ts
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.click_ts > p.ts - INTERVAL 6 HOUR AND c.click_ts <= p.ts
+    ), ranked AS (
+      SELECT purchase_id, click_id,
+             CAST(row_number() OVER (PARTITION BY purchase_id
+                                     ORDER BY click_ts, click_id)
+                  AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_clicks
+      FROM pairs
+    )
+    SELECT purchase_id, click_id, rnk, n_clicks,
+           1000000 // n_clicks AS linear_ppm,
+           CASE WHEN n_clicks = 1 THEN 1000000
+                WHEN n_clicks = 2 THEN 500000
+                WHEN rnk = 1 OR rnk = n_clicks THEN 400000
+                ELSE 200000 // (n_clicks - 2) END AS ushape_ppm
+    FROM ranked
+    """,
+)
+def j26_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every click in the six hours before a
+    purchase gets credit — linear (1/n) and U-shaped (40% first touch,
+    40% last, 20% split across the middle) — the ad-tech models beyond
+    j11's count/last-touch. Candidate pairs come from the same
+    bucket-blocked range join (never a cartesian); credits are exact
+    ppm integer divisions so fractional shares reconcile
+    deterministically. One window pass per purchase ranks touches with
+    a total (ts, click_id) order."""
+    from ..operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    six_h = 6 * 3600 * 1_000_000
+    pairs = range_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", -six_h, 0
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_clicks"),
+    )
+    ushape = (
+        F.when(F.col("n_clicks") == 1, F.lit(1000000))
+        .when(F.col("n_clicks") == 2, F.lit(500000))
+        .when(
+            (F.col("rnk") == 1) | (F.col("rnk") == F.col("n_clicks")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 div (n_clicks - 2)"))
+        .cast("bigint")
+    )
+    return ranked.select(
+        "purchase_id",
+        "click_id",
+        "rnk",
+        "n_clicks",
+        F.expr("1000000 div n_clicks").alias("linear_ppm"),
+        ushape.alias("ushape_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W: windows / sessionization
 # ---------------------------------------------------------------------------
@@ -11405,6 +11487,7 @@ _DRIVER_FRONT = [
     "u9_keyset_pagination",
     "s15_variant_extract",
     "a31_price_volume_mix",
+    "j26_multitouch_attribution",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
