@@ -7855,6 +7855,361 @@ def a31_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a32_cohort_ltv",
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             CAST(MIN((year(o_orderdate) - 1970) * 12
+                      + month(o_orderdate) - 1) AS BIGINT) AS cm
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT f.cm,
+             CAST((year(o.o_orderdate) - 1970) * 12
+                  + month(o.o_orderdate) - 1 AS BIGINT) - f.cm AS age,
+             CAST(SUM(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first GROUP BY 1
+    ), cum AS (
+      SELECT r.cm, r.age, s.n_cohort, r.rev_cents,
+             CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cm ORDER BY r.age
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      FROM rev r JOIN sz s USING (cm)
+    )
+    SELECT cm AS cohort_month, age, n_cohort, rev_cents, cum_rev_cents,
+           cum_rev_cents // n_cohort AS ltv_per_customer_cents
+    FROM cum
+    """,
+)
+def a32_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, each
+    cohort's revenue by months-since-acquisition, cumulated into the
+    running lifetime value per acquired customer — the curve every
+    payback-period decision reads. Months ride as integers since epoch
+    (no calendar conventions); the first-order table joins back
+    BROADCAST (one row per customer aggregate); the cumulative window
+    partitions on the cohort key and the LTV division is exact bigint.
+    The a13 cohort retention counts heads; this follows the money."""
+    o = _t(spark, sf_dir, "orders")
+    mnum = (
+        (F.year("o_orderdate") - 1970) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("bigint")
+    first = o.groupBy("o_custkey").agg(F.min(mnum).alias("cm"))
+    rev = (
+        o.join(F.broadcast(first), "o_custkey")
+        .groupBy("cm", (mnum - F.col("cm")).alias("age"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    sz = first.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.join(F.broadcast(sz), "cm").select(
+        "cm",
+        "age",
+        "n_cohort",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+    return cum.select(
+        F.col("cm").alias("cohort_month"),
+        "age",
+        "n_cohort",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr("cum_rev_cents div n_cohort").alias(
+            "ltv_per_customer_cents"
+        ),
+    )
+
+
+@_register(
+    "w24_activity_streaks",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+               - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                      AS BIGINT) AS grp
+      FROM ud
+    ), st AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS total_active_days
+    FROM st GROUP BY 1
+    """,
+)
+def w24_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands identity: on distinct user-days, epoch-day minus
+    per-user row_number is CONSTANT within a consecutive run, so one
+    window pass + two rollups on the same user key produce every
+    streak without self-joins (w3's sessionization cuts on gaps in
+    event time; this counts calendar-day runs). All arithmetic is
+    epoch-day integers."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+                "bigint"
+            )
+            - F.row_number().over(w).cast("bigint")
+        ).alias("grp"),
+    )
+    st = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return st.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("total_active_days"),
+    )
+
+
+@_register(
+    "f_minmax_scaler",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    ), b AS (
+      SELECT grp, CAST(MIN(cents) AS BIGINT) AS mn,
+             CAST(MAX(cents) AS BIGINT) AS mx
+      FROM src GROUP BY 1
+    )
+    SELECT s.o_orderkey, s.grp, s.cents,
+           CASE WHEN b.mx > b.mn
+                THEN (1000000 * (s.cents - b.mn)) // (b.mx - b.mn)
+           END AS scaled_ppm
+    FROM src s JOIN b USING (grp)
+    """,
+)
+def f_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min-max feature scaling to [0, 1e6] ppm — the bounded
+    normalizer (ecdf gives ranks, winsorize clips; this preserves shape
+    in a fixed range). Bounds come from one partial-agg rollup and join
+    back BROADCAST; the scale is an exact non-negative integer div, and
+    degenerate constant groups yield NULL instead of dividing by
+    zero."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b = src.groupBy("grp").agg(
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    j = src.join(F.broadcast(b), "grp")
+    scaled = F.when(
+        F.col("mx") > F.col("mn"),
+        F.expr("(1000000 * (cents - mn)) div (mx - mn)"),
+    )
+    return j.select(
+        "o_orderkey", "grp", "cents", scaled.alias("scaled_ppm")
+    )
+
+
+@_register(
+    "w25_velocity_features",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS dn,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, dn, cents,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d,
+           CAST(SUM(cents) OVER w7 AS BIGINT) AS cents_7d,
+           CAST(COUNT(*) OVER w30 AS BIGINT) AS n_30d,
+           CAST(SUM(cents) OVER w30 AS BIGINT) AS cents_30d,
+           CAST(COUNT(*) OVER w90 AS BIGINT) AS n_90d,
+           CAST(SUM(cents) OVER w90 AS BIGINT) AS cents_90d
+    FROM src
+    WINDOW
+      w7 AS (PARTITION BY o_custkey ORDER BY dn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+      w30 AS (PARTITION BY o_custkey ORDER BY dn
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+      w90 AS (PARTITION BY o_custkey ORDER BY dn
+              RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w25_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity features — trailing 7/30/90-day order count and spend
+    per customer AS OF each order, the fraud/risk feature block. These
+    need RANGE frames (value-based, over epoch-day integers), not ROWS
+    frames: a rows frame counts rows, not days, and misses that range
+    frames include same-key peers — identical tie semantics in both
+    engines because the frame is defined on the day NUMBER. All six
+    windows share one customer-key partitioning → a single window
+    shuffle; sums are exact bigint cents."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("dn"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def win(days: int):
+        return (
+            Window.partitionBy("o_custkey")
+            .orderBy("dn")
+            .rangeBetween(-(days - 1), 0)
+        )
+
+    return src.select(
+        "o_orderkey",
+        "o_custkey",
+        "dn",
+        "cents",
+        F.count(F.lit(1)).over(win(7)).cast("bigint").alias("n_7d"),
+        F.sum("cents").over(win(7)).cast("bigint").alias("cents_7d"),
+        F.count(F.lit(1)).over(win(30)).cast("bigint").alias("n_30d"),
+        F.sum("cents").over(win(30)).cast("bigint").alias("cents_30d"),
+        F.count(F.lit(1)).over(win(90)).cast("bigint").alias("n_90d"),
+        F.sum("cents").over(win(90)).cast("bigint").alias("cents_90d"),
+    )
+
+
+@_register(
+    "v_freshness_sla",
+    """
+    WITH last AS (
+      SELECT o_orderpriority AS grp,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ), gmax AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders
+    )
+    SELECT grp, last_d, n_rows,
+           CAST(date_diff('day', last_d, g.ref_d) AS BIGINT)
+             AS staleness_days,
+           date_diff('day', last_d, g.ref_d) > 30 AS violates_sla
+    FROM last, gmax g
+    """,
+)
+def v_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA audit: per feed (priority class), the last landed
+    date and its staleness against the newest data anywhere in the
+    table — the check that catches a silently-dead upstream before a
+    volume anomaly would (the reference point is data-relative, not
+    wall-clock, so the audit is reproducible). Two tiny aggregates; the
+    1-row global max joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    last = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.max(d).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    gmax = o.agg(F.max(d).alias("ref_d"))
+    j = last.crossJoin(F.broadcast(gmax))
+    stale = F.datediff(F.col("ref_d"), F.col("last_d")).cast("bigint")
+    return j.select(
+        "grp",
+        "last_d",
+        "n_rows",
+        stale.alias("staleness_days"),
+        (stale > 30).alias("violates_sla"),
+    )
+
+
+@_register(
+    "a33_revenue_share",
+    """
+    WITH n AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM n)
+    SELECT c_nationkey, rev_cents,
+           (1000000 * rev_cents) // t.total AS share_ppm,
+           CAST(rank() OVER (ORDER BY rev_cents DESC, c_nationkey)
+                AS BIGINT) AS rev_rank
+    FROM n, t
+    """,
+)
+def a33_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total revenue by nation in exact ppm plus the revenue
+    rank — the share-of-wallet rollup. The grand total rides a 1-row
+    broadcast (never a window over the fact table); the rank window
+    runs on the 25-row nation rollup where a global window is free.
+    Shares floor-divide, so they are reproducible integers that sum to
+    ≤ 1e6 (the remainder is the documented floor loss — u7 shows the
+    exact-sum apportionment when shares must reconcile)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    t = n.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("c_nationkey"))
+    return (
+        n.crossJoin(F.broadcast(t))
+        .select(
+            "c_nationkey",
+            "rev_cents",
+            F.expr("(1000000 * rev_cents) div total").alias("share_ppm"),
+            F.rank().over(w).cast("bigint").alias("rev_rank"),
+        )
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -11488,6 +11843,12 @@ _DRIVER_FRONT = [
     "s15_variant_extract",
     "a31_price_volume_mix",
     "j26_multitouch_attribution",
+    "a32_cohort_ltv",
+    "w24_activity_streaks",
+    "f_minmax_scaler",
+    "w25_velocity_features",
+    "v_freshness_sla",
+    "a33_revenue_share",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
