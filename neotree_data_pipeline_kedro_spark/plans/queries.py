@@ -3784,6 +3784,80 @@ def j25_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta_boilerplate_strip",
+    """
+    WITH ls AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), nd AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM ls GROUP BY 1
+    ), df AS (
+      SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ls GROUP BY 1, 2
+    ), flag AS (
+      SELECT l.doc_id, l.line,
+             (2 * d.df > n.n_docs AND d.df >= 2) AS boiler
+      FROM ls l
+      JOIN df d ON d.source = l.source AND d.line = l.line
+      JOIN nd n ON n.source = l.source
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN boiler THEN 0 ELSE length(line) END)
+                AS BIGINT) AS kept_chars
+    FROM flag GROUP BY 1
+    """,
+)
+def ta_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal — the web-corpus cleaning step between
+    dedup and quality gates: a line appearing in a majority (>50%, and
+    at least twice) of a source's documents is chrome (nav, footer,
+    license header), not content. Line-level document frequency per
+    source decides; per-document metrics report lines kept/stripped and
+    surviving characters. Shapes: one explode, a (source, line) rollup
+    with countDistinct, broadcast joins back (line vocabulary is tiny
+    relative to the corpus — the df table is the dictionary), one doc
+    rollup. The trained-model cousin of ta_clean_pipeline's regex
+    passes."""
+    docs = _t(spark, sf_dir, "documents")
+    ls = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    )
+    nd = ls.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    df = ls.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    flag = (
+        ls.join(F.broadcast(df), ["source", "line"])
+        .join(F.broadcast(nd), "source")
+        .select(
+            "doc_id",
+            "line",
+            ((2 * F.col("df") > F.col("n_docs")) & (F.col("df") >= 2)).alias(
+                "boiler"
+            ),
+        )
+    )
+    return flag.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+        F.sum(F.when(F.col("boiler"), 0).otherwise(F.length("line")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+@_register(
     "ta_text_metrics",
     f"""
     WITH t AS (
@@ -11849,6 +11923,7 @@ _DRIVER_FRONT = [
     "w25_velocity_features",
     "v_freshness_sla",
     "a33_revenue_share",
+    "ta_boilerplate_strip",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
