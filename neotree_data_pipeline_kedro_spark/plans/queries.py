@@ -8283,6 +8283,39 @@ def a33_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("v_sketch_rollup_merge")
+def v_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count warehouse: per-month HLL sketches
+    of active customers (hll_sketch_agg — Apache DataSketches, the
+    mergeable binary Spark ships since 3.5), then year totals by
+    MERGING the stored sketches (hll_union_agg) instead of rescanning
+    the fact table — the pattern that makes "distinct users, any
+    rollup level" an O(sketch) query at 100 TB. Output compares the
+    merged estimate against the exact year distinct; rows-only by
+    design (sketch binaries are engine-specific), with the estimate's
+    relative error pinned ≤ 2% in pytest
+    (tests/test_round5_ops.py::test_hll_rollup_merge_accuracy)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    yearly = monthly.groupBy("y").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    exact = o.groupBy(F.year("o_orderdate").alias("y")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return yearly.join(exact, "y").select(
+        F.col("y").cast("bigint").alias("year"),
+        "n_months",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
 @_register(
     "v_key_skew",
     """
@@ -11924,6 +11957,7 @@ _DRIVER_FRONT = [
     "v_freshness_sla",
     "a33_revenue_share",
     "ta_boilerplate_strip",
+    "v_sketch_rollup_merge",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

@@ -513,6 +513,59 @@ def test_holt_winters_rejects_non_dyadic_denominator(spark):
         holt_winters_integer(df, ["g"], "rn", "x", alpha_den=3)
 
 
+# ----------------------------------------------------- hll sketch rollup
+def test_hll_rollup_merge_accuracy(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    from conftest import SF_SMOKE
+
+    rows = QUERIES["v_sketch_rollup_merge"](spark, SF_SMOKE).collect()
+    assert rows, "no yearly rows"
+    for r in rows:
+        err = abs(r["est_distinct"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        assert err <= 0.02, (r["year"], r["est_distinct"], r["exact_distinct"])
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched by a static
+    broadcast dimension — the lookup shape that needs no watermark and
+    no stream-stream state."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame({"user_id": [1, 2, 1, 3], "v": [10, 20, 30, 40]})
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream.join(F.broadcast(dim), "user_id", "left").groupBy(
+        "tier"
+    ).agg(F.sum("v").alias("sv"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_dim")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: r["sv"] for r in spark.sql("select * from ss_dim").collect()}
+    assert got == {"gold": 40, "silver": 20, None: 40}
+
+
 # -------------------------------------------------------- global_prefix_scan
 def test_global_prefix_scan_matches_window_cumsum(spark):
     from neotree_data_pipeline_kedro_spark.operators.windows import (
