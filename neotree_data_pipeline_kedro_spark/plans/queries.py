@@ -8317,6 +8317,61 @@ def v_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w26_native_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microseconds', lag(ts) OVER w, ts)
+                          >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00',
+                          MIN(ts)) AS BIGINT) AS start_off_us,
+           CAST(date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00',
+                          MAX(ts)) AS BIGINT) + 1800 * 1000000
+             AS end_off_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def w26_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization through Spark's NATIVE session_window
+    aggregate (dynamic-gap session windows merged inside the aggregate
+    operator — no lag/cumsum window pass, the same primitive the
+    streaming sessionizer uses): 30-minute inactivity gap, one
+    aggregation per (user, session). Native semantics split when the
+    gap is >= the timeout (windows are half-open), which the oracle's
+    lag-cumsum restates at microsecond precision; session end = last
+    event + gap by definition. Timestamps leave the query as
+    microsecond OFFSETS from a fixed naive instant so no
+    timezone-of-session convention can leak into the hash (the w10
+    lesson: absolute instants differ, differences cancel)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    agg = ev.groupBy("user_id", sw.alias("sw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    anchor = F.unix_micros(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return agg.select(
+        "user_id",
+        (F.unix_micros(F.col("sw.start")) - anchor).alias("start_off_us"),
+        (F.unix_micros(F.col("sw.end")) - anchor).alias("end_off_us"),
+        "n_events",
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -11958,6 +12013,7 @@ _DRIVER_FRONT = [
     "a33_revenue_share",
     "ta_boilerplate_strip",
     "v_sketch_rollup_merge",
+    "w26_native_session_window",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",

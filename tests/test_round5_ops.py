@@ -566,6 +566,29 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert got == {"gold": 40, "silver": 20, None: 40}
 
 
+# ------------------------------------------------------- observation metrics
+def test_observation_inline_quality_counters(spark, tmp_path):
+    """df.observe(): data-quality counters collected DURING the write
+    action itself — no second scan for row counts / null rates, the
+    0-extra-cost audit hook for 100 TB jobs."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], "k long, v double"
+    )
+    obs = Observation("quality")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v_nonnull"),
+        F.sum("v").alias("v_sum"),
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4 and got["n_v_nonnull"] == 2
+    assert got["v_sum"] == 40.0
+
+
 # -------------------------------------------------------- global_prefix_scan
 def test_global_prefix_scan_matches_window_cumsum(spark):
     from neotree_data_pipeline_kedro_spark.operators.windows import (
