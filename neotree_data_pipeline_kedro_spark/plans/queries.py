@@ -8372,6 +8372,125 @@ def w26_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a34_log2_histogram",
+    """
+    WITH src AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT grp, CAST(length(bin(cents)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS bucket_min,
+           CAST(MAX(cents) AS BIGINT) AS bucket_max
+    FROM src GROUP BY 1, 2
+    """,
+)
+def a34_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of order values per priority — the
+    latency-histogram bucketing (1-2-4-8…) done EXACTLY: the bucket is
+    the bit length of the integer value via length(bin(x)), a string-of-
+    binary trick both engines compute identically, where floor(log2(x))
+    sits one double-rounding away from an off-by-one at every power of
+    two. Pure scan-stage expressions + one partial-agg rollup."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return src.groupBy(
+        "grp", F.length(F.bin("cents")).cast("bigint").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("bucket_min"),
+        F.max("cents").cast("bigint").alias("bucket_max"),
+    )
+
+
+@_register(
+    "ta_collocations",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+    ), bi AS (
+      SELECT t.toks[i] AS w1, t.toks[i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM tok t, unnest(range(1, len(t.toks))) AS r(i)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c2.c AS c_b,
+           (1000000 * b.c_ab * t.n) // (a.c * c2.c) AS lift_ppm
+    FROM bi b
+    JOIN uc a ON a.w = b.w1
+    JOIN uc c2 ON c2.w = b.w2
+    CROSS JOIN tot t
+    """,
+)
+def ta_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word pairs whose co-occurrence beats
+    chance, scored by LIFT in exact ppm — P(ab)/(P(a)·P(b)) as the pure
+    integer ratio 1e6·c_ab·N / (c_a·c_b), deliberately log-free where
+    PMI's log2 would hinge on libm ulps (rank order is identical).
+    In-row adjacent pairing (no self-join for bigrams), unigram counts
+    join back broadcast, 1-row total broadcast; min-support 5 prunes
+    the tail before the scoring joins."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.text import tokens as _tokens
+
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    uni = tok.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bi = (
+        tok.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    F.slice(
+                        F.col("toks"),
+                        2,
+                        F.greatest(F.size("toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    out = (
+        bi.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.expr("(1000000 * c_ab * n) div (c_a * c_b)").alias("lift_ppm"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -12014,6 +12133,8 @@ _DRIVER_FRONT = [
     "ta_boilerplate_strip",
     "v_sketch_rollup_merge",
     "w26_native_session_window",
+    "a34_log2_histogram",
+    "ta_collocations",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
