@@ -248,6 +248,61 @@ def decode_audio(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return src.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    frame: int = 40,
+    hop: int = 40,
+) -> DataFrame:
+    """Framed audio features over mapInPandas: decode RIFF/PCM16, slice
+    into ``frame``-sample windows every ``hop`` samples (trailing
+    partial frame dropped), and emit per-frame energy (Σx² — kept as an
+    exact bigint so no sqrt/float enters the contract; RMS is
+    sqrt(sum_sq/n) downstream if wanted), peak amplitude, and strict
+    sign-change zero crossings — the VAD/silence/clipping feature block.
+    The explode happens inside the Arrow batch (one output row per
+    frame, never a driver-side clip object); undecodable payloads drop,
+    the batch survives."""
+    import numpy as np
+
+    from ..functions.png import decode_wav
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "frame_idx", "n_samples", "sum_sq", "peak",
+                "zero_crossings",
+            )}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    _rate, samples = decode_wav(payload)
+                except Exception:
+                    continue
+                x = samples.astype(np.int64)
+                for f_idx in range(0, (len(x) - frame) // hop + 1 if len(x) >= frame else 0):
+                    seg = x[f_idx * hop : f_idx * hop + frame]
+                    sgn = np.sign(seg)
+                    nz = sgn != 0
+                    zc = int(np.count_nonzero(np.diff(sgn[nz]) != 0))
+                    out["id"].append(i)
+                    out["frame_idx"].append(f_idx)
+                    out["n_samples"].append(frame)
+                    out["sum_sq"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "id bigint, frame_idx bigint, n_samples bigint, sum_sq bigint,"
+        " peak bigint, zero_crossings bigint"
+    )
+    return src.mapInPandas(run, schema=schema)
+
+
 def sample_video_frames(
     df: DataFrame, id_col: str, binary_col: str, every_ms: int
 ) -> DataFrame:

@@ -4269,6 +4269,119 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mm_audio_frames",
+    """
+    WITH src AS (
+      SELECT event_id AS id, CAST(160 + event_id % 80 AS BIGINT) AS len,
+             CAST(event_id % 1000 AS BIGINT) AS amp
+      FROM events WHERE event_id % 25 = 0
+    ), fr AS (
+      SELECT id, amp, CAST(t.i AS BIGINT) AS frame_idx
+      FROM src, unnest(range(0, len // 40)) AS t(i)
+    )
+    SELECT id, frame_idx, CAST(40 AS BIGINT) AS n_samples,
+           40 * amp * amp AS sum_sq,
+           amp AS peak,
+           CASE WHEN amp = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(39 AS BIGINT) END AS zero_crossings
+    FROM fr
+    """,
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features end-to-end
+    (operators/multimodal.audio_frame_features): alternating-sign PCM16
+    clips synthesized per event (length and amplitude are functions of
+    event_id), WAV-encoded, decoded, framed at 40 samples, and scored
+    for energy / peak / zero crossings — all EXACT integers by fixture
+    construction (constant |amp| makes Σx² = n·amp², alternation makes
+    every adjacent nonzero pair a crossing), so the oracle states each
+    frame's features in closed form and any framing, offset, or sign
+    bug hash-mismatches. The in-batch frame explode is the shape that
+    keeps hour-long clips off the driver."""
+    import numpy as np
+
+    from ..functions.png import encode_wav
+    from ..operators.multimodal import audio_frame_features
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0).select(
+        "event_id"
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            wavs = []
+            for i in pdf["event_id"]:
+                n = 160 + int(i) % 80
+                amp = int(i) % 1000
+                pcm = np.full(n, amp, dtype=np.int16)
+                pcm[1::2] *= -1
+                wavs.append(bytearray(encode_wav(pcm, 16_000)))
+            yield pd.DataFrame({"id": pdf["event_id"], "wav": wavs})
+
+    clips = ev.mapInPandas(enc, schema="id bigint, wav binary")
+    return audio_frame_features(clips, "id", "wav", frame=40, hop=40)
+
+
+@_register(
+    "v_erasure_audit",
+    """
+    WITH dele AS (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS residual_rows
+    FROM customer JOIN dele ON c_custkey = dele.key
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+    FROM orders JOIN dele ON o_custkey = dele.key
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN dele ON o.o_custkey = dele.key
+    """,
+)
+def v_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit (GDPR Art. 17 verification): given a
+    deletion list, count RESIDUAL rows per table that still reference
+    the erased subjects — directly keyed tables via broadcast semi
+    probes, indirectly keyed ones (lineitem) through their foreign-key
+    path. One lazy union of per-table 1-row aggregates (the
+    v_data_contract shape), so the whole audit is a single job; on a
+    clean warehouse every count is 0 and any non-zero names the table
+    that leaked. The fixture's modulo 'deletion list' makes the
+    expected counts non-zero so the probe itself is exercised."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    bd = F.broadcast(dele)
+    cust = (
+        c.join(bd, c.c_custkey == dele.key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("residual_rows"))
+        .select(F.lit("customer").alias("tbl"), "residual_rows")
+    )
+    orders = (
+        o.join(bd, o.o_custkey == dele.key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("residual_rows"))
+        .select(F.lit("orders").alias("tbl"), "residual_rows")
+    )
+    line = (
+        li.join(
+            F.broadcast(
+                o.join(bd, o.o_custkey == dele.key).select("o_orderkey")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("residual_rows"))
+        .select(F.lit("lineitem").alias("tbl"), "residual_rows")
+    )
+    return cust.unionByName(orders).unionByName(line)
+
+
+@_register(
     "mm_video_frames",
     """
     WITH src AS (
@@ -12135,6 +12248,8 @@ _DRIVER_FRONT = [
     "w26_native_session_window",
     "a34_log2_histogram",
     "ta_collocations",
+    "mm_audio_frames",
+    "v_erasure_audit",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
