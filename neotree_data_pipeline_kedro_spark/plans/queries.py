@@ -8604,6 +8604,107 @@ def ta_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a35_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_diff('day',
+               lag(CAST(o.o_orderdate AS DATE)) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey),
+               CAST(o.o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS sum_days,
+           CAST(2 * median(gap_days) AS BIGINT) AS med2_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def a35_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival time distribution per market segment — the
+    purchase-cadence profile behind churn-risk windows and reorder
+    prompts. Gaps come from ONE lag window on the customer key
+    (computed before any filter — the w11 rule), the exact median rides
+    the doubled-integer trick (v_mad_outliers), and the remaining
+    moments are bigint sums. Dim side broadcast, one window shuffle,
+    one segment rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    seq = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("gap_days"),
+    )
+    return (
+        seq.filter(F.col("gap_days").isNotNull())
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_days").cast("bigint").alias("sum_days"),
+            (F.lit(2) * F.percentile(F.col("gap_days"), F.lit(0.5)))
+            .cast("bigint")
+            .alias("med2_days"),
+            F.min("gap_days").cast("bigint").alias("min_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+        )
+    )
+
+
+@_register(
+    "f_onehot_topn",
+    """
+    WITH top AS (
+      SELECT o_orderpriority AS cat
+      FROM orders GROUP BY 1
+      ORDER BY COUNT(*) DESC, cat ASC LIMIT 3
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN (SELECT cat FROM top)
+                THEN o_orderpriority ELSE '__other__' END AS encoded,
+           CASE WHEN o_orderpriority IN (SELECT cat FROM top)
+                THEN 0 ELSE 1 END AS is_other
+    FROM orders
+    """,
+)
+def f_onehot_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N categorical encoding: keep the 3 most frequent categories,
+    collapse the tail into '__other__' — the cardinality guard before
+    one-hot/embedding layers (full one-hot of an unbounded categorical
+    is a training-time DoS). The top set comes from one partial-agg
+    count + TakeOrdered with a deterministic name tiebreak and joins
+    back as a BROADCAST semi-membership; the fact table never
+    shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("cat"))
+        .limit(3)
+        .select("cat")
+    )
+    j = o.join(
+        F.broadcast(top),
+        o.o_orderpriority == top.cat,
+        "left",
+    )
+    return j.select(
+        "o_orderkey",
+        F.when(F.col("cat").isNotNull(), F.col("o_orderpriority"))
+        .otherwise(F.lit("__other__"))
+        .alias("encoded"),
+        F.when(F.col("cat").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("is_other"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -12250,6 +12351,8 @@ _DRIVER_FRONT = [
     "ta_collocations",
     "mm_audio_frames",
     "v_erasure_audit",
+    "a35_interarrival_stats",
+    "f_onehot_topn",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
