@@ -8705,6 +8705,71 @@ def f_onehot_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a36_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT c_nationkey, CAST(SUM(rev_cents) AS BIGINT) AS t
+      FROM rev GROUP BY 1
+    ), sh AS (
+      SELECT r.c_nationkey,
+             (1000000 * r.rev_cents) // t.t AS share_ppm
+      FROM rev r JOIN tot t ON t.c_nationkey = r.c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM sh GROUP BY 1
+    """,
+)
+def a36_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of spend per nation: Σ share²
+    over customer revenue shares — the antitrust-style single-buyer-risk
+    metric (Gini a23 measures inequality of the distribution; HHI
+    measures how few hands hold it). Shares floor to ppm FIRST, so the
+    sum of squares stays inside bigint at any revenue scale (raw Σrev²
+    overflows by 10³) and the metric is defined on reproducible
+    integers; the ppm floor's bias is < n/1e6 and documented. Plan: one
+    (nation, customer) rollup, per-nation totals join back broadcast,
+    one nation rollup reusing the key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    tot = rev.groupBy("c_nationkey").agg(
+        F.sum("rev_cents").cast("bigint").alias("t")
+    )
+    sh = rev.join(F.broadcast(tot), "c_nationkey").select(
+        "c_nationkey",
+        F.expr("(1000000 * rev_cents) div t").alias("share_ppm"),
+    )
+    return sh.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(sum(share_ppm * share_ppm) AS BIGINT) div 1000000"
+        ).alias("hhi_ppm"),
+        F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+    )
+
+
+@_register(
     "v_key_skew",
     """
     WITH k AS (
@@ -12353,6 +12418,7 @@ _DRIVER_FRONT = [
     "v_erasure_audit",
     "a35_interarrival_stats",
     "f_onehot_topn",
+    "a36_hhi_concentration",
     "j23_interval_proration",
     "w17_rolling_zscore",
     "g4_kcore",
