@@ -240,6 +240,13 @@ def weighted_median_udaf():
     def weighted_median(v, w):
         x = v.to_numpy(dtype=np.float64)
         wt = w.to_numpy(dtype=np.float64)
+        # SQL-aggregate NULL contract: drop pairs where either side is
+        # NULL (NaN after Arrow), and an all-null group yields NULL —
+        # NaN would otherwise poison cumsum/searchsorted and crash the task
+        keep = ~(np.isnan(x) | np.isnan(wt))
+        x, wt = x[keep], wt[keep]
+        if x.size == 0:
+            return None
         order = np.argsort(x, kind="stable")
         x, wt = x[order], wt[order]
         cum = np.cumsum(wt)

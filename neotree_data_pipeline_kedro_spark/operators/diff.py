@@ -54,13 +54,21 @@ def table_diff(
     joined = o.join(n, cond, "full_outer")
     in_old = F.col(f"__ok_{keyset[0]}").isNotNull()
     in_new = F.col(f"__nk_{keyset[0]}").isNotNull()
-    changed_list = F.concat(
-        *[
-            F.when(
-                ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.array(F.lit(c))
-            ).otherwise(F.array().cast("array<string>"))
-            for c in cols
-        ]
+    # key-only diffs (no compare columns) still report added/removed:
+    # F.concat(*[]) with zero args does not resolve as an array concat,
+    # so short-circuit to an empty string array
+    changed_list = (
+        F.concat(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.array(F.lit(c)),
+                ).otherwise(F.array().cast("array<string>"))
+                for c in cols
+            ]
+        )
+        if cols
+        else F.array().cast("array<string>")
     )
     out = joined.select(
         *[

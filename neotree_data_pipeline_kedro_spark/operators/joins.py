@@ -640,11 +640,21 @@ def salted_agg(
     handling is off; the explicit salt is the portable fallback, and the
     registry query pins that its two-exchange plan stays intact.
 
-    The salt is hashed from the whole row (xxhash64 of all columns), so
-    it is deterministic under retries, unlike a rand() salt.
+    The salt mixes xxhash64 of the whole row WITH the source partition
+    id: row-content alone is deterministic under retries but collapses
+    when the hot key's rows are exact duplicates (the most common skew
+    shape — identical rows all hash to one salt and still land on a
+    single reducer); the partition id spreads those duplicates across
+    reducers while staying deterministic for a fixed input partitioning
+    (task retries re-run the same partition with the same id). The final
+    per-key result is salt-independent either way — phase 2 merges all
+    partials — so the salt only shapes the shuffle, never the answer.
     """
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+        F.lit(salts),
+    )
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -250,10 +250,13 @@ def priority_sample(
 
     The uniform comes from a Knuth multiplicative hash of the key
     (pure integer arithmetic — portable where md5-hex parsing is not);
-    ``key_col`` must be integer-typed. Ties break to the lowest key.
-    One top-k window per group (TakeOrdered when ungrouped).
+    ``key_col`` must be integer-typed. Negative keys are fine: the hash
+    goes through pmod (always in [0, 2^32)), not %, whose sign follows
+    the dividend and would make u_inv NULL (divide-by-zero) or negative.
+    Ties break to the lowest key. One top-k window per group
+    (TakeOrdered when ungrouped).
     """
-    h = (_col(key_col).cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+    h = F.pmod(_col(key_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
     u_inv = F.lit(4294967297.0) / (h + 1).cast("double")  # = 1/u in [1, 2^32]
     q = _col(weight_col).cast("double") * u_inv
     ranked = df.withColumn("__priority", q)

@@ -130,12 +130,21 @@ def run_foreach_batch_rollup(
     rebuild-the-summary-every-cron (create_summary_counts_sql.py), with
     per-cycle cost = |batch| + |rollup|, never the history.
 
-    Crash safety: the rollup rewrites to a temp sibling then swaps via
-    two renames (the compact_parquet pattern), and the checkpoint makes
-    batch delivery exactly-once ACROSS restarts — a replayed batch after
-    a crash-before-checkpoint re-merges, which is why ``measures`` must
-    be the decomposable set partial_rollup enforces AND the source must
-    be append-only (the merge_rollup caveats apply unchanged).
+    Crash safety: foreachBatch delivery is AT-LEAST-once (a batch that
+    committed its merge but crashed before the checkpoint advanced is
+    replayed on restart), so the merge itself is made idempotent: the
+    last-applied epoch id is persisted INSIDE the rollup directory as a
+    ``_epoch`` sidecar (Spark's parquet reader ignores ``_``-prefixed
+    files) and travels through the same rename swap as the data, and a
+    replayed batch whose epoch <= the stored epoch is skipped — merge
+    effects are exactly-once even though delivery is not. The swap
+    itself rewrites to a temp sibling then renames (the compact_parquet
+    pattern); a crash mid-swap is recovered on the next batch before
+    anything is read: a dangling ``.__rollup_old`` with no live rollup
+    is renamed back (so history is never silently reset to one batch),
+    and stale ``.__rollup_tmp``/``.__rollup_old`` leftovers are purged.
+    ``measures`` must still be the decomposable set partial_rollup
+    enforces AND the source append-only (merge_rollup caveats unchanged).
     """
     import os
     import shutil
@@ -147,17 +156,41 @@ def run_foreach_batch_rollup(
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     src = reader.parquet(source_path)
 
-    def merge(batch: DataFrame, _epoch: int) -> None:
+    tmp = rollup_path.rstrip("/") + ".__rollup_tmp"
+    old = rollup_path.rstrip("/") + ".__rollup_old"
+
+    def recover() -> None:
+        # crash between the two swap renames leaves old but no live dir:
+        # restore it; any other leftover is stale and safe to purge
+        if os.path.isdir(old):
+            if os.path.isdir(rollup_path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, rollup_path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+    def last_epoch() -> int:
+        meta = os.path.join(rollup_path, "_epoch")
+        if os.path.isfile(meta):
+            with open(meta) as fh:
+                return int(fh.read().strip() or -1)
+        return -1
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        recover()
+        if os.path.isdir(rollup_path) and epoch <= last_epoch():
+            return  # at-least-once replay of an already-merged batch
         s = batch.sparkSession
         delta = partial_rollup(batch, keys, measures)
         stored = (
             s.read.parquet(rollup_path) if os.path.isdir(rollup_path) else None
         )
         merged = merge_rollup(stored, delta, keys, measures)
-        tmp = rollup_path.rstrip("/") + ".__rollup_tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(str(epoch))
         if os.path.isdir(rollup_path):
-            old = rollup_path.rstrip("/") + ".__rollup_old"
             os.rename(rollup_path, old)
             os.rename(tmp, rollup_path)
             shutil.rmtree(old)

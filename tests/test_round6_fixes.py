@@ -1,0 +1,199 @@
+"""Regression tests for the round-5 ADVICE items (round-6 fixes).
+
+One test per advisory:
+- priority_sample on negative integer keys (pmod, not %)
+- weighted_median UDAF NULL handling (ignore nulls; all-null group -> NULL)
+- salted_agg correctness when the hot key's rows are exact duplicates
+- table_diff with an empty compare-column list (key-only diff)
+- run_foreach_batch_rollup crash recovery + at-least-once replay skip
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------- priority_sample
+def test_priority_sample_negative_keys(spark):
+    """Spark's % follows the dividend's sign, so negative keys used to
+    yield NULL (divide-by-zero) or negative priorities and fall out of
+    the sample; pmod keeps every key's uniform in (0, 1]."""
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, 1.0) for i in range(-50, 50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = priority_sample(df, "id", "w", k=100).collect()
+    assert len(out) == 100  # nobody silently excluded
+    assert all(
+        r["__priority"] is not None and r["__priority"] > 0 for r in out
+    )
+
+    # negative keys must actually be able to win a k < n sample
+    top = priority_sample(df, "id", "w", k=30).collect()
+    assert any(r.id < 0 for r in top)
+
+    # deterministic across partitioning
+    again = priority_sample(df.repartition(7), "id", "w", k=30).collect()
+    assert sorted(r.id for r in top) == sorted(r.id for r in again)
+
+
+# ----------------------------------------------------------- weighted_median
+def test_weighted_median_ignores_nulls_and_handles_all_null_group(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        weighted_median_udaf,
+    )
+
+    wm = weighted_median_udaf()
+    rows = [
+        ("a", 1.0, 1.0),
+        ("a", None, 99.0),  # null value ignored
+        ("a", 3.0, 1.0),
+        ("a", 5.0, None),  # null weight ignored
+        ("b", None, 1.0),  # all-null group -> NULL
+        ("b", 7.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()
+    }
+    assert got["a"] == 1.0  # cum weights [1,2]; half=1.0 -> first value
+    assert got["b"] is None
+
+
+# ---------------------------------------------------------------- salted_agg
+def test_salted_agg_exact_duplicate_rows(spark):
+    """The most common hot-key shape is many IDENTICAL rows per key;
+    the partition-id-mixed salt must still merge to the exact answer."""
+    from neotree_data_pipeline_kedro_spark.operators.joins import salted_agg
+
+    rows = [("hot", 1)] * 500 + [("cold", 2)] * 3
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    got = {
+        r.k: (r.n, r.s)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": (F.count("*"), "sum"), "s": (F.sum("v"), "sum")},
+        ).collect()
+    }
+    assert got == {"hot": (500, 500), "cold": (3, 6)}
+
+
+# ---------------------------------------------------------------- table_diff
+def test_table_diff_key_only(spark):
+    """compare_cols=[] (or every shared column being a key) is a pure
+    added/removed detector; F.concat(*[]) used to raise instead."""
+    from neotree_data_pipeline_kedro_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    # every shared column is a key -> derived cols list is empty
+    got = {
+        r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "removed", 3: "added"}
+
+    # explicit empty list, extra columns present but not compared
+    old2 = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    new2 = spark.createDataFrame([(2, "z"), (3, "w")], "k int, v string")
+    got2 = {
+        r.k: r.change_type
+        for r in table_diff(old2, new2, ["k"], compare_cols=[]).collect()
+    }
+    assert got2 == {1: "removed", 3: "added"}
+
+
+# ------------------------------------------------- foreachBatch rollup MV
+def _write_batches(spark, src, batches, start=0):
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    for i, rows in enumerate(batches, start=start):
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        p = str(src / f"b{i}.parquet")
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(p)
+        mtime = time.time() - 100 + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+    return schema
+
+
+def test_rollup_replayed_batches_are_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint and
+    re-running replays every batch. The persisted epoch id must make
+    the merge idempotent — without it, every sum doubles."""
+    import shutil
+
+    from neotree_data_pipeline_kedro_spark.streaming.incremental import (
+        run_foreach_batch_rollup,
+    )
+
+    src = tmp_path / "src"
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _write_batches(
+        spark, src, [[("a", 1), ("b", 10)], [("a", 4)], [("b", 5)]]
+    )
+    run_foreach_batch_rollup(
+        spark, str(src) + "/*", schema, rollup, ckpt, ["g"], {"v": "sum"}
+    )
+    assert {
+        r.g: r.sum_v for r in spark.read.parquet(rollup).collect()
+    } == {"a": 5, "b": 15}
+
+    # simulate the crash-between-merge-and-checkpoint replay: wipe the
+    # checkpoint so the restarted query re-delivers epochs 0..2
+    shutil.rmtree(ckpt)
+    run_foreach_batch_rollup(
+        spark, str(src) + "/*", schema, rollup, str(tmp_path / "ckpt"),
+        ["g"], {"v": "sum"},
+    )
+    assert {
+        r.g: r.sum_v for r in spark.read.parquet(rollup).collect()
+    } == {"a": 5, "b": 15}  # unchanged — replays skipped, nothing doubled
+
+
+def test_rollup_recovers_dangling_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves .__rollup_old but no
+    live rollup; the next batch must restore it instead of silently
+    resetting history to that batch alone. Stale .__rollup_tmp is purged."""
+    import os
+
+    from neotree_data_pipeline_kedro_spark.streaming.incremental import (
+        run_foreach_batch_rollup,
+    )
+
+    src = tmp_path / "src"
+    rollup = str(tmp_path / "rollup")
+    schema = _write_batches(spark, src, [[("a", 1), ("b", 10)], [("a", 4)]])
+    run_foreach_batch_rollup(
+        spark, str(src) + "/*", schema, rollup, str(tmp_path / "c1"),
+        ["g"], {"v": "sum"},
+    )
+    assert {
+        r.g: r.sum_v for r in spark.read.parquet(rollup).collect()
+    } == {"a": 5, "b": 10}
+
+    # simulate the mid-swap crash + a stale tmp leftover
+    os.rename(rollup, rollup + ".__rollup_old")
+    os.makedirs(rollup + ".__rollup_tmp")
+    _write_batches(spark, src, [[("b", 7)]], start=2)
+    run_foreach_batch_rollup(
+        spark, str(src) + "/*", schema, rollup, str(tmp_path / "c2"),
+        ["g"], {"v": "sum"},
+    )
+    got = {r.g: r.sum_v for r in spark.read.parquet(rollup).collect()}
+    assert got == {"a": 5, "b": 17}  # history preserved + delta merged
+    assert not os.path.isdir(rollup + ".__rollup_old")
+    assert not os.path.isdir(rollup + ".__rollup_tmp")
