@@ -7,16 +7,17 @@ Each query is forced end-to-end with the no-op sink (full physical
 execution, no driver collect — same shape a cluster write would have).
 
 Output layout (truncation-proof): the round-N artifact keeps only the LAST
-~2000 chars of stdout, and with 80+ registered queries one full JSON line no
-longer fits that window (r3/r4 lost the first ~29 queries' minima). So:
+~2000 chars of stdout and parses the last JSON line found in that tail, so
+the final line MUST fit ~1900 chars. A names-keyed map of 230+ queries never
+can (~27 chars/entry; r5's artifact "dropped" 170 entries), so:
   1. the FULL payload (per-query minima, both raw runs, unstable list,
      loadavg) is written to BENCH_FULL.json next to this script, and printed
      first as one verbose JSON line (complete in real logs / CI captures);
-  2. the LAST line printed is a compact summary kept under 1900 chars by
-     greedily fitting per-query minima in driver-priority order (new /
-     recently-changed queries first — the numbers that matter most each
-     round), with an explicit "dropped" count and a "full" pointer so the
-     cut is never silent.
+  2. the LAST line printed is a compact summary whose "t" field is ALL
+     per-query minima as a positional array in registry order (~5 chars per
+     query — every number survives the tail window); "names" points at where
+     the order is defined, and "slowest" names the worst offenders inline,
+     greedily fitted to the remaining budget.
 """
 
 from __future__ import annotations
@@ -39,29 +40,36 @@ _TAIL_BUDGET = 1950  # stay inside the ~2000-char tail window with margin
 def emit_lines(payload: dict) -> list[str]:
     """Render stdout lines: verbose-full first, compact-fitting last.
 
-    The compact line carries the headline metric plus as many per-query
-    minima as fit the tail budget, in registry (= driver-priority) order;
-    anything cut is counted in "dropped" and lives in BENCH_FULL.json.
+    The compact line carries the headline metric plus EVERY per-query
+    minimum: "t" is a positional array aligned with the registry order
+    (the same order "queries" iterates in the full payload — ~5 chars per
+    query, so all of them fit the ~2000-char tail window the driver
+    parses), and "slowest" names the worst queries inline, greedily
+    fitted to whatever budget remains.
     """
     lines = [json.dumps(payload)]
+    items = list(payload["queries"].items())
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
-        "queries": {},
-        "dropped": 0,
+        "n_queries": len(items),
+        "t": [round(sec, 2) for _, sec in items],
+        "names": "registry order; see BENCH_FULL.json queries",
+        "slowest": {},
         "unstable": len(payload.get("unstable", [])),
         "loadavg": payload.get("loadavg"),
         "sf": payload["sf"],
         "full": "BENCH_FULL.json",
     }
-    items = list(payload["queries"].items())
-    for name, sec in items:
-        compact["queries"][name] = round(sec, 2)
+    if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
+        # registry grew past what 2-decimal fits: 1 decimal still ranks
+        compact["t"] = [round(sec, 1) for _, sec in items]
+    for name, sec in sorted(items, key=lambda kv: -kv[1]):
+        compact["slowest"][name] = round(sec, 2)
         if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
-            del compact["queries"][name]
+            del compact["slowest"][name]
             break
-    compact["dropped"] = len(items) - len(compact["queries"])
     lines.append(json.dumps(compact, separators=(",", ":")))
     return lines
 

@@ -44,6 +44,59 @@ def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def cap_hub_degree(
+    edges: DataFrame,
+    max_degree: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Exclude-and-report guard for every wedge-joining graph algorithm
+    (triangles, common-neighbor scores, link prediction): drop all edges
+    touching a node whose degree exceeds ``max_degree``, and return the
+    excluded hubs so the caller can surface them instead of silently
+    changing the answer.
+
+    Why it exists: wedge enumeration materializes Σ deg(z)² candidate
+    rows — a SINGLE hub of degree d contributes d(d-1)/2 wedges, so one
+    celebrity node at 100 TB (a part in every order, a doc matching
+    everything) turns an otherwise-linear stage quadratic ("the curse of
+    the last reducer", Suri & Vassilvitskii WWW'11 — their remedy is
+    degree-ordered orientation, which tames the constant but not a true
+    celebrity; exclusion is the production guard, and what a sampled /
+    approximate treatment of the hubs would bolt onto). The same
+    exclude-and-report contract as the n-gram small-block guard
+    (neardup.ngram_jaccard_pairs max_block_rows): scale safety is an
+    explicit, visible decision, never a silent answer change.
+
+    Degree is counted on the DEDUPLICATED undirected edge set (both
+    orientations collapse to one), matching what the wedge join would
+    actually expand. Returns ``(capped_edges, hubs)``: ``capped_edges``
+    preserves the caller's column names and the original row multiset
+    minus hub-touching rows; ``hubs`` is (node, degree) for everything
+    excluded. Cost: one degree aggregate + two left-anti joins — both
+    on the key the wedge join shuffles on anyway.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    hubs = deg.filter(F.col("degree") > max_degree)
+    capped = edges.join(
+        hubs.select(F.col("node").alias(src)), src, "left_anti"
+    ).join(hubs.select(F.col("node").alias(dst)), dst, "left_anti")
+    return capped.select(*edges.columns), hubs
+
+
 def _nodes(edges_sym: DataFrame, extra_nodes: DataFrame | None) -> DataFrame:
     nodes = edges_sym.select(F.col("u").alias("id"))
     if extra_nodes is not None:
@@ -349,7 +402,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the classic
     clustering/cohesion signal (and the dedup-cluster sanity check: a
@@ -363,12 +419,18 @@ def triangle_count(
     on vertex ids; no factorial blow-up because wedges are generated
     low-to-high only. This is the standard MapReduce triangle algorithm
     (Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
-    Reducer") minus their high-degree mitigation — at 100 TB, add the
-    degree-ordered orientation (orient toward higher degree) so hub
-    vertices don't own O(d^2) wedges.
+    Reducer"). Their high-degree mitigation (degree-ordered orientation)
+    tames the constant but not a true celebrity node; the enforced guard
+    is ``max_degree`` — when set, nodes whose degree exceeds it are
+    excluded from the graph BEFORE wedge enumeration (cap_hub_degree's
+    exclude-and-report contract), so a single planted hub can never turn
+    this stage quadratic. At 100 TB always set it (the Σdeg² wedge count
+    is then bounded by |E|·max_degree).
 
     Output: (node, triangles) for every vertex in >=1 triangle.
     """
+    if max_degree is not None:
+        edges, _ = cap_hub_degree(edges, max_degree, src, dst)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

@@ -7047,10 +7047,23 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity for node pairs of the co-purchase
     graph: |N(x)∩N(y)| / |N(x)∪N(y)| with the union expanded as
     deg(x)+deg(y)−common — so the whole score is common-neighbor counts
-    plus two broadcast degree lookups in exact ppm integer arithmetic
-    (the structural-equivalence companion to g5's resource-allocation
-    score; the same wedge equi-join enumerates candidates, never a
-    cartesian)."""
+    plus two degree lookups in exact ppm integer arithmetic (the
+    structural-equivalence companion to g5's resource-allocation score;
+    the same wedge equi-join enumerates candidates, never a cartesian).
+
+    Scale note: the degree table is NODE-COUNT-sized, so it is NOT
+    broadcast-hinted — at 100x data a forced broadcast of it is the
+    first driver OOM. AQE picks broadcast when it actually fits; the
+    shuffle join it falls back to adds one exchange on a table dwarfed
+    by the wedge aggregate that dominates this query either way. (g5's
+    broadcast of its deg table is safe only because that one is
+    part-key-bounded by the l_partkey%10<3 projection.) The wedge hub
+    cap (components.cap_hub_degree, max_degree=1000) is ENFORCED before
+    enumeration: fixture degrees top out ~76 so the fixture answer is
+    unchanged, but a planted celebrity node can never make the wedge
+    stage quadratic — excluded hubs are reported, not silently scored."""
+    from ..operators.components import cap_hub_degree
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 < 3)
@@ -7064,6 +7077,7 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
         .distinct()
     )
+    e, _hubs = cap_hub_degree(e, 1000, "a", "b")
     nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
@@ -7081,7 +7095,7 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = deg.select(F.col("x"), F.col("deg").alias("deg_x"))
     dy = deg.select(F.col("x").alias("y"), F.col("deg").alias("deg_y"))
-    out = common.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    out = common.join(dx, "x").join(dy, "y")
     return out.select(
         "x",
         "y",
@@ -7832,9 +7846,13 @@ def g7_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edge contributes both orientations — the standard
     symmetrization). Positive = hubs link hubs; negative = hub-leaf
     structure — the one-number summary that predicts whether the wedge
-    stages (g2/g5/g6) face quadratic hot spots. Degrees join the edge
-    list broadcast; all five moments are exact bigint sums, and the
-    single final expression is the same IEEE double in both engines."""
+    stages (g2/g5/g6) face quadratic hot spots. No hub cap here: this
+    query is LINEAR in |E| (per-edge degree lookup, no wedge join), and
+    it is precisely the diagnostic that tells an operator what
+    max_degree the capped wedge queries should run with. Degrees join
+    the edge list broadcast (part-key-bounded node set, dimension-sized
+    at any sf); all five moments are exact bigint sums, and the single
+    final expression is the same IEEE double in both engines."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 < 3)
@@ -10205,7 +10223,10 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.p") < F.col("b.p"))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     )
-    return triangle_count(edges, "src", "dst")
+    # max_degree=1000: enforced wedge hub cap (exclude-and-report) —
+    # fixture degrees top out ~76 so the answer is unchanged, but a
+    # planted celebrity part can never turn the wedge stage quadratic
+    return triangle_count(edges, "src", "dst", max_degree=1000)
 
 
 @_register(
@@ -10904,9 +10925,17 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree on, where 1/ln(deg) would hinge on libm ulp
     differences under the micro-floor. Plan: wedge enumeration is an
     equi-join on the center node (never a cartesian), degrees join
-    BROADCAST, existing edges drop via LEFT ANTI. At 100 TB the guard is
-    hub degree — Σdeg² wedges — capped upstream like every wedge
-    algorithm (the same bound g2's triangle count documents)."""
+    BROADCAST — safe ONLY because this deg table is bounded by the
+    part-key projection (l_partkey%10<3 caps distinct nodes at ~3/10 of
+    |part|, a dimension-sized table at any sf; an unbounded node set
+    must NOT be broadcast — see g6_node_jaccard). Existing edges drop
+    via LEFT ANTI. The hub-degree guard (Σdeg² wedges) is ENFORCED:
+    components.cap_hub_degree(max_degree=1000) excludes-and-reports
+    celebrity nodes before wedge enumeration — fixture degrees top out
+    ~76, so the fixture answer is unchanged while the quadratic path is
+    structurally closed."""
+    from ..operators.components import cap_hub_degree
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 < 3)
@@ -10920,6 +10949,7 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
         .distinct()
     )
+    e, _hubs = cap_hub_degree(e, 1000, "a", "b")
     nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )

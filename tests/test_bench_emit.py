@@ -1,6 +1,8 @@
 """bench.py stdout contract: the LAST printed line must survive the round
 artifact's ~2000-char tail capture intact and parse as JSON (r3/r4 lost the
-first ~29 queries' minima because one giant line was printed alone)."""
+first ~29 queries' minima because one giant line was printed alone; r5's
+names-keyed compact map still dropped 170 of 239 — the positional "t"
+array is the fix: ~5 chars/query, every number fits)."""
 
 import json
 import sys
@@ -27,8 +29,8 @@ def _fake_payload(n_queries: int) -> dict:
     }
 
 
-def test_last_line_survives_tail_capture():
-    payload = _fake_payload(120)  # worse than the real registry will ever be
+def test_last_line_survives_tail_capture_with_every_number():
+    payload = _fake_payload(250)  # worse than the real registry today
     lines = bench.emit_lines(payload)
     stdout = "\n".join(lines) + "\n"
     tail = stdout[-TAIL_CHARS:]
@@ -36,18 +38,28 @@ def test_last_line_survives_tail_capture():
     parsed = json.loads(last)  # must be a COMPLETE line inside the tail
     assert parsed["value"] == payload["value"]
     assert parsed["unit"] == "sec"
-    # priority order preserved and the cut is explicit, never silent
-    kept = list(parsed["queries"])
-    assert kept == list(payload["queries"])[: len(kept)]
-    assert parsed["dropped"] == len(payload["queries"]) - len(kept)
+    # EVERY per-query minimum present, positionally aligned with the
+    # registry (= payload["queries"]) order
+    assert parsed["n_queries"] == 250
+    assert parsed["t"] == [12.35] * 250
     assert parsed["full"] == "BENCH_FULL.json"
+    # the worst offenders are still named inline
+    assert all(v == 12.35 for v in parsed["slowest"].values())
+    assert len(parsed["slowest"]) >= 1
 
 
-def test_small_registry_fits_whole():
+def test_huge_registry_degrades_to_one_decimal_not_truncation():
+    payload = _fake_payload(340)
+    lines = bench.emit_lines(payload)
+    last = lines[-1]
+    assert len(last) <= 2000 - 10
+    parsed = json.loads(last)
+    assert parsed["t"] == [12.3] * 340  # 1-decimal fallback, still complete
+
+
+def test_full_line_printed_first():
     payload = _fake_payload(10)
-    parsed = json.loads(bench.emit_lines(payload)[-1])
-    assert parsed["dropped"] == 0
-    assert len(parsed["queries"]) == 10
-    # first line is the full verbose payload
     full = json.loads(bench.emit_lines(payload)[0])
     assert full["runs"] == payload["runs"]
+    compact = json.loads(bench.emit_lines(payload)[-1])
+    assert compact["t"] == [round(v, 2) for v in payload["queries"].values()]

@@ -444,3 +444,21 @@ def test_data_contract_single_plan_runs_all_checks(spark):
     plan = plan_of(spark, "v_data_contract")
     assert plan.count("Union") >= 1
     assert "LeftAnti" in plan  # the relationship check compiled in
+
+
+def test_wedge_queries_carry_the_hub_cap_anti_join(spark):
+    # g2/g5/g6 enumerate wedges (Sdeg^2 candidates); the enforced
+    # cap_hub_degree guard must appear as LeftAnti joins on the hub set
+    # BEFORE the wedge equi-join, and the node-sized degree lookup in g6
+    # must NOT be a driver-killing forced broadcast at 100x (AQE may
+    # still pick broadcast at fixture size; the contract is that no
+    # plan-time hint forces it -- asserted in source, not the plan).
+    for name in ("g2_triangle_count", "g5_link_prediction", "g6_node_jaccard"):
+        plan = plan_of(spark, name)
+        assert "LeftAnti" in plan, name
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    src = inspect.getsource(q.g6_node_jaccard)
+    assert "F.broadcast(dx)" not in src and "F.broadcast(dy)" not in src

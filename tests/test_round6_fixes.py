@@ -197,3 +197,55 @@ def test_rollup_recovers_dangling_swap(spark, tmp_path):
     assert got == {"a": 5, "b": 17}  # history preserved + delta merged
     assert not os.path.isdir(rollup + ".__rollup_old")
     assert not os.path.isdir(rollup + ".__rollup_tmp")
+
+
+# ------------------------------------------------------- wedge hub cap
+def test_cap_hub_degree_planted_hub(spark):
+    """A planted celebrity node (degree d) owns d(d-1)/2 wedges — one
+    hub makes the wedge stage quadratic. The enforced cap must exclude
+    it BEFORE enumeration, report it, and leave the rest untouched."""
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        cap_hub_degree,
+        triangle_count,
+    )
+
+    # K4 on {1..4} (4 triangles) + hub 100 wired to 60 leaf nodes AND
+    # into the clique (so exclusion visibly removes hub triangles)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(100, 200 + i) for i in range(60)]
+    edges += [(1, 100), (2, 100)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    capped, hubs = cap_hub_degree(df, max_degree=10, src="src", dst="dst")
+    hub_rows = hubs.collect()
+    assert [(r.node, r.degree) for r in hub_rows] == [(100, 62)]
+    # every edge touching the hub is gone; everything else survives
+    kept = {(r.src, r.dst) for r in capped.collect()}
+    assert kept == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+
+    # wedge candidate count is bounded: uncapped the hub alone owns
+    # 62*61/2 = 1891 wedges; capped the whole graph has 4C2*... = K4's
+    # 12 wedges. Count them the way the operator enumerates.
+    def wedge_count(e):
+        nb = e.selectExpr("src as z", "dst as x").unionAll(
+            e.selectExpr("dst as z", "src as x")
+        )
+        return (
+            nb.alias("n1")
+            .join(nb.alias("n2"), "z")
+            .filter(F.col("n1.x") < F.col("n2.x"))
+            .count()
+        )
+
+    assert wedge_count(capped) <= 12
+    assert wedge_count(df) > 1891
+
+    # triangle_count(max_degree=...) == triangle_count(graph minus hub)
+    got = {
+        r.node: r.triangles
+        for r in triangle_count(df, max_degree=10).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # and without the cap the hub triangles (1,2,100) exist
+    unc = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert unc[100] == 1 and unc[1] == 4 and unc[2] == 4
