@@ -65,6 +65,17 @@ def emit_lines(payload: dict) -> list[str]:
     if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
         # registry grew past what 2-decimal fits: 1 decimal still ranks
         compact["t"] = [round(sec, 1) for _, sec in items]
+    if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
+        # still over (350+ queries / multi-digit seconds): 0 decimals
+        compact["t"] = [round(sec) for _, sec in items]
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET
+        and compact["t"]
+    ):
+        # last resort: drop trailing entries with an explicit marker so
+        # the line ALWAYS fits and parses — never a truncated-JSON tail
+        compact["t"] = compact["t"][: max(0, len(compact["t"]) - 25)]
+        compact["t_dropped"] = len(items) - len(compact["t"])
     for name, sec in sorted(items, key=lambda kv: -kv[1]):
         compact["slowest"][name] = round(sec, 2)
         if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:

@@ -422,10 +422,14 @@ def triangle_count(
     Reducer"). Their high-degree mitigation (degree-ordered orientation)
     tames the constant but not a true celebrity node; the enforced guard
     is ``max_degree`` — when set, nodes whose degree exceeds it are
-    excluded from the graph BEFORE wedge enumeration (cap_hub_degree's
-    exclude-and-report contract), so a single planted hub can never turn
-    this stage quadratic. At 100 TB always set it (the Σdeg² wedge count
-    is then bounded by |E|·max_degree).
+    excluded from the graph BEFORE wedge enumeration via cap_hub_degree,
+    so a single planted hub can never turn this stage quadratic. At
+    100 TB always set it (the Σdeg² wedge count is then bounded by
+    |E|·max_degree). Exclusion here is silent by contract — this
+    function's fixed (node, triangles) schema has no place for the hub
+    report, so it discards cap_hub_degree's second return value; call
+    cap_hub_degree yourself first if the excluded (node, degree) rows
+    must be surfaced.
 
     Output: (node, triangles) for every vertex in >=1 triangle.
     """

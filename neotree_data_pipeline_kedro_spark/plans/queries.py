@@ -6357,9 +6357,12 @@ def a21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation == floor), never a float, so the oracle matches
     bit-for-bit. Plan: one distinct, one pair-expansion equi-join (a<b
     rides the orderkey join — no cartesian), then the pair counts join
-    two BROADCAST copies of the per-part support table and a 1-row
-    broadcast total. Lift numerator 1e6·n_ab·N stays far inside bigint
-    at any TPC-H scale."""
+    two copies of the per-part support table and a 1-row broadcast
+    total. The per-part tables are NOT broadcast-hinted: |pc| grows
+    linearly with |part| (billions of rows at a true 100 TB sf), so a
+    forced hint is a driver OOM exactly where AQE would have degraded
+    to a shuffle join gracefully — same standard as g6's degree table.
+    The 1-row ``tot`` broadcast is sf-invariant and stays hinted."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     tot = items.agg(
@@ -6388,8 +6391,8 @@ def a21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
     out = (
-        pairs.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
         .crossJoin(F.broadcast(tot))
     )
     return out.select(
@@ -7061,7 +7064,13 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (components.cap_hub_degree, max_degree=1000) is ENFORCED before
     enumeration: fixture degrees top out ~76 so the fixture answer is
     unchanged, but a planted celebrity node can never make the wedge
-    stage quadratic — excluded hubs are reported, not silently scored."""
+    stage quadratic. The cap is a DOCUMENTED part of this query's
+    contract: nodes above it (and their edges) are dropped here without
+    a separate report — the fixed-schema similarity output has no place
+    for hub rows, and degrees of excluded hubs' neighbors are
+    capped-graph degrees by definition. A caller who needs the excluded
+    (node, degree) set calls cap_hub_degree directly and keeps the
+    second return value."""
     from ..operators.components import cap_hub_degree
 
     li = (
@@ -7849,10 +7858,13 @@ def g7_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages (g2/g5/g6) face quadratic hot spots. No hub cap here: this
     query is LINEAR in |E| (per-edge degree lookup, no wedge join), and
     it is precisely the diagnostic that tells an operator what
-    max_degree the capped wedge queries should run with. Degrees join
-    the edge list broadcast (part-key-bounded node set, dimension-sized
-    at any sf); all five moments are exact bigint sums, and the single
-    final expression is the same IEEE double in both engines."""
+    max_degree the capped wedge queries should run with. The degree
+    table is node-count-sized (grows with |part|, i.e. with sf), so it
+    joins the edge list UNHINTED — AQE broadcasts while it fits and
+    falls back to a shuffle join at a scale where a forced hint would
+    OOM the driver (the g6 standard); all five moments are exact
+    bigint sums, and the single final expression is the same IEEE
+    double in both engines."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 < 3)
@@ -7872,7 +7884,7 @@ def g7_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = nb.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     da = deg.select(F.col("z"), F.col("deg").alias("dx"))
     db = deg.select(F.col("z").alias("x"), F.col("deg").alias("dy"))
-    de = nb.join(F.broadcast(da), "z").join(F.broadcast(db), "x")
+    de = nb.join(da, "z").join(db, "x")
     s = de.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dx").cast("bigint").alias("sx"),
@@ -10223,9 +10235,11 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.p") < F.col("b.p"))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     )
-    # max_degree=1000: enforced wedge hub cap (exclude-and-report) —
-    # fixture degrees top out ~76 so the answer is unchanged, but a
-    # planted celebrity part can never turn the wedge stage quadratic
+    # max_degree=1000: enforced wedge hub cap — fixture degrees top out
+    # ~76 so the answer is unchanged, but a planted celebrity part can
+    # never turn the wedge stage quadratic. Hubs above the cap are
+    # dropped per the documented contract (triangle_count discards the
+    # report; cap_hub_degree returns it to callers who need it).
     return triangle_count(edges, "src", "dst", max_degree=1000)
 
 
@@ -10924,16 +10938,21 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-neighbor weight 1000000 div deg and its sum are exact bigints
     both engines agree on, where 1/ln(deg) would hinge on libm ulp
     differences under the micro-floor. Plan: wedge enumeration is an
-    equi-join on the center node (never a cartesian), degrees join
-    BROADCAST — safe ONLY because this deg table is bounded by the
-    part-key projection (l_partkey%10<3 caps distinct nodes at ~3/10 of
-    |part|, a dimension-sized table at any sf; an unbounded node set
-    must NOT be broadcast — see g6_node_jaccard). Existing edges drop
+    equi-join on the center node (never a cartesian); the degree table
+    is NODE-COUNT-sized (|part| grows linearly with sf — billions of
+    rows at a true 100 TB scale), so it carries NO broadcast hint: AQE
+    picks broadcast while it fits and degrades to a shuffle join where
+    a forced hint would OOM the driver (the g6 standard). The join key
+    is the same z the wedge join shuffles on, so the exchange is
+    reused either way. Existing edges drop
     via LEFT ANTI. The hub-degree guard (Σdeg² wedges) is ENFORCED:
-    components.cap_hub_degree(max_degree=1000) excludes-and-reports
-    celebrity nodes before wedge enumeration — fixture degrees top out
-    ~76, so the fixture answer is unchanged while the quadratic path is
-    structurally closed."""
+    components.cap_hub_degree(max_degree=1000) excludes celebrity nodes
+    before wedge enumeration — fixture degrees top out ~76, so the
+    fixture answer is unchanged while the quadratic path is
+    structurally closed. As in g6, the cap is part of this query's
+    documented contract and the hub report is dropped at this call
+    site (fixed output schema); use cap_hub_degree directly for the
+    excluded (node, degree) rows."""
     from ..operators.components import cap_hub_degree
 
     li = (
@@ -10965,7 +10984,7 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        wedge.join(F.broadcast(deg), "z")
+        wedge.join(deg, "z")
         .groupBy("x", "y")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_cnt"),

@@ -132,12 +132,25 @@ def run_foreach_batch_rollup(
 
     Crash safety: foreachBatch delivery is AT-LEAST-once (a batch that
     committed its merge but crashed before the checkpoint advanced is
-    replayed on restart), so the merge itself is made idempotent: the
-    last-applied epoch id is persisted INSIDE the rollup directory as a
-    ``_epoch`` sidecar (Spark's parquet reader ignores ``_``-prefixed
-    files) and travels through the same rename swap as the data, and a
-    replayed batch whose epoch <= the stored epoch is skipped — merge
-    effects are exactly-once even though delivery is not. The swap
+    replayed on restart), so the merge itself is made idempotent — and
+    the idempotency token is the batch's SOURCE FILE set, not the epoch
+    id. Epoch ids are only unique within one checkpoint lineage: a
+    stream restarted with a fresh or relocated checkpoint renumbers
+    from 0, and which files land in epoch k depends on listing order
+    and maxFilesPerTrigger — an ``epoch <= stored`` skip there silently
+    drops never-merged data. Instead the manifest of already-merged
+    source files is persisted INSIDE the rollup directory as a
+    ``_merged_files`` sidecar (Spark's parquet reader ignores
+    ``_``-prefixed files) and travels through the same rename swap as
+    the data; each batch merges only its not-yet-merged files
+    (``input_file_name()`` over the batch), so merge effects are
+    exactly-once PER
+    SOURCE FILE even though delivery is not, across checkpoint
+    lineages, re-groupings, and replays. A batch that mixes merged and
+    unmerged files (fresh checkpoint with a wider trigger) re-reads
+    just the unmerged files. The manifest grows one line per source
+    file — the same order of metadata a transaction log keeps; compact
+    the source to compact it. The swap
     itself rewrites to a temp sibling then renames (the compact_parquet
     pattern); a crash mid-swap is recovered on the next batch before
     anything is read: a dangling ``.__rollup_old`` with no live rollup
@@ -170,26 +183,57 @@ def run_foreach_batch_rollup(
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
 
-    def last_epoch() -> int:
-        meta = os.path.join(rollup_path, "_epoch")
+    def _norm(uri: str) -> str:
+        # file:///x, file:/x and /x all name the same local file
+        if "://" in uri:
+            uri = uri.split("://", 1)[1]
+        elif ":" in uri.split("/", 1)[0]:
+            uri = uri.split(":", 1)[1]
+        return "/" + uri.lstrip("/")
+
+    def merged_files() -> set[str]:
+        meta = os.path.join(rollup_path, "_merged_files")
         if os.path.isfile(meta):
             with open(meta) as fh:
-                return int(fh.read().strip() or -1)
-        return -1
+                return {ln.strip() for ln in fh if ln.strip()}
+        return set()
 
-    def merge(batch: DataFrame, epoch: int) -> None:
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        from pyspark.sql import functions as F
+
         recover()
-        if os.path.isdir(rollup_path) and epoch <= last_epoch():
-            return  # at-least-once replay of an already-merged batch
+        # micro-batch DataFrames report no inputFiles(); input_file_name()
+        # still resolves for the file source — a metadata-sized collect
+        # bounded by files-per-batch, the same scale as a txn-log entry
+        files = sorted(
+            {
+                _norm(r.f)
+                for r in batch.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+                if r.f
+            }
+        )
+        if not files:
+            return  # empty micro-batch: nothing to merge, keep the swap out
+        done = merged_files() if os.path.isdir(rollup_path) else set()
+        new = [f for f in files if f not in done]
+        if not new:
+            return  # at-least-once replay: every source file already merged
         s = batch.sparkSession
-        delta = partial_rollup(batch, keys, measures)
+        # a mixed batch (fresh checkpoint, wider trigger) re-reads just the
+        # unmerged files so already-merged content never double-counts
+        src_df = batch if len(new) == len(files) else s.read.schema(
+            schema
+        ).parquet(*new)
+        delta = partial_rollup(src_df, keys, measures)
         stored = (
             s.read.parquet(rollup_path) if os.path.isdir(rollup_path) else None
         )
         merged = merge_rollup(stored, delta, keys, measures)
         merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_epoch"), "w") as fh:
-            fh.write(str(epoch))
+        with open(os.path.join(tmp, "_merged_files"), "w") as fh:
+            fh.write("\n".join(sorted(done.union(new))) + "\n")
         if os.path.isdir(rollup_path):
             os.rename(rollup_path, old)
             os.rename(tmp, rollup_path)

@@ -347,12 +347,19 @@ def test_cdc_apply_single_window_shuffle(spark):
     assert exchanges(plan) <= 1  # one key shuffle, nothing else
 
 
-def test_association_rules_broadcast_supports(spark):
-    # pair counts join per-part supports + the 1-row total broadcast;
-    # the only real shuffles are the distinct and the pair agg
+def test_association_rules_unhinted_supports(spark):
+    # the 1-row total stays a broadcast; the per-part support tables are
+    # |part|-sized (grow with sf) so they must NOT be force-broadcast —
+    # no hint in source, AQE decides at runtime (the g6 standard)
     plan = plan_of(spark, "a21_association_rules")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the 1-row tot cross join
+    assert "CartesianProduct" not in plan
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    src = inspect.getsource(q.a21_association_rules)
+    assert "F.broadcast(ca)" not in src and "F.broadcast(cb)" not in src
 
 
 def test_rfm_exact_ntile_without_window(spark):
@@ -373,11 +380,21 @@ def test_gini_reuses_window_partitioning_for_rollup(spark):
     assert exchanges(plan) <= 2
 
 
-def test_link_prediction_broadcast_degrees_anti_edges(spark):
+def test_link_prediction_unhinted_degrees_anti_edges(spark):
+    # the node-sized degree table must carry NO broadcast hint (it grows
+    # with sf; AQE decides — g6 standard), and existing edges drop via
+    # LEFT ANTI with no cartesian anywhere
     plan = plan_of(spark, "g5_link_prediction")
-    assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    for fn in (q.g5_link_prediction, q.g7_assortativity):
+        src = inspect.getsource(fn)
+        assert "F.broadcast(deg)" not in src, fn.__name__
+        assert "F.broadcast(da)" not in src and "F.broadcast(db)" not in src
 
 
 def test_feature_hashing_is_shuffle_free(spark):
@@ -453,12 +470,25 @@ def test_wedge_queries_carry_the_hub_cap_anti_join(spark):
     # must NOT be a driver-killing forced broadcast at 100x (AQE may
     # still pick broadcast at fixture size; the contract is that no
     # plan-time hint forces it -- asserted in source, not the plan).
-    for name in ("g2_triangle_count", "g5_link_prediction", "g6_node_jaccard"):
+    # cap_hub_degree compiles to TWO LeftAnti joins (one per edge
+    # endpoint vs the hub set); g5 additionally anti-joins existing
+    # edges, so a bare "LeftAnti in plan" would pass there even with
+    # the cap removed — assert the cap-specific count instead.
+    min_anti = {
+        "g2_triangle_count": 2,
+        "g5_link_prediction": 3,  # 2 cap antis + the existing-edge anti
+        "g6_node_jaccard": 2,
+    }
+    for name, n in min_anti.items():
         plan = plan_of(spark, name)
-        assert "LeftAnti" in plan, name
+        assert plan.count("LeftAnti") >= n, (name, plan.count("LeftAnti"))
     import inspect
 
     from neotree_data_pipeline_kedro_spark.plans import queries as q
 
     src = inspect.getsource(q.g6_node_jaccard)
     assert "F.broadcast(dx)" not in src and "F.broadcast(dy)" not in src
+    # …and the cap must actually be invoked at every wedge call site
+    for fn in (q.g2_triangle_count, q.g5_link_prediction, q.g6_node_jaccard):
+        s = inspect.getsource(fn)
+        assert "cap_hub_degree" in s or "max_degree=1000" in s, fn.__name__
