@@ -12399,6 +12399,66 @@ def j23_interval_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SM-full: whole-table summary twins (plans/summary_tables.py)
+# ---------------------------------------------------------------------------
+
+from .summary_tables import (  # noqa: E402
+    ADMISSIONS_COLUMNS,
+    ADMISSIONS_MISSING,
+    DISCHARGES_COLUMNS,
+    DISCHARGES_MISSING,
+    build_summary,
+    build_summary_oracle,
+)
+
+
+@_register(
+    "sm_admissions_full",
+    build_summary_oracle(ADMISSIONS_COLUMNS, ADMISSIONS_MISSING, "ADM"),
+)
+def sm_admissions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE summary_admissions projection — every column of
+    create_summary_admissions_sql.py:93-279 (154 outputs): the wide
+    rename battery, three multi-format date CASEs (ELSE NULL — an
+    unrecognized admissions date is dropped, :95-102), the BirthWeight
+    null-passthrough CASE (:120), the SuckTh/FontTh/ToneTh exam
+    fallbacks (:234-241), the AgeCat->AgeCategory fallback with the
+    schema-evolution NULL injection (:276-278), and the numeric-regex
+    guarded MotherSatsO2 DOUBLE cast (:263-267). Source table
+    synthesized deterministically from orders (integer arithmetic only);
+    manifest + builders in plans/summary_tables.py — the Spark
+    projection and the DuckDB oracle are generated from the SAME column
+    list, the reference's own builder architecture. Plan: two stateless
+    scan-stage projections, no shuffle, no UDF."""
+    return build_summary(
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
+        ADMISSIONS_COLUMNS,
+        ADMISSIONS_MISSING,
+        "ADM",
+    )
+
+
+@_register(
+    "sm_discharges_full",
+    build_summary_oracle(DISCHARGES_COLUMNS, DISCHARGES_MISSING, "DIS"),
+)
+def sm_discharges_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE summary_discharges projection — every column of
+    create_summary_discharges_sql.py:51-168 (52 outputs): eight
+    multi-format date CASEs whose ELSE branch CASTS instead of dropping
+    (:55-62 — modeled as try_cast, see summary_tables module docstring),
+    and the get_column_or_null schema-evolution path exercised by the
+    two Covid columns a pre-Covid deployment lacks (NULL-injected).
+    Same manifest-driven twin generation as sm_admissions_full."""
+    return build_summary(
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
+        DISCHARGES_COLUMNS,
+        DISCHARGES_MISSING,
+        "DIS",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
