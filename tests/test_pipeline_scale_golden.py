@@ -1,0 +1,235 @@
+"""End-to-end pipeline golden at multi-partition scale (VERDICT r6 #2).
+
+123,000 Neotree-shaped session envelopes (60k admissions + 8k duplicate
+re-uploads + 45k matching discharges + 10k orphan discharges) flow through
+the full Engine.run DAG on 64 partitions, and the final ``merged_all``
+lifecycle table is pinned against an INDEPENDENT twin: every expected
+count and column sum below is computed with plain Python arithmetic from
+the generation rules, never from the engine's own operators.
+
+What this covers that no registry query can: stage INTERACTIONS —
+envelope-uid repair feeding dedup keys, stage-2 last-upload-wins feeding
+the tidy pivot, KEY_RENAMES (BW->BirthWeight) feeding merge_all's column
+lookups, the tiered greedy assignment tiers (unique-OFC / unique-BW /
+datetime-fallback-ambiguous) and the discharge-overwrites-admission merge
+rule (merge_all.py:452 {**adm, **dis}) — all at a scale where every stage
+shuffles across real partitions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neotree_data_pipeline_kedro_spark.plans.pipeline import Engine, EngineConfig
+
+ADM_SCRIPT = "-SCALEADM0000000000"
+DIS_SCRIPT = "-SCALEDIS0000000000"
+
+NA = 60_000          # unique admission patients U000000..U059999
+ND_MATCH = 45_000    # discharges for U000000..U044999
+ND_ORPHAN = 10_000   # discharges X000000..X009999 with no admission
+REUP_EVERY = 15      # every 15th admission also arrives as a re-upload
+
+
+# ----------------------------------------------------- generation rules
+def _adm_vals(i: int) -> dict:
+    return {
+        "gest": 28 + i % 12,
+        "bw": 900 + (i % 40) * 50,
+        "temp": 350 + i % 30,
+        "ofc": 30 + i % 8,
+        "dt": f"2024-{1 + i % 12:02d}-{1 + i % 27:02d}"
+        f"T{i % 24:02d}:{i % 60:02d}:00",
+    }
+
+
+def _dis_vals(i: int) -> dict:
+    """Class by i%10: 0-6 unique-OFC tier, 7-8 unique-BW tier (OFC off),
+    9 datetime fallback (both off) -> ambiguous."""
+    a, cls = _adm_vals(i), i % 10
+    ofc = a["ofc"] if cls <= 6 else a["ofc"] + 5
+    bw = a["bw"] if cls in (7, 8) else a["bw"] + (1 if cls <= 6 else 2)
+    m, d = 1 + i % 12, 1 + i % 27
+    return {
+        "ofc": ofc,
+        "bw": bw,
+        "temp": 360 + i % 20,
+        # +3 days, capped inside the month so the string stays valid and
+        # the delta stays strictly positive for the as-of fallback
+        "dt": f"2024-{m:02d}-{min(d + 3, 28):02d}T{i % 24:02d}:{i % 60:02d}:00",
+    }
+
+
+def _adm_json(i: int, uid: str) -> str:
+    v = _adm_vals(i)
+    e = {
+        "NeoTreeID": {"values": {"label": ["id"], "value": [uid]}},
+        "Gestation": {"values": {"label": ["Gestation"], "value": [str(v["gest"])]}},
+        "BW": {"values": {"label": ["Birth weight"], "value": [str(v["bw"])]}},
+        "Temperature": {"values": {"label": ["Temp"], "value": [str(v["temp"])]}},
+        "OFC": {"values": {"label": ["OFC"], "value": [str(v["ofc"])]}},
+        "DateTimeAdmission": {"values": {"label": ["Admitted"], "value": [v["dt"]]}},
+    }
+    return json.dumps({"entries": e}, separators=(",", ":"))
+
+
+def _dis_json(i: int, orphan: bool = False) -> str:
+    v = _dis_vals(i)
+    e = {
+        "BW": {"values": {"label": ["Birth weight"], "value": [str(v["bw"])]}},
+        "Temperature": {"values": {"label": ["Temp"], "value": [str(v["temp"])]}},
+        "OFCDis": {"values": {"label": ["OFC"], "value": [str(v["ofc"])]}},
+        "DateTimeDischarge": {"values": {"label": ["Discharged"], "value": [v["dt"]]}},
+        "NeoTreeOutcome": {"values": {"label": ["Discharged"], "value": ["DC"]}},
+    }
+    return json.dumps({"entries": e}, separators=(",", ":"))
+
+
+FIELD_INFO = {
+    "admissions": {
+        "Gestation": {"label": "Gestation", "type": "number", "options": []},
+        "BirthWeight": {"label": "Birth weight", "type": "number", "options": []},
+        "Temperature": {"label": "Temp", "type": "number", "options": []},
+        "OFC": {"label": "OFC", "type": "number", "options": []},
+        "DateTimeAdmission": {"label": "Admitted", "type": "datetime", "options": []},
+    },
+    "discharges": {
+        "BirthWeight": {"label": "Birth weight", "type": "number", "options": []},
+        "Temperature": {"label": "Temp", "type": "number", "options": []},
+        "OFCDis": {"label": "OFC", "type": "number", "options": []},
+        "DateTimeDischarge": {"label": "Discharged", "type": "datetime",
+                              "options": []},
+        "NeoTreeOutcome": {
+            "label": "Outcome",
+            "type": "dropdown",
+            "options": [{"value": "DC", "valueLabel": "Discharged"}],
+        },
+    },
+}
+
+
+def _sessions(spark):
+    ids, uids, scripts, datas = [], [], [], []
+    for i in range(NA):
+        uid = f"U{i:06d}"
+        ids.append(1 + i)
+        # every 20th envelope arrives uid-less: S1 repairs it from entries
+        uids.append(None if i % 20 == 13 else uid)
+        scripts.append(ADM_SCRIPT)
+        datas.append(_adm_json(i, uid))
+        if i % REUP_EVERY == 0:  # duplicate upload, higher id, same content
+            ids.append(300_001 + i)
+            uids.append(uid)
+            scripts.append(ADM_SCRIPT)
+            datas.append(_adm_json(i, uid))
+    for i in range(ND_MATCH):
+        ids.append(100_001 + i)
+        uids.append(f"U{i:06d}")
+        scripts.append(DIS_SCRIPT)
+        datas.append(_dis_json(i))
+    for i in range(ND_ORPHAN):
+        ids.append(150_001 + i)
+        uids.append(f"X{i:06d}")
+        scripts.append(DIS_SCRIPT)
+        datas.append(_dis_json(i, orphan=True))
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array(ids, dtype="int64"),
+            "uid": uids,
+            "scriptid": scripts,
+            "ingested_at": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(pd.array(ids, dtype="int64"), unit="s"),
+            "data": datas,
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(64, "id")
+
+
+@pytest.fixture(scope="module")
+def merged_all(spark):
+    eng = Engine(
+        EngineConfig(
+            scripts={ADM_SCRIPT: "admissions", DIS_SCRIPT: "discharges"},
+            facility_map={ADM_SCRIPT: "Harare NNU", DIS_SCRIPT: "Harare NNU"},
+            field_info=FIELD_INFO,
+        )
+    )
+    out = eng.run(_sessions(spark))
+    # two materialized stages only; everything else stays lazy
+    dedup_n = out["deduplicated"].count()
+    merged = out["merged_all"].localCheckpoint()
+    return dedup_n, merged
+
+
+def test_stage2_dedup_and_uid_repair(merged_all, spark):
+    dedup_n, _ = merged_all
+    # 8,000 re-uploads collapse (60k/15 = 4,000 dup pairs... each pair is
+    # one extra row): 60,000 + 55,000 survive
+    assert dedup_n == NA + ND_MATCH + ND_ORPHAN
+
+
+def test_lifecycle_counts_match_python_twin(merged_all):
+    _, merged = merged_all
+    got = {
+        r["match_status"]: r["n"]
+        for r in merged.groupBy("match_status").agg(F.count("*").alias("n")).collect()
+    }
+    # independent twin: classes 0-8 match (unique OFC or unique BW),
+    # class 9 falls back on the datetime tier -> ambiguous
+    exp_matched = sum(1 for i in range(ND_MATCH) if i % 10 <= 8)
+    exp_ambig = sum(1 for i in range(ND_MATCH) if i % 10 == 9)
+    assert got == {
+        "matched": exp_matched,
+        "ambiguous": exp_ambig,
+        "unmatched_admission": NA - ND_MATCH,
+        "unmatched_discharge": ND_ORPHAN,
+    }
+    flags = {
+        (r["has_admission"], r["has_discharge"], r["is_closed"]): r["n"]
+        for r in merged.groupBy("has_admission", "has_discharge", "is_closed")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert flags == {
+        (True, True, True): exp_matched + exp_ambig,
+        (True, False, False): NA - ND_MATCH,
+        (False, True, False): ND_ORPHAN,
+    }
+
+
+def test_merged_content_discharge_overwrites_admission(merged_all):
+    _, merged = merged_all
+    closed = merged.filter(F.col("is_closed"))
+    agg = closed.agg(
+        F.sum(F.col("`Temperature.value`").cast("long")).alias("t"),
+        F.sum(F.col("`BirthWeight.value`").cast("long")).alias("b"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    # twin sums from the generation rules: merged rows must carry the
+    # DISCHARGE temperature/birth-weight ({**adm, **dis} overwrite), and
+    # the surviving id is the discharge session id
+    assert agg.t == sum(_dis_vals(i)["temp"] for i in range(ND_MATCH))
+    assert agg.b == sum(_dis_vals(i)["bw"] for i in range(ND_MATCH))
+    assert (agg.lo, agg.hi) == (100_001, 100_000 + ND_MATCH)
+
+
+def test_one_sided_rows_keep_their_side(merged_all):
+    _, merged = merged_all
+    adm_only = merged.filter(F.col("match_status") == "unmatched_admission")
+    t = adm_only.agg(
+        F.sum(F.col("`Temperature.value`").cast("long")).alias("t")
+    ).collect()[0].t
+    assert t == sum(_adm_vals(i)["temp"] for i in range(ND_MATCH, NA))
+    dis_only = merged.filter(F.col("match_status") == "unmatched_discharge")
+    t2 = dis_only.agg(
+        F.sum(F.col("`Temperature.value`").cast("long")).alias("t")
+    ).collect()[0].t
+    assert t2 == sum(_dis_vals(i)["temp"] for i in range(ND_ORPHAN))
+    # the uid-less envelope cohort was repaired, matched, and closed:
+    # no NULL uid anywhere in the final table
+    assert merged.filter(F.col("uid").isNull()).count() == 0
