@@ -860,6 +860,69 @@ def duplicate_ngram_runs(
     )
 
 
+def _ppjoin_candidates(
+    ordered: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Candidate pairs for set_similarity_join from a frequency-ordered
+    corpus ``(__id, __s sorted-rare-first, __n)``: prefix-token equi-join
+    + length filter + PPJoin positional filter. Returns (__ida, __idb),
+    a provable SUPERSET of all pairs with Jaccard >= tau_num/tau_den
+    (every filter is an upper-bound argument; see set_similarity_join).
+    Split out so the candidate-pruning contract is testable on its own.
+    """
+    # prefix length p = n - ceil(tau*n) + 1, in exact integers
+    p = F.col("__n") - F.floor(
+        (F.lit(tau_num) * F.col("__n") + tau_den - 1) / tau_den
+    ).cast("int") + 1
+    prefixes = ordered.select(
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__s", 1, p)).alias("__pp", "__pt"),
+    ).select("__id", "__n", (F.col("__pp") + 1).alias("__pp"), "__pt")
+    # length filter (part of PPJoin's candidate pruning): Jaccard >= tau
+    # forces tau*|a| <= |b| <= |a|/tau, so size-incompatible pairs never
+    # reach the verify join — on corpora with hot tokens this is the
+    # difference between candidates ~ matches and candidates ~ token^2
+    return (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb"), F.col("pa.__pt") == F.col("pb.__pt"))
+        .filter(
+            (F.col("pa.__id") < F.col("pb.__id"))
+            & (F.col("pb.__n") * tau_den >= F.col("pa.__n") * tau_num)
+            & (F.col("pa.__n") * tau_den >= F.col("pb.__n") * tau_num)
+        )
+        .groupBy(
+            F.col("pa.__id").alias("__ida"),
+            F.col("pb.__id").alias("__idb"),
+            F.col("pa.__n").alias("__pna"),
+            F.col("pb.__n").alias("__pnb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max("pa.__pp").alias("__pamax"),
+            F.max("pb.__pp").alias("__pbmax"),
+        )
+        # positional filter: achievable overlap vs required minimum alpha
+        .filter(
+            F.col("__cnt")
+            + F.least(
+                F.col("__pna") - F.col("__pamax"),
+                F.col("__pnb") - F.col("__pbmax"),
+            )
+            >= F.floor(
+                (
+                    F.lit(tau_num) * (F.col("__pna") + F.col("__pnb"))
+                    + tau_num
+                    + tau_den
+                    - 1
+                )
+                / F.lit(tau_num + tau_den)
+            )
+        )
+        .select("__ida", "__idb")
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -884,6 +947,21 @@ def set_similarity_join(
     token-frequency aggregate, per-set regroup, prefix-token join —
     all equi-keyed; the rare-first order keeps the hottest join key as
     cold as possible (frequency ties broken by token for determinism).
+
+    PPJoin positional filter (Xiao et al. §3.2): candidates carry the
+    POSITION of each shared prefix token, and the pair-dedup groupBy
+    (which a plain ``distinct`` would pay for anyway) additionally
+    aggregates (shared-prefix count, max positions). Because both sets
+    are sorted by the same total order, the max-order shared prefix
+    token attains both position maxima at once, every shared token
+    before it is itself a shared-in-both-prefixes token (counted), and
+    every shared token after it lies beyond position pa in a AND pb in
+    b — so total overlap <= cnt + min(na - pa, nb - pb). Pairs whose
+    bound misses the minimum overlap alpha = ceil(num*(na+nb)/(num+den))
+    never reach the verify join, which is where the array fetch +
+    array_intersect cost lives. The filter is an upper bound, so the
+    surviving set is a superset of true matches — the exact verify is
+    unchanged and so is the output.
 
     Output: (id_a, id_b, inter, union_n, jaccard) with id_a < id_b.
     """
@@ -911,30 +989,7 @@ def set_similarity_join(
         )
         .localCheckpoint()
     )
-    # prefix length p = n - ceil(tau*n) + 1, in exact integers
-    p = F.col("__n") - F.floor(
-        (F.lit(tau_num) * F.col("__n") + tau_den - 1) / tau_den
-    ).cast("int") + 1
-    prefixes = ordered.select(
-        "__id", "__n", F.explode(F.slice("__s", 1, p)).alias("__pt")
-    )
-    # length filter (part of PPJoin's candidate pruning): Jaccard >= tau
-    # forces tau*|a| <= |b| <= |a|/tau, so size-incompatible pairs never
-    # reach the verify join — on corpora with hot tokens this is the
-    # difference between candidates ~ matches and candidates ~ token^2
-    cand = (
-        prefixes.alias("pa")
-        .join(prefixes.alias("pb"), F.col("pa.__pt") == F.col("pb.__pt"))
-        .filter(
-            (F.col("pa.__id") < F.col("pb.__id"))
-            & (F.col("pb.__n") * tau_den >= F.col("pa.__n") * tau_num)
-            & (F.col("pa.__n") * tau_den >= F.col("pb.__n") * tau_num)
-        )
-        .select(
-            F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb")
-        )
-        .distinct()
-    )
+    cand = _ppjoin_candidates(ordered, tau_num, tau_den)
     a = ordered.select(
         F.col("__id").alias("__ida"), F.col("__s").alias("__sa"), F.col("__n").alias("__na")
     )

@@ -800,6 +800,38 @@ def test_ppjoin_exact_jaccard_values(spark):
     assert r["jaccard"] == 0.6
 
 
+def test_ppjoin_positional_filter_prunes_late_prefix_hits(spark):
+    """PPJoin positional filter (round-7): a pair whose ONLY shared
+    prefix token sits at the END of both prefixes cannot reach the
+    overlap minimum (cnt + min suffix < alpha) and must be pruned from
+    the candidate set, while a genuinely similar pair survives. At
+    tau=8/10 with |a|=|b|=10: prefix p=3, alpha=ceil(8*20/18)=9; a
+    position-3-only hit bounds overlap at 1+min(7,7)=8 < 9 -> pruned
+    (the pre-round-7 distinct would have carried it to the verify
+    join); a position-1 hit bounds at 1+9=10 >= 9 -> kept."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        _ppjoin_candidates,
+    )
+
+    rows = [
+        # similar pair: 9 of 10 tokens shared, prefixes overlap early
+        (1, [f"t{i}" for i in range(10)], 10),
+        (2, [f"t{i}" for i in range(9)] + ["u1"], 10),
+        # prunable pair: only 'x' shared, at position 3 of both prefixes
+        (3, ["c1", "c2", "x"] + [f"c{i}" for i in range(4, 11)], 10),
+        (4, ["d1", "d2", "x"] + [f"d{i}" for i in range(4, 11)], 10),
+    ]
+    ordered = spark.createDataFrame(
+        rows, "__id bigint, __s array<string>, __n int"
+    )
+    cand = {
+        (r["__ida"], r["__idb"])
+        for r in _ppjoin_candidates(ordered, 8, 10).collect()
+    }
+    assert (1, 2) in cand
+    assert (3, 4) not in cand  # pruned BEFORE the verify join
+
+
 # ---------------------------------------------------------------- salted_agg
 def test_salted_agg_equals_plain_groupby(spark):
     from neotree_data_pipeline_kedro_spark.operators.joins import salted_agg
