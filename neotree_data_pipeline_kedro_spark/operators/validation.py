@@ -19,8 +19,10 @@ from ..functions.nulls import nullify
 def null_rates(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
     """Per-column null rate (validate.py:660-674), single pass."""
     cols = list(columns or df.columns)
+    # backticked resolution: Neotree wide tables carry dotted Key.value
+    # column names which a bare F.col would split on
     aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}")
+        F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"__null_{i}")
         for i, c in enumerate(cols)
     ]
     row = df.agg(*aggs)
