@@ -89,6 +89,90 @@ def quality_score_components(col: Column | str) -> dict[str, Column]:
     }
 
 
+def gopher_quality(col: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al., "Scaling Language
+    Models: ... Gopher" §A1.1 repetition-free subset): the structural
+    heuristics a pretraining pipeline gates documents on. Exact-integer
+    metrics (ppm ratios, x100 lengths) so the DuckDB twin agrees
+    bit-for-bit; every rule is a plain built-in-function expression —
+    stateless scan stage at 100 TB.
+
+    Metrics + flags returned (Gopher's published thresholds):
+    - ``n_words``; flag 50 <= n <= 100_000
+    - ``mean_word_len_x100`` = 100*sum(len(word)) div n; flag 300..1000
+      (3..10 chars)
+    - ``symbol_ratio_ppm``: '#' and '...' occurrences per word; flag
+      <= 100_000 (0.1)
+    - ``bullet_ppm`` / ``ellipsis_ppm``: fraction of lines starting with
+      a bullet / ending with '...'; flags <= 900_000 and <= 300_000
+    - ``stop_hits``: count of {the, of, and, to, in} present (distinct);
+      flag >= 2 (Gopher's "contains 2 of 8 stop words" rule on the tiny
+      deterministic set)
+    - ``keep``: AND of all flags.
+    """
+    t = F.coalesce(_col(col), F.lit(""))
+    toks = tokens(col)
+    n_words = F.size(toks).cast("bigint")
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    # all ratios are floor-divisions of non-negative exact integers:
+    # F.floor(a/b) here == DuckDB a // b (truncation == floor for >= 0)
+    mean_x100 = F.floor((F.lit(100) * sum_len) / nw1).cast("bigint")
+    n_hash = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ).cast("bigint")
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", "")))
+        / F.lit(3)
+    ).cast("bigint")
+    symbol_ppm = F.floor(
+        (F.lit(1_000_000) * (n_hash + n_ellipsis)) / nw1
+    ).cast("bigint")
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in ("the", "of", "and", "to", "in")]),
+            lambda s: F.array_contains(F.transform(toks, F.lower), s),
+        )
+    ).cast("bigint")
+    bullet_ppm = F.floor((F.lit(1_000_000) * n_bullet) / n_lines).cast(
+        "bigint"
+    )
+    ellipsis_ppm = F.floor((F.lit(1_000_000) * n_ell_end) / n_lines).cast(
+        "bigint"
+    )
+    flags = {
+        "flag_words": (n_words >= 50) & (n_words <= 100_000),
+        "flag_word_len": (mean_x100 >= 300) & (mean_x100 <= 1000),
+        "flag_symbols": symbol_ppm <= 100_000,
+        "flag_bullets": bullet_ppm <= 900_000,
+        "flag_ellipsis": ellipsis_ppm <= 300_000,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return {
+        "n_words": n_words,
+        "mean_word_len_x100": mean_x100,
+        "symbol_ratio_ppm": symbol_ppm,
+        "bullet_ppm": bullet_ppm,
+        "ellipsis_ppm": ellipsis_ppm,
+        "stop_hits": stop_hits,
+        **flags,
+        "keep": keep,
+    }
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprint/dedup: lowercase, strip punctuation,
     collapse whitespace."""

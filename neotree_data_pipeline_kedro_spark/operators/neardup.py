@@ -860,6 +860,69 @@ def duplicate_ngram_runs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-token gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's MINIMUM hash; the
+    distinct kept hashes are the document's fingerprint set. Guarantees:
+    any shared run of >= w + k - 1 tokens between two documents yields
+    at least one shared fingerprint, while only ~2/(w+1) of all gram
+    hashes are kept — the compact rolling-hash fingerprint the brief's
+    text-analysis battery calls for, complementing document-level md5
+    (exact_fingerprint) and run-level flagging (duplicate_ngram_runs).
+
+    Shape: grams, hashes, and window minima are ALL in-row higher-order
+    functions (transform/slice/array_min) — the whole fingerprint
+    derivation is a stateless scan stage with no shuffle and no UDF; the
+    only shuffle is the final (doc, fingerprint) distinct. Hashes are
+    md5 hex strings: lexicographic MIN over hex is portable across
+    engines, and ties are md5 collisions (ignorable), so the classic
+    rightmost-tie rule is unnecessary for cross-engine parity. Documents
+    with fewer than ``w`` grams keep their single global minimum (the
+    paper's degenerate case); documents shorter than ``k`` tokens emit
+    nothing.
+
+    Output: (id, fingerprint) distinct rows.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size("__toks") < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+        )
+    )
+    # per-window minima (windows END at position i, i = w..G); G < w
+    # degenerates to the single global min — sequence() counts DOWN on
+    # an empty range, so both branches must be explicit
+    mins = (
+        F.when(F.size("__h") == 0, F.array().cast("array<string>"))
+        .when(F.size("__h") < w, F.array(F.array_min("__h")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(w), F.size("__h")),
+                lambda i: F.array_min(F.slice(F.col("__h"), i - (w - 1), w)),
+            )
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+        .select("__doc", grams.alias("__h"))
+        .select("__doc", F.explode(mins).alias("fingerprint"))
+        .select(F.col("__doc").alias(id_col), "fingerprint")
+        .distinct()
+    )
+
+
 def _ppjoin_candidates(
     ordered: DataFrame, tau_num: int, tau_den: int
 ) -> DataFrame:

@@ -1124,3 +1124,48 @@ def maxsim_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Scalar int8 quantization (symmetric absmax — the SQ8 codec every
+    vector store ships alongside PQ): per vector, scale = absmax/127 and
+    code_i = round(x_i * 127 / absmax) in [-127, 127]. Completes the ANN
+    compression ladder (brute -> IVF -> SQ8 -> PQ -> IVFPQ): SQ8 is 4x
+    smaller than float32 at ~1% recall loss and, unlike PQ, needs no
+    trained codebook — the right first codec for a fresh 100 TB corpus.
+
+    Shape: absmax and codes are in-row higher-order functions over the
+    embedding array — a stateless scan stage, no shuffle, no UDF; the
+    posexplode exists only to give the oracle a flat comparable surface
+    (a production sink would keep ``array<tinyint>`` rows).
+
+    Determinism: round() is SQL half-away-from-zero in both Spark and
+    DuckDB, and x*127/absmax is the same two IEEE double ops both sides,
+    so codes agree bit-for-bit; the all-zero vector quantizes to zeros.
+
+    Output: (id, dim, code, absmax) — one row per dimension.
+    """
+    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    codes = F.when(
+        amax == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.round(x * 127.0 / amax, 0).cast("int")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .select("__id", F.posexplode(codes).alias("dim", "code"), amax.alias("absmax"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("dim").cast("int").alias("dim"),
+            "code",
+            "absmax",
+        )
+    )

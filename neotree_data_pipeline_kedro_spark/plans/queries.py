@@ -12400,6 +12400,225 @@ def j23_interval_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 additions: winnowing fingerprints, Gopher rules, SQ8 codec
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dd_winnowing_pairs",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy'
+      FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM corpus
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(tk) - 1),
+                         i -> md5(array_to_string(tk[i:i+2], ' ')))
+             END AS h
+      FROM toks
+    ), mins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+                  ELSE list_transform(range(4, len(h) + 1),
+                         i -> list_aggregate(h[i-3:i], 'min'))
+             END AS m
+      FROM grams
+    ), fp AS (
+      SELECT DISTINCT doc_id, fingerprint
+      FROM (SELECT doc_id, unnest(m) AS fingerprint FROM mins)
+    ), cold AS (
+      SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50
+    ), fpc AS (
+      SELECT f.doc_id, f.fingerprint FROM fp f
+      JOIN cold c ON c.fingerprint = f.fingerprint
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fpc a JOIN fpc b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint dedup
+    (operators/neardup.winnowing_fingerprints, Schleimer et al. MOSS):
+    3-gram hashes, window w=4 minima, distinct fingerprints per doc;
+    candidate pairs share >= 2 fingerprints. The guarantee is the
+    mirror image of MinHash's: any shared token run of >= w+k-1 = 6
+    tokens yields a shared fingerprint (deterministic recall for long
+    overlaps) while storing only ~2/(w+1) of the grams. Scale shape:
+    fingerprint derivation is entirely in-row (no shuffle); the pair
+    join is equi-keyed on the fingerprint with a hot-fingerprint cap
+    (<= 50 docs, the cap_hub_degree standard — a boilerplate gram
+    shared by every doc must not quadratically explode the join;
+    dropped fingerprints are a documented part of this query's
+    contract)."""
+    from ..operators.neardup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    fp = winnowing_fingerprints(corpus, "doc_id", "text", k=3, w=4)
+    cold = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 50)
+        .select("fingerprint")
+    )
+    fpc = fp.join(cold, "fingerprint")
+    return (
+        fpc.alias("a")
+        .join(
+            fpc.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+
+
+@_register(
+    "ta_gopher_rules",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 1 THEN 'word'
+               WHEN 2 THEN text || ' ' || repeat('# ', 20)
+               WHEN 3 THEN text || repeat(chr(10) || '- bullet item', 8)
+               WHEN 4 THEN text || repeat(chr(10) || 'trailing line...', 5)
+               ELSE text
+             END AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ), feats AS (
+      SELECT doc_id, t,
+        list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS tk,
+        string_split(t, chr(10)) AS lines
+      FROM src
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST((100 * COALESCE(list_aggregate(
+             list_transform(tk, x -> length(x)), 'sum'), 0))
+          // greatest(len(tk), 1) AS BIGINT) AS mean_word_len_x100,
+        (1000000 * ((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) // 3))
+          // greatest(len(tk), 1) AS symbol_ratio_ppm,
+        (1000000 * len(list_filter(lines,
+             ln -> regexp_matches(trim(ln), '^[-*•]'))))
+          // greatest(len(lines), 1) AS bullet_ppm,
+        (1000000 * len(list_filter(lines,
+             ln -> regexp_matches(trim(ln), '\.\.\.$'))))
+          // greatest(len(lines), 1) AS ellipsis_ppm,
+        CAST(len(list_filter(['the', 'of', 'and', 'to', 'in'],
+             s -> list_contains(list_transform(tk, x -> lower(x)), s)))
+          AS BIGINT) AS stop_hits
+      FROM feats
+    )
+    SELECT doc_id, n_words, mean_word_len_x100, symbol_ratio_ppm,
+           bullet_ppm, ellipsis_ppm, stop_hits,
+           n_words BETWEEN 50 AND 100000 AS flag_words,
+           mean_word_len_x100 BETWEEN 300 AND 1000 AS flag_word_len,
+           symbol_ratio_ppm <= 100000 AS flag_symbols,
+           bullet_ppm <= 900000 AS flag_bullets,
+           ellipsis_ppm <= 300000 AS flag_ellipsis,
+           stop_hits >= 2 AS flag_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+             AND symbol_ratio_ppm <= 100000
+             AND bullet_ppm <= 900000
+             AND ellipsis_ppm <= 300000
+             AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (functions/text.gopher_quality, Rae
+    et al. §A1.1): word-count bounds, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, stopword presence — the
+    structural gate a pretraining pipeline applies before any model-based
+    scoring. The fixture injects each defect class by doc_id%5 (too-short
+    doc, '#' spam, bullet walls, ellipsis endings) so every flag fires on
+    a known cohort. All metrics are exact-integer ppm/x100 values;
+    single stateless scan stage — no shuffle, no UDF."""
+    from ..functions.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    cls = F.col("doc_id") % 5
+    injected = (
+        F.when(cls == 1, F.lit("word"))
+        .when(cls == 2, F.concat("text", F.lit(" "), F.repeat(F.lit("# "), 20)))
+        .when(
+            cls == 3,
+            F.concat("text", F.repeat(F.lit("\n- bullet item"), 8)),
+        )
+        .when(
+            cls == 4,
+            F.concat("text", F.repeat(F.lit("\ntrailing line..."), 5)),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", injected.alias("t"))
+    g = gopher_quality(F.col("t"))
+    return staged.select(
+        "doc_id", *[expr.alias(name) for name, expr in g.items()]
+    )
+
+
+@_register(
+    "emb_sq8_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+    ), m AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS absmax
+      FROM e
+    )
+    SELECT vec_id, CAST(i AS INTEGER) AS dim,
+           CASE WHEN absmax = 0 THEN 0
+                ELSE CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 127
+                                / absmax, 0) AS INTEGER)
+           END AS code,
+           absmax
+    FROM m JOIN range(0, 64) t(i) ON true
+    """,
+)
+def emb_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (operators/similarity.sq8_quantize):
+    symmetric absmax SQ8 codes per embedding — the trained-codebook-free
+    4x compression step of the ANN ladder. In-row higher-order functions
+    only (stateless scan, no shuffle); codes agree with the oracle
+    bit-for-bit because round() is half-away in both engines and the
+    scale division is the same IEEE double op. Output exploded per
+    dimension purely to give the oracle a flat comparable surface."""
+    from ..operators.similarity import sq8_quantize
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return sq8_quantize(e.select("vec_id", "embedding"), "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
 # SM-full: whole-table summary twins (plans/summary_tables.py)
 # ---------------------------------------------------------------------------
 

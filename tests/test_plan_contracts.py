@@ -397,6 +397,24 @@ def test_link_prediction_unhinted_degrees_anti_edges(spark):
         assert "F.broadcast(da)" not in src and "F.broadcast(db)" not in src
 
 
+def test_gopher_and_sq8_are_shuffle_free(spark):
+    # both are stateless scan-stage expression pipelines: the whole plan
+    # must be one stage — no Exchange, no Python eval
+    for name in ("ta_gopher_rules", "emb_sq8_quantize"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+
+
+def test_winnowing_pairs_equi_join_with_cold_cap(spark):
+    # fingerprint derivation is in-row; the only joins are equi-keyed on
+    # the fingerprint (candidate pair join + the hot-fingerprint cap) —
+    # never a cartesian
+    plan = plan_of(spark, "dd_winnowing_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode of window minima
+
+
 def test_feature_hashing_is_shuffle_free(spark):
     # stateless scan-stage expressions: the plan may not shuffle at all
     plan = plan_of(spark, "f_feature_hashing")

@@ -1,0 +1,133 @@
+"""Operator-level tests for the round-7 additions: winnowing
+fingerprints, Gopher quality rules, SQ8 scalar quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ winnowing_fingerprints
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al. Theorem: any shared token run of length
+    >= w + k - 1 (= 6 here) produces at least one shared fingerprint."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"six seven {shared} eight nine ten"),
+            (3, "totally different words everywhere here now again more"),
+        ],
+        "id bigint, text string",
+    )
+    fp = winnowing_fingerprints(df, "id", "text", k=3, w=4)
+    by_doc = {
+        r.id: set(r.fps)
+        for r in fp.groupBy("id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2]  # guaranteed shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_degenerate_docs(spark):
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),            # < k tokens: no grams, no fingerprints
+            (2, "a b c d"),        # 2 grams < w: single global min
+            (3, None),             # null text
+        ],
+        "id bigint, text string",
+    )
+    rows = winnowing_fingerprints(df, "id", "text", k=3, w=4).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.id, []).append(r.fingerprint)
+    assert 1 not in per_doc and 3 not in per_doc
+    assert len(per_doc[2]) == 1  # the degenerate single-min case
+
+
+def test_winnowing_keeps_fraction_of_grams(spark):
+    """Density: ~2/(w+1) of gram hashes are kept — sanity-check the
+    compression is real (far fewer fingerprints than grams)."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        winnowing_fingerprints,
+    )
+
+    text = " ".join(f"tok{(i * 7) % 53}" for i in range(500))
+    df = spark.createDataFrame([(1, text)], "id bigint, text string")
+    n_fp = winnowing_fingerprints(df, "id", "text", k=3, w=8).count()
+    n_grams = 500 - 2
+    assert n_fp < n_grams * 0.5  # well below the raw gram count
+
+
+# ------------------------------------------------------- gopher_quality
+@pytest.mark.parametrize(
+    "text,failing_flag",
+    [
+        ("short doc", "flag_words"),
+        (" ".join(["supercalifragilistic"] * 60), "flag_word_len"),
+        (" ".join(["the", "of", "word"] * 20) + " " + "# " * 30, "flag_symbols"),
+        ("\n".join(["- the of item"] * 40), "flag_bullets"),
+        ("\n".join(["the of line..."] * 40), "flag_ellipsis"),
+        (" ".join([f"w{i}" for i in range(60)]), "flag_stopwords"),
+    ],
+)
+def test_gopher_each_rule_fires(spark, text, failing_flag):
+    from neotree_data_pipeline_kedro_spark.functions.text import gopher_quality
+
+    df = spark.createDataFrame([(text,)], "t string")
+    g = gopher_quality(F.col("t"))
+    row = df.select(
+        *[expr.alias(name) for name, expr in g.items()]
+    ).collect()[0]
+    assert row[failing_flag] is False, dict(row.asDict())
+    assert row["keep"] is False
+
+
+def test_gopher_clean_doc_keeps(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import gopher_quality
+
+    text = " ".join(["the quick brown fox of doom jumps to the lazy dog in"] * 6)
+    df = spark.createDataFrame([(text,)], "t string")
+    g = gopher_quality(F.col("t"))
+    row = df.select(
+        *[expr.alias(name) for name, expr in g.items()]
+    ).collect()[0]
+    assert row["keep"] is True, dict(row.asDict())
+
+
+# --------------------------------------------------------- sq8_quantize
+def test_sq8_roundtrip_error_bound(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        sq8_quantize,
+    )
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [3.0, 2.0, -3.0, 1.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero vector
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    rows = sq8_quantize(df, "vec_id", "embedding").collect()
+    by = {(r.vec_id, r.dim): r for r in rows}
+    assert len(rows) == 12
+    # codes bounded, absmax dims get +-127 exactly, zero vector -> zeros
+    for (vid, dim), r in by.items():
+        assert -127 <= r.code <= 127
+    assert by[(1, 1)].code == -127 and by[(2, 0)].code == 127
+    assert all(by[(3, d)].code == 0 for d in range(4))
+    # reconstruction error <= half a quantization step
+    for (vid, dim), r in by.items():
+        if r.absmax:
+            x = vecs[vid - 1][1][dim]
+            assert abs(x - r.code * r.absmax / 127) <= r.absmax / 254 + 1e-9
