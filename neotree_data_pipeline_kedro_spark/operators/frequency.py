@@ -117,3 +117,161 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("__lp").alias("logprob_micro"),
     )
+
+
+def countmin_counters(
+    items: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan) as a plain
+    aggregate: each item increments one bucket per hash row, so the
+    whole sketch is ``depth x width`` counter rows — a mergeable partial
+    aggregate the same way partial_rollup's sums are (union two sketches
+    by summing matching (row, bucket) counters). The 100 TB use: track
+    approximate frequencies of an UNBOUNDED key universe (urls, ngrams,
+    ips) in fixed memory, where the exact groupBy's shuffle would carry
+    every distinct key; the sketch shuffle carries at most depth*width
+    rows per partition.
+
+    Determinism: the hash rows are md5-derived (row d hashes
+    ``d ':' key``), so any engine replaying the same construction gets
+    the identical sketch — estimates become oracle-comparable, which is
+    exactly what probabilistic-seed sketches can never be.
+
+    Output: (row, bucket, counter) — depth*width rows max.
+    """
+    e = items.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("row"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("row"), F.col("__k"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        e.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each key: estimate = MIN over hash
+    rows of that row's bucket counter (the CM upper bound; never under-
+    estimates, overestimates by collisions only). The counter table is
+    depth*width rows — broadcast BY CONSTRUCTION (a true constant,
+    unlike the sf-growing tables the g6 standard forbids hinting).
+
+    Output: (key, est_count).
+    """
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("row"), F.col("key").cast("string"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        probes.select("key", "row", bucket.alias("bucket"))
+        .join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("counter").cast("bigint").alias("est_count"))
+    )
+
+
+def dsir_ratio_weights(
+    tokens_df: DataFrame,
+    doc_col: str,
+    token_col: str,
+    is_target: F.Column,
+    *,
+    buckets: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling") with
+    hashed token features: score each raw document by how target-like
+    its hashed-unigram profile is. The published estimator sums hashed
+    n-gram log-likelihood ratios; this twin substitutes the exact
+    integer PPM RATIO ``scale * p_target[b] div p_raw[b]`` per bucket
+    (Laplace +1 smoothed) and weights each document by its count-
+    weighted mean bucket ratio. A deliberate, documented divergence:
+    log-ratios are transcendental (cross-engine ulp roulette, see
+    SNIPPETS BM25 discipline) while the ratio surrogate is exact in
+    both engines and preserves the target-like > raw-like ordering the
+    resampling step consumes.
+
+    Shape: feature hashing is md5-derived (portable, f_feature_hashing
+    discipline); the bucket weight table is ``buckets`` rows — a true
+    constant, broadcast by construction; one groupBy per (doc, bucket)
+    and one per doc. Output: (doc, n_tokens, weight_ppm) where
+    weight_ppm = floor(sum(count_b * ratio_ppm[b]) / n_tokens).
+    """
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(token_col).cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % buckets
+    )
+    feats = tokens_df.select(
+        F.col(doc_col).alias("__doc"),
+        b.alias("__b"),
+        is_target.cast("long").alias("__t"),
+    )
+    dist = feats.groupBy("__b").agg(
+        (F.sum("__t") + 1).alias("__ct"),
+        (F.sum(F.lit(1) - F.col("__t")) + 1).alias("__cr"),
+    )
+    ratios = dist.select(
+        "__b",
+        F.floor(F.lit(scale) * F.col("__ct") / F.col("__cr"))
+        .cast("bigint")
+        .alias("__ratio"),
+    )
+    per_bucket = (
+        feats.filter(F.col("__t") == 0)
+        .groupBy("__doc", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return (
+        per_bucket.join(F.broadcast(ratios), "__b")
+        .groupBy("__doc")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.floor(
+                F.sum(F.col("__n") * F.col("__ratio")) / F.sum("__n")
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .select(F.col("__doc").alias(doc_col), "n_tokens", "weight_ppm")
+    )

@@ -860,6 +860,86 @@ def duplicate_ngram_runs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" §3's line/paragraph variant, and
+    what C4 does to boilerplate): a paragraph whose md5 appears in >=
+    ``min_docs`` DISTINCT documents is removed from every document
+    carrying it; each document is reassembled from its surviving
+    paragraphs in original order. The document-level complement of
+    ``scrub_duplicate_ngram_runs`` (token windows) — paragraphs are the
+    granularity where page boilerplate (nav bars, footers, cookie
+    banners) actually repeats.
+
+    Shape: split -> posexplode -> md5 -> one groupBy on the digest
+    (countDistinct doc, map-side partial agg) -> equi-join back on the
+    digest -> one groupBy per doc reassembling with
+    array_sort(collect_list(struct(pos, para))). The shuffle keys are
+    the 32-byte digest and the doc id — both uniform; reassembly state
+    per doc is the document itself (bounded by doc size, as any
+    re-aggregation must be). Empty/whitespace paragraphs are kept as
+    positional placeholders only if non-empty (they would otherwise
+    cross-match every blank line corpus-wide).
+
+    Output: (id, cleaned_text, n_kept, n_dropped); documents whose every
+    paragraph was dropped yield cleaned_text = ''.
+    """
+    base = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("__pos", "__para"),
+    ).filter(F.trim(F.col("__para")) != "")
+    hashed = base.select(
+        "__doc", "__pos", "__para", F.md5(F.col("__para")).alias("__h")
+    )
+    hot = (
+        hashed.groupBy("__h")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    flagged = hashed.join(hot.withColumn("__dup", F.lit(True)), "__h", "left")
+    docs = df.select(F.col(id_col).alias("__doc")).distinct()
+    kept = (
+        flagged.groupBy("__doc")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct("__pos", "__para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+            ).alias("cleaned_text"),
+            F.sum(F.col("__dup").isNull().cast("long")).alias("n_kept"),
+            F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_dropped"),
+        )
+    )
+    return (
+        docs.join(kept, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -12618,6 +12618,196 @@ def emb_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_quantize(e.select("vec_id", "embedding"), "vec_id", "embedding")
 
 
+@_register(
+    "ta_paragraph_dedup",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             'uniq ' || CAST(doc_id AS STRING) || ' ' || substr(text, 1, 40)
+             || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'common boilerplate footer'
+                  ELSE 'footer variant ' || CAST(doc_id % 97 AS STRING) END
+             || chr(10) || text AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ), lists AS (
+      SELECT doc_id,
+             list_transform(string_split(t, chr(10)),
+                            (x, i) -> {'pos': i, 'p': x}) AS prs
+      FROM src
+    ), paras0 AS (
+      SELECT doc_id, unnest(prs) AS pr FROM lists
+    ), paras AS (
+      SELECT doc_id, pr.pos AS pos, pr.p AS p
+      FROM paras0 WHERE trim(pr.p) <> ''
+    ), hot AS (
+      SELECT md5(p) AS h FROM paras
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT p.doc_id,
+             string_agg(CASE WHEN hot.h IS NULL THEN p.p END,
+                        chr(10) ORDER BY p.pos) AS cleaned,
+             SUM(CASE WHEN hot.h IS NULL THEN 1 ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+      FROM paras p LEFT JOIN hot ON hot.h = md5(p.p)
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           COALESCE(k.cleaned, '') AS cleaned_text,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM src s LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def ta_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/neardup.paragraph_dedup,
+    Lee et al. / C4 boilerplate removal): paragraphs whose md5 appears
+    in >= 2 distinct documents are removed from every carrier and each
+    document is reassembled in original paragraph order. The fixture
+    gives every doc a unique headline, a footer paragraph shared by a
+    doc_id%3 / doc_id%97 cohort (the boilerplate), and its body. Plan:
+    split/posexplode, one digest groupBy, one digest equi-join, one
+    per-doc reassembly groupBy — all uniform keys."""
+    from ..operators.neardup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    t = F.concat(
+        F.lit("uniq "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("common boilerplate footer")
+        ).otherwise(
+            F.concat(
+                F.lit("footer variant "), (F.col("doc_id") % 97).cast("string")
+            )
+        ),
+        F.lit("\n"),
+        F.col("text"),
+    )
+    return paragraph_dedup(
+        docs.select("doc_id", t.alias("t")), "doc_id", "t", min_docs=2
+    )
+
+
+@_register(
+    "a38_countmin_sketch",
+    """
+    WITH items AS (
+      SELECT l_suppkey AS k FROM lineitem
+    ), expanded AS (
+      SELECT row, k FROM items JOIN range(0, 4) t(row) ON true
+    ), counters AS (
+      SELECT row,
+             ('0x' || substr(md5(CAST(row AS STRING) || ':'
+                 || CAST(k AS STRING)), 1, 6))::BIGINT % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS counter
+      FROM expanded GROUP BY 1, 2
+    ), truth AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM items GROUP BY 1
+    ), probes AS (
+      SELECT t.k, t.true_count, r.row,
+             ('0x' || substr(md5(CAST(r.row AS STRING) || ':'
+                 || CAST(t.k AS STRING)), 1, 6))::BIGINT % 256 AS bucket
+      FROM truth t JOIN range(0, 4) r(row) ON true
+    )
+    SELECT p.k AS key, MIN(c.counter) AS est_count,
+           p.true_count,
+           MIN(c.counter) - p.true_count AS overestimate
+    FROM probes p JOIN counters c
+      ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY p.k, p.true_count
+    """,
+)
+def a38_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation
+    (operators/frequency.countmin_counters/_estimate, Cormode &
+    Muthukrishnan): depth-4 x width-256 counters over the lineitem
+    supplier stream, point-queried for every true key; the md5-derived
+    hash rows make the sketch — and therefore its estimates — exactly
+    reproducible by the oracle, and est >= true always (overestimate
+    column is the collision mass). The sketch is a mergeable partial
+    aggregate bounded at depth*width rows, the fixed-memory answer where
+    an exact groupBy's shuffle carries every distinct key; the counter
+    table broadcast is a true constant (1024 rows at any sf)."""
+    from ..operators.frequency import countmin_counters, countmin_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    counters = countmin_counters(li, "k", depth=4, width=256)
+    truth = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    est = countmin_estimate(counters, truth.select("k"), "k", depth=4, width=256)
+    return (
+        truth.join(est, truth.k == est.key)
+        .select(
+            "key",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
+@_register(
+    "ta_dsir_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS b,
+             CASE WHEN source IN ('src1', 'src2', 'src3')
+                  THEN 1 ELSE 0 END AS t
+      FROM toks
+    ), dist AS (
+      SELECT b, SUM(t) + 1 AS ct, SUM(1 - t) + 1 AS cr
+      FROM feats GROUP BY 1
+    ), ratios AS (
+      SELECT b, CAST((1000000 * ct) // cr AS BIGINT) AS ratio FROM dist
+    ), per_bucket AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM feats WHERE t = 0 GROUP BY 1, 2
+    )
+    SELECT p.doc_id, CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+           CAST((SUM(p.n * r.ratio)) // SUM(p.n) AS BIGINT) AS weight_ppm
+    FROM per_bucket p JOIN ratios r ON r.b = p.b
+    GROUP BY 1
+    """,
+)
+def ta_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection
+    (operators/frequency.dsir_ratio_weights, Xie et al.): hashed-unigram
+    target/raw distributions (target domain = sources src1-3), exact
+    integer ppm ratio per bucket with Laplace smoothing, each RAW doc
+    scored by its count-weighted mean bucket ratio — the score the
+    importance-resampling step ranks on. Log-likelihood is deliberately
+    replaced by the exact ratio surrogate (documented in the operator):
+    transcendentals are cross-engine ulp roulette, ratios are bigints.
+    The 64-row bucket table is broadcast by construction."""
+    from ..functions.text import tokens
+    from ..operators.frequency import dsir_ratio_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    return dsir_ratio_weights(
+        tok,
+        "doc_id",
+        "tok",
+        F.col("source").isin("src1", "src2", "src3"),
+        buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SM-full: whole-table summary twins (plans/summary_tables.py)
 # ---------------------------------------------------------------------------

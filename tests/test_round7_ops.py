@@ -131,3 +131,99 @@ def test_sq8_roundtrip_error_bound(spark):
         if r.absmax:
             x = vecs[vid - 1][1][dim]
             assert abs(x - r.code * r.absmax / 127) <= r.absmax / 254 + 1e-9
+
+
+# ----------------------------------------------------- paragraph_dedup
+def test_paragraph_dedup_removes_shared_preserves_order(spark):
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nSHARED FOOTER\nbody text one"),
+            (2, "alpha two\nSHARED FOOTER\nbody text two"),
+            (3, "SHARED FOOTER"),          # all paragraphs dropped
+            (4, "solo doc\n\n  \nkeep me"),  # blank paragraphs ignored
+            (5, None),
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        r.id: (r.cleaned_text, r.n_kept, r.n_dropped)
+        for r in paragraph_dedup(df, "id", "text", min_docs=2).collect()
+    }
+    assert got[1] == ("alpha one\nbody text one", 2, 1)
+    assert got[2] == ("alpha two\nbody text two", 2, 1)
+    assert got[3] == ("", 0, 1)
+    assert got[4] == ("solo doc\nkeep me", 2, 0)
+    assert got[5] == ("", 0, 0)
+
+
+# -------------------------------------------------------- count-min
+def test_countmin_never_underestimates_and_merges(spark):
+    from neotree_data_pipeline_kedro_spark.operators.frequency import (
+        countmin_counters,
+        countmin_estimate,
+    )
+    from pyspark.sql import functions as SF
+
+    items = spark.range(10_000).select((SF.col("id") % 137).alias("k"))
+    truth = {r.k: r.n for r in items.groupBy("k").agg(SF.count("*").alias("n")).collect()}
+    counters = countmin_counters(items, "k", depth=4, width=64)
+    est = {
+        r.key: r.est_count
+        for r in countmin_estimate(
+            counters, items.select("k").distinct(), "k", depth=4, width=64
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)  # CM upper bound
+    # mergeable: sketch(first half) + sketch(second half) == sketch(all)
+    base = spark.range(10_000)
+    a = countmin_counters(
+        base.filter(SF.col("id") < 5000).select((SF.col("id") % 137).alias("k")),
+        "k", depth=4, width=64,
+    )
+    b = countmin_counters(
+        base.filter(SF.col("id") >= 5000).select((SF.col("id") % 137).alias("k")),
+        "k", depth=4, width=64,
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(SF.sum("counter").cast("bigint").alias("counter"))
+    )
+    whole = {
+        (r.row, r.bucket): r.counter for r in counters.collect()
+    }
+    got = {(r.row, r.bucket): r.counter for r in merged.collect()}
+    assert got == whole
+
+
+# ------------------------------------------------------------ dsir
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from neotree_data_pipeline_kedro_spark.operators.frequency import (
+        dsir_ratio_weights,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = []
+    # target corpus speaks "ml" words; raw doc 10 is target-like,
+    # raw doc 11 is not
+    for d, words, tgt in [
+        (1, ["model", "train", "loss"] * 10, 1),
+        (2, ["model", "data", "train"] * 10, 1),
+        (10, ["model", "train", "data"] * 5, 0),
+        (11, ["cat", "dog", "fish"] * 5, 0),
+    ]:
+        rows += [(d, w, tgt) for w in words]
+    df = spark.createDataFrame(rows, "doc bigint, tok string, tgt int")
+    out = {
+        r.doc: r.weight_ppm
+        for r in dsir_ratio_weights(
+            df, "doc", "tok", SF.col("tgt") == 1, buckets=16
+        ).collect()
+    }
+    assert set(out) == {10, 11}  # only raw docs scored
+    assert out[10] > out[11]
