@@ -1169,3 +1169,127 @@ def sq8_quantize(
             "absmax",
         )
     )
+
+
+def sq8_code_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Array form of ``sq8_quantize``: (id, codes array<int>, absmax) —
+    what a production vector sink stores, and the input for scoring
+    directly in the quantized domain (code dot products are exact
+    integers; cosine is invariant to the per-vector absmax scale, so
+    ranking on code cosine IS ranking on reconstructed cosine)."""
+    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    codes = F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / amax, 0).cast("int"))
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).select(
+        F.col("__id").alias(id_col),
+        codes.alias("codes"),
+        amax.alias("absmax"),
+    )
+
+
+def retrieval_metrics(
+    truth: DataFrame,
+    cand: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics of a candidate ranking against an exact
+    ground-truth ranking — the eval loop every ANN/quantization tradeoff
+    is judged by (recall@k, reciprocal rank of the true best hit). Both
+    inputs are (query, item, rank) top-k tables; metrics are exact
+    integers so an oracle can restate them:
+
+    - ``n_overlap``: |truth-top-k ∩ cand-top-k| (recall@k numerator);
+    - ``rr_micro``: floor(1e6 / rank-in-cand of the TRUE top-1 item),
+      0 when the candidate list misses it entirely (MRR numerator).
+
+    Shape: two equi-joins on (query, item) + one per-query aggregate —
+    the metric cost is |top-k tables|, never the corpus.
+    """
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__tr"),
+    )
+    c = cand.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__cr"),
+    )
+    joined = t.join(c, ["__q", "__i"], "left")
+    return joined.groupBy("__q").agg(
+        F.sum(F.col("__cr").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("__tr") == 1,
+                    F.floor(F.lit(1_000_000) / F.col("__cr")).cast("bigint"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("rr_micro"),
+    ).select(F.col("__q").alias(query_col), "n_overlap", "rr_micro")
+
+
+def int_covariance_sums(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Exact integer second-moment (Gram) sums over an embedding column —
+    the distributed input to PCA / whitening / covariance estimation:
+    each vector is quantized to ``scale``-units once, then every (i, j)
+    dimension pair accumulates sum(q_i * q_j) and n as exact bigints.
+    Floating covariance sums are partition-order-dependent (doubles
+    don't associate); the quantized form makes the 64x64 matrix
+    bit-identical on any cluster AND oracle-comparable, and the
+    eigendecomposition that follows is a driver-side O(d^3) step on a
+    d*d matrix, not a data-scale op.
+
+    Shape: one quantization projection, a dimension-pair explode
+    (d^2 rows per vector — bounded by the embedding dim, not the data),
+    and one map-side-combined groupBy on (i, j). At 100 TB the shuffle
+    carries at most d^2 partial rows per partition.
+
+    Output: (i, j, n, sum_q2) for all d^2 ordered pairs.
+    """
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"),
+    )
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    qd = base.select("__id", q.alias("__q"))
+    ei = qd.select("__id", "__q", F.posexplode("__q").alias("i", "qi"))
+    eij = ei.select(
+        "i", "qi", F.posexplode("__q").alias("j", "qj")
+    )
+    return (
+        eij.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sum_q2"),
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "n",
+            "sum_q2",
+        )
+    )

@@ -12808,6 +12808,175 @@ def ta_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_eval_sq8",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
+    truth AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY qs.vec_id
+                    ORDER BY CAST(CAST(list_sum(list_transform(
+                        range(1, len(qs.qv) + 1), i -> qs.qv[i] * c.qv[i]))
+                        AS BIGINT) AS DOUBLE)
+                      / (sqrt(CAST(qs.nq AS DOUBLE))
+                         * sqrt(CAST(c.nq AS DOUBLE))) DESC NULLS LAST,
+                    c.vec_id ASC) AS INTEGER) AS rank
+        FROM n qs, n c WHERE qs.vec_id % 100 = 0
+      ) WHERE rank <= 10
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN amax = 0 THEN 0
+                    ELSE CAST(round(CAST(x AS DOUBLE) * 127 / amax, 0)
+                              AS BIGINT) END) AS cv
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+            FROM embeddings)
+    ), cn AS (
+      SELECT vec_id, cv,
+             CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS nc
+      FROM codes
+    ), cand AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY qs.vec_id
+                    ORDER BY CAST(CAST(list_sum(list_transform(
+                        range(1, len(qs.cv) + 1), i -> qs.cv[i] * c.cv[i]))
+                        AS BIGINT) AS DOUBLE)
+                      / (sqrt(CAST(qs.nc AS DOUBLE))
+                         * sqrt(CAST(c.nc AS DOUBLE))) DESC NULLS LAST,
+                    c.vec_id ASC) AS INTEGER) AS rank
+        FROM cn qs, cn c WHERE qs.vec_id % 100 = 0
+      ) WHERE rank <= 10
+    )
+    SELECT t.query_id,
+           CAST(SUM(CASE WHEN c.rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(COALESCE(MAX(CASE WHEN t.rank = 1
+                                  THEN 1000000 // c.rank END), 0)
+                AS BIGINT) AS rr_micro
+    FROM truth t LEFT JOIN cand c
+      ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    GROUP BY 1
+    """,
+)
+def ann_eval_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the SQ8 codec
+    (operators/similarity.retrieval_metrics + sq8_code_vectors): exact
+    quantized-cosine top-10 as ground truth vs top-10 ranked on int8
+    CODES (cosine is absmax-scale-invariant, so code cosine is the
+    production scoring path for an SQ8 index); per query recall@10
+    overlap and reciprocal rank of the true best hit. This is the eval
+    loop that decides every compression tradeoff — and because both
+    rankings are exact integer/dyadic arithmetic, the whole evaluation
+    is oracle-checkable, which no RNG-seeded ANN eval can be. Cost:
+    two broadcast top-k scans + metric joins on top-k tables only."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        retrieval_metrics,
+        sq8_code_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=10, scale=1_000_000
+    )
+    codes = sq8_code_vectors(emb, "vec_id", "embedding").select(
+        "vec_id", "codes"
+    )
+    cand = brute_force_topk(
+        codes,
+        codes.filter(F.col("vec_id") % 100 == 0),
+        "vec_id",
+        "codes",
+        k=10,
+        scale=None,
+    )
+    return retrieval_metrics(truth, cand, k=10)
+
+
+@_register(
+    "emb_int_covariance",
+    """
+    WITH e AS (
+      SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))
+               AS q
+      FROM embeddings WHERE vec_id % 16 = 0
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q[i + 1] * q[j + 1]) AS BIGINT) AS sum_q2
+    FROM e JOIN range(0, 64) a(i) ON true JOIN range(0, 64) b(j) ON true
+    GROUP BY 1, 2
+    """,
+)
+def emb_int_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/second-moment sums
+    (operators/similarity.int_covariance_sums): the distributed input to
+    PCA/whitening. Quantize once, explode dimension pairs (d^2 per
+    vector — bounded by the embedding dim), one map-side-combined
+    groupBy; the d x d eigendecomposition that consumes this is a
+    driver-side constant-size step. Exact bigints: float covariance
+    sums are partition-order-dependent, this matrix is bit-identical on
+    any cluster."""
+    from ..operators.similarity import int_covariance_sums
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 16 == 0)
+    return int_covariance_sums(e, "vec_id", "embedding", scale=1_000)
+
+
+@_register(
+    "v_calibration_bins",
+    """
+    SELECT
+      least(greatest(CAST(floor((CAST(embedding[1] AS DOUBLE) + 0.5) * 10)
+                          AS INTEGER), 0), 9) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      CAST((1000000 * SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END))
+           // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+      CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT)) AS BIGINT) AS sum_score_micro
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def v_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins for a score column against labels —
+    the eval a score-based data-quality or routing classifier needs
+    (does predicted confidence match observed rate per bin?). Score =
+    first embedding dimension, positive = label <= 4; ten clamped bins,
+    per bin: count, positives, exact ppm positive rate, exact micro
+    score sum (for the mean-confidence axis of a reliability diagram).
+    One map-side-combined aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((x + 0.5) * 10).cast("int"), F.lit(0)), F.lit(9)
+    )
+    pos = (F.col("label") <= 4).cast("long")
+    return (
+        e.select(
+            bin_.alias("bin"),
+            pos.alias("__p"),
+            F.round(x * 1_000_000, 0).cast("bigint").alias("__s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__p").cast("bigint").alias("n_pos"),
+            F.floor(F.lit(1_000_000) * F.sum("__p") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+            F.sum("__s").cast("bigint").alias("sum_score_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SM-full: whole-table summary twins (plans/summary_tables.py)
 # ---------------------------------------------------------------------------

@@ -227,3 +227,51 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     }
     assert set(out) == {10, 11}  # only raw docs scored
     assert out[10] > out[11]
+
+
+# ----------------------------------------------------- retrieval_metrics
+def test_retrieval_metrics_overlap_and_rr(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        retrieval_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    cand = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 99, 3),   # true top-1 at cand rank 2
+         (2, 98, 1), (2, 97, 2), (2, 96, 3)],  # full miss
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    got = {
+        r.query_id: (r.n_overlap, r.rr_micro)
+        for r in retrieval_metrics(truth, cand, k=3).collect()
+    }
+    assert got[1] == (2, 500_000)  # 1e6 // 2
+    assert got[2] == (0, 0)
+
+
+def test_int_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        int_covariance_sums,
+    )
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(50, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "id bigint, v array<float>",
+    )
+    out = {
+        (r.i, r.j): (r.n, r.sum_q2)
+        for r in int_covariance_sums(df, "id", "v", scale=1000).collect()
+    }
+    q = np.round(mat.astype(np.float64) * 1000).astype(np.int64)
+    expect = q.T @ q
+    assert len(out) == 16
+    for (i, j), (n, s) in out.items():
+        assert n == 50 and s == expect[i, j]
