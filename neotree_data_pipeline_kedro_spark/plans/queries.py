@@ -12977,6 +12977,328 @@ def v_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MON_CASE_DUCK = "CASE month(d) {} END".format(
+    " ".join(
+        f"WHEN {i + 1} THEN '{m}'"
+        for i, m in enumerate(
+            ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+        )
+    )
+)
+
+
+@_register(
+    "sm_counts_full",
+    f"""
+    WITH base AS (
+      SELECT 'FAC-' || CAST(o_orderkey % 5 AS STRING) AS facility,
+             CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+      FROM orders
+    ), joined AS (
+      SELECT facility,
+             {_MON_CASE_DUCK} || '-' || CAST(year(d) AS STRING)
+               AS "AdmissionMonthYear",
+             CAST(year(d) * 100 + month(d) AS BIGINT)
+               AS "AdmissionMonthYearSort",
+             {_MON_CASE_DUCK.replace("month(d)", "month(d + INTERVAL 1 MONTH)")}
+               || '-' || CAST(year(d + INTERVAL 1 MONTH) AS STRING)
+               AS "OutcomeMonthYear",
+             1 AS ac, CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS dc,
+             CASE WHEN k % 20 = 0 THEN 1 ELSE 0 END AS dth,
+             CASE WHEN k % 40 = 0 THEN 1 ELSE 0 END AS d24,
+             CASE WHEN k % 20 = 0 AND k % 40 <> 0 THEN 1 ELSE 0 END AS dgt,
+             CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS tr,
+             CASE WHEN k % 29 = 0 THEN 1 ELSE 0 END AS ab,
+             CASE WHEN k % 17 = 0 THEN 1 ELSE 0 END AS dor,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS wi,
+             CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END AS oi,
+             CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS pr,
+             CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS hy,
+             CASE WHEN k % 31 = 0 THEN 1 ELSE 0 END AS l28
+      FROM base
+    )
+    SELECT "AdmissionMonthYear", facility, "AdmissionMonthYearSort",
+           CAST(SUM(ac) AS BIGINT) AS "TotalAdmissions",
+           CAST(SUM(dc) AS BIGINT) AS "TotalDischarges",
+           "OutcomeMonthYear",
+           CAST(SUM(dth) AS BIGINT) AS "TotalDeaths",
+           CAST(SUM(d24) AS BIGINT) AS "TotalDeaths<24hrs",
+           CAST(SUM(dgt) AS BIGINT) AS "TotalDeaths>24hrs",
+           CAST(SUM(tr) AS BIGINT) AS "TotalTransferredOut",
+           CAST(SUM(ab) AS BIGINT) AS "TotalAbsconded",
+           CAST(SUM(dor) AS BIGINT) AS "TotalDischargeOnRequest",
+           CAST(SUM(wi) AS BIGINT) AS "TotalAdmittedFronWithinFacility",
+           CAST(SUM(oi) AS BIGINT) AS "TotalAdmittedFromOutsideFacility",
+           CAST(SUM(pr) AS BIGINT) AS "TotalPremBabies",
+           CAST(SUM(hy) AS BIGINT) AS "TotalHypothemiaBabies",
+           CAST(SUM(l28) AS BIGINT) AS "TotalBabiesWith<28wksAnd1kgs"
+    FROM joined
+    GROUP BY "AdmissionMonthYear", facility, "AdmissionMonthYearSort",
+             "OutcomeMonthYear"
+    """,
+)
+def sm_counts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE summary_counts table
+    (create_summary_counts_sql.py:14-39): all 12 SUM columns with the
+    reference's exact output aliases (typos included), grouped by
+    (AdmissionMonthYear, facility, AdmissionMonthYearSort) plus the
+    Zimbabwe-variant OutcomeMonthYear column/group key (the
+    country-parameter CASE at :9-12 — this twin registers the superset
+    variant). Input indicator columns are synthesized deterministically
+    from orders (the upstream summary_joined table's *Count columns are
+    0/1 flags). One map-side-combined aggregate; Mon-YYYY names built
+    from the same month CASE both engines."""
+    from .summary_tables import _MONTHS
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    k = F.col("o_orderkey")
+
+    def mon_name(dc: Column) -> Column:
+        expr = None
+        for i, m in enumerate(_MONTHS):
+            expr = (
+                F.when(F.month(dc) == i + 1, m)
+                if expr is None
+                else expr.when(F.month(dc) == i + 1, m)
+            )
+        return expr
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0)
+
+    nxt = F.add_months(d, 1)
+    joined = o.select(
+        F.concat(F.lit("FAC-"), (k % 5).cast("string")).alias("facility"),
+        F.concat(mon_name(d), F.lit("-"), F.year(d).cast("string")).alias(
+            "AdmissionMonthYear"
+        ),
+        (F.year(d) * 100 + F.month(d)).cast("bigint").alias(
+            "AdmissionMonthYearSort"
+        ),
+        F.concat(mon_name(nxt), F.lit("-"), F.year(nxt).cast("string")).alias(
+            "OutcomeMonthYear"
+        ),
+        F.lit(1).alias("ac"),
+        flag(k % 2 == 0).alias("dc"),
+        flag(k % 20 == 0).alias("dth"),
+        flag(k % 40 == 0).alias("d24"),
+        flag((k % 20 == 0) & (k % 40 != 0)).alias("dgt"),
+        flag(k % 13 == 0).alias("tr"),
+        flag(k % 29 == 0).alias("ab"),
+        flag(k % 17 == 0).alias("dor"),
+        flag(k % 3 == 0).alias("wi"),
+        flag(k % 3 != 0).alias("oi"),
+        flag(k % 7 == 0).alias("pr"),
+        flag(k % 11 == 0).alias("hy"),
+        flag(k % 31 == 0).alias("l28"),
+    )
+    sums = [
+        ("ac", "TotalAdmissions"),
+        ("dc", "TotalDischarges"),
+        ("dth", "TotalDeaths"),
+        ("d24", "TotalDeaths<24hrs"),
+        ("dgt", "TotalDeaths>24hrs"),
+        ("tr", "TotalTransferredOut"),
+        ("ab", "TotalAbsconded"),
+        ("dor", "TotalDischargeOnRequest"),
+        ("wi", "TotalAdmittedFronWithinFacility"),
+        ("oi", "TotalAdmittedFromOutsideFacility"),
+        ("pr", "TotalPremBabies"),
+        ("hy", "TotalHypothemiaBabies"),
+        ("l28", "TotalBabiesWith<28wksAnd1kgs"),
+    ]
+    return joined.groupBy(
+        "AdmissionMonthYear",
+        "facility",
+        "AdmissionMonthYearSort",
+        "OutcomeMonthYear",
+    ).agg(*[F.sum(c).cast("bigint").alias(a) for c, a in sums])
+
+
+@_register(
+    "sm_neolab_full",
+    """
+    WITH neolab AS (
+      SELECT 'FAC-' || CAST(o_orderkey % 3 AS STRING) AS facility,
+             CASE WHEN o_custkey % 97 = 0
+                    THEN '0000-' || CAST(o_custkey AS STRING)
+                  WHEN o_custkey % 97 = 1
+                    THEN '***-' || CAST(o_custkey AS STRING)
+                  ELSE 'U' || CAST(o_custkey % 2000 AS STRING) END AS uid,
+             1 + o_orderkey % 3 AS episode,
+             CAST(CAST(o_orderdate AS DATE)
+                  + CAST(o_orderkey % 9 AS INTEGER) AS STRING)
+               AS "DateBCR.value",
+             CASE o_orderkey % 4 WHEN 0 THEN 'CONS' WHEN 1 THEN 'ECOLI'
+                  WHEN 2 THEN 'KLEB' ELSE 'STAPH' END AS "Org1.value",
+             CASE o_orderkey % 4 WHEN 0 THEN 'CONS' WHEN 1 THEN 'ECOLI'
+                  WHEN 2 THEN 'KLEB' ELSE 'STAPH' END || '-label'
+               AS "Org1.label",
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN 'other organism' END AS "OtherOrg1.value",
+             CASE o_orderkey % 5 WHEN 0 THEN 'Pos' WHEN 1 THEN 'Neg'
+                  WHEN 2 THEN 'NegP' WHEN 3 THEN 'PosP' ELSE 'PC' END
+               AS "BCResult.value",
+             CASE o_orderkey % 3 WHEN 0 THEN 'XX PRELIMINARY 1'
+                  WHEN 1 THEN 'THE FINAL RESULT' ELSE 'misc' END
+               AS "BCType",
+             CAST(CAST(o_orderdate AS DATE)
+                  + CAST(o_orderkey % 5 AS INTEGER) AS STRING)
+               AS "DateBCT.value"
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), latest_neolab AS (
+      SELECT facility, uid, episode, max("DateBCR.value") AS "DateBCR"
+      FROM neolab
+      WHERE uid NOT LIKE '0000%' AND uid NOT LIKE '***%'
+      GROUP BY 1, 2, 3
+    ), cultures AS (
+      SELECT uid, episode, CAST(COUNT(uid) AS BIGINT) AS n
+      FROM neolab GROUP BY 1, 2
+    )
+    SELECT l.facility, l.uid, l.episode, l."DateBCR",
+           n."Org1.label", n."Org1.value", n."OtherOrg1.value",
+           n."BCResult.value" AS "BCResult",
+           CASE WHEN n."BCType" LIKE '%PRELIMINARY%' THEN 'PRELIMINARY'
+                WHEN n."BCType" LIKE '%FINAL%' THEN 'FINAL'
+           END AS "Status",
+           CAST(n."DateBCT.value" AS DATE) AS "DATEBCT",
+           c.n AS "NumberOfCulturesForEpisode",
+           CASE WHEN (n."BCResult.value" = 'Pos'
+                      AND n."Org1.value" = 'CONS')
+                     OR n."BCResult.value" = 'PC' THEN 'Contaminant'
+                WHEN (DATE '1998-08-02' - CAST(n."DateBCR.value" AS DATE))
+                       <= 5
+                     AND (n."BCResult.value" = 'NegP'
+                          OR n."BCResult.value" = 'PosP')
+                  THEN 'Awaiting Final Result'
+                ELSE n."BCResult.value"
+           END AS "CombinedResult"
+    FROM latest_neolab l
+    JOIN neolab n
+      ON l.uid = n.uid AND l."DateBCR" = n."DateBCR.value"
+    JOIN cultures c ON c.uid = l.uid AND c.episode = l.episode
+    """,
+)
+def sm_neolab_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE summary_neolab table
+    (create_summary_neolab_sql.py:30-68): latest culture per (facility,
+    uid, episode) by max DateBCR with the '0000%'/'***%' junk-uid
+    exclusion, joined back on (uid, DateBCR) EXACTLY as the reference
+    does (not on facility/episode — the fan-out quirk is part of the
+    table's semantics), the PRELIMINARY/FINAL Status CASE, the DATEBCT
+    date cast, the correlated per-(uid, episode) culture count
+    (rewritten as one aggregate + equi-join instead of a correlated
+    subquery per row), and the Contaminant / Awaiting-Final
+    CombinedResult ladder. Divergence, documented: the reference
+    compares against CURRENT_DATE (:60) — this twin pins the as-of date
+    to 1998-08-02 (TPC-H's canonical current date) so the table is
+    deterministic and oracle-checkable; a production run passes today's
+    date. Source synthesized from orders with every branch populated."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    d = F.col("o_orderdate").cast("date")
+    org = (
+        F.when(k % 4 == 0, "CONS")
+        .when(k % 4 == 1, "ECOLI")
+        .when(k % 4 == 2, "KLEB")
+        .otherwise("STAPH")
+    )
+    neolab = o.select(
+        F.concat(F.lit("FAC-"), (k % 3).cast("string")).alias("facility"),
+        F.when(
+            c % 97 == 0, F.concat(F.lit("0000-"), c.cast("string"))
+        )
+        .when(c % 97 == 1, F.concat(F.lit("***-"), c.cast("string")))
+        .otherwise(F.concat(F.lit("U"), (c % 2000).cast("string")))
+        .alias("uid"),
+        (F.lit(1) + k % 3).alias("episode"),
+        F.date_add(d, (k % 9).cast("int")).cast("string").alias("DateBCR.value"),
+        org.alias("Org1.value"),
+        F.concat(org, F.lit("-label")).alias("Org1.label"),
+        F.when(k % 11 == 0, "other organism").alias("OtherOrg1.value"),
+        F.when(k % 5 == 0, "Pos")
+        .when(k % 5 == 1, "Neg")
+        .when(k % 5 == 2, "NegP")
+        .when(k % 5 == 3, "PosP")
+        .otherwise("PC")
+        .alias("BCResult.value"),
+        F.when(k % 3 == 0, "XX PRELIMINARY 1")
+        .when(k % 3 == 1, "THE FINAL RESULT")
+        .otherwise("misc")
+        .alias("BCType"),
+        F.date_add(d, (k % 5).cast("int")).cast("string").alias("DateBCT.value"),
+    )
+    latest = (
+        neolab.filter(
+            ~F.col("uid").startswith("0000") & ~F.col("uid").startswith("***")
+        )
+        .groupBy("facility", "uid", "episode")
+        .agg(F.max("`DateBCR.value`").alias("DateBCR"))
+    )
+    cultures = neolab.groupBy("uid", "episode").agg(
+        F.count("uid").cast("bigint").alias("n")
+    )
+    n = neolab.select(
+        F.col("uid").alias("n_uid"),
+        F.col("`DateBCR.value`").alias("n_dbcr"),
+        "`Org1.label`",
+        "`Org1.value`",
+        "`OtherOrg1.value`",
+        "`BCResult.value`",
+        "BCType",
+        "`DateBCT.value`",
+    )
+    status = F.when(
+        F.col("BCType").contains("PRELIMINARY"), "PRELIMINARY"
+    ).when(F.col("BCType").contains("FINAL"), "FINAL")
+    combined = (
+        F.when(
+            (
+                (F.col("`BCResult.value`") == "Pos")
+                & (F.col("`Org1.value`") == "CONS")
+            )
+            | (F.col("`BCResult.value`") == "PC"),
+            "Contaminant",
+        )
+        .when(
+            (
+                F.datediff(
+                    F.lit("1998-08-02").cast("date"),
+                    F.col("n_dbcr").cast("date"),
+                )
+                <= 5
+            )
+            & F.col("`BCResult.value`").isin("NegP", "PosP"),
+            "Awaiting Final Result",
+        )
+        .otherwise(F.col("`BCResult.value`"))
+    )
+    return (
+        latest.join(
+            n,
+            (latest.uid == F.col("n_uid"))
+            & (F.col("DateBCR") == F.col("n_dbcr")),
+        )
+        .join(cultures, ["uid", "episode"])
+        .select(
+            "facility",
+            "uid",
+            "episode",
+            "DateBCR",
+            "`Org1.label`",
+            "`Org1.value`",
+            "`OtherOrg1.value`",
+            F.col("`BCResult.value`").alias("BCResult"),
+            status.alias("Status"),
+            F.col("`DateBCT.value`").cast("date").alias("DATEBCT"),
+            F.col("n").alias("NumberOfCulturesForEpisode"),
+            combined.alias("CombinedResult"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SM-full: whole-table summary twins (plans/summary_tables.py)
 # ---------------------------------------------------------------------------
