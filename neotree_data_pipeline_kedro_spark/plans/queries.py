@@ -12977,6 +12977,103 @@ def v_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_t_closeness",
+    """
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS p
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN p <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN p <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN p <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      FROM j GROUP BY 1, 2
+    ), gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(CASE WHEN p <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+             CAST(SUM(CASE WHEN p <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             CAST(SUM(CASE WHEN p <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+             CAST(SUM(CASE WHEN p <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS g4
+      FROM j
+    )
+    SELECT c_nationkey, c_mktsegment, n,
+           CAST((1000000 * (abs(c1 * g - g1 * n) + abs(c2 * g - g2 * n)
+                            + abs(c3 * g - g3 * n) + abs(c4 * g - g4 * n)))
+                // (4 * n * g) AS BIGINT) AS emd_ppm,
+           (1000000 * (abs(c1 * g - g1 * n) + abs(c2 * g - g2 * n)
+                       + abs(c3 * g - g3 * n) + abs(c4 * g - g4 * n)))
+             // (4 * n * g) > 200000 AS above_t
+    FROM cls CROSS JOIN gtot
+    """,
+)
+def v_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian ICDE'07) — the
+    release check completing the k-anonymity (v_k_anonymity) /
+    l-diversity (v_l_diversity) privacy triad: a class can be large AND
+    diverse yet still leak because its sensitive-value DISTRIBUTION
+    deviates from the table's. Per (nation, segment) equivalence class:
+    Earth Mover's Distance between the class's order-priority
+    distribution and the global one, for the ordered 5-value domain
+    EMD = (1/(m-1)) * sum |CumP_i - CumQ_i| over the m-1 interior
+    prefixes. Computed in exact integers on the common denominator
+    n*g (|cum_n_i*g - cum_g_i*n| per prefix, floored to ppm), so both
+    engines agree bit-for-bit where a float EMD would drift. Shape: one
+    fact-dim broadcast join feeds BOTH the per-class and the global
+    aggregate; the 1-row global joins back broadcast — two passes over
+    the joined fact, no per-class subqueries."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("p"),
+    )
+    def cums(prefix: str):
+        return [
+            F.sum((F.col("p") <= i).cast("long"))
+            .cast("bigint")
+            .alias(f"{prefix}{i}")
+            for i in range(1, 5)
+        ]
+
+    cls = j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), *cums("c")
+    )
+    glob = j.agg(F.count(F.lit(1)).cast("bigint").alias("g"), *cums("g"))
+    out = cls.crossJoin(F.broadcast(glob))
+    num = sum(
+        (
+            F.abs(F.col(f"c{i}") * F.col("g") - F.col(f"g{i}") * F.col("n"))
+            for i in range(1, 5)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    # 1e6*num exceeds 2^53 already at sf0.1, so the ppm division must be
+    # exact bigint `div` (floor-of-double would drift off the oracle's
+    # hugeint //); 1e6*num stays inside int64 through sf10
+    staged = out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        num.alias("__num"),
+        (F.lit(4) * F.col("n") * F.col("g")).alias("__den"),
+    )
+    emd = F.expr("CAST((1000000 * __num) div __den AS BIGINT)")
+    return staged.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        emd.alias("emd_ppm"),
+        (emd > 200_000).alias("above_t"),
+    )
+
+
 _MON_CASE_DUCK = "CASE month(d) {} END".format(
     " ".join(
         f"WHEN {i + 1} THEN '{m}'"

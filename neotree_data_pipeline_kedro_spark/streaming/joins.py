@@ -63,3 +63,30 @@ def interval_join_streams(
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"how must be inner or leftOuter, got {how!r}")
     return l_wm.join(r_wm, cond, how).drop(r_wm[key])
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys,
+    *,
+    broadcast: bool = True,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape (fact feed + slowly-changing dimension): each
+    micro-batch joins the CURRENT static frame, no streaming state at
+    all. The reference does this per cron cycle when tagging sessions
+    with facility/script metadata (catalog routing + hospitals map);
+    on a live feed the same lookup rides every micro-batch.
+
+    ``broadcast=True`` hints the dim side — correct for genuinely
+    dimension-sized tables (facility registry, script catalog); pass
+    False for sf-growing sides and let AQE decide (the g6 standard).
+    Note Spark re-plans the static side each micro-batch, so a dim
+    backed by a mutable table (Delta, refreshed view) picks up updates
+    between batches — the streaming form of a slowly-changing lookup;
+    a plain parquet read snapshots per-batch file listing instead.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, list(keys), how)
