@@ -13473,7 +13473,59 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # round-5 continuation (no prior row by construction):
+    # round-7 additions (no prior driver row by construction):
+    "sm_admissions_full",
+    "sm_discharges_full",
+    "sm_counts_full",
+    "sm_neolab_full",
+    "dd_winnowing_pairs",
+    "ta_gopher_rules",
+    "ta_paragraph_dedup",
+    "ta_dsir_weights",
+    "a38_countmin_sketch",
+    "emb_sq8_quantize",
+    "emb_int_covariance",
+    "ann_eval_sq8",
+    "v_calibration_bins",
+    "v_t_closeness",
+    # round-6/7 changed code (file-keyed re-queue rule): the wedge
+    # queries (hub cap r6, broadcast drops r7), a21's dropped hints,
+    # and every query whose implementing module was edited this round
+    # (neardup.py: ppjoin positional filter + new ops; validation.py:
+    # null_rates backticks; frequency.py/similarity.py/text.py appends):
+    "g2_triangle_count",
+    "g5_link_prediction",
+    "g6_node_jaccard",
+    "g7_assortativity",
+    "a21_association_rules",
+    "dd_ppjoin_pairs",
+    "dd_exact_fingerprint",
+    "dd_ngram_jaccard",
+    "dd_embedding_cosine",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_shingle_containment",
+    "dd_substring_dupes",
+    "dd_substring_scrub",
+    "dd_semantic_dedup",
+    "dd_contamination_check",
+    "dd_connected_components",
+    "ann_topk_bruteforce",
+    "ann_topk_filtered",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_join_ivf",
+    "ann_maxsim_topk",
+    "a6_null_rates",
+    "v_column_profile",
+    "v_quality_suite",
+    "ta_unigram_logprob",
+    "ta_frequent_tokens",
+    "ta_repetition_quality_filter",
+    # round-5 continuation (older greens rotate behind the changed set):
     "a21_association_rules",
     "a22_rfm_segmentation",
     "a23_gini_concentration",
