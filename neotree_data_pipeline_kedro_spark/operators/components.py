@@ -516,3 +516,55 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY seed node over the
+    undirected edge set, out to ``max_hops`` — the reach/neighborhood
+    primitive behind influence radii, contamination blast-zones, and
+    "how far is every record from a trusted anchor" audits.
+
+    Frontier iteration, the textbook distributed-BFS shape: per hop ONE
+    equi-join of the current frontier with the symmetric edge list (the
+    shuffle is keyed on node id, partial-agg friendly after the distinct)
+    plus ONE anti-join against the settled-distance set so each node is
+    labeled exactly once with its first (= minimum) hop count. Frontiers
+    are ``localCheckpoint``-ed per pass to keep lineage flat (the
+    CC/pagerank loop discipline), and the loop exits early when a frontier
+    empties. No per-node driver state: the settled set lives as a
+    DataFrame end to end, so the operator scales with cluster memory,
+    not driver memory.
+
+    Output: (node BIGINT, hops INT) for every node within ``max_hops`` of
+    a seed; seeds themselves report hops = 0. Unreachable nodes are
+    absent (outer-join the node universe if a sentinel is wanted).
+    """
+    e = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

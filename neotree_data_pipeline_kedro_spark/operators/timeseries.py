@@ -382,3 +382,88 @@ def km_survival_integer(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     return parted.mapInPandas(scan, schema=schema)
+
+
+def dtw_to_reference(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    reference: Sequence[int],
+    band: int = 5,
+    out_col: str = "dtw_cost",
+) -> DataFrame:
+    """Banded Dynamic Time Warping distance from every entity's series to
+    one fixed reference series — the elastic-alignment distance that
+    tolerates phase shift (a user whose weekly rhythm is the corpus
+    rhythm two days late scores near zero, where Euclidean distance
+    would not). The workhorse for "which entities track the centroid"
+    screens before a heavier clustering pass.
+
+    Values and the reference must already be INTEGER-quantized by the
+    caller (milli/micro units): the DP recurrence is then exact int64
+    arithmetic, so results are bit-stable across partitionings and
+    replayable by any independent twin. The Sakoe-Chiba band (width
+    ``band`` around the length-scaled diagonal) bounds each row's work
+    to O(band), making per-series cost O(n·band), not O(n·m); the band
+    is widened automatically to ceil(m/n)+1 so the warping path always
+    stays connected for unequal lengths.
+
+    Scale shape: ONE hash shuffle on the entity key, then a per-group
+    Arrow batch (applyInPandas) whose state is two O(m) rows — series
+    are per-entity-bounded (days, visits), never corpus-sized. The
+    reference list rides into executors via the task closure: it is
+    calendar/window-bounded (tens to thousands of points), not
+    data-sized. Output: (key, n_points, ``out_col``); series that cannot
+    reach the reference end inside the band (pathological length skew)
+    report NULL.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side dependency
+    import pandas as pd  # noqa: PLC0415
+
+    ref = [int(v) for v in reference]
+    m = len(ref)
+    if m == 0:
+        raise ValueError("dtw_to_reference: empty reference series")
+    big = (1 << 62) - 1
+
+    key_field = df.schema[key_col].dataType
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="int64")
+        n = len(x)
+        r = ref
+        w = max(band, -(-m // max(n, 1)) + 1)
+        prev = [0] + [big] * m
+        for i in range(1, n + 1):
+            cur = [big] * (m + 1)
+            c = (i * m) // n
+            lo, hi = max(1, c - w), min(m, c + w)
+            xi = int(x[i - 1])
+            for j in range(lo, hi + 1):
+                best = prev[j]
+                if prev[j - 1] < best:
+                    best = prev[j - 1]
+                if cur[j - 1] < best:
+                    best = cur[j - 1]
+                if best < big:
+                    cur[j] = best + abs(xi - r[j - 1])
+            prev = cur
+        cost = prev[m] if prev[m] < big else None
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_points": np.array([n], dtype="int64"),
+                out_col: pd.array([cost], dtype="Int64"),
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, key_field),
+            T.StructField("n_points", T.LongType()),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandas(one_group, schema=schema)

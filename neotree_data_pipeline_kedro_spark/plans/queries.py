@@ -13456,6 +13456,359 @@ def sm_discharges_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-7 continuation: BFS reach, SAX symbolization, funnel conversion
+# ---------------------------------------------------------------------------
+
+@_register(
+    "g8_bfs_hops",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey % 17 = 0
+    ), edges AS (
+      SELECT src AS u, dst AS v FROM e0
+      UNION
+      SELECT dst AS u, src AS v FROM e0
+    ), bfs(node, hops) AS (
+      SELECT DISTINCT src, 0 FROM e0 WHERE src % 25 = 0
+      UNION
+      SELECT e.v, bfs.hops + 1 FROM bfs JOIN edges e ON e.u = bfs.node
+      WHERE bfs.hops < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS INT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def g8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reach (operators/components.bfs_hops): minimum hop
+    distance from seed suppliers (suppkey % 25 = 0) over a sparsified
+    undirected trade graph (supplier↔customer pairs through orders,
+    l_partkey % 17 keeps the graph from collapsing into one 2-hop ball),
+    out to 3 hops. Frontier iteration: per hop one node-keyed equi-join +
+    one anti-join against the settled set, localCheckpoint-flattened — the
+    fourth member of the bounded-iteration family (CC, PageRank, k-core).
+    The oracle is an independent recursive-CTE transitive expansion with
+    MIN-hop semantics, so a frontier that advances one hop short or
+    relabels a settled node hash-mismatches."""
+    from ..operators.components import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 17 == 0)
+    o = _t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = e0.filter(F.col("src") % 25 == 0).select(F.col("src").alias("node"))
+    out = bfs_hops(e0, seeds, max_hops=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+@_register(
+    "w27_sax_symbols",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(value * 1000, 0) AS BIGINT) AS milli
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, CAST(SUM(milli) AS BIGINT) AS day_milli
+      FROM ev GROUP BY user_id, day
+    ), stats AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(day_milli) AS BIGINT) AS s1,
+             CAST(SUM(day_milli * day_milli) AS BIGINT) AS s2
+      FROM daily GROUP BY user_id
+    ), norm AS (
+      SELECT user_id,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt(greatest(
+               CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+               0.0)) AS sd
+      FROM stats
+    ), sym AS (
+      SELECT d.user_id, d.day,
+             CASE
+               WHEN z < -0.6745 THEN 'a'
+               WHEN z < 0.0 THEN 'b'
+               WHEN z < 0.6745 THEN 'c'
+               ELSE 'd'
+             END AS s
+      FROM (
+        SELECT d.user_id, d.day,
+               CASE WHEN s.sd = 0.0 THEN 0.0
+                    ELSE (CAST(d.day_milli AS DOUBLE) - s.mu) / s.sd
+               END AS z
+        FROM daily d JOIN norm s ON s.user_id = d.user_id
+      ) d
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+           string_agg(s, '' ORDER BY day) AS sax_word
+    FROM sym GROUP BY user_id
+    """,
+)
+def w27_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's daily-activity series: per-user
+    z-normalization of exact milli-quantized day totals, then a 4-symbol
+    alphabet over the standard Gaussian breakpoints (±0.6745, 0) and
+    order-preserving concatenation into one word per user — the symbolic
+    fingerprint that turns time-series similarity into string similarity
+    (feed the words to the shingle/MinHash dedup family). Cross-engine
+    exactness: day totals are integer milli-units (SUM is exact; the
+    quantization scale is fixture-calibrated — pick it from the value
+    range so day_total² × days stays inside int64), and both engines
+    evaluate the identical mean/σ/z expression shapes so the IEEE doubles
+    agree bit-for-bit; σ = 0 (constant series) pins z to 0. One narrow
+    shuffle to daily grain, one per-user aggregate, one broadcast-sized
+    join back, one final per-user aggregate — no UDF, no window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("milli"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("milli").alias("day_milli"))
+    n = F.count(F.lit(1))
+    stats = daily.groupBy("user_id").agg(
+        n.alias("n"),
+        F.sum("day_milli").alias("s1"),
+        F.sum(F.col("day_milli") * F.col("day_milli")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    norm = stats.select("user_id", mu.alias("mu"), sd.alias("sd"))
+    z = F.when(F.col("sd") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("day_milli").cast("double") - F.col("mu")) / F.col("sd")
+    )
+    sym = (
+        daily.join(norm, "user_id")
+        .select(
+            "user_id",
+            "day",
+            F.when(z < -0.6745, F.lit("a"))
+            .when(z < 0.0, F.lit("b"))
+            .when(z < 0.6745, F.lit("c"))
+            .otherwise(F.lit("d"))
+            .alias("s"),
+        )
+    )
+    word = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "s"))),
+            lambda x: x["s"],
+        ),
+        "",
+    )
+    return sym.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        word.alias("sax_word"),
+    )
+
+
+@_register(
+    "a39_funnel_steps",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM v) AS nv,
+             (SELECT COUNT(*) FROM c) AS nc,
+             (SELECT COUNT(*) FROM p) AS np
+    )
+    SELECT '1_view' AS step, CAST(nv AS BIGINT) AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+    UNION ALL
+    SELECT '2_click_after_view', CAST(nc AS BIGINT),
+           CASE WHEN nv = 0 THEN NULL
+                ELSE CAST(nc * 1000000 // nv AS BIGINT) END FROM n
+    UNION ALL
+    SELECT '3_purchase_after_click', CAST(np AS BIGINT),
+           CASE WHEN nc = 0 THEN NULL
+                ELSE CAST(np * 1000000 // nc AS BIGINT) END FROM n
+    """,
+)
+def a39_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users whose first view precedes a later
+    click precedes a later purchase — the STRICT-ordering funnel (each
+    step's anchor is the previous step's first qualifying timestamp, not
+    mere same-user co-occurrence, which w11_event_paths would conflate),
+    each step constrained to a 1-day window after its anchor so the
+    funnel actually narrows (unbounded steps saturate on a month-long
+    fixture). Three user-keyed aggregates chained by joins — Catalyst
+    reuses the user_id hash partitioning across the chain so the funnel
+    costs one logical shuffle family, and each stage's input shrinks
+    monotonically. Conversion ratios are ppm with integer truncating
+    division (`DIV` / `//` agree; all counts non-negative so trunc ==
+    floor)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = (
+        v.agg(F.count(F.lit(1)).alias("nv"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("np")))
+    )
+    return base.selectExpr(
+        """stack(3,
+             '1_view', nv, CAST(1000000 AS BIGINT),
+             '2_click_after_view', nc,
+             CASE WHEN nv = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE nc * CAST(1000000 AS BIGINT) DIV nv END,
+             '3_purchase_after_click', np,
+             CASE WHEN nc = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE np * CAST(1000000 AS BIGINT) DIV nc END
+           ) AS (step, n_users, conv_ppm)"""
+    )
+
+
+@_register(
+    "a40_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS u
+      FROM events
+    ), flag AS (
+      SELECT user_id, event_id, ts, u,
+             CASE WHEN lag(u) OVER w IS NULL OR u - lag(u) OVER w > 21600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flag
+    ), per_sess AS (
+      SELECT user_id, session_id, MIN(ts) AS t0, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(t0 AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           CAST(COUNT(*) FILTER (n_events = 1) * 1000000 // COUNT(*)
+                AS BIGINT) AS bounce_ppm
+    FROM per_sess GROUP BY CAST(t0 AS DATE)
+    """,
+)
+def a40_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce rate per day: gap-sessionize each user's event
+    stream (6 h idle gap, operators/windows.gap_sessionize — one window
+    shuffle on user_id with a full (ts, event_id) tiebreak), roll sessions
+    up to (first-event day, single-event flag), then the daily KPI. The
+    downstream KPI consumes the session ids the same pass that assigns
+    them, so the whole query is two shuffles: the sessionize window and
+    the day rollup. Bounce share is ppm with truncating integer division
+    (counts non-negative → trunc == floor == `//`). The second window
+    family the reference's episode logic implies but never aggregates
+    (tidy mcl episodes stop at labeling)."""
+    from ..operators.windows import gap_sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = gap_sessionize(
+        ev, ["user_id"], "ts", 21600, tiebreak=["event_id"]
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    n_sessions = F.count(F.lit(1)).cast("bigint")
+    return (
+        per_sess.groupBy(F.col("t0").cast("date").alias("day"))
+        .agg(
+            n_sessions.alias("n_sessions"),
+            bounces.alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_ppm",
+            F.expr("n_bounces * CAST(1000000 AS BIGINT) DIV n_sessions"),
+        )
+    )
+
+
+@_register("w28_dtw_to_centroid")
+def w28_dtw_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW distance from each user's daily-activity series to the
+    corpus centroid series (operators/timeseries.dtw_to_reference): the
+    elastic-alignment screen for "which users track the global rhythm",
+    tolerant of phase shift where Euclidean distance is not. Day totals
+    are exact integer milli-units (the w27_sax_symbols quantization); the
+    centroid is the per-day floor-mean (total // active_users — integer,
+    deterministic) and is calendar-bounded, so collecting it to the driver
+    is a tens-of-rows collect, not data-sized. DP is exact int64 inside a
+    Sakoe-Chiba band (O(n·band) per user), one hash shuffle on user_id.
+    Rows-only by design: the banded DP isn't SQL-expressible; parity is
+    pinned in tests/test_no_oracle_parity.py against an independent
+    pure-Python DP twin at fixture scale."""
+    from ..operators.timeseries import dtw_to_reference
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("milli"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("milli").alias("day_milli"))
+    cent = (
+        daily.groupBy("day")
+        .agg(
+            F.sum("day_milli").alias("tot"),
+            F.count(F.lit(1)).alias("nu"),
+        )
+        .orderBy("day")
+        .collect()  # calendar-bounded: one row per distinct day
+    )
+    ref = [int(r["tot"]) // int(r["nu"]) for r in cent]
+    out = dtw_to_reference(
+        daily, "user_id", "day", "day_milli", ref, band=7, out_col="dtw_milli"
+    )
+    return out.select("user_id", "n_points", "dtw_milli")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -13474,6 +13827,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-7 additions (no prior driver row by construction):
+    "g8_bfs_hops",
+    "w27_sax_symbols",
+    "a39_funnel_steps",
+    "a40_bounce_rate",
+    "w28_dtw_to_centroid",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",

@@ -723,3 +723,69 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in range(n):
         assert abs(got[node] - r[node]) < 1e-9, (node, got[node], r[node])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# w28_dtw_to_centroid : exact equality with an independent pure-Python
+# banded-DTW twin (dict-DP, no numpy, no engine imports) on the sf0.001
+# events fixture — same quantization, same centroid, same band policy.
+# ---------------------------------------------------------------------------
+
+def _py_banded_dtw(x: list[int], r: list[int], band: int):
+    n, m = len(x), len(r)
+    w = max(band, -(-m // max(n, 1)) + 1)
+    INF = float("inf")
+    prev = {0: 0}
+    for i in range(1, n + 1):
+        cur = {}
+        c = (i * m) // n
+        for j in range(max(1, c - w), min(m, c + w) + 1):
+            best = min(
+                prev.get(j, INF), prev.get(j - 1, INF), cur.get(j - 1, INF)
+            )
+            if best < INF:
+                cur[j] = best + abs(x[i - 1] - r[j - 1])
+        prev = cur
+    return prev.get(m)
+
+
+def test_dtw_to_centroid_matches_python_twin(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["milli"] = (ev["value"] * 1000).round().astype("int64")
+    daily = (
+        ev.groupby(["user_id", "day"], as_index=False)["milli"]
+        .sum()
+        .rename(columns={"milli": "day_milli"})
+    )
+    cent = daily.groupby("day")["day_milli"].agg(["sum", "count"]).sort_index()
+    ref = [int(s) // int(c) for s, c in zip(cent["sum"], cent["count"])]
+    want = {}
+    for uid, grp in daily.groupby("user_id"):
+        xs = [int(v) for v in grp.sort_values("day")["day_milli"]]
+        want[uid] = (len(xs), _py_banded_dtw(xs, ref, band=7))
+
+    got = {
+        r["user_id"]: (r["n_points"], r["dtw_milli"])
+        for r in QUERIES["w28_dtw_to_centroid"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_dtw_zero_for_identical_series(spark):
+    """DTW of a series against itself is 0; a constant shift of k over n
+    aligned points costs at most k*n (elasticity can only help)."""
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        dtw_to_reference,
+    )
+
+    ref = [10, 20, 40, 30, 50, 20, 10]
+    rows = [(1, i, v) for i, v in enumerate(ref)]
+    rows += [(2, i, v + 5) for i, v in enumerate(ref)]
+    df = spark.createDataFrame(rows, "uid bigint, t int, v long")
+    out = {
+        r["uid"]: r["dtw_cost"]
+        for r in dtw_to_reference(df, "uid", "t", "v", ref, band=3).collect()
+    }
+    assert out[1] == 0
+    assert 0 < out[2] <= 5 * len(ref)

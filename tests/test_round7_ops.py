@@ -275,3 +275,140 @@ def test_int_covariance_matches_numpy(spark):
     assert len(out) == 16
     for (i, j), (n, s) in out.items():
         assert n == 50 and s == expect[i, j]
+
+
+# ------------------------------------------------ bfs_hops
+def _py_bfs(edges, seeds, max_hops):
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    nxt.add(m)
+        for m in nxt:
+            dist[m] = h
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+@pytest.mark.parametrize(
+    "edges,seeds,max_hops",
+    [
+        # chain: hop count increments one per link, truncated at max_hops
+        ([(i, i + 1) for i in range(10)], [0], 4),
+        # two components, seed reaches only one of them
+        ([(1, 2), (2, 3), (10, 11)], [1], 5),
+        # multi-source: min distance over ALL seeds wins
+        ([(i, i + 1) for i in range(10)], [0, 9], 3),
+        # cycle + self-loop + duplicate edges
+        ([(1, 2), (2, 1), (2, 3), (3, 1), (3, 3)], [3], 2),
+        # seed with no edges stays at hops 0
+        ([(5, 6)], [7], 3),
+    ],
+)
+def test_bfs_hops_matches_python_twin(spark, edges, seeds, max_hops):
+    from neotree_data_pipeline_kedro_spark.operators.components import bfs_hops
+
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == _py_bfs(edges, seeds, max_hops)
+
+
+def test_bfs_hops_first_label_is_minimum(spark):
+    """A node reachable at hop 1 and hop 2 must settle at 1 (the anti-join
+    must run against the full settled set, not just the prior frontier)."""
+    from neotree_data_pipeline_kedro_spark.operators.components import bfs_hops
+
+    edges = [(0, 1), (0, 2), (2, 1)]  # 1 is 1 hop away directly, 2 via 2
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sdf = spark.createDataFrame([(0,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edf, sdf, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 1}
+
+
+# ------------------------------------------------ w27 SAX symbolization
+def test_sax_word_known_series(spark):
+    """Hand-checked SAX: an ascending series maps low→'a', high→'d', and a
+    constant series (σ=0) pins z to 0, which the breakpoint ladder maps to
+    'c' (the [0, 0.6745) band)."""
+    import datetime as dt
+
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+    import os
+    import tempfile
+
+    # synthesize a tiny events parquet dir shaped like the fixture
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # user 1: strictly ascending daily totals 0,10,20,...,90
+    for d in range(10):
+        rows.append((d, base + dt.timedelta(days=d), 1, "view", 10.0 * d, "{}"))
+    # user 2: constant
+    for d in range(5):
+        rows.append((100 + d, base + dt.timedelta(days=d), 2, "view", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["user_id"]: (r["n_days"], r["sax_word"])
+            for r in QUERIES["w27_sax_symbols"](spark, tmp).collect()
+        }
+    n1, w1 = out[1]
+    assert n1 == 10 and len(w1) == 10
+    # ascending series: first symbol 'a', last 'd', non-decreasing word
+    assert w1[0] == "a" and w1[-1] == "d" and list(w1) == sorted(w1)
+    assert out[2] == (5, "ccccc")
+
+
+# ------------------------------------------------ a39 funnel steps
+def test_funnel_strict_ordering_and_window(spark):
+    """Click before the first view doesn't count; a purchase outside the
+    1-day window after the first qualifying click doesn't count."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full funnel inside windows
+        (1, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + h, 1, "click", 1.0, "{}"),
+        (1, t0 + 2 * h, 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view -> no step 2
+        (2, t0, 2, "click", 1.0, "{}"),
+        (2, t0 + h, 2, "view", 1.0, "{}"),
+        # user 3: click ok, purchase 2 days later -> outside window
+        (3, t0, 3, "view", 1.0, "{}"),
+        (3, t0 + h, 3, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=2), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["step"]: (r["n_users"], r["conv_ppm"])
+            for r in QUERIES["a39_funnel_steps"](spark, tmp).collect()
+        }
+    assert out["1_view"] == (3, 1_000_000)
+    assert out["2_click_after_view"] == (2, 666_666)  # 2/3 truncated ppm
+    assert out["3_purchase_after_click"] == (1, 500_000)
