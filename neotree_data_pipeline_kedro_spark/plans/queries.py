@@ -13809,6 +13809,159 @@ def w28_dtw_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_points", "dtw_milli")
 
 
+# GPT-2-style pretokenizer, lookahead-free so RE2 (DuckDB) and java.util.regex
+# (Spark) agree: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs — the "BPE-ish" piece segmentation used to
+# count trainable tokens before a real tokenizer is in the loop.
+_BPE_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@_register(
+    "ta_bpe_token_count",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             unnest(regexp_extract_all(props, '{_BPE_RX.replace(chr(39), chr(39) * 2)}')) AS piece
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pieces,
+             CAST(COUNT(*) FILTER (regexp_matches(piece, '^ ?[\\p{{L}}]+$'))
+                  AS BIGINT) AS n_letter,
+             CAST(COUNT(*) FILTER (regexp_matches(piece, '^ ?[\\p{{N}}]+$'))
+                  AS BIGINT) AS n_number,
+             CAST(COUNT(*) FILTER (regexp_matches(piece,
+                  '^ ?[^\\s\\p{{L}}\\p{{N}}]+$')) AS BIGINT) AS n_punct,
+             CAST(SUM(length(piece)) AS BIGINT) AS n_chars
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n_pieces, n_letter, n_number, n_punct, n_chars,
+           CAST(n_chars * 1000000 // n_pieces AS BIGINT) AS chars_per_piece_ppm
+    FROM c
+    """,
+)
+def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting over raw event payloads: a GPT-2-style
+    pretokenizer regex (kept lookahead-free so Spark's java.util.regex and
+    the oracle's RE2 segment identically) splits each props payload into
+    pieces, classified into letter/digit/punctuation runs and rolled up
+    per event type with a chars-per-piece density — the "how many
+    trainable tokens is this corpus" estimate that runs long before a
+    real tokenizer enters the loop, and the piece-count budget feeding
+    ta_token_budget_sample/ta_sequence_packing. All JVM-side regex +
+    explode + one aggregate; density is ppm with truncating division."""
+    rx = _BPE_RX
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    pieces = ev.select(
+        "event_type",
+        F.explode(F.regexp_extract_all(F.col("props"), F.lit(rx), 0)).alias(
+            "piece"
+        ),
+    )
+    is_letter = F.col("piece").rlike(r"^ ?[\p{L}]+$")
+    is_number = F.col("piece").rlike(r"^ ?[\p{N}]+$")
+    is_punct = F.col("piece").rlike(r"^ ?[^\s\p{L}\p{N}]+$")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    out = pieces.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+        cnt(is_letter).alias("n_letter"),
+        cnt(is_number).alias("n_number"),
+        cnt(is_punct).alias("n_punct"),
+        F.sum(F.length("piece")).cast("bigint").alias("n_chars"),
+    )
+    return out.withColumn(
+        "chars_per_piece_ppm",
+        F.expr("n_chars * CAST(1000000 AS BIGINT) DIV n_pieces"),
+    )
+
+
+@_register(
+    "v_chi2_independence",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY o_orderpriority, c_mktsegment
+    ), tot AS (
+      SELECT priority, segment, o,
+             CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS rt,
+             CAST(SUM(o) OVER (PARTITION BY segment) AS BIGINT) AS ct,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM obs
+    )
+    SELECT priority, segment, o,
+           CAST(round(CAST(rt * ct AS DOUBLE) / n * 1000000, 0) AS BIGINT)
+             AS expected_micro,
+           CAST(round(
+             (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             / (CAST(rt * ct AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+             AS chi2_term_micro
+    FROM tot
+    """,
+)
+def v_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit between two categoricals (order
+    priority × market segment): per-cell observed count, expected count
+    under independence, and the χ² contribution — the drift/bias screen
+    that catches a sampler or a filter quietly coupling two dimensions
+    that should be independent (sum the terms vs the χ²(dof) critical
+    value downstream). Cross-engine exactness: counts and marginals are
+    exact integers via window sums over the 25-cell contingency table
+    (second aggregation over an already-tiny frame — no second pass over
+    the fact table), and the fractional expected/term values are computed
+    with the IDENTICAL IEEE expression shape on both engines then
+    micro-rounded per cell, so the hash compares integers only."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    w_r = Window.partitionBy("priority")
+    w_c = Window.partitionBy("segment")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "priority",
+        "segment",
+        "o",
+        F.sum("o").over(w_r).cast("bigint").alias("rt"),
+        F.sum("o").over(w_c).cast("bigint").alias("ct"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    od = F.col("o").cast("double")
+    return tot.select(
+        "priority",
+        "segment",
+        "o",
+        F.round(e * 1_000_000, 0).cast("bigint").alias("expected_micro"),
+        F.round((od - e) * (od - e) / e * 1_000_000, 0)
+        .cast("bigint")
+        .alias("chi2_term_micro"),
+    )
+
+
+@_register("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embeddings corpus
+    (operators/similarity.pca_project): exact integer moment sums
+    distributed, a 64×64 driver-side eigh (dimension-bounded, not
+    data-bounded), then one stateless JVM-side mean-center + dot-product
+    map. Rows-only by design (eigenvectors have no SQL form); the numpy
+    full-PCA twin plus variance-ordering and orthogonality properties are
+    pinned in tests/test_no_oracle_parity.py."""
+    from ..operators.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", k=2, scale=1_000)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -13832,6 +13985,9 @@ _DRIVER_FRONT = [
     "a39_funnel_steps",
     "a40_bounce_rate",
     "w28_dtw_to_centroid",
+    "ta_bpe_token_count",
+    "v_chi2_independence",
+    "emb_pca_project",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",

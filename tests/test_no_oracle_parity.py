@@ -789,3 +789,47 @@ def test_dtw_zero_for_identical_series(spark):
     }
     assert out[1] == 0
     assert 0 < out[2] <= 5 * len(ref)
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_project : independent numpy full-PCA twin (same quantization path,
+# separate code) + the spectral properties that make a PCA a PCA.
+# ---------------------------------------------------------------------------
+
+def _np_pca_twin(path: str, k: int = 2, scale: int = 1_000):
+    emb = pd.read_parquet(f"{path}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Q = np.round(X * scale)
+    mu = Q.mean(axis=0)
+    C = (Q.T @ Q) / len(Q) - np.outer(mu, mu)
+    _vals, vecs = np.linalg.eigh(C)
+    scores = {}
+    for c in range(1, k + 1):
+        v = vecs[:, -c].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        scores[c] = (Q - mu) @ v / scale
+    return ids, scores
+
+
+def test_pca_project_matches_numpy_twin(spark):
+    got = (
+        QUERIES["emb_pca_project"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, scores = _np_pca_twin(SF_SMOKE)
+    order = np.argsort(ids)
+    # micro-rounded scores agree within 1 micro-unit (double assoc. slack)
+    for c in (1, 2):
+        want = np.round(scores[c][order] * 1_000_000)
+        assert np.abs(got[f"pc{c}_micro"].to_numpy() - want).max() <= 1
+    # spectral properties: pc1 variance >= pc2 variance > 0, and the two
+    # score vectors are (near-)uncorrelated
+    v1 = got["pc1_micro"].to_numpy(dtype="float64")
+    v2 = got["pc2_micro"].to_numpy(dtype="float64")
+    assert v1.var() >= v2.var() > 0
+    r = np.corrcoef(v1, v2)[0, 1]
+    assert abs(r) < 0.05
