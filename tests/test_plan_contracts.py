@@ -510,3 +510,55 @@ def test_wedge_queries_carry_the_hub_cap_anti_join(spark):
     for fn in (q.g2_triangle_count, q.g5_link_prediction, q.g6_node_jaccard):
         s = inspect.getsource(fn)
         assert "cap_hub_degree" in s or "max_degree=1000" in s, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# round-7 continuation batch: SAX / bounce / funnel / chi2 / BPE stay pure
+# JVM (no Python stage), and their shuffle budgets hold.
+# ---------------------------------------------------------------------------
+
+def test_sax_symbols_no_python_bounded_shuffles(spark):
+    plan = plan_of(spark, "w27_sax_symbols")
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    # daily grain + per-user stats + join back + final agg: <= 5 exchanges
+    assert exchanges(plan) <= 5
+
+
+def test_bounce_rate_single_window_family(spark):
+    plan = plan_of(spark, "a40_bounce_rate")
+    assert "MapInPandas" not in plan
+    # sessionize window + session rollup + day rollup
+    assert exchanges(plan) <= 4
+    assert plan.count("Window") >= 2  # tree+details double print of 1 window
+
+
+def test_funnel_no_cartesian_beyond_singleton_cross(spark):
+    plan = plan_of(spark, "a39_funnel_steps")
+    # the only nested-loop joins are the 1-row x 1-row count crosses
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_chi2_scans_fact_once(spark):
+    plan = plan_of(spark, "v_chi2_independence")
+    # orders+customer scanned once each (double-printed): window sums run
+    # over the 25-cell contingency table, never re-scan the fact side
+    assert plan.count("Scan parquet") // 2 <= 2
+    assert "MapInPandas" not in plan
+
+
+def test_bpe_token_count_pushes_projection(spark):
+    plan = plan_of(spark, "ta_bpe_token_count")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"event_type", "props"}, cols
+    assert "MapInPandas" not in plan
+
+
+def test_pca_projection_stage_is_jvm_side(spark):
+    # the PROJECTION map of emb_pca_project must stay zip_with/aggregate
+    # (JVM) — only the moment collection may touch Python-free exchanges;
+    # no pandas stage anywhere
+    plan = plan_of(spark, "emb_pca_project")
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
