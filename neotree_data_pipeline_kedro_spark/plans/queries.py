@@ -13962,6 +13962,165 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, "vec_id", "embedding", k=2, scale=1_000)
 
 
+# Portable MinHash: 16 affine hashes (a*sid + b) mod p over LEXICOGRAPHIC
+# shingle ids (p = 2^31-1 keeps every product inside int64 — sid is reduced
+# mod p first so the bound holds at any vocabulary size). Constants come from
+# one fixed LCG evaluated here and embedded as literals in BOTH engines (the
+# hex-ladder discipline: cross-engine randomness = Python-computed constants).
+_MH_P = 2_147_483_647
+_MH_AB: list[tuple[int, int]] = []
+_seed = 0x5DEECE66D
+for _ in range(16):
+    _seed = (_seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _a = _seed % (_MH_P - 1) + 1
+    _seed = (_seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _b = _seed % _MH_P
+    _MH_AB.append((_a, _b))
+
+_MH_SIG_DUCK = ",\n             ".join(
+    f"MIN(({a} * (sid % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_MH_AB)
+)
+_MH_MATCH_DUCK = " + ".join(
+    f"(CASE WHEN A.h{i} = B.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@_register(
+    "dd_minhash_estimate_eval",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    ex AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+    vocab AS (
+      SELECT s, row_number() OVER (ORDER BY s) AS sid
+      FROM (SELECT DISTINCT s FROM ex)
+    ),
+    e AS (SELECT doc_id, source, sid FROM ex JOIN vocab USING (s)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_SIG_DUCK}
+      FROM e GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM e a JOIN e b
+        ON a.source = b.source AND a.sid = b.sid AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT ia, ib,
+             CAST(c * 1000000 // (sa.n + sb.n - c) AS BIGINT) AS jaccard_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE c * 1000000 // (sa.n + sb.n - c) >= 20000
+    )
+    SELECT p.ia AS id_a, p.ib AS id_b,
+           CAST({_MH_MATCH_DUCK} AS BIGINT) AS n_match,
+           CAST(({_MH_MATCH_DUCK}) * 62500 AS BIGINT) AS est_ppm,
+           p.jaccard_ppm,
+           CAST(abs(({_MH_MATCH_DUCK}) * 62500 - p.jaccard_ppm) AS BIGINT)
+             AS err_ppm
+    FROM pairs p
+    JOIN sig A ON A.doc_id = p.ia
+    JOIN sig B ON B.doc_id = p.ib
+    """,
+)
+def dd_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch CALIBRATION: for every same-source pair with exact
+    3-gram Jaccard >= 0.02, the 16-hash MinHash estimate (matching
+    signature slots / 16) side by side with the exact similarity and the
+    absolute error — the measurement that tells you whether your LSH
+    banding thresholds are trustworthy on YOUR corpus before you dedup
+    100 TB with them. Fully oracle-paired (unlike dd_minhash_lsh, whose
+    xxhash banding has no SQL form) because every piece is portable
+    integer arithmetic: shingle ids are the LEXICOGRAPHIC rank of the
+    distinct-shingle vocabulary (global_row_number — two-phase
+    range-partitioned rank, no single-partition sort), the 16 affine
+    hashes are Python-computed literal constants mod 2^31-1 (products
+    bounded inside int64 at any vocabulary size), and estimate/exact/
+    error are all exact ppm integers. Shapes: one vocab rank, one
+    shingle-keyed equi-join for intersections (bounded by
+    sum-over-shingles of c^2 within a source — never doc x doc), one
+    16-way min aggregate for signatures."""
+    from ..operators.neardup import shingle_sets
+    from ..operators.windows import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    # vectorized pandas shingle kernel (raw strings — the lexicographic
+    # vocab rank must see the actual shingles), ~3x the interpreted
+    # higher-order-function chain; ONE checkpoint feeds explode + sizes
+    shd = shingle_sets(
+        docs, "doc_id", "text", n=3, keep=("source",), hashed=False
+    ).localCheckpoint()
+    ex = shd.select(
+        F.col("id").alias("doc_id"), "source", F.explode("sh").alias("s")
+    )
+    vocab = global_row_number(
+        ex.select("s").distinct(), ["s"], out_col="sid"
+    )
+    e = ex.join(vocab, "s").select("doc_id", "source", "sid").localCheckpoint()
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.pmod(F.col("sid"), F.lit(_MH_P)) + F.lit(b)) % _MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_AB)
+        ]
+    )
+    sizes = shd.select(
+        F.col("id").alias("doc_id"), F.col("nsh").cast("bigint").alias("n")
+    )
+    ea, eb = e.alias("a"), e.alias("b")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "ia").withColumnRenamed("n", "na"), "ia")
+        .join(sizes.withColumnRenamed("doc_id", "ib").withColumnRenamed("n", "nb"), "ib")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("c * CAST(1000000 AS BIGINT) DIV (na + nb - c)"),
+        )
+        .filter(F.col("jaccard_ppm") >= 20_000)
+        .select("ia", "ib", "jaccard_ppm")
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("ia"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(16)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("ib"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(16)],
+    )
+    n_match = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(16)
+    ).cast("bigint")
+    return (
+        pairs.join(siga, "ia")
+        .join(sigb, "ib")
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            n_match.alias("n_match"),
+            (n_match * 62_500).cast("bigint").alias("est_ppm"),
+            "jaccard_ppm",
+            F.abs(n_match * 62_500 - F.col("jaccard_ppm"))
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -13988,6 +14147,7 @@ _DRIVER_FRONT = [
     "ta_bpe_token_count",
     "v_chi2_independence",
     "emb_pca_project",
+    "dd_minhash_estimate_eval",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",
