@@ -14121,6 +14121,177 @@ def dd_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_fd_discovery",
+    """
+    WITH checks AS (
+      SELECT 'o_orderkey->o_custkey' AS fd, o_orderkey AS det,
+             CAST(o_custkey AS VARCHAR) AS dep FROM orders
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority', o_custkey, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag', l_orderkey, l_returnflag
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey->l_suppkey', l_partkey,
+             CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ), g AS (
+      SELECT fd, det, COUNT(DISTINCT dep) AS n_dep, COUNT(*) AS n_rows
+      FROM checks GROUP BY fd, det
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (n_dep > 1) AS BIGINT) AS n_violating,
+           CAST(MAX(n_dep) AS BIGINT) AS max_distinct_dep,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_in_violation
+    FROM g GROUP BY fd
+    """,
+)
+def v_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/validation over a declared candidate
+    set (the profiling pass behind key inference and normalization
+    audits): for each A→B candidate, how many determinant groups exist,
+    how many witness a violation (>1 distinct dependent), the worst
+    group's distinct count, and how many rows sit inside violating groups.
+    o_orderkey→o_custkey and l_partkey→l_suppkey hold on TPC-H-shaped
+    data; o_custkey→o_orderpriority and l_orderkey→l_returnflag are
+    genuine violations, so both verdicts are exercised. One union of
+    narrow (fd, det, dep) projections, one two-level aggregate — each
+    side partial-aggregates before the shuffle, and the dep strings are
+    cast once so the union is type-stable."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    checks = (
+        o.select(
+            F.lit("o_orderkey->o_custkey").alias("fd"),
+            F.col("o_orderkey").alias("det"),
+            F.col("o_custkey").cast("string").alias("dep"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_custkey->o_orderpriority").alias("fd"),
+                F.col("o_custkey").alias("det"),
+                F.col("o_orderpriority").alias("dep"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_orderkey->l_returnflag").alias("fd"),
+                F.col("l_orderkey").alias("det"),
+                F.col("l_returnflag").alias("dep"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_partkey->l_suppkey").alias("fd"),
+                F.col("l_partkey").alias("det"),
+                F.col("l_suppkey").cast("string").alias("dep"),
+            )
+        )
+    )
+    g = checks.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("n_dep"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("n_dep").cast("bigint").alias("max_distinct_dep"),
+        F.sum(F.when(F.col("n_dep") > 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_violation"),
+    )
+
+
+@_register(
+    "w29_run_length_words",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS NULL OR event_type <> prev
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ), per_run AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS sym,
+             COUNT(*) AS n,
+             MIN(ts) AS t0, MIN(event_id) AS e0
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS longest_run,
+           string_agg(substr(sym, 1, 1) || CAST(n AS VARCHAR), ''
+                      ORDER BY t0, e0) AS rle_word
+    FROM per_run GROUP BY user_id
+    """,
+)
+def w29_run_length_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence into one
+    compact word ('v3c1p2…') — the categorical sibling of
+    w27_sax_symbols: turns behavioral sequences into strings the
+    shingle/MinHash family can mine for common motifs, plus the run
+    stats (count, longest burst) that flag bot-like repetition. Gaps-
+    and-islands via one lag + one conditional running sum over a TOTAL
+    (ts, event_id) order — the lag is computed before any filter (the
+    w11 lesson), runs then collapse with first-occurrence ordering keys
+    so the final word-concatenation aggregate is deterministic. Two
+    window passes + two aggregates, all on the user_id partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    runs = o.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("event_type") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("sym"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("t0"),
+        F.min("event_id").alias("e0"),
+    )
+    word = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("t0", "e0", "sym", "n"))
+            ),
+            lambda x: F.concat(
+                F.substring(x["sym"], 1, 1), x["n"].cast("string")
+            ),
+        ),
+        "",
+    )
+    return per_run.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("n").cast("bigint").alias("longest_run"),
+        word.alias("rle_word"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -14148,6 +14319,8 @@ _DRIVER_FRONT = [
     "v_chi2_independence",
     "emb_pca_project",
     "dd_minhash_estimate_eval",
+    "v_fd_discovery",
+    "w29_run_length_words",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",
