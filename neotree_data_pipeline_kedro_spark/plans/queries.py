@@ -14292,6 +14292,209 @@ def w29_run_length_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a41_decile_lift",
+    """
+    WITH score AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS score_cents
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY o_custkey
+    ), resp AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ), base AS (
+      SELECT s.o_custkey, s.score_cents,
+             CASE WHEN r.o_custkey IS NULL THEN 0 ELSE 1 END AS responded,
+             ntile(10) OVER (ORDER BY s.score_cents DESC, s.o_custkey)
+               AS decile
+      FROM score s LEFT JOIN resp r ON r.o_custkey = s.o_custkey
+    ), d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(responded) AS BIGINT) AS n_resp
+      FROM base GROUP BY decile
+    ), c AS (
+      SELECT decile, n_cust, n_resp,
+             CAST(SUM(n_cust) OVER w AS BIGINT) AS cum_n,
+             CAST(SUM(n_resp) OVER w AS BIGINT) AS cum_resp,
+             CAST(SUM(n_cust) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(n_resp) OVER () AS BIGINT) AS tot_resp
+      FROM d
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, n_cust, n_resp,
+           CAST(n_resp * 1000000 // n_cust AS BIGINT) AS resp_ppm,
+           CAST(cum_resp * tot_n * 1000000 // (cum_n * tot_resp) AS BIGINT)
+             AS cum_lift_ppm
+    FROM c
+    """,
+)
+def a41_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-eval staple: customers scored
+    by 1996 spend, outcome = ordered again in 1997; per score-decile the
+    response rate and the cumulative lift over the base rate. The decile
+    assignment is the a22 discipline — two-phase global_row_number +
+    ntile_from_rank (never a single-partition ntile window over the fact
+    table); the cumulative pass runs over the TEN decile rows, where a
+    bare ordered window is a 10-row frame, not a scale hazard. All rates
+    are exact-integer ppm (floor division; cum lift multiplies before
+    dividing so the quotient stays exact)."""
+    from ..operators.windows import global_row_number, ntile_from_rank
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    score = (
+        o.filter(
+            (F.col("d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("d") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("score_cents")
+        )
+    )
+    resp = (
+        o.filter(
+            (F.col("d") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("d") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_custkey")
+        .distinct()
+        .withColumn("responded", F.lit(1))
+    )
+    base = score.join(resp, "o_custkey", "left").select(
+        "o_custkey",
+        (-F.col("score_cents")).alias("neg_score"),
+        F.coalesce(F.col("responded"), F.lit(0)).alias("responded"),
+    )
+    ranked = global_row_number(base, ["neg_score", "o_custkey"], out_col="rn")
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    withq = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("n_all"), 10)
+    )
+    d = withq.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("responded").cast("bigint").alias("n_resp"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = d.select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        F.sum("n_cust").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("n_resp").over(w_cum).cast("bigint").alias("cum_resp"),
+        F.sum("n_cust").over(w_all).cast("bigint").alias("tot_n"),
+        F.sum("n_resp").over(w_all).cast("bigint").alias("tot_resp"),
+    )
+    return c.select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        F.expr("n_resp * CAST(1000000 AS BIGINT) DIV n_cust").alias(
+            "resp_ppm"
+        ),
+        F.expr(
+            "cum_resp * tot_n * CAST(1000000 AS BIGINT)"
+            " DIV (cum_n * tot_resp)"
+        ).alias("cum_lift_ppm"),
+    )
+
+
+@_register(
+    "v_psi_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                  THEN 'a' ELSE 'b' END AS period,
+             LEAST(9, CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 60000.0)
+                           AS BIGINT)) AS bin
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ), cnt AS (
+      SELECT bin,
+             CAST(1 + COUNT(*) FILTER (period = 'a') AS BIGINT) AS n_a,
+             CAST(1 + COUNT(*) FILTER (period = 'b') AS BIGINT) AS n_b
+      FROM b GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT bin, n_a, n_b,
+           CAST(round(
+             (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+             * ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb))
+             * 1000000, 0) AS BIGINT) AS psi_term_micro
+    FROM cnt, tot
+    """,
+)
+def v_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods of the order-value
+    distribution (1996 vs 1997) over 10 fixed-width bins — the
+    industry-standard drift score beside v_ks_drift's two-sample KS:
+    Σ (pa − pb)·ln(pa/pb), flagged at 0.1/0.25. Counts are exact with
+    +1 smoothing (a bin empty on one side would otherwise blow up the
+    log); each bin's term is computed with the IDENTICAL IEEE
+    expression shape in both engines and micro-rounded per bin (the
+    bigram-LM ln discipline), so the hash compares integers. One scan,
+    one 10-row aggregate, one broadcast total."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    b = o.filter(
+        (F.col("d") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("d") < F.lit("1998-01-01").cast("date"))
+    ).select(
+        F.when(
+            F.col("d") < F.lit("1997-01-01").cast("date"), F.lit("a")
+        )
+        .otherwise(F.lit("b"))
+        .alias("period"),
+        F.least(
+            F.lit(9),
+            F.floor(F.col("o_totalprice").cast("double") / 60000.0).cast(
+                "bigint"
+            ),
+        ).alias("bin"),
+    )
+    cnt = b.groupBy("bin").agg(
+        (1 + F.sum(F.when(F.col("period") == "a", 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_a"),
+        (1 + F.sum(F.when(F.col("period") == "b", 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("psi_term_micro"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -14321,6 +14524,8 @@ _DRIVER_FRONT = [
     "dd_minhash_estimate_eval",
     "v_fd_discovery",
     "w29_run_length_words",
+    "a41_decile_lift",
+    "v_psi_drift",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",

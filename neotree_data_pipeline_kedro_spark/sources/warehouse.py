@@ -221,3 +221,34 @@ def minmax_prune_scan(
         len(keep),
         len(stats),
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """DYNAMIC partition overwrite: replace exactly the partitions present
+    in ``df`` and leave every other partition untouched — the idempotent
+    reload primitive for late-arriving or corrected days (re-run one
+    day's extract without truncating the table, the reference's
+    delete-then-reinsert cycle for summary tables done at directory
+    granularity).
+
+    ``partitionOverwriteMode=dynamic`` is set per-write through the
+    DataFrameWriter option (not the session conf), so concurrent writers
+    with different intents don't race on a global setting. With the
+    default STATIC mode, mode("overwrite") + partitionBy would truncate
+    the WHOLE table first — the classic cron foot-gun this wrapper
+    exists to prevent. At scale the replaced unit is a directory rename,
+    never a rewrite of untouched partitions, and re-running the same
+    batch converges to the same bytes (idempotent reload).
+    """
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
