@@ -14495,6 +14495,187 @@ def v_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dd_cluster_canonicalization",
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, lang, n_chars FROM documents),
+    ea AS (
+      SELECT u, v FROM (
+        SELECT MIN(doc_id) OVER (PARTITION BY source, n_chars % 8) AS u,
+               doc_id AS v
+        FROM d
+      ) WHERE u <> v
+    ),
+    eb AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE a.doc_id % 7 < 2
+    ),
+    e0 AS (SELECT u, v FROM ea UNION SELECT u, v FROM eb),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    cc(id, comp) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.id
+    ),
+    fin AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+    q AS (
+      SELECT f.id AS doc_id, f.comp AS component, d.n_chars AS quality,
+             row_number() OVER (PARTITION BY f.comp
+                                ORDER BY d.n_chars DESC, f.id) AS rk
+      FROM fin f JOIN d ON d.doc_id = f.id
+    )
+    SELECT doc_id, component, CAST(quality AS BIGINT) AS quality,
+           (rk = 1) AS is_kept
+    FROM q
+    """,
+)
+def dd_cluster_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: dd_connected_components' duplicate groups, but the
+    survivor is chosen by QUALITY (longest document, doc_id tiebreak)
+    instead of min-id — the production dedup policy (when a near-dup
+    cluster collapses, you keep the most complete copy, not the one with
+    the smallest key). Same deterministic edge replay + cluster
+    contraction as dd_connected_components (the oracle closes it with an
+    independent recursive CTE), then one window argmax per component.
+    A min-id canonical that survived while a longer twin existed would
+    hash-mismatch — this pins the SELECTION policy, which
+    dd_connected_components' is_canonical flag cannot."""
+    from ..operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    wb = Window.partitionBy("source", (F.col("n_chars") % 8))
+    rooted = docs.select(
+        "doc_id", "lang", F.min("doc_id").over(wb).alias("root")
+    )
+    a = rooted.select(
+        F.col("doc_id").alias("u"),
+        F.col("lang").alias("la"),
+        F.col("root").alias("ru"),
+    )
+    b = rooted.select(
+        F.col("doc_id").alias("v"),
+        F.col("lang").alias("lb"),
+        F.col("root").alias("rv"),
+    )
+    eb = (
+        a.filter(F.col("u") % 7 < 2)
+        .join(b, (F.col("v") == F.col("u") + 1) & (F.col("la") == F.col("lb")))
+        .filter(F.col("ru") != F.col("rv"))
+        .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
+    )
+    root_labels = connected_components(eb, "u", "v", nodes=rooted.select("root"))
+    labels = rooted.join(
+        root_labels.withColumnRenamed("id", "root"), "root"
+    ).select(F.col("doc_id"), F.col("comp").alias("component"))
+    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w_best = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "component",
+        F.col("n_chars").cast("bigint").alias("quality"),
+        (F.row_number().over(w_best) == 1).alias("is_kept"),
+    )
+
+
+@_register(
+    "j28_star_obt",
+    """
+    SELECT l_orderkey, l_linenumber,
+           o_orderdate, o_orderpriority,
+           c.c_name AS customer_name, cn.n_name AS customer_nation,
+           r.r_name AS customer_region,
+           p.p_name AS part_name, p.p_brand,
+           s.s_name AS supplier_name, sn.n_name AS supplier_nation,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+                      * 100, 0) AS BIGINT) AS net_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer c  ON c.c_custkey = o_custkey
+    JOIN nation  cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region  r   ON r.r_regionkey = cn.n_regionkey
+    JOIN part    p   ON p.p_partkey = l_partkey
+    JOIN supplier s  ON s.s_suppkey = l_suppkey
+    JOIN nation  sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+    """,
+)
+def j28_star_obt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema denormalization into One Big Table (a quarter's ASIA
+    slice): the ETL step that trades storage for scan-time join
+    elimination before handing analysts a flat table. Plan shape is the
+    star-join ideal — the fact table streams once through a chain of
+    BROADCAST hash joins (every dimension is dimension-sized: nation,
+    region, and even customer/part/supplier stay broadcastable because
+    AQE sees their post-filter sizes; no sort-merge, no fact shuffle),
+    and the date + region predicates push into the scans. Pinned in
+    tests/test_plan_contracts.py."""
+    sf = lambda t: _t(spark, sf_dir, t)  # noqa: E731
+    li = sf("lineitem")
+    o = sf("orders").withColumn("d", F.col("o_orderdate").cast("date"))
+    c = sf("customer")
+    n = sf("nation")
+    r = sf("region")
+    p = sf("part")
+    s = sf("supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("customer_nation"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supplier_nation"),
+    )
+    out = (
+        li.join(
+            o.filter(
+                (F.col("d") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("d") < F.lit("1996-04-01").cast("date"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cn, F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            r.filter(F.col("r_name") == "ASIA"),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("sn_key") == F.col("s_nationkey"))
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "o_orderpriority",
+        F.col("c_name").alias("customer_name"),
+        "customer_nation",
+        F.col("r_name").alias("customer_region"),
+        F.col("p_name").alias("part_name"),
+        "p_brand",
+        F.col("s_name").alias("supplier_name"),
+        "supplier_nation",
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "double"
+            )
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -14526,6 +14707,8 @@ _DRIVER_FRONT = [
     "w29_run_length_words",
     "a41_decile_lift",
     "v_psi_drift",
+    "dd_cluster_canonicalization",
+    "j28_star_obt",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",

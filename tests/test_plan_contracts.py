@@ -562,3 +562,15 @@ def test_pca_projection_stage_is_jvm_side(spark):
     # no pandas stage anywhere
     plan = plan_of(spark, "emb_pca_project")
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_star_obt_all_broadcast_no_fact_shuffle_join(spark):
+    """The OBT denormalization must stream the fact through broadcast hash
+    joins — a sort-merge join against any dimension is the 100TB regression
+    this pins against. Date + region predicates must reach the scans."""
+    plan = plan_of(spark, "j28_star_obt")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") // 2 >= 6
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = " ".join(m)
+    assert "r_name" in pushed and "o_orderdate" in pushed
