@@ -14676,6 +14676,92 @@ def j28_star_obt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    docfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    j AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS nsh,
+             COUNT(*) FILTER (d.df = 1) AS n_unique
+      FROM ex JOIN docfreq d USING (s)
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id, CAST(nsh AS BIGINT) AS nsh,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_unique * 1000000 // nsh AS BIGINT) AS novelty_ppm
+    FROM j
+    """,
+)
+def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's 3-gram
+    shingles that appear nowhere else in the corpus — the memorization /
+    boilerplate spectrum in one number (novelty ~0 = the document is
+    assembled from corpus-common phrasing; ~1 = genuinely unique text).
+    The inverse signal of the dedup family: dedup finds documents that
+    SHARE too much, novelty scores what each document adds. Shingles via
+    the vectorized pandas kernel (raw strings so document frequency is
+    exact, not hash-collision-approximate), one shingle-keyed document-
+    frequency aggregate, one join back — the same shuffle key both ways,
+    so at scale the df table co-partitions with the probe."""
+    from ..operators.neardup import shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    shd = shingle_sets(docs, "doc_id", "text", n=3, hashed=False)
+    ex = shd.select(F.col("id").alias("doc_id"), F.explode("sh").alias("s"))
+    ex = ex.localCheckpoint()
+    docfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        ex.join(docfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nsh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return j.withColumn(
+        "novelty_ppm",
+        F.expr("n_unique * CAST(1000000 AS BIGINT) DIV nsh"),
+    )
+
+
+@_register(
+    "u10_latency_percentiles",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def u10_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-percentile observability rollup (p50/p90/p99 per priority
+    class) — the SLO-dashboard aggregate. Spark's EXACT ``F.percentile``
+    and DuckDB's ``quantile_cont`` share the same linear-interpolation
+    definition, so the doubles agree under the driver's round(6) canon
+    (the u5/v_mad precedent). One hash aggregate; percentile state is
+    per-group-bounded. At data scales where exact per-group sort-buffers
+    hurt, swap in approx_percentile and drop the oracle to rows-only —
+    the exact form IS the spec the sketch would be calibrated against."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile(v, F.lit(0.5)).alias("p50"),
+            F.percentile(v, F.lit(0.9)).alias("p90"),
+            F.percentile(v, F.lit(0.99)).alias("p99"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: the TPC-H-Q1-shaped rollup."""
     return q1_pricing_summary(spark, sf_dir)
@@ -14709,6 +14795,8 @@ _DRIVER_FRONT = [
     "v_psi_drift",
     "dd_cluster_canonicalization",
     "j28_star_obt",
+    "ta_ngram_novelty",
+    "u10_latency_percentiles",
     "sm_admissions_full",
     "sm_discharges_full",
     "sm_counts_full",
