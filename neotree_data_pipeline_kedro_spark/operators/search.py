@@ -123,3 +123,64 @@ def tfidf_vectors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def rbo_weights(p: float = 0.9, depth: int = 10, scale: int = 10**15) -> list[int]:
+    """Exact integer suffix weights for fixed-depth rank-biased overlap
+    (Webber, Moffat & Zobel 2010, eq. 4 truncated at ``depth``).
+
+    ``suffix[m-1]`` is the total contribution of an item whose LATER of
+    the two ranks is m: sum over k >= m of (1-p)·p^(k-1)/k. Quantizing
+    each per-k weight ONCE here (driver-side Python, then inlined as
+    literals into both the Spark plan and any SQL oracle) means both
+    engines sum identical integers — the RBO score is an exact integer
+    sum, never an order-dependent float reduction.
+    """
+    per_k = [round((1 - p) * p ** (k - 1) / k * scale) for k in range(1, depth + 1)]
+    return [sum(per_k[m - 1 :]) for m in range(1, depth + 1)]
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    rank_col: str,
+    *,
+    p: float = 0.9,
+    depth: int = 10,
+    scale: int = 10**15,
+    out_col: str = "rbo",
+) -> DataFrame:
+    """Fixed-depth rank-biased overlap between two rankings per group —
+    the standard top-weighted metric for comparing ranked lists
+    (search-result drift between index builds, embedding-model A/Bs,
+    before/after ANN recall checks). 1.0 = identical prefixes; top-rank
+    disagreements cost far more than tail ones.
+
+    Scale shape: both sides are pre-filtered to rank <= depth (depth
+    rows per group — the rankings themselves should be built with a
+    per-group top-k, never a global sort), one equi-join on
+    (group, item), one grouped integer sum. Join and agg share the
+    group-key shuffle; weight lookup is a literal array element_at —
+    no driver work, no floats in the aggregate.
+    """
+    suffix = rbo_weights(p, depth, scale)
+    sfx = F.array(*[F.lit(s).cast("bigint") for s in suffix])
+    ra = a.where(F.col(rank_col) <= depth).select(
+        *group_cols, F.col(item_col).alias("__item"), F.col(rank_col).alias("__ra")
+    )
+    rb = b.where(F.col(rank_col) <= depth).select(
+        *group_cols, F.col(item_col).alias("__item"), F.col(rank_col).alias("__rb")
+    )
+    joined = ra.join(rb, [*group_cols, "__item"]).select(
+        *group_cols,
+        F.element_at(sfx, F.greatest("__ra", "__rb").cast("int")).alias("__w"),
+    )
+    groups = a.select(*group_cols).distinct()
+    sums = joined.groupBy(*group_cols).agg(F.sum("__w").alias("__s"))
+    return groups.join(sums, group_cols, "left").select(
+        *group_cols,
+        (F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(float(scale)))
+        .alias(out_col),
+    )

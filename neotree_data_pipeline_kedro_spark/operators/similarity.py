@@ -1393,3 +1393,77 @@ def pca_project(
             .alias(f"pc{c}_micro")
         )
     return qd.select(*out_cols)
+
+
+def hard_example_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    scale: int | None = 1_000_000,
+) -> DataFrame:
+    """Triplet mining for contrastive training data: for each anchor,
+    the hardest POSITIVE (same label, most-similar, never itself) and
+    hardest NEGATIVE (different label, most-similar) plus the margin
+    between them — the batch-construction primitive behind triplet /
+    InfoNCE pipelines (anchors with a small or negative margin are the
+    informative ones).
+
+    Scale shape: identical to brute_force_topk — the anchor side is the
+    small one (a sampled probe set), broadcast below a single corpus
+    scan; quantize/norm work is hoisted per-row (prep_vectors), the only
+    per-pair work is the dot product, and the double top-1 reduction is
+    ONE window over (anchor, is_positive) on the scored stream. For
+    anchor sets too big to broadcast, swap the scorer for ann_join_ivf
+    and keep the same tail.
+
+    Determinism: integer-quantized cosine (exact dot/norms), ties broken
+    by candidate id; margin is a double difference of bit-identical
+    doubles.
+    """
+    q = prep_vectors(anchors, id_col, vec_col, scale, keep=(label_col,)).select(
+        F.col("id").alias("anchor_id"),
+        F.col(label_col).alias("__ql"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    c = prep_vectors(corpus, id_col, vec_col, scale, keep=(label_col,)).select(
+        F.col("id").alias("cand_id"), F.col(label_col).alias("__cl"), "__v", "__n"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("__ql") == F.col("__cl")).alias("is_pos"),
+            pair_cosine(
+                F.col("__qv"), F.col("__qn"), F.col("__v"), F.col("__n"),
+                integer=scale is not None,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    pos = best.where(F.col("is_pos")).select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cosine_sim").alias("pos_sim"),
+    )
+    neg = best.where(~F.col("is_pos")).select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cosine_sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -467,3 +467,157 @@ def dtw_to_reference(
         ]
     )
     return df.groupBy(key_col).applyInPandas(one_group, schema=schema)
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    slope_col: str = "ts_slope",
+) -> DataFrame:
+    """Theil–Sen robust trend estimator per group: the (lower) median of
+    all pairwise slopes (y2 − y1)/(x2 − x1) over x1 < x2.
+
+    Reference parity: the reference ships only least-squares trends
+    (mirrored in a16_trend_slope); Theil–Sen is the standard robust
+    companion — a 29% breakdown point, immune to the revenue spikes and
+    sensor glitches that wreck OLS on operational series.
+
+    Scale shape: a self-equi-join on the GROUP key expands each group's
+    series into C(n, 2) pairs — bounded by the series length, which for
+    calendar-bucketed series is a constant (≤31 for a month of dailies),
+    so the expansion is a bounded multiple of the input no matter how
+    many groups there are. Both the join and the median window shuffle
+    once on the group key; nothing is quadratic in the number of groups
+    and nothing touches the driver. For multi-year series, bucket or
+    sample x first (classical Theil–Sen subsampling) to keep C(n, 2)
+    bounded.
+
+    Determinism contract: y must be exact (DECIMAL or a cents-scaled
+    integer — never raw double, whose subtraction order would differ);
+    the slope is evaluated in double from the exact difference and
+    integer x-gap, the same expression shape DuckDB uses, so the doubles
+    are bit-equal. The median is the LOWER median — the element at
+    row_number (n_pairs + 1) div 2 under the total order
+    (slope, x1, x2) — never an average of two middles, so no engine's
+    interpolation convention can disagree.
+    """
+    gcols = list(group_cols)
+    a = df.select(
+        *gcols, F.col(x_col).alias("_x1"), F.col(y_col).alias("_y1")
+    )
+    b = df.select(
+        *gcols, F.col(x_col).alias("_x2"), F.col(y_col).alias("_y2")
+    )
+    pairs = a.join(b, on=gcols).where(F.col("_x1") < F.col("_x2"))
+    slope = (F.col("_y2") - F.col("_y1")).cast("double") / (
+        F.col("_x2") - F.col("_x1")
+    ).cast("double")
+    pairs = pairs.select(*gcols, "_x1", "_x2", slope.alias("_slope"))
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("_slope").asc(), F.col("_x1").asc(), F.col("_x2").asc()
+    )
+    ranked = pairs.select(
+        *gcols,
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*gcols)).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("_rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(*gcols, F.col("n_pairs").cast("bigint"), F.col("_slope").alias(slope_col))
+
+
+def western_electric_flags(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Western-Electric control-chart rules per group over an ordered
+    series: flag each point that violates
+
+      r1 — the point is beyond mean ± 3σ;
+      r2 — ≥2 of the last 3 points beyond 2σ on the SAME side;
+      r3 — ≥4 of the last 5 points beyond 1σ on the same side;
+      r4 — 8 consecutive points on the same side of the mean.
+
+    The classic SPC ruleset (public domain, Western Electric Handbook
+    1956) — the monitoring layer the reference's data_validation module
+    stops short of (it checks ranges, not run patterns).
+
+    Scale shape: mean and σ come from ONE grouped aggregate of exact
+    sums (y is a cents-scaled integer; Σy² goes through DECIMAL(37,0)
+    so the square never overflows a long), joined
+    back onto the series (group-count rows — dimension-sized, AQE
+    broadcasts it); the rules themselves are rolling SUMs over
+    row-bounded windows on the (group, order) shuffle — one window
+    shuffle total, linear state, no self-join.
+
+    Determinism contract: mean/σ evaluated in double from the
+    exact sums with the same expression shape as the oracle
+    (population σ via sqrt(Σy²/n − mean²)), so every threshold
+    comparison sees bit-identical doubles in both engines.
+    """
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(y_col).alias("_sy"),
+        F.sum(
+            F.col(y_col).cast("decimal(18,0)") * F.col(y_col).cast("decimal(18,0)")
+        ).alias("_syy"),
+    )
+    mean = F.col("_sy").cast("double") / F.col("_n")
+    var = F.col("_syy").cast("double") / F.col("_n") - mean * mean
+    stats = stats.select(
+        *gcols,
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sigma"),
+    )
+    y = F.col(y_col).cast("double")
+    joined = df.join(stats, on=gcols)
+    up1 = (y > F.col("_mean") + F.col("_sigma")).cast("int")
+    dn1 = (y < F.col("_mean") - F.col("_sigma")).cast("int")
+    up2 = (y > F.col("_mean") + 2 * F.col("_sigma")).cast("int")
+    dn2 = (y < F.col("_mean") - 2 * F.col("_sigma")).cast("int")
+    above = (y > F.col("_mean")).cast("int")
+    below = (y < F.col("_mean")).cast("int")
+    joined = joined.select(
+        *gcols,
+        order_col,
+        y.alias("_y"),
+        F.col("_mean"),
+        F.col("_sigma"),
+        up1.alias("_up1"),
+        dn1.alias("_dn1"),
+        up2.alias("_up2"),
+        dn2.alias("_dn2"),
+        above.alias("_ab"),
+        below.alias("_be"),
+    )
+
+    def roll(col: str, n: int) -> Column:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(order_col)
+            .rowsBetween(-(n - 1), 0)
+        )
+        return F.sum(col).over(w)
+
+    r1 = (F.abs(F.col("_y") - F.col("_mean")) > 3 * F.col("_sigma")).alias("r1")
+    r2 = ((roll("_up2", 3) >= 2) | (roll("_dn2", 3) >= 2)).alias("r2")
+    r3 = ((roll("_up1", 5) >= 4) | (roll("_dn1", 5) >= 4)).alias("r3")
+    r4 = ((roll("_ab", 8) >= 8) | (roll("_be", 8) >= 8)).alias("r4")
+    return joined.select(
+        *gcols,
+        order_col,
+        F.col("_y").alias("y"),
+        F.col("_mean").alias("series_mean"),
+        F.col("_sigma").alias("series_sigma"),
+        r1,
+        r2,
+        r3,
+        r4,
+    )

@@ -82,6 +82,7 @@ from ..operators.neardup import (
     quantized_cosine,
     simhash_candidates,
 )
+from ..operators.search import rbo_weights
 from ..operators.similarity import (
     brute_force_topk,
     build_ivf_index,
@@ -14767,6 +14768,267 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     return q1_pricing_summary(spark, sf_dir)
 
 
+@_register(
+    "w30_theil_sen",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.user_id, a.x AS x1, b.x AS x2,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.x < b.x
+    ), ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope ASC NULLS FIRST,
+                                         x1 ASC NULLS FIRST,
+                                         x2 ASC NULLS FIRST) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS np
+      FROM pairs
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(np AS BIGINT) AS n_pairs,
+           slope AS ts_slope_cents
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+)
+def w30_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-revenue trend per user
+    (operators/timeseries.theil_sen_slope): lower median of all pairwise
+    slopes over each user's active days — the 29%-breakdown-point
+    companion to the aggregate-only OLS in a16_trend_slope. Pair
+    expansion is a self-equi-join on user_id, bounded at C(31, 2) per
+    user for a month of dailies (never quadratic in user count); one
+    shuffle for the join, one for the median window, both on user_id.
+    Cents-integer daily sums make every slope an exact-difference /
+    integer-gap double — bit-equal cross-engine — and the LOWER median
+    under the (slope, x1, x2) total order removes any interpolation
+    convention."""
+    from ..operators.timeseries import theil_sen_slope
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value").cast("double") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    out = theil_sen_slope(daily, ["user_id"], "x", "y", slope_col="ts_slope_cents")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "ts_slope_cents",
+    )
+
+
+@_register(
+    "v_spc_rules",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
+      FROM daily GROUP BY 1
+    ), j AS (
+      SELECT d.event_type, d.d, CAST(d.y AS DOUBLE) AS y,
+             CAST(s.sy AS DOUBLE) / s.n AS m,
+             sqrt(greatest(CAST(s.syy AS DOUBLE) / s.n
+                           - (CAST(s.sy AS DOUBLE) / s.n)
+                             * (CAST(s.sy AS DOUBLE) / s.n), 0.0)) AS sig
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ), ind AS (
+      SELECT *,
+             CAST(y > m + sig AS INTEGER) AS up1,
+             CAST(y < m - sig AS INTEGER) AS dn1,
+             CAST(y > m + 2 * sig AS INTEGER) AS up2,
+             CAST(y < m - 2 * sig AS INTEGER) AS dn2,
+             CAST(y > m AS INTEGER) AS ab,
+             CAST(y < m AS INTEGER) AS be
+      FROM j
+    )
+    SELECT event_type, d, y, m AS series_mean, sig AS series_sigma,
+           abs(y - m) > 3 * sig AS r1,
+           (SUM(up2) OVER w3 >= 2) OR (SUM(dn2) OVER w3 >= 2) AS r2,
+           (SUM(up1) OVER w5 >= 4) OR (SUM(dn1) OVER w5 >= 4) AS r3,
+           (SUM(ab) OVER w8 >= 8) OR (SUM(be) OVER w8 >= 8) AS r4
+    FROM ind
+    WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w8 AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+)
+def v_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western-Electric control-chart audit
+    (operators/timeseries.western_electric_flags) over each event type's
+    hourly-revenue series: beyond-3σ spikes (r1), 2-of-3 beyond 2σ (r2),
+    4-of-5 beyond 1σ (r3), 8-in-a-row same side (r4) — the run-pattern
+    monitoring layer the reference's data_validation module stops short
+    of (validate.py checks static ranges only). One grouped aggregate of
+    exact cents sums (Σy, Σy² via decimal) gives mean/σ; the dimension-
+    sized stats table joins back (AQE broadcasts it) and all four rules
+    are rolling integer sums over row-bounded windows on the single
+    (event_type, hour) window shuffle. Mean/σ/threshold doubles are
+    evaluated with the same expression shape in both engines from exact
+    integer sums — bit-equal comparisons everywhere."""
+    from ..operators.timeseries import western_electric_flags
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value").cast("double") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    return western_electric_flags(daily, ["event_type"], "d", "y")
+
+
+@_register(
+    "emb_hard_negatives",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), n AS ({_QNORM_DUCK}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+             a.label = c.label AS is_pos,
+             CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                               i -> a.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cosine_sim
+      FROM n a, n c
+      WHERE a.vec_id % 20 = 0 AND c.vec_id <> a.vec_id
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos
+                                   ORDER BY cosine_sim DESC NULLS LAST,
+                                            cand_id ASC NULLS FIRST) AS rn
+      FROM scored
+    )
+    SELECT p.anchor_id, p.cand_id AS pos_id, p.cosine_sim AS pos_sim,
+           g.cand_id AS neg_id, g.cosine_sim AS neg_sim,
+           p.cosine_sim - g.cosine_sim AS margin
+    FROM best p JOIN best g ON p.anchor_id = g.anchor_id
+    WHERE p.rn = 1 AND g.rn = 1 AND p.is_pos AND NOT g.is_pos
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining (operators/similarity.hard_example_mining): for
+    each sampled anchor (vec_id % 20), the hardest same-label positive
+    and hardest other-label negative by quantized cosine, plus the
+    anchor's margin — the contrastive-batch construction primitive.
+    Plan shape = brute_force_topk's: broadcast the anchor probe set
+    under one corpus scan, one (anchor, is_pos) top-1 window; swap in
+    ann_join_ivf for corpus-sized anchor sets."""
+    from ..operators.similarity import hard_example_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 20 == 0)
+    return hard_example_mining(emb, anchors, "vec_id", "embedding", "label")
+
+
+_RBO_SUFFIX = rbo_weights(p=0.9, depth=10)
+_RBO_SUFFIX_SQL = ", ".join(
+    f"({m}, {s})" for m, s in enumerate(_RBO_SUFFIX, start=1)
+)
+
+
+@_register(
+    "u11_rbo_rankings",
+    f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+             c.c_nationkey AS nat,
+             CAST(SUM(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT seg, yr, nat,
+             row_number() OVER (PARTITION BY seg, yr
+                                ORDER BY cents DESC NULLS LAST,
+                                         nat ASC NULLS FIRST) AS rnk
+      FROM rev
+    ), w(m, s) AS (VALUES {_RBO_SUFFIX_SQL}),
+    j AS (
+      SELECT a.seg, w.s
+      FROM ranked a
+      JOIN ranked b ON a.seg = b.seg AND a.nat = b.nat
+                    AND a.yr = 1995 AND b.yr = 1996
+                    AND a.rnk <= 10 AND b.rnk <= 10
+      JOIN w ON w.m = greatest(a.rnk, b.rnk)
+    )
+    SELECT g.seg,
+           CAST(COALESCE(t.s, 0) AS DOUBLE) / 1000000000000000.0 AS rbo
+    FROM (SELECT DISTINCT seg FROM ranked WHERE yr = 1995) g
+    LEFT JOIN (SELECT seg, CAST(SUM(s) AS BIGINT) AS s FROM j GROUP BY seg) t
+      ON g.seg = t.seg
+    """,
+)
+def u11_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (operators/search.rank_biased_overlap,
+    p=0.9, depth=10) between each market segment's 1995 and 1996
+    nation-revenue top-10 rankings — the top-weighted list-drift metric
+    for search/ANN eval. The per-rank weights are quantized ONCE in
+    driver Python (rbo_weights) and inlined as identical integer
+    literals into both engines, so the score is an exact integer sum —
+    no pow() and no float reduction at query time. Both rankings are
+    depth-truncated before the join: depth rows per group flow into the
+    one (group, item) equi-join + grouped sum."""
+    from ..operators.search import rank_biased_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("seg", "yr").orderBy(
+        F.desc("cents"), F.asc("nat")
+    )
+    ranked = rev.select("seg", "yr", "nat", F.row_number().over(w).alias("rnk"))
+    a = ranked.where(F.col("yr") == 1995)
+    b = ranked.where(F.col("yr") == 1996)
+    return rank_biased_overlap(
+        a, b, ["seg"], "nat", "rnk", p=0.9, depth=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -14780,6 +15042,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_FRONT = [
     # round-7 additions (no prior driver row by construction):
+    "w30_theil_sen",
+    "v_spc_rules",
+    "emb_hard_negatives",
+    "u11_rbo_rankings",
     "g8_bfs_hops",
     "w27_sax_symbols",
     "a39_funnel_steps",

@@ -412,3 +412,198 @@ def test_funnel_strict_ordering_and_window(spark):
     assert out["1_view"] == (3, 1_000_000)
     assert out["2_click_after_view"] == (2, 666_666)  # 2/3 truncated ppm
     assert out["3_purchase_after_click"] == (1, 500_000)
+
+
+# ------------------------------------------------ theil_sen_slope
+def test_theil_sen_robust_to_outlier(spark):
+    """Lower median of pairwise slopes: one wild endpoint must not move
+    the estimate (the whole point vs OLS)."""
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    rows = [("a", 0, 0), ("a", 1, 2), ("a", 2, 4), ("a", 3, 100),
+            ("b", 5, 7)]  # group b: single point -> no pairs -> absent
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = theil_sen_slope(df, ["g"], "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.g == "a" and r.n_pairs == 6
+    # pairwise slopes sorted: [2, 2, 2, 100/3, 49, 96] -> lower median = 2
+    assert r.ts_slope == 2.0
+
+
+def test_theil_sen_matches_pandas_twin(spark):
+    import itertools
+
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(6):
+        xs = sorted(rng.choice(40, size=rng.integers(2, 12), replace=False))
+        for x in xs:
+            rows.append((f"g{g}", int(x), int(rng.integers(-500, 500))))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r.g: (r.n_pairs, r.ts_slope)
+        for r in theil_sen_slope(df, ["g"], "x", "y").collect()
+    }
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        slopes = sorted(
+            ((y2 - y1) / (x2 - x1), x1, x2)
+            for (x1, y1), (x2, y2) in itertools.combinations(sorted(pts), 2)
+        )
+        if not slopes:
+            assert g not in got
+            continue
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert got[g] == (len(slopes), lower_median)
+
+
+# ------------------------------------------------ western_electric_flags
+def test_western_electric_matches_pandas_twin(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        western_electric_flags,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("s1", "s2"):
+        base = rng.integers(90, 110, size=40).astype(np.int64)
+        base[17] = 400          # 3-sigma spike -> r1/r2
+        base[25:34] = 160       # long high run -> r4 (and r3)
+        for i, y in enumerate(base):
+            rows.append((g, i, int(y)))
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {
+        (r.g, r.t): r
+        for r in western_electric_flags(df, ["g"], "t", "y").collect()
+    }
+    assert len(got) == 80
+    fired = {k: (v.r1, v.r2, v.r3, v.r4) for k, v in got.items()}
+    assert any(f[0] for f in fired.values())
+    assert any(f[3] for f in fired.values())
+    for g in ("s1", "s2"):
+        ys = np.array([y for gg, t, y in rows if gg == g], dtype=np.float64)
+        m = ys.sum() / len(ys)
+        sig = np.sqrt(max((ys * ys).sum() / len(ys) - m * m, 0.0))
+        up1, dn1 = ys > m + sig, ys < m - sig
+        up2, dn2 = ys > m + 2 * sig, ys < m - 2 * sig
+        ab, be = ys > m, ys < m
+
+        def roll(v, n, i):
+            return v[max(0, i - n + 1): i + 1].sum()
+
+        for i in range(len(ys)):
+            r = got[(g, i)]
+            assert r.series_mean == pytest.approx(m, abs=1e-9)
+            assert r.r1 == (abs(ys[i] - m) > 3 * sig)
+            assert r.r2 == (roll(up2, 3, i) >= 2 or roll(dn2, 3, i) >= 2)
+            assert r.r3 == (roll(up1, 5, i) >= 4 or roll(dn1, 5, i) >= 4)
+            assert r.r4 == (roll(ab, 8, i) >= 8 or roll(be, 8, i) >= 8)
+
+
+# ------------------------------------------------ hard_example_mining
+def test_hard_example_mining_picks_extremes(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        hard_example_mining,
+    )
+
+    # 2-d vectors, two labels; anchor 0 points along +x.
+    rows = [
+        (0, [1.0, 0.0], 1),      # anchor
+        (1, [0.9, 0.1], 1),      # near-duplicate positive (hardest pos)
+        (2, [0.0, 1.0], 1),      # far positive
+        (3, [0.8, 0.2], 2),      # near negative (hardest neg)
+        (4, [-1.0, 0.0], 2),     # far negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter("vec_id = 0")
+    out = hard_example_mining(df, anchors, "vec_id", "embedding", "label").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.anchor_id, r.pos_id, r.neg_id) == (0, 1, 3)
+    assert r.pos_sim > 0.98 and r.neg_sim > 0.96
+    assert r.margin == r.pos_sim - r.neg_sim
+
+
+def test_hard_example_mining_excludes_self_and_ties(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        hard_example_mining,
+    )
+
+    # identical candidates -> tie broken by lowest cand_id; self excluded
+    rows = [
+        (10, [1.0, 0.0], 1),
+        (11, [1.0, 0.0], 1),
+        (12, [1.0, 0.0], 1),
+        (20, [1.0, 0.0], 2),
+        (21, [1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r.anchor_id: r
+        for r in hard_example_mining(
+            df, df.filter("vec_id in (10, 11)"), "vec_id", "embedding", "label"
+        ).collect()
+    }
+    assert out[10].pos_id == 11 and out[11].pos_id == 10
+    assert out[10].neg_id == 20 and out[11].neg_id == 20
+
+
+# ------------------------------------------------ rank_biased_overlap
+def test_rbo_identical_and_disjoint(spark):
+    from neotree_data_pipeline_kedro_spark.operators.search import (
+        rank_biased_overlap,
+        rbo_weights,
+    )
+
+    ranks = [("g", i, i) for i in range(1, 11)]
+    a = spark.createDataFrame(ranks, "g string, item long, rnk int")
+    # identical rankings: item at rank i contributes suffix[i-1], so the
+    # total is the sum of the whole suffix-weight vector
+    # (= sum_k (1-p) p^(k-1), the overlap-ratio-1 closed form)
+    out = rank_biased_overlap(a, a, ["g"], "item", "rnk").collect()
+    assert out[0].rbo == pytest.approx(sum(rbo_weights()) / 1e15, abs=1e-12)
+    # disjoint rankings -> 0.0, group still present
+    b = spark.createDataFrame(
+        [("g", i + 100, i) for i in range(1, 11)], "g string, item long, rnk int"
+    )
+    out = rank_biased_overlap(a, b, ["g"], "item", "rnk").collect()
+    assert out[0].rbo == 0.0
+
+
+def test_rbo_single_swap_costs_more_at_top(spark):
+    from neotree_data_pipeline_kedro_spark.operators.search import (
+        rank_biased_overlap,
+    )
+
+    base = {i: i for i in range(1, 11)}
+
+    def mk(r):
+        return spark.createDataFrame(
+            [("g", item, rnk) for item, rnk in r.items()],
+            "g string, item long, rnk int",
+        )
+
+    def swapped(i, j):
+        r = dict(base)
+        r[i], r[j] = r[j], r[i]
+        return r
+
+    a = mk(base)
+    top_swap = rank_biased_overlap(a, mk(swapped(1, 2)), ["g"], "item", "rnk").collect()[0].rbo
+    tail_swap = rank_biased_overlap(a, mk(swapped(9, 10)), ["g"], "item", "rnk").collect()[0].rbo
+    # adjacent swaps only shrink one prefix overlap; the top one costs more
+    assert tail_swap > top_swap
+    assert 0.0 < top_swap < 1.0
