@@ -568,3 +568,66 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection: every node starts labeled with its own id and
+    each round adopts the MOST FREQUENT label among its neighbors, ties
+    broken by smallest label — the deterministic variant (classic LPA
+    visits nodes in random order; synchronous + (count desc, label asc)
+    tie-break makes the result a pure function of the graph, so it can
+    be oracle-checked).
+
+    Scale shape: per round exactly ONE neighbor-label equi-join (edge
+    list keyed on the neighbor endpoint), ONE (node, label) grouped
+    count with map-side partials, and ONE top-1 window per node —
+    all shuffles keyed on node id, no driver state, frontiers
+    localCheckpoint-ed so lineage stays flat across rounds (the
+    CC/PageRank/BFS loop discipline). Unlike the wedge queries this is
+    LINEAR in |edges| per round — no quadratic hazard — but a hub node
+    still concentrates its whole neighborhood into one window
+    partition; ``max_degree`` routes through cap_hub_degree for graphs
+    with degree skew beyond what AQE's skew-join split absorbs.
+
+    Output: (node BIGINT, community BIGINT) — the label after
+    ``rounds`` synchronous passes. Isolated nodes don't appear (no
+    edges → no neighbors → not in the node universe).
+    """
+    from pyspark.sql import Window
+
+    e = _sym_edges(edges, src, dst)
+    if max_degree is not None:
+        e, _hubs = cap_hub_degree(e, max_degree, "u", "v")
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nb = e.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("node").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+    )

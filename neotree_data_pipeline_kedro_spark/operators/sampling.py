@@ -268,3 +268,65 @@ def priority_sample(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+# Literal affine constants for rendezvous_assign: h_s(k) = (a_s·k + b_s)
+# mod (2^31 − 1). Fixed literals (not runtime randomness) so the SAME
+# integers appear in the Spark plan and in any SQL oracle — the portable-
+# hash discipline dd_minhash_estimate_eval established. Generated once
+# from splitmix-style mixing of the shard index; coprime with p.
+RENDEZVOUS_P = 2_147_483_647
+
+
+def rendezvous_consts(n_shards: int) -> list[tuple[int, int]]:
+    """(a_s, b_s) per shard — deterministic literals derived from the
+    shard index with 64-bit splitmix mixing, reduced mod p into [1, p-1]
+    (a) and [0, p-1] (b)."""
+    out = []
+    for s in range(n_shards):
+        z = (s * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z ^= z >> 31
+        a = z % (RENDEZVOUS_P - 1) + 1
+        b = (z >> 32) % RENDEZVOUS_P
+        out.append((a, b))
+    return out
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each key goes to the
+    shard whose keyed hash h_s(key) is largest — the consistent-placement
+    primitive for routing a corpus to N workers/buckets such that
+    growing N to N+1 moves only ~1/(N+1) of the keys (vs ~all of them
+    under `key % N`). The placement layer for incremental corpus
+    re-distribution, cache assignment, and shard-stable retries.
+
+    Scale shape: shuffle-free — a per-row map over n_shards literal
+    affine hashes folded with array_max; no join, no window, no state.
+    n_shards is a plan-time constant (the expression tree is n_shards
+    wide), fine for the hundreds-of-shards regime this targets.
+
+    Determinism: integer affine hashes mod the Mersenne prime 2^31−1
+    with LITERAL constants (rendezvous_consts), max-struct tie-break to
+    the smallest shard id — reproducible in any engine, no engine hash
+    function involved. Keys must be non-negative integers (id-like);
+    map strings through a stable key first.
+    """
+    consts = rendezvous_consts(n_shards)
+    k = F.col(key_col).cast("bigint") % RENDEZVOUS_P
+    pairs = [
+        F.struct(
+            ((F.lit(a) * k + F.lit(b)) % RENDEZVOUS_P).alias("h"),
+            F.lit(-s).cast("int").alias("ns"),
+        )
+        for s, (a, b) in enumerate(consts)
+    ]
+    best = F.array_max(F.array(*pairs))
+    return df.withColumn(out_col, (-best.getField("ns")).cast("int"))

@@ -82,6 +82,7 @@ from ..operators.neardup import (
     quantized_cosine,
     simhash_candidates,
 )
+from ..operators.sampling import rendezvous_consts
 from ..operators.search import rbo_weights
 from ..operators.similarity import (
     brute_force_topk,
@@ -15029,6 +15030,112 @@ def u11_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "g9_label_propagation",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey % 17 = 0
+    ), edges AS (
+      SELECT src AS u, dst AS v FROM e0
+      UNION
+      SELECT dst AS u, src AS v FROM e0
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM edges
+    ), c1 AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l0 l ON l.node = e.v GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC NULLS LAST,
+                                           label ASC NULLS FIRST) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l1 l ON l.node = e.v GROUP BY 1, 2
+    ), l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC NULLS LAST,
+                                           label ASC NULLS FIRST) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+    FROM l2
+    """,
+)
+def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round synchronous label propagation
+    (operators/components.label_propagation) over the same sparsified
+    supplier↔customer trade graph as g8 — deterministic community
+    detection: most-frequent neighbor label, (count desc, label asc)
+    tie-break, labels initialized to node ids. Per round one edge-keyed
+    equi-join + one partial-agg count + one top-1 window; linear in
+    |edges|, lineage flattened per round. The oracle replays both
+    synchronous rounds as nested CTEs, so a node updated with stale
+    (asynchronous) labels or a wrong tie-break hash-mismatches."""
+    from ..operators.components import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 17 == 0)
+    o = _t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(e0, rounds=2)
+
+
+_RDV_CONSTS = rendezvous_consts(8)
+_RDV_CONSTS_SQL = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(_RDV_CONSTS)
+)
+
+
+@_register(
+    "u12_rendezvous_shards",
+    f"""
+    WITH w(s, a, b) AS (VALUES {_RDV_CONSTS_SQL}),
+    h AS (
+      SELECT d.doc_id, w.s,
+             (w.a * (d.doc_id % 2147483647) + w.b) % 2147483647 AS hv
+      FROM documents d JOIN w ON TRUE
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(s AS INTEGER) AS shard
+    FROM (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hv DESC NULLS LAST,
+                                         s ASC NULLS FIRST) AS rn
+      FROM h
+    ) WHERE rn = 1
+    """,
+)
+def u12_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the corpus
+    (operators/sampling.rendezvous_assign, 8 shards): each doc routes to
+    the shard with the largest literal-affine hash mod 2^31−1 — the
+    consistent-placement layer whose property (N→N+1 moves ~1/(N+1) of
+    keys, pinned in tests) `key % N` lacks. Shuffle-free per-row map in
+    Spark (array_max over an n_shards-wide literal expression tree); the
+    oracle replays the same integer hashes through an explode +
+    top-1-window shape. No engine hash function anywhere — both sides
+    sum the same literals, the portable-hash discipline."""
+    from ..operators.sampling import rendezvous_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return rendezvous_assign(d, "doc_id", 8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "shard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15046,6 +15153,8 @@ _DRIVER_FRONT = [
     "v_spc_rules",
     "emb_hard_negatives",
     "u11_rbo_rankings",
+    "g9_label_propagation",
+    "u12_rendezvous_shards",
     "g8_bfs_hops",
     "w27_sax_symbols",
     "a39_funnel_steps",

@@ -607,3 +607,76 @@ def test_rbo_single_swap_costs_more_at_top(spark):
     # adjacent swaps only shrink one prefix overlap; the top one costs more
     assert tail_swap > top_swap
     assert 0.0 < top_swap < 1.0
+
+
+# ------------------------------------------------ label_propagation
+def test_label_propagation_two_cliques(spark):
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge: each collapses to its min id
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.community for r in label_propagation(df, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[11] == out[12]
+
+
+def test_label_propagation_matches_sync_twin(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        label_propagation,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, size=(120, 2))
+        if a != b
+    }
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=2).collect()
+    }
+    # independent synchronous replay
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(2):
+        new = {}
+        for n, ns in nbrs.items():
+            counts = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                counts, key=lambda lab: (-counts[lab], lab)
+            )
+        labels = new
+    assert got == labels
+
+
+# ------------------------------------------------ rendezvous_assign
+def test_rendezvous_minimal_disruption_and_balance(spark):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    s8 = {r.k: r.shard for r in rendezvous_assign(df, "k", 8).collect()}
+    s9 = {r.k: r.shard for r in rendezvous_assign(df, "k", 9).collect()}
+    moved = sum(1 for k in s8 if s8[k] != s9[k])
+    # adding a 9th shard: only keys won by the new shard move (~1/9);
+    # with key % N basically everything would move
+    assert moved / 2000 < 0.2
+    assert all(s9[k] == 8 for k in s8 if s8[k] != s9[k])
+    # rough balance: every shard holds between 0.4x and 2.2x the fair share
+    from collections import Counter
+
+    c = Counter(s8.values())
+    assert set(c) == set(range(8))
+    assert all(2000 / 8 * 0.4 < v < 2000 / 8 * 2.2 for v in c.values())
