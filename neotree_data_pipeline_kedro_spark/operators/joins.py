@@ -74,10 +74,19 @@ def asof_join(
     right_vals: Sequence[str],
     direction: str = "backward",
     tiebreak: Sequence[str] = (),
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` per key (direction='backward'; 'forward' gives
     earliest right_ts >= left_ts).
+
+    ``tolerance`` (pandas merge_asof semantics): when set, a carried match
+    farther than ``tolerance`` from the left timestamp is nulled out —
+    the right-value columns become NULL exactly as if no right row had
+    preceded it. Requires NUMERIC ts columns (epoch-scaled ints/doubles,
+    the portable form) so the gap is plain subtraction; the matched
+    right ts is carried internally only when tolerance is set, so the
+    tolerance-free plan is unchanged.
 
     Implemented by unioning both sides on a common time axis and carrying
     the last non-null right value forward with
@@ -96,11 +105,20 @@ def asof_join(
     if missing:
         raise ValueError(f"asof_join tiebreak columns must be in right_vals: {missing}")
     passthru = [c for c in left.columns if c not in keys and c != left_ts]
+    rts_extra = (
+        [F.col(right_ts).alias("__r___rts")] if tolerance is not None else []
+    )
+    rts_extra_l = (
+        [F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___rts")]
+        if tolerance is not None
+        else []
+    )
     side_r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
         *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        *rts_extra,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthru],
     )
     side_l = left.select(
@@ -111,6 +129,7 @@ def asof_join(
             F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
             for v in right_vals
         ],
+        *rts_extra_l,
         *[F.col(c) for c in passthru],
     )
     unioned = side_r.unionByName(side_l)
@@ -131,6 +150,10 @@ def asof_join(
     carried = [
         F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals
     ]
+    if tolerance is not None:
+        carried.append(
+            F.last("__r___rts", ignorenulls=True).over(w).alias("__matched_ts")
+        )
 
     out = unioned.select(
         *keys,
@@ -139,6 +162,20 @@ def asof_join(
         *passthru,
         *carried,
     ).filter(F.col("__is_right") == 0)
+    if tolerance is not None:
+        keep = F.col("__matched_ts").isNotNull() & (
+            F.abs(F.col("__ts") - F.col("__matched_ts")) <= F.lit(tolerance)
+        )
+        out = out.select(
+            *keys,
+            F.col("__ts"),
+            F.col("__is_right"),
+            *passthru,
+            *[
+                F.when(keep, F.col(v)).otherwise(F.lit(None)).alias(v)
+                for v in right_vals
+            ],
+        )
     return out.withColumnRenamed("__ts", left_ts).drop("__is_right")
 
 

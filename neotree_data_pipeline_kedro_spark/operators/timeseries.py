@@ -621,3 +621,101 @@ def western_electric_flags(
         r3,
         r4,
     )
+
+
+def _lower_median(
+    df: DataFrame, keys: Sequence[str], y: str, tiebreak: str, out: str
+) -> DataFrame:
+    """Per-key LOWER median of ``y``: the element at row_number
+    (n + 1) div 2 under the (y, tiebreak) total order — exact on integer
+    inputs, no interpolation convention to disagree on."""
+    w = Window.partitionBy(*keys).orderBy(F.col(y).asc(), F.col(tiebreak).asc())
+    return (
+        df.select(
+            *keys,
+            y,
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("__n"),
+        )
+        .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(*keys, F.col(y).alias(out))
+    )
+
+
+def median_polish(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    y_col: str,
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """Tukey median polish: robust two-way table decomposition
+    y ≈ row_effect + col_effect + residual by alternately sweeping out
+    row medians then column medians (``iterations`` full sweeps) — the
+    EDA workhorse for separating "which rows are high" from "which
+    columns are high" without letting outlier cells poison the answer
+    the way two-way means (ANOVA) do.
+
+    Deterministic variant: every median is the LOWER median under a
+    (value, crossing-key) total order, so on exact integer inputs
+    (cents) every intermediate stays an exact integer and any engine
+    replays it bit-for-bit. Classic Tukey interpolates even-count
+    medians; lower-median converges the same way and removes the only
+    cross-engine float hazard.
+
+    Scale shape: per sweep one window (the per-key median pick) + one
+    dimension-sized equi-join back (AQE broadcasts it) — 2·iterations
+    windows total, shuffles alternating between the row key and the
+    column key. No driver state, no collect; rows×cols can be billions
+    of cells as long as one row/column's cells fit a partition (the
+    usual window contract).
+
+    Output: (row, col, y, row_effect, col_effect, residual) with
+    y = row_effect + col_effect + residual exactly (integer identity;
+    effects are the summed sweep medians).
+    """
+    cur = df.select(
+        F.col(row_col).alias("__row"),
+        F.col(col_col).alias("__col"),
+        F.col(y_col).alias("__y"),
+    )
+    base = cur
+    row_eff: DataFrame | None = None
+    col_eff: DataFrame | None = None
+    for _ in range(iterations):
+        rm = _lower_median(cur, ["__row"], "__y", "__col", "__m")
+        cur = cur.join(rm, "__row").select(
+            "__row", "__col", (F.col("__y") - F.col("__m")).alias("__y")
+        )
+        row_eff = (
+            rm.select("__row", F.col("__m").alias("__re"))
+            if row_eff is None
+            else row_eff.join(rm, "__row").select(
+                "__row", (F.col("__re") + F.col("__m")).alias("__re")
+            )
+        )
+        cm = _lower_median(cur, ["__col"], "__y", "__row", "__m")
+        cur = cur.join(cm, "__col").select(
+            "__row", "__col", (F.col("__y") - F.col("__m")).alias("__y")
+        )
+        col_eff = (
+            cm.select("__col", F.col("__m").alias("__ce"))
+            if col_eff is None
+            else col_eff.join(cm, "__col").select(
+                "__col", (F.col("__ce") + F.col("__m")).alias("__ce")
+            )
+        )
+    return (
+        base.join(cur.withColumnRenamed("__y", "__resid"), ["__row", "__col"])
+        .join(row_eff, "__row")
+        .join(col_eff, "__col")
+        .select(
+            F.col("__row").alias(row_col),
+            F.col("__col").alias(col_col),
+            F.col("__y").alias(y_col),
+            F.col("__re").alias("row_effect"),
+            F.col("__ce").alias("col_effect"),
+            F.col("__resid").alias("residual"),
+        )
+    )

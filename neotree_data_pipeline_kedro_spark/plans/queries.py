@@ -15136,6 +15136,177 @@ def u12_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j29_asof_tolerance",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS lts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS click_cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS rts
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (
+          PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+          ORDER BY event_id DESC) = 1
+    )
+    SELECT p.user_id, p.purchase_id, p.lts,
+           CASE WHEN c.rts IS NOT NULL AND p.lts - c.rts <= 21600000000
+                THEN c.click_id END AS click_id,
+           CASE WHEN c.rts IS NOT NULL AND p.lts - c.rts <= 21600000000
+                THEN c.click_cents END AS click_cents
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.lts >= c.rts
+    """,
+)
+def j29_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toleranced as-of join (operators/joins.asof_join with the new
+    pandas-merge_asof ``tolerance``): each purchase picks up its nearest
+    PRECEDING click per user, but only if it happened within 6 hours —
+    staler matches are nulled exactly as if absent. Same
+    union-and-carry window shape as j3 (one (user, ts) shuffle, no
+    candidate explosion); the matched right timestamp is carried
+    internally only when tolerance is set, so the tolerance-free plan
+    is byte-identical to before. The oracle is DuckDB's NATIVE ASOF
+    LEFT JOIN + a CASE gate — a fully independent implementation of the
+    same semantics. Epoch-microsecond ints keep the gap arithmetic
+    portable."""
+    e = _t(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        micros.alias("lts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("click_cents"),
+        micros.alias("rts"),
+    )
+    out = asof_join(
+        p,
+        c,
+        ["user_id"],
+        "lts",
+        "rts",
+        right_vals=["click_id", "click_cents"],
+        direction="backward",
+        tiebreak=["click_id"],
+        tolerance=21_600_000_000,
+    )
+    return out.select("user_id", "purchase_id", "lts", "click_id", "click_cents")
+
+
+@_register(
+    "a42_median_polish",
+    """
+    WITH m0 AS (
+      SELECT n.n_name AS r,
+             (CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) - 1970) * 12
+               + CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT) - 1 AS c,
+             CAST(SUM(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), rm1 AS (
+      SELECT r, y AS m FROM (
+        SELECT r, y, row_number() OVER (PARTITION BY r
+                   ORDER BY y ASC NULLS FIRST, c ASC NULLS FIRST) AS rn,
+               COUNT(*) OVER (PARTITION BY r) AS n
+        FROM m0) WHERE rn = (n + 1) // 2
+    ), m1 AS (
+      SELECT m0.r, m0.c, m0.y - rm1.m AS y FROM m0 JOIN rm1 ON m0.r = rm1.r
+    ), cm1 AS (
+      SELECT c, y AS m FROM (
+        SELECT c, y, row_number() OVER (PARTITION BY c
+                   ORDER BY y ASC NULLS FIRST, r ASC NULLS FIRST) AS rn,
+               COUNT(*) OVER (PARTITION BY c) AS n
+        FROM m1) WHERE rn = (n + 1) // 2
+    ), m2 AS (
+      SELECT m1.r, m1.c, m1.y - cm1.m AS y FROM m1 JOIN cm1 ON m1.c = cm1.c
+    ), rm2 AS (
+      SELECT r, y AS m FROM (
+        SELECT r, y, row_number() OVER (PARTITION BY r
+                   ORDER BY y ASC NULLS FIRST, c ASC NULLS FIRST) AS rn,
+               COUNT(*) OVER (PARTITION BY r) AS n
+        FROM m2) WHERE rn = (n + 1) // 2
+    ), m3 AS (
+      SELECT m2.r, m2.c, m2.y - rm2.m AS y FROM m2 JOIN rm2 ON m2.r = rm2.r
+    ), cm2 AS (
+      SELECT c, y AS m FROM (
+        SELECT c, y, row_number() OVER (PARTITION BY c
+                   ORDER BY y ASC NULLS FIRST, r ASC NULLS FIRST) AS rn,
+               COUNT(*) OVER (PARTITION BY c) AS n
+        FROM m3) WHERE rn = (n + 1) // 2
+    ), m4 AS (
+      SELECT m3.r, m3.c, m3.y - cm2.m AS y FROM m3 JOIN cm2 ON m3.c = cm2.c
+    )
+    SELECT m4.r AS nation, CAST(m4.c AS BIGINT) AS epoch_month,
+           CAST(m0.y AS BIGINT) AS y_cents,
+           CAST(rm1.m + rm2.m AS BIGINT) AS row_effect,
+           CAST(cm1.m + cm2.m AS BIGINT) AS col_effect,
+           CAST(m4.y AS BIGINT) AS residual
+    FROM m4
+    JOIN m0 ON m4.r = m0.r AND m4.c = m0.c
+    JOIN rm1 ON m4.r = rm1.r
+    JOIN rm2 ON m4.r = rm2.r
+    JOIN cm1 ON m4.c = cm1.c
+    JOIN cm2 ON m4.c = cm2.c
+    """,
+)
+def a42_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (operators/timeseries.median_polish, 2 full
+    sweeps) of the nation × calendar-month revenue matrix: robust
+    row/column effects + residuals, the EDA decomposition that survives
+    outlier cells where two-way means don't. Lower-median discipline on
+    exact cents keeps every intermediate an exact integer (y =
+    row_effect + col_effect + residual holds exactly); the oracle
+    replays all four sweeps as nested CTEs, so a wrong sweep order, a
+    stale-median update, or an interpolating median hash-mismatches.
+    Epoch-month column key per the calendar-portability idiom."""
+    from ..operators.timeseries import median_polish
+
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    em = (
+        (F.year("o_orderdate").cast("bigint") - 1970) * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    m0 = (
+        o.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("r"), em.alias("c"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    out = median_polish(m0, "r", "c", "y", iterations=2)
+    return out.select(
+        F.col("r").alias("nation"),
+        F.col("c").cast("bigint").alias("epoch_month"),
+        F.col("y").cast("bigint").alias("y_cents"),
+        F.col("row_effect").cast("bigint").alias("row_effect"),
+        F.col("col_effect").cast("bigint").alias("col_effect"),
+        F.col("residual").cast("bigint").alias("residual"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15155,6 +15326,8 @@ _DRIVER_FRONT = [
     "u11_rbo_rankings",
     "g9_label_propagation",
     "u12_rendezvous_shards",
+    "j29_asof_tolerance",
+    "a42_median_polish",
     "g8_bfs_hops",
     "w27_sax_symbols",
     "a39_funnel_steps",

@@ -680,3 +680,64 @@ def test_rendezvous_minimal_disruption_and_balance(spark):
     c = Counter(s8.values())
     assert set(c) == set(range(8))
     assert all(2000 / 8 * 0.4 < v < 2000 / 8 * 2.2 for v in c.values())
+
+
+# ------------------------------------------------ asof_join tolerance
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from neotree_data_pipeline_kedro_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")],
+        "k long, lts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "c1"), (1, 110, "c2"), (2, 49, "c3")],
+        "k long, rts long, cid string",
+    )
+    out = {
+        r.pid: r.cid
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["cid"], tolerance=20
+        ).collect()
+    }
+    # p1@100: nearest preceding is c1@90 (gap 10, inside) — NOT c2@110
+    # p2@205: nearest preceding is c2@110 (gap 95 > 20) -> nulled
+    # p3@50: c3@49 inside
+    assert out == {"p1": "c1", "p2": None, "p3": "c3"}
+    # without tolerance, p2 keeps its stale match
+    out2 = {
+        r.pid: r.cid
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["cid"]).collect()
+    }
+    assert out2["p2"] == "c2"
+
+
+# ------------------------------------------------ median_polish
+def test_median_polish_identity_and_robustness(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        median_polish,
+    )
+
+    # additive table + one poisoned cell: effects recover the structure
+    rows = []
+    row_base = {"a": 0, "b": 100, "c": 200}
+    col_base = {1: 0, 2: 10, 3: 20, 4: 30, 5: 40}
+    for rk, rv in row_base.items():
+        for ck, cv in col_base.items():
+            y = rv + cv + (100000 if (rk, ck) == ("b", 3) else 0)
+            rows.append((rk, ck, y))
+    df = spark.createDataFrame(rows, "r string, c long, y long")
+    out = median_polish(df, "r", "c", "y").collect()
+    assert len(out) == 15
+    for rec in out:
+        # exact additive identity
+        assert rec.y == rec.row_effect + rec.col_effect + rec.residual
+    by = {(rec.r, rec.c): rec for rec in out}
+    # the poisoned cell's excess lands in its own residual, not the effects
+    assert by[("b", 3)].residual >= 99000
+    clean = [v for k, v in by.items() if k != ("b", 3)]
+    assert all(abs(rec.residual) <= 50 for rec in clean)
+    # relative row effects recovered (medians shift-invariant)
+    ra = next(r.row_effect for r in out if r.r == "a")
+    rc = next(r.row_effect for r in out if r.r == "c")
+    assert rc - ra == 200
