@@ -719,3 +719,38 @@ def median_polish(
             F.col("__resid").alias("residual"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """OHLC resampling: per key (typically entity × time-bucket), the
+    open/high/low/close of an exact-integer value series plus count and
+    sum — the candlestick reduction, and more generally the
+    "first/last/extremes in one pass" shape for sensor and price feeds.
+
+    ONE grouped aggregate, no window: open/close are min/max over a
+    lexicographic (ts, tiebreak, value) struct — argmin/argmax by total
+    order expressed as a plain aggregate, so it partial-aggregates
+    map-side and never materializes a per-key sort. ``tiebreak_col``
+    must make (ts, tiebreak) unique per key (an event id); value must
+    be an exact integer (cents) per the determinism discipline.
+    """
+    key = [F.col(c) for c in key_cols]
+    o = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("e"),
+        F.col(value_col).alias("c"),
+    )
+    return df.groupBy(*key).agg(
+        F.min(o).getField("c").alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(o).getField("c").alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(value_col).cast("bigint").alias("total"),
+    )

@@ -741,3 +741,27 @@ def test_median_polish_identity_and_robustness(spark):
     ra = next(r.row_effect for r in out if r.r == "a")
     rc = next(r.row_effect for r in out if r.r == "c")
     assert rc - ra == 200
+
+
+# ------------------------------------------------ ohlc_bars
+def test_ohlc_bars_first_last_extremes(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        ("a", 10, 1, 500),
+        ("a", 30, 2, 100),   # low
+        ("a", 20, 3, 900),   # high
+        ("a", 40, 4, 300),   # close (latest ts)
+        ("b", 5, 5, 42),     # single point: open=close=high=low
+        ("b", 5, 6, 41),     # same ts -> tiebreak on id: close is id 6
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, e long, v long")
+    got = {r.k: r for r in ohlc_bars(df, ["k"], "t", "e", "v").collect()}
+    a = got["a"]
+    assert (a.open, a.high, a.low, a.close, a.n_points, a.total) == (
+        500, 900, 100, 300, 4, 1800,
+    )
+    b = got["b"]
+    assert (b.open, b.close) == (42, 41)
