@@ -15445,6 +15445,121 @@ def w31_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(base, ["event_type", "d"], "mi", "event_id", "cents")
 
 
+@_register(
+    "a43_markov_attribution",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             event_id AS e, event_type AS ch
+      FROM events
+    ), fp AS (
+      SELECT u, min({'m': t, 'e': e}) AS f FROM ev
+      WHERE ch = 'purchase' GROUP BY 1
+    ), kept AS (
+      SELECT ev.u, ev.t, ev.e, ev.ch
+      FROM ev LEFT JOIN fp ON ev.u = fp.u
+      WHERE fp.f IS NULL OR ev.t < fp.f.m
+            OR (ev.t = fp.f.m AND ev.e <= fp.f.e)
+    ), seq AS (
+      SELECT u,
+             CASE ch WHEN 'purchase' THEN 6 WHEN 'view' THEN 2
+                     WHEN 'click' THEN 3 WHEN 'signup' THEN 4
+                     WHEN 'error' THEN 5 END AS st,
+             row_number() OVER (PARTITION BY u ORDER BY t, e) AS rn,
+             lead(CASE ch WHEN 'purchase' THEN 6 WHEN 'view' THEN 2
+                          WHEN 'click' THEN 3 WHEN 'signup' THEN 4
+                          WHEN 'error' THEN 5 END)
+               OVER (PARTITION BY u ORDER BY t, e) AS nxt
+      FROM kept
+    ), edges AS (
+      SELECT 1 AS s, st AS tt FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT st, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT st, 7 FROM seq WHERE nxt IS NULL AND st <> 6
+    ), scen AS (
+      SELECT r.rm, c.s, CASE WHEN c.t = r.rm THEN 7 ELSE c.t END AS t,
+             CAST(SUM(c.cnt) AS BIGINT) AS cnt
+      FROM (SELECT s, tt AS t, COUNT(*) AS cnt FROM edges GROUP BY 1, 2) c
+      JOIN (VALUES (0), (2), (3), (4), (5)) r(rm) ON TRUE
+      GROUP BY 1, 2, 3
+    ), dense AS (
+      SELECT sc.rm, gs.s, gt.t, CAST(COALESCE(s2.cnt, 0) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT rm FROM scen) sc
+      JOIN range(1, 6) gs(s) ON TRUE
+      JOIN range(1, 8) gt(t) ON TRUE
+      LEFT JOIN scen s2 ON s2.rm = sc.rm AND s2.s = gs.s AND s2.t = gt.t
+    ), rowsl AS (
+      SELECT rm, s, list(cnt ORDER BY t) AS rw,
+             CAST(SUM(cnt) AS BIGINT) AS outd
+      FROM dense GROUP BY 1, 2
+    ), mat AS (
+      SELECT rm, list(rw ORDER BY s) AS m, list(outd ORDER BY s) AS outs
+      FROM rowsl GROUP BY 1
+    ), walk AS (
+      SELECT rm, 0 AS it,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 1000000000000, 0] AS p
+      FROM mat
+      UNION ALL
+      SELECT w.rm, w.it + 1,
+             list_transform(range(1, 8), s ->
+               CASE WHEN s <= 5 THEN
+                 CASE WHEN m.outs[s] > 0 THEN
+                   CAST(list_sum(list_transform(range(1, 8),
+                         t -> m.m[s][t] * w.p[t])) AS BIGINT) // m.outs[s]
+                 ELSE CAST(0 AS BIGINT) END
+               ELSE w.p[s] END) AS p
+      FROM walk w JOIN mat m ON w.rm = m.rm
+      WHERE w.it < 25
+    )
+    SELECT CASE f.rm WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                     WHEN 4 THEN 'signup' WHEN 5 THEN 'error' END AS channel,
+           b.p[1] AS p_base_micro,
+           f.p[1] AS p_removed_micro,
+           CASE WHEN b.p[1] > 0
+                THEN ((b.p[1] - f.p[1]) * 1000000) // b.p[1]
+                ELSE 0 END AS removal_effect_ppm
+    FROM (SELECT rm, p FROM walk WHERE it = 25) f
+    JOIN (SELECT p FROM walk WHERE it = 25 AND rm = 0) b ON TRUE
+    WHERE f.rm <> 0
+    """,
+)
+def a43_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (operators/attribution.py):
+    first-order journey chain per user (truncated at first purchase,
+    start/conv/null states), absorption probability by 25 rounds of
+    EXACT integer value iteration (micro-scaled probabilities,
+    (Σ cnt·p) div out per step), and per-channel removal effects by
+    redirecting transitions into the channel to null and re-solving.
+    Distributed part = the transition counts (two windows + one grouped
+    count over the event stream); the driver sees only the
+    (channels+1)×(channels+2) matrix — channel-vocabulary-bounded, the
+    uids-collision-set collect discipline. The oracle replays the whole
+    iteration with a list-state recursive CTE (the Holt-Winters
+    technique) — a drifted truncation rule, a float in the recurrence,
+    or a wrong redirect all hash-mismatch."""
+    from ..operators.attribution import journey_edges, markov_removal_effects
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("mi"),
+        "event_id",
+        "event_type",
+    )
+    edges = journey_edges(
+        ev, "user_id", "mi", "event_id", "event_type", "purchase"
+    )
+    rows = markov_removal_effects(
+        edges, ["view", "click", "signup", "error"], iters=25
+    )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_micro long, p_removed_micro long, "
+        "removal_effect_ppm long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15468,6 +15583,7 @@ _DRIVER_FRONT = [
     "a42_median_polish",
     "emb_mrl_eval",
     "w31_ohlc_bars",
+    "a43_markov_attribution",
     "g8_bfs_hops",
     "w27_sax_symbols",
     "a39_funnel_steps",

@@ -252,3 +252,91 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .save(path)
     )
+
+
+def write_snapshot(df: DataFrame, base_dir: str, fmt: str = "parquet") -> int:
+    """Versioned snapshot write (time travel): each call lands a complete
+    immutable copy under ``base_dir/v=N`` and then atomically flips the
+    ``_LATEST`` pointer file — readers either see the previous snapshot
+    or the new one, never a half-written directory (the rename-swap
+    publication discipline the streaming MV sink uses). Returns the new
+    version number.
+
+    This is the poor-man's table format: what Iceberg/Delta do with
+    manifests, reduced to "directory per version + one pointer file" —
+    enough for reproducible training runs ("read the corpus exactly as
+    it was for run 17"), diffable snapshots (j14_table_diff between two
+    versions), and safe concurrent readers during writes. Full copies
+    per version: use for dimension/summary-sized tables, not the raw
+    100 TB fact layer (there, overwrite_partitions + partition-level
+    manifests play this role).
+    """
+    import os
+
+    os.makedirs(base_dir, exist_ok=True)
+    current = read_snapshot_version(base_dir)
+    version = (current if current is not None else -1) + 1
+    vdir = os.path.join(base_dir, f"v={version}")
+    df.write.format(fmt).mode("errorifexists").save(vdir)
+    tmp = os.path.join(base_dir, "_LATEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(base_dir, "_LATEST"))
+    return version
+
+
+def read_snapshot_version(base_dir: str) -> int | None:
+    """Current published version per the ``_LATEST`` pointer (None when
+    the table has never been published)."""
+    import os
+
+    p = os.path.join(base_dir, "_LATEST")
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def read_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Time-travel read: ``version=None`` resolves the ``_LATEST``
+    pointer; an explicit version pins a historical snapshot (raises if
+    it was vacuumed). Resolution is one pointer-file read — no listing
+    of the table directory, so resolution cost is independent of
+    history length."""
+    import os
+
+    if version is None:
+        version = read_snapshot_version(base_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published snapshot under {base_dir}")
+    vdir = os.path.join(base_dir, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"snapshot v={version} not found (vacuumed?)")
+    return spark.read.format(fmt).load(vdir)
+
+
+def vacuum_snapshots(base_dir: str, keep: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep`` versions (never the
+    published one). Returns the removed version numbers. Deletion order
+    is oldest-first so a crash mid-vacuum leaves a contiguous recent
+    history."""
+    import os
+    import shutil
+
+    current = read_snapshot_version(base_dir)
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    doomed = [
+        v for v in versions[: max(0, len(versions) - keep)] if v != current
+    ]
+    for v in doomed:
+        shutil.rmtree(os.path.join(base_dir, f"v={v}"))
+    return doomed

@@ -765,3 +765,41 @@ def test_ohlc_bars_first_last_extremes(spark):
     )
     b = got["b"]
     assert (b.open, b.close) == (42, 41)
+
+
+# ------------------------------------------------ markov attribution
+def test_markov_attribution_hand_chain(spark):
+    from neotree_data_pipeline_kedro_spark.operators.attribution import (
+        MICRO,
+        journey_edges,
+        markov_removal_effects,
+    )
+
+    # u1: A -> B -> buy ; u2: A -> out ; u3: B -> buy ; u4: A -> B -> out
+    rows = []
+    for uid, seq in enumerate(
+        [["A", "B", "buy"], ["A"], ["B", "buy"], ["A", "B"]]
+    ):
+        for i, ch in enumerate(seq):
+            rows.append((uid, i * 10, i, ch))
+    df = spark.createDataFrame(rows, "u long, t long, e long, ch string")
+    edges = journey_edges(df, "u", "t", "e", "ch", "buy")
+    got = {
+        (r.from_state, r.to_state): r.cnt for r in edges.collect()
+    }
+    assert got == {
+        ("__start__", "A"): 3,
+        ("__start__", "B"): 1,
+        ("A", "B"): 2,
+        ("A", "__null__"): 1,
+        ("B", "__conv__"): 2,
+        ("B", "__null__"): 1,
+    }
+    res = {r[0]: r for r in markov_removal_effects(edges, ["A", "B"], iters=50)}
+    # exact chain: p(B)=2/3, p(A)=2/3*2/3=4/9, p(start)=(3*4/9 + 2/3)/4=1/2
+    assert abs(res["A"][1] - MICRO // 2) <= 2
+    # removing B: all conversion paths die -> p_removed = 0, effect 100%
+    assert res["B"][2] == 0 and res["B"][3] == 1_000_000
+    # removing A: only start->B->buy survives: p = 1/4 * 2/3 = 1/6
+    assert abs(res["A"][2] - MICRO // 6) <= 2
+    assert res["A"][3] < res["B"][3]

@@ -192,3 +192,46 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     # idempotent reload: same batch again converges to the same rows
     overwrite_partitions(fix, path, ["day"])
     assert spark.read.parquet(path).count() == 3
+
+
+# ---------------------------------------------------------------- snapshots
+def test_snapshot_time_travel_roundtrip(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        read_snapshot,
+        read_snapshot_version,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "dim")
+    v0 = write_snapshot(spark.range(3).withColumnRenamed("id", "k"), base)
+    v1 = write_snapshot(spark.range(5).withColumnRenamed("id", "k"), base)
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot_version(base) == 1
+    # latest resolves v1; explicit version time-travels to v0
+    assert read_snapshot(spark, base).count() == 5
+    assert read_snapshot(spark, base, version=0).count() == 3
+    v2 = write_snapshot(spark.range(7).withColumnRenamed("id", "k"), base)
+    removed = vacuum_snapshots(base, keep=2)
+    assert removed == [0]
+    assert read_snapshot(spark, base, version=1).count() == 5
+    assert read_snapshot(spark, base).count() == 7
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, base, version=0)
+
+
+def test_snapshot_pointer_survives_failed_write(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "dim2")
+    write_snapshot(spark.range(4).withColumnRenamed("id", "k"), base)
+    # simulate a writer crashing before publication: stray dir, no flip
+    import os
+
+    os.makedirs(os.path.join(base, "v=9"), exist_ok=True)
+    assert read_snapshot(spark, base).count() == 4  # still the published one
