@@ -631,3 +631,89 @@ def label_propagation(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+# HyperBall portable-hash literals: h(node) = (HB_A·node + HB_B) mod HB_P,
+# register j = h mod m, geometric part w = h div m. Fixed literals so the
+# SAME integers run in Spark and in the SQL oracle (the rendezvous/minhash
+# portable-hash discipline).
+HB_P = 2_147_483_647
+HB_A = 1_597_334_677
+HB_B = 1_234_567_891
+_HB_ALPHA16 = 0.673  # Flajolet et al. 2007 bias constant for m=16
+
+
+def _rho_when(w, cap: int):
+    """Trailing-zeros+1 of ``w`` (geometric register value), capped: the
+    branch ladder form both engines evaluate identically — no log2, no
+    bit intrinsics needed."""
+    expr = None
+    for k in range(1, cap):
+        cond = (w % (1 << k)) == (1 << (k - 1))
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(cap)
+
+
+def hyperball_reach(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    hops: int = 2,
+    m: int = 16,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): APPROXIMATE k-hop neighborhood
+    size per node by iterating HyperLogLog register merges along edges —
+    the sketch path to reach/centrality when the exact per-source BFS
+    expansion (g8's oracle shape, Σ ball sizes rows) stops fitting.
+    State is m registers per node (here 16 → ~26% rse), merged with MAX:
+    per hop ONE neighbor equi-join + ONE grouped max, both keyed on
+    node id — linear in |edges|·m per round, the same loop discipline
+    as LPA/BFS/pagerank, and the register-max algebra is associative/
+    commutative so partial aggregation absorbs skew map-side.
+
+    Deterministic BY CONSTRUCTION (unusual for a sketch): registers
+    come from a literal affine hash mod 2^31−1 and a trailing-zero
+    ladder — no engine hash involved — and the HLL estimate divides
+    exact binary fractions (2^−M via shiftleft, ≤16 terms, each exactly
+    representable), so even the double estimate is bit-equal across
+    engines and partitionings. The raw m=16 estimate is reported
+    without small/large-range correction (callers compare nodes, not
+    absolute counts; raise m for tighter rse).
+
+    Output: (node BIGINT, filled INT registers, est_reach DOUBLE ≈
+    |ball(node, hops)| including the node itself).
+    """
+    e = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    h = (F.lit(HB_A) * F.col("node") % HB_P + HB_B) % HB_P
+    w = h % HB_P  # alias for clarity; full hash
+    j = (w % m).cast("int")
+    geo = (w - w % m) / m
+    cap = 27
+    reg = nodes.select(
+        "node",
+        j.alias("j"),
+        _rho_when(geo.cast("bigint"), cap).cast("int").alias("rho"),
+    ).localCheckpoint(eager=True)
+    for _ in range(hops):
+        nbr = e.join(
+            reg.select(F.col("node").alias("v"), "j", "rho"), "v"
+        ).select(F.col("u").alias("node"), "j", "rho")
+        reg = (
+            reg.unionByName(nbr)
+            .groupBy("node", "j")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+    est = reg.groupBy("node").agg(
+        F.count(F.lit(1)).cast("int").alias("filled"),
+        F.sum(inv).alias("__s"),
+    )
+    denom = F.col("__s") + (F.lit(m) - F.col("filled")).cast("double")
+    return est.select(
+        F.col("node").cast("bigint").alias("node"),
+        "filled",
+        (F.lit(_HB_ALPHA16) * F.lit(float(m * m)) / denom).alias("est_reach"),
+    )

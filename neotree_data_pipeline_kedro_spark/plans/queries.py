@@ -15560,6 +15560,87 @@ def a43_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rho_sql(expr: str, cap: int = 27) -> str:
+    """Trailing-zeros+1 CASE ladder — the SQL twin of
+    operators/components._rho_when, generated from the same loop so the
+    branches cannot drift."""
+    branches = " ".join(
+        f"WHEN ({expr}) % {1 << k} = {1 << (k - 1)} THEN {k}"
+        for k in range(1, cap)
+    )
+    return f"CASE {branches} ELSE {cap} END"
+
+
+@_register(
+    "g10_hyperball_reach",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey % 17 = 0
+    ), edges AS (
+      SELECT src AS u, dst AS v FROM e0
+      UNION
+      SELECT dst AS u, src AS v FROM e0
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), hashed AS (
+      SELECT node,
+             (1597334677 * node % 2147483647 + 1234567891) % 2147483647 AS h
+      FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(h % 16 AS INTEGER) AS j,
+             CAST({_rho_sql("(h - h % 16) // 16")} AS INTEGER) AS rho
+      FROM hashed
+    ), r1 AS (
+      SELECT node, j, MAX(rho) AS rho FROM (
+        SELECT * FROM r0
+        UNION ALL
+        SELECT e.u AS node, r.j, r.rho
+        FROM edges e JOIN r0 r ON r.node = e.v
+      ) GROUP BY 1, 2
+    ), r2 AS (
+      SELECT node, j, MAX(rho) AS rho FROM (
+        SELECT * FROM r1
+        UNION ALL
+        SELECT e.u AS node, r.j, r.rho
+        FROM edges e JOIN r1 r ON r.node = e.v
+      ) GROUP BY 1, 2
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS INTEGER) AS filled,
+           0.673 * 256.0
+           / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE))
+              + CAST(16 - COUNT(*) AS DOUBLE)) AS est_reach
+    FROM r2 GROUP BY node
+    """,
+)
+def g10_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop reach (operators/components.hyperball_reach) over
+    the g8 trade graph: per-node approximate ball sizes from iterated
+    HyperLogLog register-max merges — the SKETCH path to neighborhood
+    functions/centrality when exact per-source BFS expansion no longer
+    fits. Linear in |edges|·m per hop, register algebra associative so
+    partial aggregation absorbs hub skew. Deterministic by construction
+    (literal affine hash + trailing-zero ladder + exact binary-fraction
+    estimate), so unlike most sketches the ORACLE hash-compares even the
+    double estimates. Accuracy vs exact BFS pinned separately in
+    pytest."""
+    from ..operators.components import hyperball_reach
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 17 == 0)
+    o = _t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return hyperball_reach(e0, hops=2, m=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15584,6 +15665,7 @@ _DRIVER_FRONT = [
     "emb_mrl_eval",
     "w31_ohlc_bars",
     "a43_markov_attribution",
+    "g10_hyperball_reach",
     "g8_bfs_hops",
     "w27_sax_symbols",
     "a39_funnel_steps",

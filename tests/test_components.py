@@ -84,3 +84,68 @@ def test_cc_empty_edges(spark):
     ndf = spark.createDataFrame([(4,), (5,)], "id bigint")
     got = {r["id"]: r["comp"] for r in connected_components(edf, nodes=ndf).collect()}
     assert got == {4: 4, 5: 5}
+
+
+# ---------------------------------------------------------------- hyperball
+def test_hyperball_estimates_track_exact_ball_sizes(spark):
+    """m=16 registers -> ~26% rse; on a 150-node random graph the
+    AGGREGATE error must be well inside that and per-node estimates must
+    be positively ordered vs truth (rank correlation, not exactness)."""
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        hyperball_reach,
+    )
+
+    rng = np.random.default_rng(5)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 150, size=(450, 2))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.est_reach for r in hyperball_reach(df, hops=2).collect()}
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    exact = {}
+    for n in nbrs:
+        ball = {n} | nbrs[n]
+        for u in list(nbrs[n]):
+            ball |= nbrs[u]
+        exact[n] = len(ball)
+    assert set(got) == set(exact)
+    ratio = sum(got[n] for n in exact) / sum(exact.values())
+    assert 0.75 < ratio < 1.35  # aggregate bias inside the m=16 envelope
+    ge = np.array([got[n] for n in sorted(exact)])
+    ex = np.array([exact[n] for n in sorted(exact)])
+    rho = np.corrcoef(
+        np.argsort(np.argsort(ge)), np.argsort(np.argsort(ex))
+    )[0, 1]
+    assert rho > 0.5  # sketch must order nodes like the truth
+
+
+def test_hyperball_star_center_sees_everyone(spark):
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        hyperball_reach,
+    )
+
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    got = {r.node: r for r in hyperball_reach(df, hops=1).collect()}
+    # center's 1-hop ball = whole graph (40); leaves see 2 nodes
+    assert got[0].est_reach > 15  # sketchy, but nowhere near leaf-sized
+    # each leaf sees only {leaf, center}: estimates must sit far below
+    # the center's (they differ leaf-to-leaf — each has its own hash)
+    import statistics
+
+    med_leaf = statistics.median(got[i].est_reach for i in range(1, 40))
+    assert med_leaf < got[0].est_reach / 3
+    # 2 hops: every node's ball is the whole star -> every register set
+    # is the max over ALL node hashes -> estimates identical everywhere
+    got2 = {r.node: r for r in hyperball_reach(df, hops=2).collect()}
+    ests2 = {round(v.est_reach, 9) for v in got2.values()}
+    assert len(ests2) == 1
