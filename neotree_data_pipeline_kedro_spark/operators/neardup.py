@@ -1017,11 +1017,28 @@ def _ppjoin_candidates(
     p = F.col("__n") - F.floor(
         (F.lit(tau_num) * F.col("__n") + tau_den - 1) / tau_den
     ).cast("int") + 1
+    # Optional signature filter (PPJoin+'s suffix-filter role, done as
+    # one bitmask instead of a per-pair suffix probe): when the caller
+    # attached an exact bijective 63-bit mask ``__m`` (small-vocab path
+    # in set_similarity_join), every bit in ma & ~mb witnesses a
+    # DISTINCT token of a \ b, so inter <= na - bit_count(ma & ~mb) —
+    # with a bijection the bound IS the exact intersection, and
+    # sub-threshold pairs die at the RAW join row (three bigint ops +
+    # popcount) before the pair groupBy ever sees them. A HASHED 64-bit
+    # mask is deliberately NOT used in the general path: for shingle
+    # vocabularies the mask saturates (birthday collisions push the
+    # bound toward min(na, nb)) and the per-row evaluation costs more
+    # than it prunes — measured 5.4 s -> 9.4 s on dd_ppjoin_pairs.
+    has_mask = "__m" in ordered.columns
+    mask_cols = ["__m"] if has_mask else []
     prefixes = ordered.select(
         "__id",
         "__n",
+        *mask_cols,
         F.posexplode(F.slice("__s", 1, p)).alias("__pp", "__pt"),
-    ).select("__id", "__n", (F.col("__pp") + 1).alias("__pp"), "__pt")
+    ).select(
+        "__id", "__n", *mask_cols, (F.col("__pp") + 1).alias("__pp"), "__pt"
+    )
     # length filter (part of PPJoin's candidate pruning): Jaccard >= tau
     # forces tau*|a| <= |b| <= |a|/tau, so size-incompatible pairs never
     # reach the verify join — on corpora with hot tokens this is the
@@ -1033,6 +1050,27 @@ def _ppjoin_candidates(
             (F.col("pa.__id") < F.col("pb.__id"))
             & (F.col("pb.__n") * tau_den >= F.col("pa.__n") * tau_num)
             & (F.col("pa.__n") * tau_den >= F.col("pb.__n") * tau_num)
+            # exact-signature filter: achievable overlap vs required alpha
+            & (
+                F.lit(True)
+                if not has_mask
+                else F.least(
+                    F.col("pa.__n")
+                    - F.expr("bit_count(pa.__m & ~pb.__m)"),
+                    F.col("pb.__n")
+                    - F.expr("bit_count(pb.__m & ~pa.__m)"),
+                )
+                >= F.floor(
+                    (
+                        F.lit(tau_num)
+                        * (F.col("pa.__n") + F.col("pb.__n"))
+                        + tau_num
+                        + tau_den
+                        - 1
+                    )
+                    / F.lit(tau_num + tau_den)
+                )
+            )
         )
         .groupBy(
             F.col("pa.__id").alias("__ida"),
@@ -1132,14 +1170,70 @@ def set_similarity_join(
         )
         .localCheckpoint()
     )
+    # Adaptive small-vocab fast path: when the corpus vocabulary fits 63
+    # bits, tokens map BIJECTIVELY to bit positions (a ≤63-entry literal
+    # map, collected from the vocab-sized freq table — bounded driver
+    # work). Then (1) the candidate-stage signature bound becomes the
+    # EXACT intersection, so the raw prefix-join rows of sub-threshold
+    # pairs die before the pair groupBy, and (2) verify is one popcount
+    # over two bigints — no token arrays shuffled at all. Small-vocab
+    # corpora are exactly where prefix filtering is weakest (every token
+    # is hot, candidates ~ pairs) AND where a hashed 64-bit signature
+    # goes soft (birthday collisions among the vocab loosen the bound),
+    # so the bijective path kicks in right where it's needed. Same
+    # output by construction. The vocab probe reads the CHECKPOINTED
+    # ordered table (re-deriving freq from the raw corpus would re-run
+    # the caller's tokenize/shingle chain — the interpreted-HOF cost the
+    # checkpoint exists to pay once).
+    otok = ordered.select(F.explode("__s").alias("__t"))
+    # probe capped at 64: on shingle corpora (vocab in the millions at
+    # 100 TB) the limit stops the probe from materializing the whole
+    # distinct-token set just to learn "too big"
+    nvocab = otok.select("__t").distinct().limit(64).count()
+    if nvocab <= 63:
+        freq2 = otok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+        bits = {
+            r["__t"]: i
+            for i, r in enumerate(
+                freq2.orderBy(F.col("__f").asc(), F.col("__t").asc()).collect()
+            )
+        }
+        vmap = F.create_map(
+            *[
+                x
+                for t, bpos in bits.items()
+                for x in (F.lit(t), F.lit(1 << bpos).cast("bigint"))
+            ]
+        )
+        exact_mask = F.aggregate(
+            F.transform("__s", lambda t: F.element_at(vmap, t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+        # pin the mask so the (interpreted) per-doc fold runs once, not
+        # once per exploded prefix row / verify side
+        ordered = ordered.withColumn("__m", exact_mask).localCheckpoint()
     cand = _ppjoin_candidates(ordered, tau_num, tau_den)
-    a = ordered.select(
-        F.col("__id").alias("__ida"), F.col("__s").alias("__sa"), F.col("__n").alias("__na")
-    )
-    b = ordered.select(
-        F.col("__id").alias("__idb"), F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
-    )
-    inter = F.size(F.array_intersect("__sa", "__sb"))
+    if nvocab <= 63:
+        a = ordered.select(
+            F.col("__id").alias("__ida"),
+            F.col("__m").alias("__ma"),
+            F.col("__n").alias("__na"),
+        )
+        b = ordered.select(
+            F.col("__id").alias("__idb"),
+            F.col("__m").alias("__mb"),
+            F.col("__n").alias("__nb"),
+        )
+        inter = F.expr("bit_count(__ma & __mb)")
+    else:
+        a = ordered.select(
+            F.col("__id").alias("__ida"), F.col("__s").alias("__sa"), F.col("__n").alias("__na")
+        )
+        b = ordered.select(
+            F.col("__id").alias("__idb"), F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
+        )
+        inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
         cand.join(a, "__ida")
         .join(b, "__idb")

@@ -803,3 +803,53 @@ def test_markov_attribution_hand_chain(spark):
     # removing A: only start->B->buy survives: p = 1/4 * 2/3 = 1/6
     assert abs(res["A"][2] - MICRO // 6) <= 2
     assert res["A"][3] < res["B"][3]
+
+
+# ------------------------------------------------ ppjoin small-vocab path
+def test_ppjoin_small_vocab_bitset_path_matches_bruteforce(spark):
+    """Vocab <= 63 triggers the exact-bitset candidate filter + popcount
+    verify; the output must equal the quadratic brute force exactly.
+    A >63-vocab twin of the same shape pins the array fallback path."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        set_similarity_join,
+    )
+
+    rng = random.Random(13)
+
+    def corpus(vocab):
+        rows = []
+        for i in range(60):
+            k = rng.randint(5, min(14, len(vocab)))
+            rows.append((i, rng.sample(vocab, k)))
+        # planted near-dup pairs
+        for i in range(5):
+            base_set = rows[i][1]
+            rows.append((100 + i, base_set[:-1] + [vocab[0]]))
+        return rows
+
+    def brute(rows, tau):
+        out = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            A, B = set(sa), set(sb)
+            inter = len(A & B)
+            if inter * 10 >= tau * len(A | B):
+                out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    for vocab_n in (40, 120):  # bitset path / array fallback path
+        vocab = [f"w{j}" for j in range(vocab_n)]
+        rows = corpus(vocab)
+        df = spark.createDataFrame(rows, "id bigint, s array<string>")
+        got = {
+            (r.id_a, r.id_b)
+            for r in set_similarity_join(
+                df, "id", "s", tau_num=6, tau_den=10
+            ).collect()
+        }
+        want = brute([(i, set(s)) for i, s in rows], 6)
+        assert got == want, f"vocab={vocab_n}"
