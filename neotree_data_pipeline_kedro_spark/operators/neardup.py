@@ -1331,3 +1331,104 @@ def scrub_duplicate_ngram_runs(
         F.size("__cov").cast("bigint").alias("n_masked"),
         F.md5(F.concat_ws(" ", masked)).alias("clean_fp"),
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    boundary_mask: int = 15,
+) -> DataFrame:
+    """Content-defined chunking dedup (FastCDC/rsync-style, over token
+    streams): split every document at positions where a rolling hash of
+    the last ``k`` tokens satisfies ``H % (boundary_mask+1) ==
+    boundary_mask``, fingerprint each chunk, and report chunk
+    fingerprints that recur across documents. CDC finds SHIFTED shared
+    spans that fixed-size chunking misses: inserting one sentence moves
+    every fixed chunk boundary after it, but content-defined boundaries
+    re-synchronize within ~k tokens, so the downstream chunks still
+    fingerprint identically.
+
+    Cross-engine-portable hash: token hash = first 15 hex digits of
+    md5(token) as bigint, reduced mod 2^20; window hash = h_i + h_{i-1}
+    * 2^20 + h_{i-2} * 2^40 (fits bigint: < 2^61). A windowed
+    polynomial, not a recurrence — each position's hash is a pure
+    expression of a bounded window (lag columns), so the whole pass is
+    three narrow window functions inside one per-document sort, no
+    iteration and no Python.
+
+    Returns one row per cross-document duplicated chunk: (chunk_fp,
+    n_docs, n_occurrences, n_tokens) — the dedup ledger a substring-
+    level scrubber consumes. Scale: per-document windows partition by
+    doc (no global sort); the only corpus-wide shuffle is the final
+    fingerprint groupBy, keyed on 128-bit hashes, not text.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("__i", "__w"),
+    )
+    h20 = F.expr(
+        "CAST(conv(substring(md5(__w), 1, 15), 16, 10) AS BIGINT)"
+        " % 1048576"
+    )
+    wd = Window.partitionBy("__doc").orderBy("__i")
+    hashed = toks.withColumn("__h", h20).select(
+        "__doc",
+        "__i",
+        "__w",
+        (
+            F.col("__h")
+            + F.lag("__h", 1).over(wd) * F.lit(1 << 20).cast("bigint")
+            + F.lag("__h", 2).over(wd) * F.lit(1 << 40).cast("bigint")
+        ).alias("__H"),
+    )
+    if k != 3:  # the windowed polynomial above is written for k=3
+        raise NotImplementedError("cdc_chunk_dedup supports k=3")
+    # Fold through a prime BEFORE masking: with the power-of-two base,
+    # H's low bits are the newest token's low bits alone, so a direct
+    # H % 2^m test would degenerate to single-token gear-less chunking
+    # (and can starve entirely on small vocabularies). The prime fold
+    # mixes all k window tokens into the boundary decision; both
+    # operands stay non-negative bigints, so % is portable.
+    boundary = F.when(
+        F.col("__H").isNotNull()
+        & (
+            (F.col("__H") % F.lit(999999937).cast("bigint"))
+            % (boundary_mask + 1)
+            == boundary_mask
+        ),
+        1,
+    ).otherwise(0)
+    flagged = hashed.withColumn("__b", boundary)
+    chunk_id = F.coalesce(
+        F.sum("__b").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    chunks = (
+        flagged.withColumn("__c", chunk_id)
+        .groupBy("__doc", "__c")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__i", "__w"))
+                        ),
+                        lambda s: s["__w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("__doc").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -15641,6 +15641,161 @@ def g10_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_reach(e0, hops=2, m=16)
 
 
+@_register(
+    "ta_langid_ngram",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    ex AS (
+      SELECT s.doc_id, d.lang, unnest(s.sh) AS gram
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    tot AS (
+      SELECT lang, COUNT(*) AS n_train FROM documents
+      WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    prof AS (
+      SELECT lang AS cand, gram, COUNT(*) AS df
+      FROM ex WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT cand, gram, df * 1000000 // n_train AS w_ppm
+      FROM prof JOIN tot ON tot.lang = prof.cand
+    ),
+    sc AS (
+      SELECT ex.doc_id, ex.lang, w.cand, SUM(w.w_ppm) AS score
+      FROM ex JOIN w USING (gram) GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, cand AS pred_lang, score
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand ASC) = 1
+    )
+    SELECT d.lang AS true_lang,
+           COALESCE(p.pred_lang, 'und') AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.score, 0)) AS BIGINT) AS score_sum
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def ta_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED n-gram-profile language ID (operators/langid.py — the
+    Cavnar & Trenkle TextCat scheme), the learned complement of the
+    zero-training stopword vote in functions/text.language_id: per-lang
+    3-gram document-frequency profiles are built from the even-doc_id
+    labeled split, every document is scored against every profile
+    (integer ppm weights, so bit-exact cross-engine), argmax with
+    lang-ascending tiebreak, no-overlap docs fall back to 'und'. Output
+    is the (true_lang, pred_lang) confusion matrix with summed scores —
+    the evaluation artifact a corpus-curation pipeline gates on. Scale:
+    the profile table is vocabulary-sized (broadcast); the corpus is
+    shuffled once, on (doc, lang) partial aggregates."""
+    from ..operators.langid import (
+        classify_language_ngram,
+        ngram_language_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    profiles, _ = ngram_language_profiles(
+        train, "doc_id", "text", "lang", n=3
+    )
+    pred = classify_language_ngram(docs, profiles, "doc_id", "text", n=3)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("pred_label").alias("pred_lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score_ppm").cast("bigint").alias("score_sum"),
+        )
+    )
+
+
+@_register(
+    "dd_cdc_chunks",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'pad pad ' || text AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+      SELECT c.doc_id, t.i AS p,
+             string_split(trim(c.text), ' ')[t.i + 1] AS w
+      FROM corpus c JOIN range(0, 128) t(i)
+        ON t.i < len(string_split(trim(c.text), ' '))
+      WHERE trim(c.text) != ''
+    ),
+    h AS (
+      SELECT doc_id, p, w,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 1048576 AS h20
+      FROM toks
+    ),
+    rolled AS (
+      SELECT doc_id, p, w,
+             h20
+             + lag(h20, 1) OVER (PARTITION BY doc_id ORDER BY p) * 1048576
+             + lag(h20, 2) OVER (PARTITION BY doc_id ORDER BY p)
+               * 1099511627776 AS hw
+      FROM h
+    ),
+    flagged AS (
+      SELECT doc_id, p, w,
+             CASE WHEN hw IS NOT NULL
+                   AND (hw % 999999937) % 16 = 15 THEN 1 ELSE 0 END AS b
+      FROM rolled
+    ),
+    cid AS (
+      SELECT doc_id, p, w,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS c
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, c,
+             md5(string_agg(w, ' ' ORDER BY p)) AS chunk_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM cid GROUP BY doc_id, c
+    )
+    SELECT chunk_fp,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(n_tokens) AS n_tokens
+    FROM chunks GROUP BY chunk_fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/neardup.cdc_chunk_dedup,
+    FastCDC/rsync family): chunk boundaries where a 3-token rolling hash
+    hits a mask, so a planted 2-token PREFIX insertion (every 5th doc,
+    shifted clone) re-synchronizes within ~3 tokens and the shared spans
+    still fingerprint identically — the shift-robust substring-level
+    dedup fixed-size chunking can't do. All hashing is md5-hex → bigint
+    (the f_feature_hashing portability recipe), the window hash is a
+    pure bounded-lag expression (no recurrence, no Python), and the only
+    corpus-wide shuffle is the final 128-bit-fingerprint groupBy. The
+    oracle replays the identical arithmetic in SQL, so boundary
+    placement, chunk assembly, and the dedup ledger all hash-compare."""
+    from ..operators.neardup import cdc_chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("pad pad "), F.col("text")).alias("text"),
+        )
+    )
+    return cdc_chunk_dedup(corpus, "doc_id", "text", k=3, boundary_mask=15)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15654,6 +15809,8 @@ def g10_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_FRONT = [
     # round-7 additions (no prior driver row by construction):
+    "ta_langid_ngram",
+    "dd_cdc_chunks",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

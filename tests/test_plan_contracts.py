@@ -574,3 +574,22 @@ def test_star_obt_all_broadcast_no_fact_shuffle_join(spark):
     m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed = " ".join(m)
     assert "r_name" in pushed and "o_orderdate" in pushed
+
+
+def test_langid_profile_join_is_broadcast(spark):
+    # the profile table is vocabulary-sized, never corpus-sized: the
+    # scoring join must be broadcast-hash; if it sort-merges, the whole
+    # corpus shuffles on raw n-gram strings
+    plan = plan_of(spark, "ta_langid_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_windows_partition_by_doc(spark):
+    # all three window passes (lag, lag, running boundary sum) must stay
+    # inside per-document partitions — no global sort, no cartesian
+    plan = plan_of(spark, "dd_cdc_chunks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-doc window sort, not a global Sort+single partition
+    assert re.search(r"Sort \[__doc", plan) or "__doc" in plan

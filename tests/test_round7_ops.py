@@ -853,3 +853,91 @@ def test_ppjoin_small_vocab_bitset_path_matches_bruteforce(spark):
         }
         want = brute([(i, set(s)) for i, s in rows], 6)
         assert got == want, f"vocab={vocab_n}"
+
+
+# ------------------------------------------------ trained n-gram langid
+def test_langid_ngram_separable_corpus(spark):
+    """Two languages with disjoint vocabularies: the trained profiles
+    must classify every held-out doc correctly; unseen-vocab docs fall
+    back to 'und' with score 0."""
+    from neotree_data_pipeline_kedro_spark.operators.langid import (
+        classify_language_ngram,
+        ngram_language_profiles,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, "aa bb cc aa bb cc aa bb", "A"))      # train A
+        rows.append((i * 2 + 1, "xx yy zz xx yy zz xx yy", "B"))  # train B
+    rows.append((1001, "bb cc aa bb cc aa", "A"))   # held-out A-ish
+    rows.append((1003, "yy zz xx yy zz xx", "B"))   # held-out B-ish
+    rows.append((1005, "qq rr ss qq rr ss", "?"))   # unseen vocab
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    train = df.filter("doc_id < 1000")
+    profiles, totals = ngram_language_profiles(
+        train, "doc_id", "text", "lang", n=3
+    )
+    pred = {
+        r["doc_id"]: (r["pred_label"], r["score_ppm"])
+        for r in classify_language_ngram(
+            df, profiles, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert pred[1001][0] == "A" and pred[1001][1] > 0
+    assert pred[1003][0] == "B" and pred[1003][1] > 0
+    assert pred[1005] == ("und", 0)
+    # every training doc classifies as its own language
+    for i in range(20):
+        assert pred[i * 2][0] == "A"
+        assert pred[i * 2 + 1][0] == "B"
+    # profile weights are ppm document frequencies: the 'aa bb cc' 3-gram
+    # appears in every A training doc -> 1_000_000 ppm
+    w = {
+        (r["label"], r["gram"]): r["weight_ppm"] for r in profiles.collect()
+    }
+    assert w[("A", "aa bb cc")] == 1_000_000
+
+
+# ------------------------------------------------ content-defined chunking
+def test_cdc_chunks_resynchronize_after_prefix_shift(spark):
+    """A 2-token prefix insertion shifts every fixed-offset chunk, but
+    content-defined boundaries re-synchronize: the clone must share
+    most of its chunk fingerprints with the original."""
+    import random
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        cdc_chunk_dedup,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(40)]
+    base = " ".join(rng.choice(vocab) for _ in range(200))
+    noise = " ".join(rng.choice(vocab) for _ in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "zz qq " + base),  # shifted clone
+            (3, noise),            # unrelated doc: no shared chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    out = cdc_chunk_dedup(df, "doc_id", "text", k=3, boundary_mask=15).collect()
+    assert out, "no shared chunks found between original and shifted clone"
+    shared_tokens = sum(r["n_tokens"] for r in out)
+    # ~200 tokens, mean chunk 16 -> expect most of the doc re-synced;
+    # only the first chunk (before the first post-prefix boundary) differs
+    assert shared_tokens >= 100, shared_tokens
+    for r in out:
+        assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+
+
+def test_cdc_chunks_k_guard(spark):
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        cdc_chunk_dedup,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    with _pytest.raises(NotImplementedError):
+        cdc_chunk_dedup(df, "doc_id", "text", k=4)
