@@ -717,3 +717,169 @@ def hyperball_reach(
         "filled",
         (F.lit(_HB_ALPHA16) * F.lit(float(m * m)) / denom).alias("est_reach"),
     )
+
+
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STATS reset, for deep iterative loops.
+
+    ``Dataset.localCheckpoint`` preserves the checkpointed plan's
+    estimated statistics on the resulting LogicalRDD (originStats).
+    Join-size estimates multiply child sizeInBytes, so in a loop where
+    generation i+1 joins generation i with frames derived from it, the
+    estimate's BIG-INTEGER BIT LENGTH grows geometrically (~3x per
+    generation measured): by ~iteration 12 Catalyst spends its time in
+    multi-megabyte BigInteger arithmetic inside stats estimation and
+    then OOMs the driver — with logical plans that are perfectly flat.
+    Rebuilding the DataFrame from the checkpointed bytes via the
+    JVM-side row RDD drops originStats, so every generation restarts
+    from leaf-sized estimates. No data leaves the JVM. Use this instead
+    of bare localCheckpoint whenever a loop may run >~8 generations.
+    """
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    jdf = ck._jdf
+    return DataFrame(
+        spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
+        spark,
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 64,
+    max_inner: int = 256,
+) -> DataFrame:
+    """Exact SCCs of a directed graph via trim + forward-coloring +
+    backward-marking — the published distributed SCC recipe (Orzan's
+    coloring / FW-BW-Trim family), expressed as DataFrame passes:
+
+    1. TRIM to fixpoint: a node with no in-edge or no out-edge in the
+       active subgraph cannot lie on a cycle → singleton SCC. Repeated
+       peeling removes the entire DAG portion in cheap passes, so the
+       coloring loop below only ever sees nodes that sit on cycles.
+    2. COLOR forward to fixpoint: color(v) = max node id that reaches v
+       (monotone max-propagation; convergence detected with a single
+       sum(color) aggregate — never a change-join).
+    3. MARK backward from roots (v == color(v)) along reversed edges,
+       WITHIN the color class: marked nodes both reach and are reached
+       by their root → exactly the root's SCC. Emit, remove, repeat.
+
+    Returns (node, scc_id) with scc_id = the MAX member id (the root's
+    id, by construction). Every pass localCheckpoints (bounded lineage);
+    per-iteration driver work is two scalar aggregates, never data.
+    Outer iterations are bounded by the depth of the SCC condensation
+    restricted to cyclic nodes — small on real graphs once trimming has
+    eaten the DAG part.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .transform(flat_checkpoint)
+    )
+    nodes = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select("d"))
+        .distinct()
+        .transform(flat_checkpoint)
+    )
+    done: list[DataFrame] = []
+
+    for _ in range(max_outer):
+        # --- trim to fixpoint
+        for _ in range(max_inner):
+            n_before = nodes.count()
+            if n_before == 0:
+                break
+            core = (
+                e.select(F.col("d").alias("v"))
+                .distinct()
+                .join(e.select(F.col("s").alias("v")).distinct(), "v")
+                .transform(flat_checkpoint)
+            )
+            if core.count() == n_before:
+                break
+            trimmed = nodes.join(core, "v", "left_anti")
+            done.append(
+                trimmed.select("v", F.col("v").alias("scc_id")).transform(flat_checkpoint)
+            )
+            nodes = core
+            e = (
+                e.join(core.withColumnRenamed("v", "s"), "s")
+                .join(core.withColumnRenamed("v", "d"), "d")
+                .select("s", "d")
+                .transform(flat_checkpoint)
+            )
+        if nodes.count() == 0:
+            break
+        # --- forward max-coloring to fixpoint
+        color = nodes.select("v", F.col("v").alias("c")).transform(flat_checkpoint)
+        s_prev = color.agg(F.sum("c")).first()[0]
+        for _ in range(max_inner):
+            inc = (
+                e.join(
+                    color.select(F.col("v").alias("s"), F.col("c").alias("cs")),
+                    "s",
+                )
+                .groupBy(F.col("d").alias("v"))
+                .agg(F.max("cs").alias("cin"))
+            )
+            color = (
+                color.join(inc, "v", "left")
+                .select(
+                    "v",
+                    F.greatest(
+                        "c", F.coalesce("cin", F.lit(-1).cast("long"))
+                    ).alias("c"),
+                )
+                .transform(flat_checkpoint)
+            )
+            s_new = color.agg(F.sum("c")).first()[0]
+            if s_new == s_prev:
+                break
+            s_prev = s_new
+        else:
+            raise RuntimeError("SCC coloring did not converge")
+        # --- backward marking within the color class
+        marked = color.filter(F.col("v") == F.col("c")).transform(flat_checkpoint)
+        n_marked = marked.count()
+        for _ in range(max_inner):
+            cand = (
+                e.join(marked.select(F.col("v").alias("d"), "c"), "d")
+                .select(F.col("s").alias("v"), "c")
+                .distinct()
+            )
+            marked = (
+                marked.union(cand.join(color, ["v", "c"]))
+                .distinct()
+                .transform(flat_checkpoint)
+            )
+            n_new = marked.count()
+            if n_new == n_marked:
+                break
+            n_marked = n_new
+        else:
+            raise RuntimeError("SCC backward marking did not converge")
+        done.append(marked.select("v", F.col("c").alias("scc_id")).transform(flat_checkpoint))
+        nodes = nodes.join(marked.select("v"), "v", "left_anti").transform(flat_checkpoint)
+        e = (
+            e.join(marked.select(F.col("v").alias("s")), "s", "left_anti")
+            .join(marked.select(F.col("v").alias("d")), "d", "left_anti")
+            .select("s", "d")
+            .transform(flat_checkpoint)
+        )
+    else:
+        raise RuntimeError("SCC outer loop did not converge")
+
+    spark = edges.sparkSession
+    out = done[0] if done else spark.createDataFrame(
+        [], "v long, scc_id long"
+    )
+    for frame in done[1:]:
+        out = out.union(frame)
+    return out.select(F.col("v").alias("node"), "scc_id")

@@ -110,3 +110,45 @@ def delta_join(
         .unionByName(a_old.join(b_delta, keys))
         .unionByName(a_delta.join(b_delta, keys))
     )
+
+
+def bitmap_distinct_state(
+    df: DataFrame, key: str, id_col: str
+) -> DataFrame:
+    """(key, __word, __bits) EXACT distinct-count bitmap state — the
+    roaring-bitmap idea as plain DataFrame algebra: dense integer ids
+    are bucketed into 64-bit words (``id DIV 64``) and OR-folded into a
+    bigint per (key, word). The state is tiny (⌈id-space/64⌉ words per
+    key), MERGEABLE (word-wise bit_or — associative + commutative, so
+    partial aggregation absorbs skew), and exact, unlike HLL. This is
+    the production shape for COUNT(DISTINCT) rollup tables: store the
+    bitmap state per fine grain, re-aggregate it to any coarser grain
+    without touching raw events again.
+    """
+    return df.groupBy(
+        F.col(key),
+        F.expr(f"CAST({id_col} DIV 64 AS INT)").alias("__word"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT)))"
+        ).alias("__bits")
+    )
+
+
+def bitmap_merge_to(
+    state: DataFrame, key: str, new_key
+) -> DataFrame:
+    """Re-aggregate bitmap state to a coarser grain: group the fine keys
+    under ``new_key`` (a Column over the fine key) and bit_or word-wise.
+    No raw data touched — sketch-merge only."""
+    return state.groupBy(
+        new_key.alias(key), F.col("__word")
+    ).agg(F.expr("bit_or(__bits)").alias("__bits"))
+
+
+def bitmap_count(state: DataFrame, key: str, out: str) -> DataFrame:
+    """Finalize bitmap state to exact distinct counts: popcount each
+    word, sum per key."""
+    return state.groupBy(key).agg(
+        F.expr("CAST(SUM(bit_count(__bits)) AS BIGINT)").alias(out)
+    )

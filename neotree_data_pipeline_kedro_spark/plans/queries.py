@@ -15796,6 +15796,131 @@ def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup(corpus, "doc_id", "text", k=3, boundary_mask=15)
 
 
+@_register(
+    "g11_scc",
+    """
+    WITH RECURSIVE nx AS (
+      SELECT l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM nx
+      WHERE dst IS NOT NULL AND src % 10 = 0 AND dst % 10 = 0
+        AND src != dst
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    reach AS (
+      SELECT src AS s, dst AS d FROM e
+      UNION
+      SELECT r.s, e.dst AS d FROM reach r JOIN e ON e.src = r.d
+    ),
+    mutual AS (
+      SELECT a.s AS v, a.d AS u
+      FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+    ),
+    lab AS (
+      SELECT n.v, GREATEST(n.v, COALESCE(MAX(m.u), n.v)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v
+    )
+    SELECT CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lab GROUP BY 1
+    """,
+)
+def g11_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components
+    (operators/components.strongly_connected_components — trim +
+    forward-coloring + backward-marking, the distributed FW-BW-Trim
+    family) of the part-succession graph: an edge for each consecutive
+    lineitem pair within an order (induced on partkey % 10 == 0 so the
+    ORACLE's recursive-CTE transitive closure stays bounded at every
+    SF). The engine never materializes reachability: trimming peels the
+    acyclic portion in cheap fixpoint passes and coloring touches only
+    cyclic nodes — linear passes over edges, vs the oracle's O(n·reach)
+    closure, which is exactly why the closure is the oracle and the
+    coloring is the engine. Output: (scc_id = max member id, size)."""
+    from ..operators.components import strongly_connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture: order by
+    # (linenumber, partkey) so the partkey SEQUENCE is total-ordered and
+    # lead() is deterministic cross-engine
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    nx = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    e = nx.filter(
+        F.col("dst").isNotNull()
+        & (F.col("src") % 10 == 0)
+        & (F.col("dst") % 10 == 0)
+        & (F.col("src") != F.col("dst"))
+    ).distinct()
+    scc = strongly_connected_components(e, "src", "dst")
+    return scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@_register(
+    "a47_bitmap_rollup",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+             user_id
+      FROM events
+    )
+    SELECT 'day' AS grain, CAST(day AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM d GROUP BY 2
+    UNION ALL
+    SELECT 'week' AS grain, CAST(day // 7 AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM d GROUP BY 2
+    """,
+)
+def a47_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable EXACT distinct-count rollup via bitmap state
+    (operators/incremental_agg.bitmap_distinct_state/_merge_to/_count):
+    daily active users from per-(day, word) 64-bit OR-folded bitmaps,
+    then WEEKLY actives by re-aggregating the daily bitmap STATE —
+    never re-reading events — which is the whole point: COUNT(DISTINCT)
+    doesn't sum across grains, but its bitmap state merges with a
+    word-wise bit_or (associative, partial-agg-friendly, skew-immune).
+    The oracle recomputes both grains exactly from raw events, so a
+    single wrong bit anywhere hash-mismatches. HLL's exact sibling: use
+    this when the id space is dense/bounded, HLL when it isn't."""
+    from ..operators.incremental_agg import (
+        bitmap_count,
+        bitmap_distinct_state,
+        bitmap_merge_to,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("day"),
+        "user_id",
+    )
+    daily_state = bitmap_distinct_state(ev, "day", "user_id").localCheckpoint()
+    daily = bitmap_count(daily_state, "day", "n_distinct").select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("bigint").alias("bucket"),
+        "n_distinct",
+    )
+    weekly_state = bitmap_merge_to(
+        daily_state, "day", F.expr("day DIV 7")
+    )
+    weekly = bitmap_count(weekly_state, "day", "n_distinct").select(
+        F.lit("week").alias("grain"),
+        F.col("day").cast("bigint").alias("bucket"),
+        "n_distinct",
+    )
+    return daily.unionByName(weekly)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15811,6 +15936,8 @@ _DRIVER_FRONT = [
     # round-7 additions (no prior driver row by construction):
     "ta_langid_ngram",
     "dd_cdc_chunks",
+    "g11_scc",
+    "a47_bitmap_rollup",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

@@ -593,3 +593,13 @@ def test_cdc_chunks_windows_partition_by_doc(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # per-doc window sort, not a global Sort+single partition
     assert re.search(r"Sort \[__doc", plan) or "__doc" in plan
+
+
+def test_bitmap_rollup_weekly_never_rescans_events(spark):
+    # weekly counts must derive from the daily bitmap STATE: exactly one
+    # scan of the events parquet in the whole union plan
+    # the daily state is localCheckpoint-pinned, so both grains read the
+    # checkpointed bitmap RDD; at most one parquet scan (printed twice:
+    # tree + details) may appear, and never two distinct event scans
+    plan = plan_of(spark, "a47_bitmap_rollup")
+    assert len(re.findall(r"Scan parquet", plan)) <= 2

@@ -941,3 +941,115 @@ def test_cdc_chunks_k_guard(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
     with _pytest.raises(NotImplementedError):
         cdc_chunk_dedup(df, "doc_id", "text", k=4)
+
+
+# ------------------------------------------------ strongly connected comps
+def test_scc_hand_graph(spark):
+    """Known topology: two cycles bridged by a one-way path, a chain, an
+    isolated 2-cycle, and a self-reaching diamond. Labels = max member;
+    every node labeled exactly once."""
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        # cycle A: 1 -> 2 -> 3 -> 1
+        (1, 2), (2, 3), (3, 1),
+        # one-way bridge into cycle B: 3 -> 10
+        (3, 10),
+        # cycle B: 10 -> 11 -> 12 -> 10
+        (10, 11), (11, 12), (12, 10),
+        # chain hanging off B (all singletons): 12 -> 20 -> 21 -> 22
+        (12, 20), (20, 21), (21, 22),
+        # isolated 2-cycle: 30 <-> 31
+        (30, 31), (31, 30),
+        # diamond with a back edge: 40->41->43->40 and 40->42->43
+        (40, 41), (41, 43), (43, 40), (40, 42), (42, 43),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = strongly_connected_components(df, "src", "dst").collect()
+    lab = {}
+    for r in out:
+        assert r["node"] not in lab, f"node {r['node']} emitted twice"
+        lab[r["node"]] = r["scc_id"]
+    expect = {
+        1: 3, 2: 3, 3: 3,
+        10: 12, 11: 12, 12: 12,
+        20: 20, 21: 21, 22: 22,
+        30: 31, 31: 31,
+        40: 43, 41: 43, 42: 43, 43: 43,
+    }
+    assert lab == expect
+
+
+def test_scc_matches_bruteforce_random(spark):
+    """Random sparse digraph vs driver-side mutual-reachability BFS."""
+    import random
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(42)
+    n = 60
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(90)}
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    reach = {}
+    for v in nodes:
+        seen, fr = set(), [v]
+        while fr:
+            nxt = []
+            for u in fr:
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            fr = nxt
+        reach[v] = seen
+    expect = {
+        v: max({u for u in reach[v] if v in reach[u]} | {v}) for v in nodes
+    }
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = strongly_connected_components(df, "src", "dst").collect()
+    lab = {}
+    for r in out:
+        assert r["node"] not in lab, f"node {r['node']} emitted twice"
+        lab[r["node"]] = r["scc_id"]
+    assert lab == expect
+
+
+# ------------------------------------------------ bitmap distinct rollup
+def test_bitmap_rollup_merges_exactly(spark):
+    """Weekly distincts derived from daily bitmap STATE equal recomputed
+    distincts; word boundaries (ids 63/64/127/128) exercised."""
+    from neotree_data_pipeline_kedro_spark.operators.incremental_agg import (
+        bitmap_count,
+        bitmap_distinct_state,
+        bitmap_merge_to,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = []
+    for day in range(4):
+        for uid in (0, 1, 63, 64, 127, 128, 200 + day):
+            rows.append((day, uid))
+    rows.append((0, 0))  # duplicate event same day
+    df = spark.createDataFrame(rows, "day int, user_id bigint")
+    state = bitmap_distinct_state(df, "day", "user_id")
+    daily = {
+        r["day"]: r["n"]
+        for r in bitmap_count(state, "day", "n").collect()
+    }
+    assert daily == {0: 7, 1: 7, 2: 7, 3: 7}
+    weekly_state = bitmap_merge_to(state, "day", SF.expr("day DIV 2"))
+    weekly = {
+        r["day"]: r["n"]
+        for r in bitmap_count(weekly_state, "day", "n").collect()
+    }
+    # days 0,1 share 6 common users + 200,201 -> 8; same for days 2,3
+    assert weekly == {0: 8, 1: 8}
