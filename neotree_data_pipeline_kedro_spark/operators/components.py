@@ -744,12 +744,70 @@ def flat_checkpoint(df: DataFrame) -> DataFrame:
     )
 
 
+def _local_tarjan(pairs: list[tuple]) -> dict:
+    """Iterative Tarjan SCC over a collected edge list; returns
+    node -> max-member-id labels (matching the distributed path)."""
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    result: dict = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        onstack.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            v, it = work[-1]
+            pushed = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    pushed = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if pushed:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    result[w] = m
+    return result
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_outer: int = 64,
     max_inner: int = 256,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """Exact SCCs of a directed graph via trim + forward-coloring +
     backward-marking — the published distributed SCC recipe (Orzan's
@@ -772,6 +830,14 @@ def strongly_connected_components(
     Outer iterations are bounded by the depth of the SCC condensation
     restricted to cyclic nodes — small on real graphs once trimming has
     eaten the DAG part.
+
+    Small-graph fast path (the connected_components local_threshold
+    precedent): when the deduplicated edge count is ≤ ``local_threshold``
+    (bounded: two bigints/edge, 500k edges ≈ 8 MB), the whole thing runs
+    as ONE driver-side iterative Tarjan pass instead of dozens of tiny
+    distributed rounds — the big-then-local switch production graph
+    systems make. Only edge endpoints are collected, never payloads.
+    Set ``local_threshold=0`` to force the distributed loop.
     """
     e = (
         edges.select(
@@ -782,6 +848,12 @@ def strongly_connected_components(
         .distinct()
         .transform(flat_checkpoint)
     )
+    if e.count() <= local_threshold:
+        labels = _local_tarjan([(r["s"], r["d"]) for r in e.collect()])
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(labels.items()), "node long, scc_id long"
+        )
     nodes = (
         e.select(F.col("s").alias("v"))
         .union(e.select("d"))

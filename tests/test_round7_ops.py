@@ -967,11 +967,6 @@ def test_scc_hand_graph(spark):
         (40, 41), (41, 43), (43, 40), (40, 42), (42, 43),
     ]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    out = strongly_connected_components(df, "src", "dst").collect()
-    lab = {}
-    for r in out:
-        assert r["node"] not in lab, f"node {r['node']} emitted twice"
-        lab[r["node"]] = r["scc_id"]
     expect = {
         1: 3, 2: 3, 3: 3,
         10: 12, 11: 12, 12: 12,
@@ -979,7 +974,17 @@ def test_scc_hand_graph(spark):
         30: 31, 31: 31,
         40: 43, 41: 43, 42: 43, 43: 43,
     }
-    assert lab == expect
+    # both code paths: driver-side Tarjan (default threshold) and the
+    # distributed trim/color/mark loop (forced with local_threshold=0)
+    for thr in (500_000, 0):
+        out = strongly_connected_components(
+            df, "src", "dst", local_threshold=thr
+        ).collect()
+        lab = {}
+        for r in out:
+            assert r["node"] not in lab, f"node {r['node']} emitted twice"
+            lab[r["node"]] = r["scc_id"]
+        assert lab == expect, f"local_threshold={thr}"
 
 
 def test_scc_matches_bruteforce_random(spark):
@@ -1015,7 +1020,9 @@ def test_scc_matches_bruteforce_random(spark):
         v: max({u for u in reach[v] if v in reach[u]} | {v}) for v in nodes
     }
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    out = strongly_connected_components(df, "src", "dst").collect()
+    out = strongly_connected_components(
+        df, "src", "dst", local_threshold=0  # exercise the distributed loop
+    ).collect()
     lab = {}
     for r in out:
         assert r["node"] not in lab, f"node {r['node']} emitted twice"
