@@ -728,3 +728,44 @@ def nullsafe_join(
     for k in keys:
         out = out.drop(right[k])
     return out
+
+
+def knn_within_radius(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    k: int = 1,
+) -> DataFrame:
+    """Grid-bounded k-nearest-neighbor self-join: for every point, its k
+    nearest OTHER points within euclidean ``radius`` (points with no
+    neighbor inside the radius emit nothing — the bound is the contract,
+    stated, not silently violated). Built on grid_distance_join, so
+    candidates are 3x3-cell-local and the pair volume is neighborhood
+    density x n, never n²; ranking is one per-point window over those
+    bounded candidates with a total (dist_sq, id) order. Squared
+    distances keep integer-valued coordinates exact cross-engine.
+
+    This is the production kNN shape when a distance bound exists
+    (dedup radius, geo proximity): unbounded exact kNN needs the
+    brute-force or ANN paths in operators/similarity.py instead.
+    """
+    pairs = grid_distance_join(
+        points.withColumnRenamed(id_col, "a_id"),
+        points.withColumnRenamed(id_col, "nn_id"),
+        x_col,
+        y_col,
+        radius,
+        "a_id",
+        "nn_id",
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("dist_sq").asc(), F.col("nn_id").asc()
+    )
+    return (
+        pairs.filter(F.col("a_id") != F.col("nn_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", F.col("rank").cast("int").alias("rank"), "nn_id", "dist_sq")
+    )

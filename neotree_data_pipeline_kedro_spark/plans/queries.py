@@ -15921,6 +15921,131 @@ def a47_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(weekly)
 
 
+@_register(
+    "j30_knn_grid",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 13) % 997 AS DOUBLE) AS x,
+             CAST((c_custkey * 31) % 991 AS DOUBLE) AS y
+      FROM customer WHERE c_custkey % 3 = 0
+    ), cand AS (
+      SELECT a.id AS a_id, b.id AS nn_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               AS dist_sq
+      FROM pts a JOIN pts b ON a.id != b.id
+    ), r AS (
+      SELECT a_id, nn_id, dist_sq,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY dist_sq ASC, nn_id ASC) AS rk
+      FROM cand WHERE dist_sq <= 625.0
+    )
+    SELECT a_id, CAST(rk AS INTEGER) AS nn_rank, nn_id, dist_sq
+    FROM r WHERE rk <= 2
+    """,
+)
+def j30_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor self-join
+    (operators/joins.knn_within_radius, k=2, r=25): each point's two
+    nearest other points within the radius, grid-blocked so candidates
+    are 3x3-cell-local (the j17 radius join + a per-point ranked window)
+    while the ORACLE states the O(n²) truth. The production kNN shape
+    when a distance bound exists; unbounded kNN is the ANN family's job
+    (ann_topk_*). Total (dist_sq, id) tiebreak keeps the top-2 rows
+    deterministic cross-engine; squared integer-valued distances stay
+    exact as doubles."""
+    from ..operators.joins import knn_within_radius
+
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    pts = cu.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 13) % 997).cast("double").alias("x"),
+        ((F.col("c_custkey") * 31) % 991).cast("double").alias("y"),
+    )
+    out = knn_within_radius(pts, "id", "x", "y", radius=25.0, k=2)
+    return out.select(
+        "a_id", F.col("rank").alias("nn_rank"), "nn_id", "dist_sq"
+    )
+
+
+@_register(
+    "g12_ppr",
+    """
+    WITH nx AS (
+      SELECT l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM nx
+      WHERE dst IS NOT NULL AND src % 10 = 0 AND dst % 10 = 0
+        AND src != dst
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT v FROM nodes WHERE v % 100 = 0),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    outdeg AS (SELECT src AS v, COUNT(*) AS od FROM e GROUP BY src),
+    sb AS (SELECT s.v, 1000000000 // ns.n AS base FROM seeds s, ns),
+    r0 AS (SELECT v, base AS r FROM sb),
+    i1 AS (
+      SELECT e.dst AS v, SUM(r0.r // o.od) AS infl
+      FROM r0 JOIN outdeg o ON o.v = r0.v JOIN e ON e.src = r0.v
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.v,
+             (150 * COALESCE(sb.base, 0) + 850 * COALESCE(i1.infl, 0))
+               // 1000 AS r
+      FROM nodes n LEFT JOIN sb ON sb.v = n.v LEFT JOIN i1 ON i1.v = n.v
+    ),
+    i2 AS (
+      SELECT e.dst AS v, SUM(r1.r // o.od) AS infl
+      FROM r1 JOIN outdeg o ON o.v = r1.v JOIN e ON e.src = r1.v
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.v,
+             (150 * COALESCE(sb.base, 0) + 850 * COALESCE(i2.infl, 0))
+               // 1000 AS r
+      FROM nodes n LEFT JOIN sb ON sb.v = n.v LEFT JOIN i2 ON i2.v = n.v
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS ppr_nano
+    FROM r2 WHERE r > 0
+    """,
+)
+def g12_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/components.personalized_pagerank,
+    2 iterations, alpha=150/1000, every-100th node seeded) over the g11
+    part-succession graph — random-walk-with-restart relevance from a
+    seed set, the "related items" graph primitive. EXACT integer
+    arithmetic throughout (nano-unit mass, truncating DIV on
+    non-negative operands), so unlike g1_pagerank's rows-only float
+    scores this carries a full value-hash oracle: the SQL unrolls the
+    same two push+mix steps and must agree bit-for-bit. Dangling mass
+    decays (leaked-PPR semantics, documented on the operator). Per
+    iteration: one src join + one dst aggregate."""
+    from ..operators.components import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    nx = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    e = nx.filter(
+        F.col("dst").isNotNull()
+        & (F.col("src") % 10 == 0)
+        & (F.col("dst") % 10 == 0)
+        & (F.col("src") != F.col("dst"))
+    ).distinct()
+    nodes = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    seeds = nodes.filter(F.col("v") % 100 == 0)
+    return personalized_pagerank(e, seeds, iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -15938,6 +16063,8 @@ _DRIVER_FRONT = [
     "dd_cdc_chunks",
     "g11_scc",
     "a47_bitmap_rollup",
+    "j30_knn_grid",
+    "g12_ppr",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

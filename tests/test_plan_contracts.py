@@ -603,3 +603,16 @@ def test_bitmap_rollup_weekly_never_rescans_events(spark):
     # tree + details) may appear, and never two distinct event scans
     plan = plan_of(spark, "a47_bitmap_rollup")
     assert len(re.findall(r"Scan parquet", plan)) <= 2
+
+
+def test_knn_grid_join_is_equi_not_cartesian(spark):
+    # the grid join must stay an equi-join on the composite cell key;
+    # a cartesian/BNLJ here means the blocking regressed to all-pairs
+    plan = plan_of(spark, "j30_knn_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppr_no_cartesian(spark):
+    plan = plan_of(spark, "g12_ppr")
+    assert "CartesianProduct" not in plan

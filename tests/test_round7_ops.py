@@ -1060,3 +1060,83 @@ def test_bitmap_rollup_merges_exactly(spark):
     }
     # days 0,1 share 6 common users + 200,201 -> 8; same for days 2,3
     assert weekly == {0: 8, 1: 8}
+
+
+# ------------------------------------------------ radius-bounded kNN
+def test_knn_within_radius_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        knn_within_radius,
+    )
+
+    rng = random.Random(3)
+    pts = [(i, float(rng.randrange(100)), float(rng.randrange(100)))
+           for i in range(80)]
+    pts.append((900, 500.0, 500.0))  # isolated: no neighbor in radius
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = {
+        (r.a_id, r.rank): (r.nn_id, r.dist_sq)
+        for r in knn_within_radius(df, "id", "x", "y", radius=12.0, k=2).collect()
+    }
+    # brute force
+    want = {}
+    for i, x, y in pts:
+        cand = sorted(
+            ((x - bx) ** 2 + (y - by) ** 2, j)
+            for j, bx, by in pts
+            if j != i and (x - bx) ** 2 + (y - by) ** 2 <= 144.0
+        )
+        for rk, (d, j) in enumerate(cand[:2], start=1):
+            want[(i, rk)] = (j, d)
+    assert got == want
+    assert not any(a == 900 for a, _ in got)
+
+
+# ------------------------------------------------ personalized pagerank
+def test_ppr_hand_chain_exact(spark):
+    """Seed -> a -> b chain with a side seed: replay the integer
+    recurrence by hand and require exact equality."""
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    # graph: 100 -> 1 -> 2, 200 -> 1 ; seeds {100, 200}
+    edges = [(100, 1), (1, 2), (200, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(100,), (200,)], "v bigint")
+    got = {
+        r.node: r.ppr_nano
+        for r in personalized_pagerank(df, seeds, iterations=2).collect()
+    }
+    base = 1_000_000_000 // 2
+    # iteration 1: inflow(1) = base//1 + base//1 ; inflow(2) = 0 (r0(1)=0)
+    r1 = {
+        100: (150 * base) // 1000,
+        200: (150 * base) // 1000,
+        1: (850 * (base + base)) // 1000,
+        2: 0,
+    }
+    # iteration 2: inflow(1) = r1[100] + r1[200]; inflow(2) = r1[1]
+    r2 = {
+        100: (150 * base) // 1000,
+        200: (150 * base) // 1000,
+        1: (150 * 0 + 850 * (r1[100] + r1[200])) // 1000,
+        2: (850 * r1[1]) // 1000,
+    }
+    expect = {k: v for k, v in r2.items() if v > 0}
+    assert got == expect
+
+
+def test_ppr_empty_seeds_raises(spark):
+    import pytest as _pytest
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([], "v bigint")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, seeds)
