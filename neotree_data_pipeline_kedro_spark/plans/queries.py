@@ -16046,6 +16046,203 @@ def g12_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(e, seeds, iterations=2)
 
 
+@_register(
+    "g13_modularity",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    comm AS (
+      SELECT s_suppkey AS node, s_nationkey AS c FROM supplier
+      UNION ALL
+      SELECT c_custkey + 1000000 AS node, c_nationkey AS c FROM customer
+    ),
+    m AS (SELECT COUNT(*) AS m FROM e0),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+      ) GROUP BY node
+    ),
+    dc AS (
+      SELECT c.c AS community, CAST(SUM(d.degree) AS BIGINT) AS d_c
+      FROM deg d JOIN comm c ON c.node = d.node GROUP BY c.c
+    ),
+    ec AS (
+      SELECT ca.c AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM e0 JOIN comm ca ON ca.node = e0.src
+              JOIN comm cb ON cb.node = e0.dst
+      WHERE ca.c = cb.c GROUP BY ca.c
+    )
+    SELECT dc.community, COALESCE(ec.e_in, 0) AS e_in, dc.d_c,
+           CAST(4 * m.m * COALESCE(ec.e_in, 0) - dc.d_c * dc.d_c
+                AS DOUBLE)
+           / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+    FROM dc LEFT JOIN ec ON ec.community = dc.community, m
+    """,
+)
+def g13_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the supplier↔
+    customer trade graph — "is trade assortative by nation?", the
+    community-quality metric every community-detection loop (Louvain,
+    label propagation) optimizes, here evaluated EXACTLY: per community,
+    Q_c = e_c/m − (d_c/2m)², computed as the single division of two
+    exact bigints (4·m·e_c − d_c²) / 4m², so the doubles are
+    bit-identical cross-engine. One edge scan for degrees, one
+    broadcast-mapped community join, one aggregate each for d_c and e_c
+    — modularity at 100 TB is exactly this cheap when the partition is
+    an attribute, which is why attribute assortativity is the first
+    sanity check before running any detection algorithm."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    e0 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    comm = su.select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    ).unionByName(
+        cu.select(
+            (F.col("c_custkey") + 1_000_000).alias("node"),
+            F.col("c_nationkey").alias("c"),
+        )
+    )
+    m = e0.count()
+    deg = (
+        e0.select(F.col("src").alias("node"))
+        .unionAll(e0.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    dc = (
+        deg.join(F.broadcast(comm), "node")
+        .groupBy(F.col("c").alias("community"))
+        .agg(F.sum("degree").cast("bigint").alias("d_c"))
+    )
+    ec = (
+        e0.join(
+            F.broadcast(comm.select(F.col("node").alias("src"), F.col("c").alias("ca"))),
+            "src",
+        )
+        .join(
+            F.broadcast(comm.select(F.col("node").alias("dst"), F.col("c").alias("cb"))),
+            "dst",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    return (
+        dc.join(ec, "community", "left")
+        .select(
+            "community",
+            F.coalesce("e_in", F.lit(0).cast("bigint")).alias("e_in"),
+            "d_c",
+            (
+                (
+                    F.lit(4 * m).cast("bigint")
+                    * F.coalesce("e_in", F.lit(0).cast("bigint"))
+                    - F.col("d_c") * F.col("d_c")
+                ).cast("double")
+                / F.lit(float(4 * m * m))
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@_register(
+    "a48_bitmap_retention",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d),
+    pairs AS (SELECT a.day FROM days a JOIN days b ON b.day = a.day + 1),
+    x AS (
+      SELECT COALESCE(a.day, b.day - 1) AS day,
+             CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                    THEN 'retained'
+                  WHEN a.user_id IS NOT NULL THEN 'churned'
+                  ELSE 'new' END AS k
+      FROM d a FULL JOIN d b
+        ON b.user_id = a.user_id AND b.day = a.day + 1
+    )
+    SELECT x.day AS day,
+           CAST(COUNT(*) FILTER (k = 'retained') AS BIGINT) AS retained,
+           CAST(COUNT(*) FILTER (k = 'churned') AS BIGINT) AS churned,
+           CAST(COUNT(*) FILTER (k = 'new') AS BIGINT) AS n_new
+    FROM x JOIN pairs ON pairs.day = x.day
+    GROUP BY x.day
+    """,
+)
+def a48_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention/churn/new-user counts computed from bitmap
+    STATE set-algebra alone (a47's daily bitmaps; retained = popcount
+    (bits_d AND bits_{d+1}), churned = popcount(bits_d AND NOT next),
+    new = popcount(next AND NOT bits_d)) — the set-INTERSECTION rollup
+    HLL fundamentally cannot do and the reason dense-id shops keep
+    bitmap state next to their HLL state. No raw-event re-scan: the
+    whole report is one shifted self-join of the word-keyed state table.
+    The oracle recomputes the truth relationally (per-user full join of
+    adjacent days), so a single wrong bit anywhere mismatches. Emitted
+    for days with a successor day in the data."""
+    from ..operators.incremental_agg import bitmap_distinct_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("day"),
+        "user_id",
+    )
+    state = bitmap_distinct_state(ev, "day", "user_id").localCheckpoint()
+    nxt = state.select(
+        (F.col("day") - 1).alias("day"),
+        "__word",
+        F.col("__bits").alias("__bits_next"),
+    )
+    days = state.select("day").distinct()
+    pairs = days.join(
+        days.select((F.col("day") - 1).alias("day")), "day"
+    )
+    return (
+        state.join(nxt, ["day", "__word"], "full")
+        .join(pairs, "day")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.expr(
+                    "bit_count(coalesce(__bits, 0) & coalesce(__bits_next, 0))"
+                )
+            )
+            .cast("bigint")
+            .alias("retained"),
+            F.sum(
+                F.expr(
+                    "bit_count(coalesce(__bits, 0) & ~coalesce(__bits_next, 0))"
+                )
+            )
+            .cast("bigint")
+            .alias("churned"),
+            F.sum(
+                F.expr(
+                    "bit_count(coalesce(__bits_next, 0) & ~coalesce(__bits, 0))"
+                )
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -16065,6 +16262,8 @@ _DRIVER_FRONT = [
     "a47_bitmap_rollup",
     "j30_knn_grid",
     "g12_ppr",
+    "g13_modularity",
+    "a48_bitmap_retention",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

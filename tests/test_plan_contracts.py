@@ -616,3 +616,18 @@ def test_knn_grid_join_is_equi_not_cartesian(spark):
 def test_ppr_no_cartesian(spark):
     plan = plan_of(spark, "g12_ppr")
     assert "CartesianProduct" not in plan
+
+
+def test_modularity_community_maps_broadcast(spark):
+    # the node->community map is dimension-sized: both community joins
+    # must broadcast; the fact edge list must never sort-merge against it
+    plan = plan_of(spark, "g13_modularity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_retention_no_event_rescan(spark):
+    # everything derives from the checkpointed bitmap state: no parquet
+    # scan may survive into the final plan
+    plan = plan_of(spark, "a48_bitmap_retention")
+    assert "Scan parquet" not in plan

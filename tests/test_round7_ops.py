@@ -1140,3 +1140,94 @@ def test_ppr_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([], "v bigint")
     with _pytest.raises(ValueError):
         personalized_pagerank(df, seeds)
+
+
+# ------------------------------------------------ modularity (hand graph)
+def test_modularity_formula_hand_check(spark):
+    """4-node graph, 2 communities; compare against the textbook
+    Q = sum_c (e_c/m - (d_c/2m)^2) computed by hand."""
+    # edges: (1-2) within A, (3-4) within B, (2-3) across
+    # m=3; A: e=1, d=1+2=3 ; B: e=1, d=2+1=3
+    # Q_c = 1/3 - (3/6)^2 = 1/3 - 1/4 = 1/12 each
+    edges = [(1, 2), (3, 4), (2, 3)]
+    comm = {1: 10, 2: 10, 3: 20, 4: 20}
+    from pyspark.sql import functions as SF
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    m = 3
+    cdf = spark.createDataFrame(list(comm.items()), "node bigint, c bigint")
+    deg = (
+        e.select(SF.col("src").alias("node"))
+        .unionAll(e.select(SF.col("dst").alias("node")))
+        .groupBy("node").agg(SF.count("*").cast("bigint").alias("degree"))
+    )
+    dc = (deg.join(cdf, "node").groupBy("c")
+          .agg(SF.sum("degree").cast("bigint").alias("d_c")))
+    ec = (
+        e.join(cdf.select(SF.col("node").alias("src"), SF.col("c").alias("ca")), "src")
+        .join(cdf.select(SF.col("node").alias("dst"), SF.col("c").alias("cb")), "dst")
+        .filter("ca = cb").groupBy(SF.col("ca").alias("c"))
+        .agg(SF.count("*").cast("bigint").alias("e_in"))
+    )
+    rows = (
+        dc.join(ec, "c", "left")
+        .select(
+            "c",
+            ((4 * m * SF.coalesce("e_in", SF.lit(0)) - SF.col("d_c") * SF.col("d_c"))
+             .cast("double") / float(4 * m * m)).alias("q"),
+        )
+        .collect()
+    )
+    got = {r["c"]: r["q"] for r in rows}
+    assert abs(got[10] - 1 / 12) < 1e-12 and abs(got[20] - 1 / 12) < 1e-12
+
+
+def test_modularity_registry_sums_in_range(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+    from conftest import SF_SMOKE
+
+    rows = QUERIES["g13_modularity"](spark, SF_SMOKE).collect()
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 <= q <= 1.0  # modularity range
+    # bipartite disjoint id spaces: no within-community edge can exist
+    # unless supplier and customer share a nation key - e_in may be > 0;
+    # but degrees must all be positive
+    assert all(r["d_c"] > 0 for r in rows)
+
+
+# ------------------------------------------------ bitmap retention
+def test_bitmap_retention_hand_days(spark):
+    from neotree_data_pipeline_kedro_spark.operators.incremental_agg import (
+        bitmap_distinct_state,
+    )
+    from pyspark.sql import functions as SF
+
+    # day0: {1, 63, 64}; day1: {63, 64, 128, 2}; day2: {2}
+    rows = [(0, 1), (0, 63), (0, 64), (1, 63), (1, 64), (1, 128), (1, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "day int, user_id bigint")
+    state = bitmap_distinct_state(df, "day", "user_id").localCheckpoint()
+    nxt = state.select((SF.col("day") - 1).alias("day"), "__word",
+                       SF.col("__bits").alias("__bits_next"))
+    days = state.select("day").distinct()
+    pairs = days.join(days.select((SF.col("day") - 1).alias("day")), "day")
+    out = {
+        r["day"]: (r["retained"], r["churned"], r["n_new"])
+        for r in (
+            state.join(nxt, ["day", "__word"], "full")
+            .join(pairs, "day")
+            .groupBy("day")
+            .agg(
+                SF.sum(SF.expr(
+                    "bit_count(coalesce(__bits,0) & coalesce(__bits_next,0))"
+                )).cast("bigint").alias("retained"),
+                SF.sum(SF.expr(
+                    "bit_count(coalesce(__bits,0) & ~coalesce(__bits_next,0))"
+                )).cast("bigint").alias("churned"),
+                SF.sum(SF.expr(
+                    "bit_count(coalesce(__bits_next,0) & ~coalesce(__bits,0))"
+                )).cast("bigint").alias("n_new"),
+            )
+            .collect()
+        )
+    }
+    assert out == {0: (2, 1, 2), 1: (1, 3, 0)}
