@@ -275,3 +275,84 @@ def dsir_ratio_weights(
         )
         .select(F.col("__doc").alias(doc_col), "n_tokens", "weight_ppm")
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+) -> DataFrame:
+    """(group, bucket, cnt) equi-width histogram state — the MERGEABLE
+    quantile-rollup structure: per-(group, bucket) counts add across
+    partitions, days, and retention tiers with a plain SUM, unlike exact
+    per-group percentile state (a full sorted buffer). ``lo``/``hi``
+    come from the caller (a prior bounded min/max pass, or a known
+    domain); values at ``hi`` clamp into the top bucket. The bucket
+    expression is pure IEEE double arithmetic on exact inputs, so two
+    engines evaluating the same shape agree bit-for-bit."""
+    b = F.floor(
+        (F.col(value) - F.lit(lo)) * F.lit(float(buckets)) / F.lit(hi - lo)
+    ).cast("int")
+    return (
+        df.select(F.col(group), F.least(b, F.lit(buckets - 1)).alias("bucket"))
+        .groupBy(group, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    state: DataFrame,
+    group: str,
+    q_num: int,
+    q_den: int,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+    out: str = "est",
+) -> DataFrame:
+    """Interpolated quantile estimate from histogram state: target rank
+    t = (n·q_num) DIV q_den; inside the covering bucket, estimate
+    lo + (bucket + (t − cum_before)/cnt) · width. Error is bounded by
+    one bucket width — the contract a pytest pins against the exact
+    percentile. Integer rank arithmetic + one double interpolation, so
+    estimates hash-compare across engines. Returns (group, n, out)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy("bucket")
+    width = (hi - lo) / float(buckets)
+    cum = state.select(
+        F.col(group),
+        "bucket",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("cumb"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    t = F.expr(f"(n * {q_num}) DIV {q_den}")
+    return (
+        cum.withColumn("__t", t)
+        .filter(
+            (F.col("cumb") <= F.col("__t"))
+            & (F.col("__t") < F.col("cumb") + F.col("cnt"))
+        )
+        .select(
+            F.col(group),
+            F.col("n"),
+            (
+                F.lit(lo)
+                + (
+                    F.col("bucket")
+                    + (F.col("__t") - F.col("cumb")).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+                * F.lit(width)
+            ).alias(out),
+        )
+    )

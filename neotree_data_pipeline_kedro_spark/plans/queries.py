@@ -16243,6 +16243,76 @@ def a48_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u15_histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+      FROM orders
+    ),
+    st AS (
+      SELECT o_orderpriority AS priority,
+             LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo) * 64.0
+                              / (b.hi - b.lo)) AS INTEGER), 63) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders, b GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT priority, bucket, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY priority ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumb,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM st
+    ),
+    p50 AS (
+      SELECT priority, CAST(n AS BIGINT) AS n,
+             b.lo + (bucket + CAST((n * 1) // 2 - cumb AS DOUBLE)
+                              / CAST(cnt AS DOUBLE))
+                    * ((b.hi - b.lo) / 64.0) AS p50_est
+      FROM c, b
+      WHERE cumb <= (n * 1) // 2 AND (n * 1) // 2 < cumb + cnt
+    ),
+    p90 AS (
+      SELECT priority,
+             b.lo + (bucket + CAST((n * 9) // 10 - cumb AS DOUBLE)
+                              / CAST(cnt AS DOUBLE))
+                    * ((b.hi - b.lo) / 64.0) AS p90_est
+      FROM c, b
+      WHERE cumb <= (n * 9) // 10 AND (n * 9) // 10 < cumb + cnt
+    )
+    SELECT p50.priority, p50.n, p50.p50_est, p90.p90_est
+    FROM p50 JOIN p90 USING (priority)
+    """,
+)
+def u15_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup
+    (operators/frequency.histogram_state/histogram_quantile): p50/p90
+    per priority estimated from 64-bucket equi-width counts — the
+    quantile state that SUMs across partitions/days/tiers, unlike the
+    exact per-group sort buffer (u10), and the honest answer when
+    percentile state must live in a rollup table. Two bounded passes
+    (global min/max, then bucket counts); the estimate is integer rank
+    arithmetic + one interpolation whose IEEE shape the oracle mirrors,
+    so even the double estimates hash-compare. Accuracy (≤ one bucket
+    width vs the exact percentile) is pinned in pytest, not here."""
+    from ..operators.frequency import histogram_quantile, histogram_state
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    mm = o.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    state = histogram_state(o, "priority", "v", lo, hi, 64).localCheckpoint()
+    p50 = histogram_quantile(state, "priority", 1, 2, lo, hi, 64, "p50_est")
+    p90 = histogram_quantile(
+        state, "priority", 9, 10, lo, hi, 64, "p90_est"
+    ).drop("n")
+    return p50.join(p90, "priority")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -16264,6 +16334,7 @@ _DRIVER_FRONT = [
     "g12_ppr",
     "g13_modularity",
     "a48_bitmap_retention",
+    "u15_histogram_quantiles",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

@@ -631,3 +631,10 @@ def test_bitmap_retention_no_event_rescan(spark):
     # scan may survive into the final plan
     plan = plan_of(spark, "a48_bitmap_retention")
     assert "Scan parquet" not in plan
+
+
+def test_histogram_quantiles_state_reused_not_rescanned(spark):
+    # both quantile picks read the checkpointed histogram state: the
+    # final plan may not re-scan orders
+    plan = plan_of(spark, "u15_histogram_quantiles")
+    assert "Scan parquet" not in plan

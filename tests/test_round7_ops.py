@@ -1231,3 +1231,49 @@ def test_bitmap_retention_hand_days(spark):
         )
     }
     assert out == {0: (2, 1, 2), 1: (1, 3, 0)}
+
+
+# ------------------------------------------------ histogram quantiles
+def test_histogram_quantile_error_bound_and_merge(spark):
+    """Estimate within one bucket width of the exact percentile, and the
+    state merges: hist(first half) + hist(second half) == hist(all)."""
+    from neotree_data_pipeline_kedro_spark.operators.frequency import (
+        histogram_quantile,
+        histogram_state,
+    )
+    from pyspark.sql import functions as SF
+
+    df = spark.range(10_000).select(
+        (SF.col("id") % 3).alias("g"),
+        ((SF.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    lo, hi, buckets = 0.0, 999.0, 64
+    width = (hi - lo) / buckets
+    state = histogram_state(df, "g", "v", lo, hi, buckets)
+    for q_num, q_den, q in ((1, 2, 0.5), (9, 10, 0.9)):
+        est = {
+            r["g"]: r["est"]
+            for r in histogram_quantile(
+                state, "g", q_num, q_den, lo, hi, buckets
+            ).collect()
+        }
+        exact = {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(SF.percentile("v", SF.lit(q)).alias("p"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(est[g] - exact[g]) <= width + 1e-9, (q, g)
+    # mergeability
+    a = histogram_state(df.filter("id % 2 = 0"), "g", "v", lo, hi, buckets)
+    b = histogram_state(df.filter("id % 2 = 1"), "g", "v", lo, hi, buckets)
+    merged = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(SF.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    whole = {(r["g"], r["bucket"]): r["cnt"] for r in state.collect()}
+    assert merged == whole
