@@ -114,3 +114,157 @@ def classify_language_ngram(
         F.coalesce("pred_label", F.lit(default_label)).alias("pred_label"),
         F.coalesce("score_ppm", F.lit(0).cast("bigint")).alias("score_ppm"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    the merge table, not just apply one (ta_bpe_token_count applies a
+    fixed GPT-2-style pre-tokenizer; this produces the merges).
+
+    Classic word-frequency formulation: the corpus collapses to a
+    (word, count) vocabulary table — the scale pivot, because a 100 TB
+    corpus has millions of DISTINCT words, not trillions, so every
+    merge round runs on the vocabulary, weighted by counts, never on
+    raw text. Per round: explode adjacent symbol pairs (weighted
+    groupBy-sum — partial aggregation absorbs Zipf skew), take the
+    argmax pair under a total (count DESC, pair ASC) order (a 1-row
+    driver collect), then apply the merge to the symbol arrays with a
+    vectorized Arrow kernel (greedy left-to-right, the reference BPE
+    semantics — sequential within a word, embarrassingly parallel
+    across words). Stops early when no pair reaches
+    ``min_pair_count``.
+
+    Returns the merge table (rank, left, right, pair_count) — the
+    artifact a tokenizer ships. Not SQL-expressible (per-word greedy
+    sequential fold); parity is pinned by an independent pure-Python
+    twin in pytest, the repo's standard for such ops.
+
+    Small-vocab fast path (the SCC/CC local_threshold precedent): when
+    the distinct vocabulary is ≤ ``local_threshold`` entries, the merge
+    LOOP runs driver-side on the collected word-count table — this is
+    how production tokenizer trainers work too (the corpus-sized pass
+    is the word count; the merge loop is memory-sized). The distributed
+    rounds remain for vocabularies that don't fit (set
+    ``local_threshold=0`` to force them; pinned in pytest against an
+    independent twin).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.text import tokens
+    from .components import flat_checkpoint
+
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""),
+                F.array(F.lit("</w>")),
+            ).alias("sym"),
+            "cnt",
+        )
+        .transform(flat_checkpoint)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    spark = docs.sparkSession
+    out_schema = "rank int, left string, right string, pair_count bigint"
+    if vocab.count() <= local_threshold:
+        wc = {tuple(r["sym"]): r["cnt"] for r in vocab.collect()}
+        for rank in range(num_merges):
+            pairs: dict[tuple[str, str], int] = {}
+            for sym, c in wc.items():
+                for i in range(len(sym) - 1):
+                    key = (sym[i], sym[i + 1])
+                    pairs[key] = pairs.get(key, 0) + c
+            if not pairs:
+                break
+            (a, b), pc = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if pc < min_pair_count:
+                break
+            merges.append((rank, a, b, int(pc)))
+            nwc: dict[tuple, int] = {}
+            for sym, c in wc.items():
+                res: list[str] = []
+                i, n = 0, len(sym)
+                while i < n:
+                    if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                key2 = tuple(res)
+                nwc[key2] = nwc.get(key2, 0) + c
+            wc = nwc
+        return spark.createDataFrame(merges, out_schema)
+    sym_schema = T.StructType(
+        [
+            T.StructField("sym", T.ArrayType(T.StringType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    for rank in range(num_merges):
+        pairs = (
+            vocab.select(
+                F.posexplode(F.slice("sym", 1, F.size("sym") - 1)).alias(
+                    "i", "left"
+                ),
+                F.col("sym"),
+                F.col("cnt"),
+            )
+            .select(
+                "left",
+                F.expr("sym[i + 1]").alias("right"),
+                "cnt",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("pc").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        left, right, pc = top[0]["left"], top[0]["right"], int(top[0]["pc"])
+        merges.append((rank, left, right, pc))
+
+        def apply_merge(
+            it: Iterator[pd.DataFrame], a: str = left, b: str = right
+        ) -> Iterator[pd.DataFrame]:
+            ab = a + b
+            for pdf in it:
+                out = []
+                for sym in pdf["sym"]:
+                    res: list[str] = []
+                    i, n = 0, len(sym)
+                    while i < n:
+                        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(sym[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"sym": out, "cnt": pdf["cnt"]})
+
+        vocab = vocab.mapInPandas(apply_merge, schema=sym_schema).transform(
+            flat_checkpoint
+        )
+    return spark.createDataFrame(merges, out_schema)

@@ -16313,6 +16313,25 @@ def u15_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p50.join(p90, "priority")
 
 
+@_register("ta_bpe_train")
+def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (operators/langid.bpe_train,
+    Sennrich et al. 2016): learn the first 12 merge rules from the
+    corpus — the step upstream of ta_bpe_token_count's fixed
+    pre-tokenizer. The corpus collapses to the (word, count) vocabulary
+    before any merge round, so rounds scale with DISTINCT words (the
+    100 TB pivot); each round is one weighted pair aggregate + a 1-row
+    argmax collect + one Arrow merge kernel. Rows-only: the greedy
+    left-to-right within-word fold is not SQL-expressible — parity is
+    pinned by the independent pure-Python twin in
+    tests/test_round7_ops.py (exact merge-sequence equality), the
+    repo's standard for such ops (see tests/test_no_oracle_parity.py)."""
+    from ..operators.langid import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "doc_id", "text", num_merges=12)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -16335,6 +16354,7 @@ _DRIVER_FRONT = [
     "g13_modularity",
     "a48_bitmap_retention",
     "u15_histogram_quantiles",
+    "ta_bpe_train",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

@@ -1277,3 +1277,75 @@ def test_histogram_quantile_error_bound_and_merge(spark):
     }
     whole = {(r["g"], r["bucket"]): r["cnt"] for r in state.collect()}
     assert merged == whole
+
+
+# ------------------------------------------------ distributed BPE training
+def _py_bpe_train(word_counts, num_merges, min_pair_count=2):
+    """Independent pure-Python BPE twin (word-frequency formulation)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), pc = best
+        if pc < min_pair_count:
+            break
+        merges.append((rank, a, b, pc))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_twin(spark):
+    from collections import Counter
+
+    from neotree_data_pipeline_kedro_spark.operators.langid import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "low lower newest widest wide wide wide",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wc = Counter(w for t in texts for w in t.split())
+    want = _py_bpe_train(wc, 8)
+    # both paths: driver-side merge loop (default) and the distributed
+    # rounds (forced with local_threshold=0)
+    for thr in (100_000, 0):
+        got = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(
+                df, "doc_id", "text", num_merges=8, local_threshold=thr
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, f"local_threshold={thr}"
+    # sanity: the classic example learns 'est</w>' pieces eventually
+    merged_tokens = {l + r for _, l, r, _ in got}
+    assert any("es" in m or "est" in m for m in merged_tokens)
+
+
+def test_bpe_train_early_stop_on_min_count(spark):
+    from neotree_data_pipeline_kedro_spark.operators.langid import bpe_train
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
+    out = bpe_train(df, "doc_id", "text", num_merges=5, min_pair_count=2).collect()
+    assert out == []  # every pair occurs once -> stops before merge 0
