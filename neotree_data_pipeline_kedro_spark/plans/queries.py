@@ -16332,6 +16332,57 @@ def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "doc_id", "text", num_merges=12)
 
 
+@_register("ml_quality_probe")
+def ml_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-probe training + corpus scoring
+    (operators/probe.py — the fastText-quality-filter shape every
+    modern pretraining pipeline runs: GPT-3's quality classifier,
+    CCNet, DCLM): integer document features (token count, char count,
+    English-stopword hits, distinct tokens) → ONE exact-integer
+    normal-equation aggregate on the even-doc_id training split →
+    driver-side ridge solve → whole-corpus scoring as a pure per-row
+    expression with literal weights. Output: per (true lang, predicted
+    en@0.5) confusion cell with micro-rounded mean score. Rows-only:
+    the d³ solve is not SQL-expressible; parity pinned by the numpy
+    twin in tests/test_round7_ops.py. The corpus-sized work is one
+    aggregate + one scan — the at-scale contract."""
+    from ..functions.text import tokens
+    from ..operators.probe import linear_score, ridge_probe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    stop = F.size(
+        F.filter(tk, lambda x: x.isin("the", "a", "of", "to", "in", "is"))
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tk).cast("long").alias("f_tokens"),
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("f_chars"),
+        stop.cast("long").alias("f_stop"),
+        F.size(F.array_distinct(tk)).cast("long").alias("f_distinct"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    ).localCheckpoint()
+    fcols = ["f_tokens", "f_chars", "f_stop", "f_distinct"]
+    w = ridge_probe_train(
+        feats.filter(F.col("doc_id") % 2 == 0), fcols, "is_en", l2=1.0
+    )
+    scored = feats.select(
+        "lang",
+        "is_en",
+        linear_score(fcols, w).alias("score"),
+    )
+    return scored.groupBy(
+        F.col("lang").alias("true_lang"),
+        (F.col("score") >= 0.5).alias("pred_en"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.floor(F.avg("score") * 1_000_000).cast("bigint").alias(
+            "mean_score_micro"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -16355,6 +16406,7 @@ _DRIVER_FRONT = [
     "a48_bitmap_retention",
     "u15_histogram_quantiles",
     "ta_bpe_train",
+    "ml_quality_probe",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

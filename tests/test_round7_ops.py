@@ -1349,3 +1349,38 @@ def test_bpe_train_early_stop_on_min_count(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
     out = bpe_train(df, "doc_id", "text", num_merges=5, min_pair_count=2).collect()
     assert out == []  # every pair occurs once -> stops before merge 0
+
+
+# ------------------------------------------------ ridge quality probe
+def test_ridge_probe_matches_numpy_twin(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.operators.probe import (
+        linear_score,
+        normal_equation_sums,
+        ridge_probe_train,
+    )
+
+    # integer features with a separable signal: y = 1 iff f1 > 5
+    rows = [(i, i % 10, (i * 3) % 7, 1 if i % 10 > 5 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, f1 long, f2 long, y long")
+    A, b, n = normal_equation_sums(df, ["f1", "f2"], "y")
+    X = np.array([[1, r[1], r[2]] for r in rows], dtype=np.float64)
+    Y = np.array([r[3] for r in rows], dtype=np.float64)
+    assert n == 200
+    assert np.array_equal(A, X.T @ X)
+    assert np.array_equal(b, X.T @ Y)
+    w = ridge_probe_train(df, ["f1", "f2"], "y", l2=1.0)
+    reg = np.eye(3); reg[0, 0] = 0.0
+    w_np = np.linalg.solve(X.T @ X + reg, X.T @ Y)
+    assert np.allclose(w, w_np, rtol=0, atol=1e-12)
+    # scoring: per-row x.w reproduced and the probe separates the classes
+    scores = {
+        r["id"]: r["s"]
+        for r in df.select("id", linear_score(["f1", "f2"], w).alias("s")).collect()
+    }
+    for i, f1, f2, y in rows:
+        assert abs(scores[i] - (w[0] + w[1] * f1 + w[2] * f2)) < 1e-12
+    pos = [scores[i] for i, f1, _, y in rows if y == 1]
+    neg = [scores[i] for i, f1, _, y in rows if y == 0]
+    assert min(pos) > max(neg)  # linearly separable in f1
