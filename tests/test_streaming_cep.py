@@ -1,0 +1,101 @@
+"""Streaming A->B sequence detection (streaming/cep.py): cross-batch
+pending-A state, horizon pruning, all-pairs-within-window semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from neotree_data_pipeline_kedro_spark.streaming.cep import (
+    detect_sequence_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("etype", T.StringType()),
+    ]
+)
+
+D = dt.datetime
+
+# window = 120 s
+BATCH1 = [
+    ("u1", D(2024, 3, 1, 0, 0, 0), "view"),      # A (pending)
+    ("u1", D(2024, 3, 1, 0, 0, 30), "view"),     # A (pending)
+    ("u1", D(2024, 3, 1, 0, 1, 0), "purchase"),  # B: matches both As
+    ("u2", D(2024, 3, 1, 0, 0, 0), "view"),      # A, crosses batches
+    ("u3", D(2024, 3, 1, 0, 0, 0), "purchase"),  # B with no prior A
+]
+BATCH2 = [
+    ("u2", D(2024, 3, 1, 0, 1, 30), "purchase"),  # B: matches u2's batch-1 A
+    ("u2", D(2024, 3, 1, 0, 10, 0), "purchase"),  # too late: A pruned
+    ("u1", D(2024, 3, 1, 0, 5, 0), "purchase"),   # too late for both As
+]
+
+
+@pytest.fixture(scope="module")
+def matches(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("cep_src"))
+    ckpt = str(tmp_path_factory.mktemp("cep_ckpt"))
+    for i, batch in enumerate([BATCH1, BATCH2]):
+        pdf = pd.DataFrame(batch, columns=["user", "ts", "etype"])
+        path = os.path.join(src, f"b{i}.parquet")
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        mtime = time.time() - 200 + i * 50
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = detect_sequence_stream(
+        stream, "user", "ts", "etype", "view", "purchase", within_seconds=120
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from cep_out").collect()
+
+
+def test_all_pairs_within_window(matches):
+    u1 = sorted(
+        (r["first_ts"], r["then_ts"], r["gap_seconds"])
+        for r in matches
+        if r["user"] == "u1"
+    )
+    assert u1 == [
+        (D(2024, 3, 1, 0, 0, 0), D(2024, 3, 1, 0, 1, 0), 60),
+        (D(2024, 3, 1, 0, 0, 30), D(2024, 3, 1, 0, 1, 0), 30),
+    ]
+
+
+def test_cross_batch_state_and_pruning(matches):
+    u2 = [
+        (r["first_ts"], r["then_ts"], r["gap_seconds"])
+        for r in matches
+        if r["user"] == "u2"
+    ]
+    # the batch-1 A matches the batch-2 B at 90 s; the 10-minute B does not
+    assert u2 == [(D(2024, 3, 1, 0, 0, 0), D(2024, 3, 1, 0, 1, 30), 90)]
+
+
+def test_b_without_a_emits_nothing(matches):
+    assert not [r for r in matches if r["user"] == "u3"]
