@@ -1,4 +1,11 @@
-"""N-gram-profile language identification (TextCat-style, trained).
+"""Text model prep: trained language identification + tokenizer training.
+
+Two trained text-model components live here: the TextCat n-gram-profile
+language classifier (below) and distributed BPE merge-rule learning
+(``bpe_train``) — both follow the same shape: a corpus-sized statistics
+pass, a bounded model artifact, and a cheap application pass.
+
+N-gram-profile language identification (TextCat-style, trained).
 
 Reference parity: the reference pipeline tags language per document with
 a profile-based n-gram heuristic (the classic Cavnar & Trenkle 1994
