@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -183,3 +184,41 @@ class SessionFeedDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _FeedWriter:
         return _FeedWriter(self.options)
+
+
+class _FeedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic feed: the offset
+    is the next row index; each read() drains at most ``rows_per_batch``
+    new rows and returns the advanced offset — the reference's
+    cron-poll + NOT-EXISTS ingestion loop (automation.py cadence),
+    re-expressed as a proper streaming source with exactly-once offsets
+    (Spark persists the offset in the checkpoint; replays call
+    readBetweenOffsets over the same range and regenerate identical
+    rows, so recovery is deterministic)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(self.n, lo + self.rows_per_batch)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
+class SessionFeedStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "session_feed_stream"
+
+    def schema(self) -> StructType:
+        return _feed_schema()
+
+    def simpleStreamReader(self, schema: StructType) -> _FeedStreamReader:
+        return _FeedStreamReader(self.options)
