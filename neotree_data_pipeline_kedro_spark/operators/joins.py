@@ -769,3 +769,30 @@ def knn_within_radius(
         .filter(F.col("rank") <= k)
         .select("a_id", F.col("rank").cast("int").alias("rank"), "nn_id", "dist_sq")
     )
+
+
+def allen_relation(
+    a_start: Column, a_end: Column, b_start: Column, b_end: Column
+) -> Column:
+    """Allen's interval-algebra relation (Allen, CACM 1983) of interval A
+    relative to B — the full 13-relation classification every temporal
+    reasoner (overlap billing, stay-conflict detection, timeline merge)
+    reduces to. Pure comparison ladder on the four endpoints: exhaustive
+    and mutually exclusive for well-formed intervals (start < end), no
+    joins, codegen-friendly. Use integer endpoints (epoch days/seconds)
+    for cross-engine exactness."""
+    return (
+        F.when(a_end < b_start, "precedes")
+        .when(b_end < a_start, "preceded_by")
+        .when(a_end == b_start, "meets")
+        .when(b_end == a_start, "met_by")
+        .when((a_start == b_start) & (a_end == b_end), "equals")
+        .when((a_start == b_start) & (a_end < b_end), "starts")
+        .when(a_start == b_start, "started_by")
+        .when((a_end == b_end) & (a_start > b_start), "finishes")
+        .when(a_end == b_end, "finished_by")
+        .when((a_start > b_start) & (a_end < b_end), "during")
+        .when((a_start < b_start) & (a_end > b_end), "contains")
+        .when(a_start < b_start, "overlaps")
+        .otherwise("overlapped_by")
+    )

@@ -638,3 +638,11 @@ def test_histogram_quantiles_state_reused_not_rescanned(spark):
     # final plan may not re-scan orders
     plan = plan_of(spark, "u15_histogram_quantiles")
     assert "Scan parquet" not in plan
+
+
+def test_allen_relations_pair_join_is_keyed(spark):
+    # pair expansion must ride the customer-key equi-join, never a
+    # cartesian; classification is expression-only (no extra join)
+    plan = plan_of(spark, "j31_allen_relations")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

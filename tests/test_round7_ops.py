@@ -1384,3 +1384,38 @@ def test_ridge_probe_matches_numpy_twin(spark):
     pos = [scores[i] for i, f1, _, y in rows if y == 1]
     neg = [scores[i] for i, f1, _, y in rows if y == 0]
     assert min(pos) > max(neg)  # linearly separable in f1
+
+
+# ------------------------------------------------ Allen interval algebra
+def test_allen_relation_all_thirteen(spark):
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        allen_relation,
+    )
+
+    cases = [
+        (0, 2, 5, 9, "precedes"),
+        (5, 9, 0, 2, "preceded_by"),
+        (0, 5, 5, 9, "meets"),
+        (5, 9, 0, 5, "met_by"),
+        (3, 7, 3, 7, "equals"),
+        (3, 5, 3, 7, "starts"),
+        (3, 9, 3, 7, "started_by"),
+        (5, 7, 3, 7, "finishes"),
+        (1, 7, 3, 7, "finished_by"),
+        (4, 6, 3, 7, "during"),
+        (2, 9, 3, 7, "contains"),
+        (1, 5, 3, 7, "overlaps"),
+        (5, 9, 3, 7, "overlapped_by"),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d, want) for a, b, c, d, want in cases],
+        "as_ int, ae int, bs int, be int, want string",
+    )
+    rows = df.select(
+        "want",
+        allen_relation(
+            F.col("as_"), F.col("ae"), F.col("bs"), F.col("be")
+        ).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["want"], r["got"])
