@@ -16457,6 +16457,91 @@ def j31_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a53_mannwhitney_auc",
+    """
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS val, o_orderstatus AS g
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    h AS (
+      SELECT val,
+             CAST(COUNT(*) FILTER (g = 'F') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (g = 'O') AS BIGINT) AS c2
+      FROM v GROUP BY val
+    ),
+    c AS (
+      SELECT val, c1, c2,
+             SUM(c2) OVER (ORDER BY val
+                           ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum2 - c2)) AS BIGINT) AS u1_x2
+      FROM c
+    )
+    SELECT n1, n2, u1_x2,
+           CAST(2 * n1 * n2 - u1_x2 AS BIGINT) AS u2_x2,
+           CAST(u1_x2 AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def a53_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test / AUC between the 'F' and 'O' order
+    populations on o_totalprice, in EXACT integer arithmetic: U1 =
+    Σ #{y<x} + ½#{y=x}, computed pair-free from per-value histograms —
+    2·U1 = Σ_v c1(v)·(2·cum2_excl(v) + c2(v)) — with the exclusive
+    cross-group cumulative via the two-phase global_prefix_scan
+    (operators/windows.py: range-partition + local scan + driver
+    offsets, NO single-partition sort at any scale). U/(n1·n2) IS the
+    AUC of the one-feature classifier, emitted as one exact division of
+    exact bigints, so even the double hash-compares. The nonparametric
+    two-sample audit completing the KS (v_ks_drift) / chi-squared
+    (v_chi2_independence) family."""
+    from ..operators.windows import global_prefix_scan
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    h = (
+        o.select(
+            F.col("o_totalprice").cast("double").alias("val"),
+            F.col("o_orderstatus").alias("g"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("g") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    c = global_prefix_scan(h, ["val"], "c2", cum_col="cum2")
+    s = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum2") - F.col("c2")))
+        .cast("bigint")
+        .alias("u1_x2"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        (2 * F.col("n1") * F.col("n2") - F.col("u1_x2"))
+        .cast("bigint")
+        .alias("u2_x2"),
+        (
+            F.col("u1_x2").cast("double")
+            / (2 * F.col("n1") * F.col("n2")).cast("double")
+        ).alias("auc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -16482,6 +16567,7 @@ _DRIVER_FRONT = [
     "ta_bpe_train",
     "ml_quality_probe",
     "j31_allen_relations",
+    "a53_mannwhitney_auc",
     "w30_theil_sen",
     "v_spc_rules",
     "emb_hard_negatives",

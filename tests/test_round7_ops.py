@@ -1419,3 +1419,32 @@ def test_allen_relation_all_thirteen(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+# ------------------------------------------------ Mann-Whitney U / AUC
+def test_mannwhitney_hand_values(spark):
+    """Tiny two-sample case replayed by hand, including a tie."""
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        global_prefix_scan,
+    )
+    from pyspark.sql import functions as SF
+    import itertools
+
+    xs = [1.0, 3.0, 5.0, 5.0]   # group F
+    ys = [2.0, 5.0, 6.0]        # group O
+    rows = [(v, "F") for v in xs] + [(v, "O") for v in ys]
+    df = spark.createDataFrame(rows, "val double, g string")
+    h = df.groupBy("val").agg(
+        SF.sum(SF.when(SF.col("g") == "F", 1).otherwise(0)).cast("bigint").alias("c1"),
+        SF.sum(SF.when(SF.col("g") == "O", 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    c = global_prefix_scan(h, ["val"], "c2", cum_col="cum2")
+    row = c.agg(
+        SF.sum(SF.col("c1") * (2 * SF.col("cum2") - SF.col("c2"))).alias("u1_x2")
+    ).first()
+    # brute force: 2*U1 = sum over pairs of 2*[x>y] + 1*[x==y]
+    u1_x2 = sum(
+        2 if x > y else (1 if x == y else 0)
+        for x, y in itertools.product(xs, ys)
+    )
+    assert row["u1_x2"] == u1_x2
