@@ -16554,307 +16554,126 @@ def a53_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # round-7 additions (no prior driver row by construction):
-    "ta_langid_ngram",
-    "dd_cdc_chunks",
-    "g11_scc",
-    "a47_bitmap_rollup",
-    "j30_knn_grid",
-    "g12_ppr",
-    "g13_modularity",
-    "a48_bitmap_retention",
-    "u15_histogram_quantiles",
-    "ta_bpe_train",
-    "ml_quality_probe",
-    "j31_allen_relations",
-    "a53_mannwhitney_auc",
-    "w30_theil_sen",
-    "v_spc_rules",
-    "emb_hard_negatives",
-    "u11_rbo_rankings",
-    "g9_label_propagation",
-    "u12_rendezvous_shards",
-    "j29_asof_tolerance",
-    "a42_median_polish",
-    "emb_mrl_eval",
-    "w31_ohlc_bars",
-    "a43_markov_attribution",
-    "g10_hyperball_reach",
-    "g8_bfs_hops",
-    "w27_sax_symbols",
-    "a39_funnel_steps",
-    "a40_bounce_rate",
-    "w28_dtw_to_centroid",
-    "ta_bpe_token_count",
-    "v_chi2_independence",
-    "emb_pca_project",
-    "dd_minhash_estimate_eval",
-    "v_fd_discovery",
-    "w29_run_length_words",
-    "a41_decile_lift",
-    "v_psi_drift",
-    "dd_cluster_canonicalization",
-    "j28_star_obt",
-    "ta_ngram_novelty",
-    "u10_latency_percentiles",
-    "sm_admissions_full",
-    "sm_discharges_full",
-    "sm_counts_full",
-    "sm_neolab_full",
-    "dd_winnowing_pairs",
-    "ta_gopher_rules",
-    "ta_paragraph_dedup",
-    "ta_dsir_weights",
-    "a38_countmin_sketch",
-    "emb_sq8_quantize",
-    "emb_int_covariance",
-    "ann_eval_sq8",
-    "v_calibration_bins",
-    "v_t_closeness",
-    # round-6/7 changed code (file-keyed re-queue rule): the wedge
-    # queries (hub cap r6, broadcast drops r7), a21's dropped hints,
-    # and every query whose implementing module was edited this round
-    # (neardup.py: ppjoin positional filter + new ops; validation.py:
-    # null_rates backticks; frequency.py/similarity.py/text.py appends):
-    "g2_triangle_count",
-    "g5_link_prediction",
-    "g6_node_jaccard",
-    "g7_assortativity",
-    "a21_association_rules",
-    "dd_ppjoin_pairs",
-    "dd_exact_fingerprint",
-    "dd_ngram_jaccard",
-    "dd_embedding_cosine",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "dd_shingle_containment",
-    "dd_substring_dupes",
-    "dd_substring_scrub",
-    "dd_semantic_dedup",
-    "dd_contamination_check",
-    "dd_connected_components",
-    "ann_topk_bruteforce",
-    "ann_topk_filtered",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "ann_join_ivf",
-    "ann_maxsim_topk",
-    "a6_null_rates",
-    "v_column_profile",
-    "v_quality_suite",
-    "ta_unigram_logprob",
-    "ta_frequent_tokens",
-    "ta_repetition_quality_filter",
-    # round-5 continuation (older greens rotate behind the changed set):
-    "a21_association_rules",
-    "a22_rfm_segmentation",
-    "a23_gini_concentration",
-    "w18_holt_forecast",
-    "w19_kaplan_meier",
-    "g5_link_prediction",
-    "a24_acf_daily_revenue",
-    "f_feature_hashing",
-    "f_target_encode_loo",
-    "s12_csv_quarantine",
-    "u7_largest_remainder",
-    "w20_seasonal_index",
-    "v_ks_drift",
-    "g6_node_jaccard",
-    "v_mad_outliers",
-    "s13_schema_evolution",
-    "emb_dimension_stats",
-    "a25_status_transitions",
-    "w21_holt_winters",
-    "a26_growth_accounting",
-    "a27_unpivot_metrics",
-    "a28_abc_analysis",
-    "a30_active_users",
-    "w22_rolling_corr",
-    "j24_twap",
-    "dd_shingle_containment",
-    "g7_assortativity",
-    "v_l_diversity",
-    "ann_topk_filtered",
-    "j25_point_in_time_features",
-    "w23_decayed_popularity",
-    "u9_keyset_pagination",
-    "s15_variant_extract",
-    "a31_price_volume_mix",
-    "j26_multitouch_attribution",
-    "a32_cohort_ltv",
-    "w24_activity_streaks",
-    "f_minmax_scaler",
-    "w25_velocity_features",
-    "v_freshness_sla",
-    "a33_revenue_share",
-    "ta_boilerplate_strip",
-    "v_sketch_rollup_merge",
-    "w26_native_session_window",
-    "a34_log2_histogram",
-    "ta_collocations",
-    "mm_audio_frames",
-    "v_erasure_audit",
-    "a35_interarrival_stats",
-    "f_onehot_topn",
-    "a36_hhi_concentration",
-    "j23_interval_proration",
-    "w17_rolling_zscore",
-    "g4_kcore",
-    "ta_bigram_lm",
-    "dd_substring_scrub",
-    "ta_code_detect",
-    "a20_duplicate_rate",
-    "w16_cusum_changepoint",
-    "v_data_contract",
-    "ta_url_dedup_caps",
-    "a19_salted_agg",
-    "j22_nullsafe_join",
-    "dd_ppjoin_pairs",
-    "g3_degree_stats",
-    "a18_grouping_sets",
-    "ta_clean_pipeline",
-    "s11_minmax_skipping",
-    "w15_interpolate",
-    "w12_rolling_median",
-    "w13_ewma",
-    "w14_running_distinct",
-    "ta_keyword_extraction",
-    "j21_fellegi_sunter",
-    "v_density_outliers",
-    "ta_unigram_logprob",
-    "ta_frequent_tokens",
-    "ann_maxsim_topk",
-    "s10_cdc_apply",
-    "s9_orc_roundtrip",
-    "j20_bloom_prefilter_join",
-    "g2_triangle_count",
-    "u6_pareto_frontier",
-    "dd_substring_dupes",
-    "v_dp_noisy_counts",
-    # round-5 additions (no prior row by construction):
-    "g1_pagerank",
-    "a17_ab_experiment_lift",
-    "u5_weighted_median",
-    "j18_null_aware_anti",
-    "j19_hierarchy_closure",
-    "w11_event_paths",
-    "v_benford_audit",
-    "d10_survivorship",
-    "ta_weighted_sample",
-    "ta_phrase_search",
-    "v_k_anonymity",
-    "mm_afp_dedup",
-    "j17_spatial_radius_join",
-    "a16_trend_slope",
-    "w10_interval_concurrency",
-    "mm_phash_dedup",
+    # round-8 rotation (VERDICT r7 #1): the driver CORRECTNESS window shows
+    # the first ~50 registry entries only; 114/295 queries had never earned a
+    # driver row through r7. Front the 50 longest-unwindowed (TPC-H q2-q22,
+    # then j11-j26, w5-w17, a10+ per the verdict priority); the remaining 64
+    # never-windowed queue directly behind for the r9 window.
     "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "j16_scd2_temporal_join",
-    "v_key_skew",
-    "a14_mom_growth",
-    "a15_copurchase_pairs",
-    "j15_incremental_join",
-    "ta_split_assign",
-    "j14_table_diff",
-    "v_referential_integrity",
-    "f_zorder_code",
-    "w8_forward_fill",
-    "w9_resample_grid",
-    "a13_cohort_retention",
-    "f_winsorize",
-    "q7_nation_trade_volume",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
     "q13_customer_order_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",
     "q21_waiting_supplier_blame",
     "q22_dormant_customers",
-    "a12_cube_status_priority",
-    "w7_scd2_user_history",
-    "v_drift_histogram",
-    "dd_connected_components",
-    "dd_semantic_dedup",
-    "dd_contamination_check",
     "j11_range_join_attribution",
     "j12_salted_skew_join",
     "j13_fuzzy_dictionary_join",
-    "ta_bm25_topk",
-    "a8_pivot_status",
-    "a9_rollup_orders",
-    "a11_incremental_rollup",
-    "a10_group_percentiles",
-    "q6_forecast_revenue",
-    "ta_stratified_sample",
-    "f_ecdf_normalize",
+    "j14_table_diff",
+    "j15_incremental_join",
+    "j16_scd2_temporal_join",
+    "j17_spatial_radius_join",
+    "j18_null_aware_anti",
+    "j19_hierarchy_closure",
+    "j20_bloom_prefilter_join",
+    "j21_fellegi_sunter",
+    "j22_nullsafe_join",
+    "j23_interval_proration",
     "w5_event_funnel",
     "w6_rolling_7day_features",
-    "u4_topk_per_group",
-    "f_vector_ops",
-    "f_label_repair",
-    "v_type_conformance",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
+    "w7_scd2_user_history",
+    "w8_forward_fill",
+    "w9_resample_grid",
+    "w10_interval_concurrency",
+    "w11_event_paths",
+    "w12_rolling_median",
+    "w13_ewma",
+    "w14_running_distinct",
+    "w15_interpolate",
+    "w16_cusum_changepoint",
+    "w17_rolling_zscore",
+    "a10_group_percentiles",
+    "a11_incremental_rollup",
+    "a12_cube_status_priority",
+    "a13_cohort_retention",
+    "a14_mom_growth",
+    "a15_copurchase_pairs",
+    "a16_trend_slope",
+    # never-windowed remainder (r9 front, in the same priority order):
+    "a17_ab_experiment_lift",
+    "a18_grouping_sets",
+    "a19_salted_agg",
+    "a20_duplicate_rate",
+    "a36_hhi_concentration",
+    "a38_countmin_sketch",
+    "a8_pivot_status",
+    "a9_rollup_orders",
+    "ann_eval_sq8",
     "ann_join_ivf",
+    "ann_maxsim_topk",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "d10_survivorship",
+    "dd_connected_components",
+    "dd_contamination_check",
+    "dd_ppjoin_pairs",
+    "dd_semantic_dedup",
+    "dd_substring_dupes",
+    "dd_substring_scrub",
+    "emb_int_covariance",
+    "emb_sq8_quantize",
+    "f_ecdf_normalize",
+    "f_label_repair",
+    "f_vector_ops",
+    "f_winsorize",
+    "f_zorder_code",
+    "g1_pagerank",
+    "g2_triangle_count",
+    "g3_degree_stats",
+    "g4_kcore",
+    "mm_afp_dedup",
+    "mm_phash_dedup",
     "mm_video_frames",
-    # green in r3, rotated out of the r4 window — oldest greens first so
-    # none turns two rounds stale (joins.py/neardup.py/windows.py also all
-    # changed this round, so these double as module re-verification):
-    "d1_dedup_last_writer",
-    "d3_maternity_completeness_dedup",
-    "d4_review_numbering",
-    "d6_prefix_dedup",
-    "d9_key_regeneration",
-    "j1_j2_fuzzy_best_match",
-    "j3_asof_nearest",
-    "j3_tiered_greedy_assignment",
-    "j4_anti_incremental",
-    "j5_semi_exists",
-    "j6_exists_null_outcome",
-    "j8_latest_record",
-    "j9_dim_broadcast_rollup",
-    "j10_values_probe",
-    "w3_sessionize_date_change",
-    "w3b_sessionize_gap",
-    "w4_episode_ordinal_labels",
-    "dd_exact_fingerprint",
-    "dd_ngram_jaccard",
-    "dd_embedding_cosine",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "mm_binary_plumbing",
-    "mm_audio_decode",
-    "s1_json_file_scan",
-    "sm_all_lifecycle",
-    "sm_day_of_week_vitals",
-    "sm_maternal_completeness_sort",
-    "sm_maternal_outcomes_buckets",
-    "v_value_label_consistency",
-    # r4-green but their module changed in r5 → re-earn (validation.py,
-    # sampling.py, similarity.py, this file's oracle edits); one round
-    # stale at most, so they follow the r3 set:
-    "v_confidential_detect",
-    "v_conditional_required",
-    "v_quality_suite",
-    "v_column_profile",
-    "a6_null_rates",
-    "ta_token_budget_sample",
-    "ta_sequence_packing",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_bruteforce",
-    "ta_repetition_quality_filter",
+    "s10_cdc_apply",
+    "s11_minmax_skipping",
+    "s9_orc_roundtrip",
+    "ta_bigram_lm",
+    "ta_bm25_topk",
+    "ta_clean_pipeline",
+    "ta_code_detect",
+    "ta_frequent_tokens",
+    "ta_keyword_extraction",
+    "ta_phrase_search",
+    "ta_split_assign",
+    "ta_stratified_sample",
+    "ta_unigram_logprob",
+    "ta_url_dedup_caps",
+    "ta_weighted_sample",
+    "u4_topk_per_group",
+    "u5_weighted_median",
+    "u6_pareto_frontier",
+    "v_benford_audit",
+    "v_calibration_bins",
+    "v_data_contract",
+    "v_density_outliers",
+    "v_dp_noisy_counts",
+    "v_drift_histogram",
+    "v_k_anonymity",
+    "v_key_skew",
+    "v_referential_integrity",
+    "v_t_closeness",
+    "v_type_conformance",
 ]
 
 
