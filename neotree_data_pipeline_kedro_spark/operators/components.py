@@ -29,8 +29,12 @@ from it, i.e. a canonical, deterministic component id. Singleton nodes keep
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -95,6 +99,25 @@ def cap_hub_degree(
         hubs.select(F.col("node").alias(src)), src, "left_anti"
     ).join(hubs.select(F.col("node").alias(dst)), dst, "left_anti")
     return capped.select(*edges.columns), hubs
+
+
+def log_hub_exclusions(hubs: DataFrame, max_degree: int, context: str) -> int:
+    """Count and log the (node, degree) rows a ``cap_hub_degree`` call
+    excluded, for call sites whose fixed output schema has no room to
+    return them (g5/g6's similarity scores). The count is one aggregate
+    over the hubs frame — call this AFTER checkpointing the frame the
+    hubs derive from, so the degree subtree is not replayed. Returns the
+    count so tests (and callers) can assert on it; the log line makes
+    the silent-answer-change guard visible in production logs either
+    way, including the count-zero case."""
+    n = hubs.count()
+    log.info(
+        "%s: cap_hub_degree(max_degree=%d) excluded %d hub node(s)",
+        context,
+        max_degree,
+        n,
+    )
+    return n
 
 
 def _nodes(edges_sym: DataFrame, extra_nodes: DataFrame | None) -> DataFrame:

@@ -671,14 +671,29 @@ def median_polish(
     of cells as long as one row/column's cells fit a partition (the
     usual window contract).
 
+    Lineage is TRUNCATED once per sweep (components.flat_checkpoint on
+    ``cur``/``row_eff``/``col_eff``): each sweep's median derives from
+    the previous sweep's residuals, and the effect accumulators join
+    back onto frames derived from ``cur``, so without truncation the
+    final plan re-derives every earlier sweep for each of base/row_eff/
+    col_eff — the r7 plan at iterations=2 already held 91 exchanges /
+    96 scans and the shape grows geometrically with ``iterations``.
+    With the checkpoint the plan size is CONSTANT per sweep (each
+    iteration reads the previous materialization), pinned by
+    tests/test_timeseries.py::test_median_polish_plan_constant.
+
     Output: (row, col, y, row_effect, col_effect, residual) with
     y = row_effect + col_effect + residual exactly (integer identity;
     effects are the summed sweep medians).
     """
-    cur = df.select(
-        F.col(row_col).alias("__row"),
-        F.col(col_col).alias("__col"),
-        F.col(y_col).alias("__y"),
+    from .components import flat_checkpoint
+
+    cur = flat_checkpoint(
+        df.select(
+            F.col(row_col).alias("__row"),
+            F.col(col_col).alias("__col"),
+            F.col(y_col).alias("__y"),
+        )
     )
     base = cur
     row_eff: DataFrame | None = None
@@ -706,6 +721,9 @@ def median_polish(
                 "__col", (F.col("__ce") + F.col("__m")).alias("__ce")
             )
         )
+        cur = flat_checkpoint(cur)
+        row_eff = flat_checkpoint(row_eff)
+        col_eff = flat_checkpoint(col_eff)
     return (
         base.join(cur.withColumnRenamed("__y", "__resid"), ["__row", "__col"])
         .join(row_eff, "__row")

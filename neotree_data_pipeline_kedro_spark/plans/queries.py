@@ -7068,12 +7068,27 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged, but a planted celebrity node can never make the wedge
     stage quadratic. The cap is a DOCUMENTED part of this query's
     contract: nodes above it (and their edges) are dropped here without
-    a separate report — the fixed-schema similarity output has no place
-    for hub rows, and degrees of excluded hubs' neighbors are
-    capped-graph degrees by definition. A caller who needs the excluded
-    (node, degree) set calls cap_hub_degree directly and keeps the
-    second return value."""
-    from ..operators.components import cap_hub_degree
+    a separate hub-row output — the fixed-schema similarity output has
+    no place for them — but the exclusion COUNT is logged
+    (components.log_hub_exclusions) so the guard is visible. A caller
+    who needs the excluded (node, degree) set calls cap_hub_degree
+    directly and keeps the second return value.
+
+    Plan shape: the capped edge list feeds nb, which is consumed by the
+    degree aggregate AND both sides of the wedge self-join — four-plus
+    reads of the same subtree. Without truncation Catalyst replays the
+    whole lineitem self-join + distinct + two anti-joins per read (the
+    r7 plan held 159 exchanges / 80 parquet scans — at 100 TB that is
+    dozens of full base-table rescans). flat_checkpoint materializes
+    (1) the distinct edge list, so the cap's degree aggregate, its two
+    anti-joins, and the hub count all read one in-memory copy, then
+    (2) the capped edge list, so everything downstream reads flat
+    bytes."""
+    from ..operators.components import (
+        cap_hub_degree,
+        flat_checkpoint,
+        log_hub_exclusions,
+    )
 
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -7081,14 +7096,16 @@ def g6_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = (
+    e = flat_checkpoint(
         li.alias("la")
         .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
         .filter(F.col("la.p") < F.col("lb.p"))
         .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
         .distinct()
     )
-    e, _hubs = cap_hub_degree(e, 1000, "a", "b")
+    e, hubs = cap_hub_degree(e, 1000, "a", "b")
+    log_hub_exclusions(hubs, 1000, "g6_node_jaccard")
+    e = flat_checkpoint(e)
     nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
@@ -10952,10 +10969,23 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     before wedge enumeration — fixture degrees top out ~76, so the
     fixture answer is unchanged while the quadratic path is
     structurally closed. As in g6, the cap is part of this query's
-    documented contract and the hub report is dropped at this call
-    site (fixed output schema); use cap_hub_degree directly for the
-    excluded (node, degree) rows."""
-    from ..operators.components import cap_hub_degree
+    documented contract; the hub-row frame is dropped at this call
+    site (fixed output schema) but the exclusion count is logged via
+    components.log_hub_exclusions. Use cap_hub_degree directly for the
+    excluded (node, degree) rows.
+
+    Plan shape: as in g6, the shared edge subtree (lineitem self-join +
+    distinct + hub cap) is consumed by nb's two branches, the degree
+    aggregate, the wedge self-join, and the final anti-join — the r7
+    plan replayed it into 138 exchanges / 70 parquet scans.
+    flat_checkpoint materializes the distinct edge list (read by the
+    cap and the hub count) and then the capped edge list (read by
+    everything downstream) exactly once each."""
+    from ..operators.components import (
+        cap_hub_degree,
+        flat_checkpoint,
+        log_hub_exclusions,
+    )
 
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -10963,14 +10993,16 @@ def g5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = (
+    e = flat_checkpoint(
         li.alias("la")
         .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
         .filter(F.col("la.p") < F.col("lb.p"))
         .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
         .distinct()
     )
-    e, _hubs = cap_hub_degree(e, 1000, "a", "b")
+    e, hubs = cap_hub_degree(e, 1000, "a", "b")
+    log_hub_exclusions(hubs, 1000, "g5_link_prediction")
+    e = flat_checkpoint(e)
     nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
