@@ -149,6 +149,19 @@ def markov_removal_effects(
     idx["__conv__"] = conv_i
     idx["__null__"] = null_i
     rows = edges.collect()  # bounded: one row per (state, state) pair
+    # validate up front: an edge state outside the declared channel
+    # vocabulary (caller passed a subset, or a typo) would otherwise
+    # surface as a bare KeyError on the driver with no context (r7
+    # advice) — name the offenders instead
+    unknown = sorted(
+        {s for r in rows for s in (r.from_state, r.to_state) if s not in idx}
+    )
+    if unknown:
+        raise ValueError(
+            "markov_removal_effects: edge table contains state(s) not in "
+            f"`channels` (nor __start__/__conv__/__null__): {unknown}; "
+            "pass them in `channels` or map them to __null__ upstream"
+        )
     cnt: dict[tuple[int, int], int] = {}
     for r in rows:
         s, t = idx[r.from_state], idx[r.to_state]

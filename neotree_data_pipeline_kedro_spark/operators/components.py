@@ -709,7 +709,14 @@ def hyperball_reach(
     """
     e = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
     nodes = e.select(F.col("u").alias("node")).distinct()
-    h = (F.lit(HB_A) * F.col("node") % HB_P + HB_B) % HB_P
+    # Reduce the node id into [0, P) BEFORE the affine multiply: HB_A·node
+    # overflows int64 for |node| > ~5.7e9 and non-ANSI Spark wraps silently,
+    # turning the register index negative (r7 advice). The double-% keeps
+    # the reduction non-negative for negative ids in both engines (Spark
+    # and DuckDB % both truncate toward zero); for ids already in [0, P)
+    # the hash is bit-identical to the unreduced form.
+    nred = (F.col("node") % HB_P + HB_P) % HB_P
+    h = (F.lit(HB_A) * nred % HB_P + HB_B) % HB_P
     w = h % HB_P  # alias for clarity; full hash
     j = (w % m).cast("int")
     geo = (w - w % m) / m

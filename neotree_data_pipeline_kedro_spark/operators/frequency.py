@@ -290,14 +290,18 @@ def histogram_state(
     partitions, days, and retention tiers with a plain SUM, unlike exact
     per-group percentile state (a full sorted buffer). ``lo``/``hi``
     come from the caller (a prior bounded min/max pass, or a known
-    domain); values at ``hi`` clamp into the top bucket. The bucket
+    domain); values at/above ``hi`` clamp into the top bucket and values
+    below ``lo`` into the bottom one (out-of-range rows count at the
+    edge rather than minting negative/overflow bucket ids that would
+    silently corrupt the quantile walk — r7 advice). The bucket
     expression is pure IEEE double arithmetic on exact inputs, so two
     engines evaluating the same shape agree bit-for-bit."""
     b = F.floor(
         (F.col(value) - F.lit(lo)) * F.lit(float(buckets)) / F.lit(hi - lo)
     ).cast("int")
+    b = F.greatest(F.least(b, F.lit(buckets - 1)), F.lit(0))
     return (
-        df.select(F.col(group), F.least(b, F.lit(buckets - 1)).alias("bucket"))
+        df.select(F.col(group), b.alias("bucket"))
         .groupBy(group, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -314,7 +318,9 @@ def histogram_quantile(
     out: str = "est",
 ) -> DataFrame:
     """Interpolated quantile estimate from histogram state: target rank
-    t = (n·q_num) DIV q_den; inside the covering bucket, estimate
+    t = (n·q_num) DIV q_den, clamped to n−1 so q_num == q_den (p100)
+    resolves to the top bucket instead of matching none and silently
+    dropping the group (r7 advice); inside the covering bucket, estimate
     lo + (bucket + (t − cum_before)/cnt) · width. Error is bounded by
     one bucket width — the contract a pytest pins against the exact
     percentile. Integer rank arithmetic + one double interpolation, so
@@ -335,7 +341,7 @@ def histogram_quantile(
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("n"),
     )
-    t = F.expr(f"(n * {q_num}) DIV {q_den}")
+    t = F.expr(f"least((n * {q_num}) DIV {q_den}, n - 1)")
     return (
         cum.withColumn("__t", t)
         .filter(

@@ -885,23 +885,33 @@ def paragraph_dedup(
     the 32-byte digest and the doc id — both uniform; reassembly state
     per doc is the document itself (bounded by doc size, as any
     re-aggregation must be). Empty/whitespace paragraphs are kept as
-    positional placeholders only if non-empty (they would otherwise
-    cross-match every blank line corpus-wide).
+    positional placeholders — a document with no duplicated paragraphs
+    round-trips byte-for-byte — but are EXCLUDED from the hot-hash
+    groupBy and never flagged (they would otherwise cross-match every
+    blank line corpus-wide, and the digest group for '' would be
+    corpus-sized). They do not count toward n_kept (kept = surviving
+    content paragraphs), so n_kept + n_dropped = non-blank paragraphs.
 
     Output: (id, cleaned_text, n_kept, n_dropped); documents whose every
-    paragraph was dropped yield cleaned_text = ''.
+    non-blank paragraph was dropped keep only their blank placeholders
+    (cleaned_text = '' when there were none).
     """
     base = df.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("__pos", "__para"),
-    ).filter(F.trim(F.col("__para")) != "")
+    ).withColumn("__blank", F.trim(F.col("__para")) == "")
     hashed = base.select(
-        "__doc", "__pos", "__para", F.md5(F.col("__para")).alias("__h")
+        "__doc",
+        "__pos",
+        "__para",
+        "__blank",
+        F.when(~F.col("__blank"), F.md5(F.col("__para"))).alias("__h"),
     )
     hot = (
-        hashed.groupBy("__h")
+        hashed.filter(~F.col("__blank"))
+        .groupBy("__h")
         .agg(F.countDistinct("__doc").alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__h")
@@ -925,7 +935,9 @@ def paragraph_dedup(
                     lambda s: s["__para"],
                 ),
             ).alias("cleaned_text"),
-            F.sum(F.col("__dup").isNull().cast("long")).alias("n_kept"),
+            F.sum(
+                (F.col("__dup").isNull() & ~F.col("__blank")).cast("long")
+            ).alias("n_kept"),
             F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_dropped"),
         )
     )

@@ -12671,18 +12671,21 @@ def emb_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paras0 AS (
       SELECT doc_id, unnest(prs) AS pr FROM lists
     ), paras AS (
-      SELECT doc_id, pr.pos AS pos, pr.p AS p
-      FROM paras0 WHERE trim(pr.p) <> ''
+      SELECT doc_id, pr.pos AS pos, pr.p AS p,
+             trim(pr.p) = '' AS blank
+      FROM paras0
     ), hot AS (
-      SELECT md5(p) AS h FROM paras
+      SELECT md5(p) AS h FROM paras WHERE NOT blank
       GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
     ), kept AS (
       SELECT p.doc_id,
              string_agg(CASE WHEN hot.h IS NULL THEN p.p END,
                         chr(10) ORDER BY p.pos) AS cleaned,
-             SUM(CASE WHEN hot.h IS NULL THEN 1 ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN hot.h IS NULL AND NOT p.blank
+                      THEN 1 ELSE 0 END) AS n_kept,
              SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
-      FROM paras p LEFT JOIN hot ON hot.h = md5(p.p)
+      FROM paras p
+      LEFT JOIN hot ON NOT p.blank AND hot.h = md5(p.p)
       GROUP BY 1
     )
     SELECT s.doc_id,
@@ -15618,7 +15621,8 @@ def _rho_sql(expr: str, cap: int = 27) -> str:
       SELECT DISTINCT u AS node FROM edges
     ), hashed AS (
       SELECT node,
-             (1597334677 * node % 2147483647 + 1234567891) % 2147483647 AS h
+             (1597334677 * ((node % 2147483647 + 2147483647) % 2147483647)
+              % 2147483647 + 1234567891) % 2147483647 AS h
       FROM nodes
     ), r0 AS (
       SELECT node, CAST(h % 16 AS INTEGER) AS j,
@@ -16285,8 +16289,9 @@ def a48_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     st AS (
       SELECT o_orderpriority AS priority,
-             LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo) * 64.0
-                              / (b.hi - b.lo)) AS INTEGER), 63) AS bucket,
+             GREATEST(LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo)
+                                       * 64.0 / (b.hi - b.lo)) AS INTEGER),
+                            63), 0) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM orders, b GROUP BY 1, 2
     ),
@@ -16300,19 +16305,21 @@ def a48_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p50 AS (
       SELECT priority, CAST(n AS BIGINT) AS n,
-             b.lo + (bucket + CAST((n * 1) // 2 - cumb AS DOUBLE)
+             b.lo + (bucket + CAST(LEAST((n * 1) // 2, n - 1) - cumb AS DOUBLE)
                               / CAST(cnt AS DOUBLE))
                     * ((b.hi - b.lo) / 64.0) AS p50_est
       FROM c, b
-      WHERE cumb <= (n * 1) // 2 AND (n * 1) // 2 < cumb + cnt
+      WHERE cumb <= LEAST((n * 1) // 2, n - 1)
+        AND LEAST((n * 1) // 2, n - 1) < cumb + cnt
     ),
     p90 AS (
       SELECT priority,
-             b.lo + (bucket + CAST((n * 9) // 10 - cumb AS DOUBLE)
+             b.lo + (bucket + CAST(LEAST((n * 9) // 10, n - 1) - cumb AS DOUBLE)
                               / CAST(cnt AS DOUBLE))
                     * ((b.hi - b.lo) / 64.0) AS p90_est
       FROM c, b
-      WHERE cumb <= (n * 9) // 10 AND (n * 9) // 10 < cumb + cnt
+      WHERE cumb <= LEAST((n * 9) // 10, n - 1)
+        AND LEAST((n * 9) // 10, n - 1) < cumb + cnt
     )
     SELECT p50.priority, p50.n, p50.p50_est, p90.p90_est
     FROM p50 JOIN p90 USING (priority)

@@ -164,6 +164,19 @@ def run_foreach_batch_rollup(
 
     from ..operators.incremental_agg import merge_rollup, partial_rollup
 
+    # The atomic swap (os.rename), the _merged_files manifest (open/read),
+    # and the crash recovery all use LOCAL filesystem primitives: reject
+    # non-local source/rollup paths up front instead of failing obscurely
+    # mid-swap (r7 advice). An object-store deployment would swap via the
+    # store's own atomic rename/commit protocol, not this function.
+    for p, nm in ((source_path, "source_path"), (rollup_path, "rollup_path")):
+        if "://" in p and not p.startswith("file:"):
+            raise ValueError(
+                f"run_foreach_batch_rollup: {nm} must be a local-filesystem "
+                f"path (the rename swap and manifest use os primitives); "
+                f"got {p!r}"
+            )
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -184,11 +197,23 @@ def run_foreach_batch_rollup(
             shutil.rmtree(tmp)
 
     def _norm(uri: str) -> str:
-        # file:///x, file:/x and /x all name the same local file
+        # Canonicalize FILE-scheme variants only: file:///x, file:/x and
+        # /x all name the same local file. Any other scheme/authority is
+        # kept VERBATIM as the manifest key — stripping it would collapse
+        # s3a://a/p and hdfs://a/p into one key and break the mixed-batch
+        # re-read (r7 advice); non-local sources are rejected up front
+        # anyway (see the guard below).
+        if uri.startswith("file:"):
+            rest = uri[len("file:"):]
+            if rest.startswith("//"):  # file://host/p — drop empty/localhost
+                rest = rest[2:]
+                host, _, path = rest.partition("/")
+                if host not in ("", "localhost"):
+                    return uri
+                rest = path
+            return "/" + rest.lstrip("/")
         if "://" in uri:
-            uri = uri.split("://", 1)[1]
-        elif ":" in uri.split("/", 1)[0]:
-            uri = uri.split(":", 1)[1]
+            return uri
         return "/" + uri.lstrip("/")
 
     def merged_files() -> set[str]:
