@@ -5249,21 +5249,115 @@ def ta_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("v_column_profile")
+_VCP_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+]
+_VCP_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice"}
+
+
+def _vcp_oracle_sql() -> str:
+    """Exact-profile oracle for v_column_profile: per-column exact
+    distinct/percentiles plus literal TRUE for the in-bound flags the
+    Spark side computes from its sketches (see the query docstring)."""
+    parts = []
+    for c in _VCP_COLS:
+        if c in _VCP_NUMERIC:
+            p50 = f"quantile_cont(CAST({c} AS DOUBLE), 0.5)"
+            p95 = f"quantile_cont(CAST({c} AS DOUBLE), 0.95)"
+        else:
+            p50 = p95 = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS row_count,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             TRUE AS distinct_ok,
+             {p50} AS p50,
+             {p95} AS p95,
+             TRUE AS p50_ok,
+             TRUE AS p95_ok
+      FROM lineitem"""
+        )
+    return "\n      UNION ALL\n".join(parts)
+
+
+@_register("v_column_profile", _vcp_oracle_sql())
 def v_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem (operators/validation.py
     column_profile): HLL++ distinct + KLL percentiles per column as
     mergeable partial aggregates — the scan-once profiling a 100 TB
-    warehouse runs instead of exact DISTINCT/percentile jobs. Estimates
-    are engine-specific, so no DuckDB oracle; accuracy vs exact answers is
-    pinned in tests/test_validation.py (distinct within 3x rsd,
-    percentiles within the sketch's rank error)."""
+    warehouse runs instead of exact DISTINCT/percentile jobs.
+
+    Oracle shape (round 8, upgrading the r3 rows-only check): sketch
+    estimates are engine-specific and can never hash-compare, so the
+    query VALIDATES them in-plan instead — it also computes the exact
+    distinct counts and exact p50/p95 (plus ±0.01-rank exact brackets),
+    and outputs the exact values together with booleans asserting each
+    sketch landed inside its published error bound (HLL++ within 3·rsd
+    of exact; percentile_approx's returned element inside the exact
+    [q−0.01, q+0.01] value bracket — 100x the sketch's 1/accuracy rank
+    guarantee). The DuckDB oracle reproduces the exact columns and
+    literal TRUEs, so a sketch regression flips a boolean and
+    hash-mismatches. The exact twins are fixture-affordable scaffolding;
+    production profiling calls column_profile alone (one pass, no exact
+    distinct). Accuracy is additionally pinned operator-level in
+    tests/test_validation.py."""
     from ..operators.validation import column_profile
 
     li = _t(spark, sf_dir, "lineitem")
-    return column_profile(
-        li,
-        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    prof = column_profile(li, _VCP_COLS)
+    aggs = []
+    for i, c in enumerate(_VCP_COLS):
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
+        if c in _VCP_NUMERIC:
+            aggs.append(
+                F.expr(
+                    f"percentile(CAST(`{c}` AS DOUBLE), "
+                    "array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))"
+                ).alias(f"__p_{i}")
+            )
+    ex = li.agg(*aggs)
+    nulld = F.lit(None).cast("double")
+    structs = []
+    for i, c in enumerate(_VCP_COLS):
+        p = F.col(f"__p_{i}") if c in _VCP_NUMERIC else None
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__d_{i}").cast("bigint").alias("n_distinct"),
+                (p[1] if p is not None else nulld).alias("__p50x"),
+                (p[4] if p is not None else nulld).alias("__p95x"),
+                (p[0] if p is not None else nulld).alias("__p50lo"),
+                (p[2] if p is not None else nulld).alias("__p50hi"),
+                (p[3] if p is not None else nulld).alias("__p95lo"),
+                (p[5] if p is not None else nulld).alias("__p95hi"),
+            )
+        )
+    exact = ex.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+    out = prof.join(F.broadcast(exact), "column_name")
+    return out.select(
+        "column_name",
+        "row_count",
+        "null_count",
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= F.lit(0.15) * F.col("n_distinct")
+        ).alias("distinct_ok"),
+        F.col("__p50x").alias("p50"),
+        F.col("__p95x").alias("p95"),
+        F.when(F.col("__p50x").isNull(), F.col("p50").isNull())
+        .otherwise(F.col("p50").between(F.col("__p50lo"), F.col("__p50hi")))
+        .alias("p50_ok"),
+        F.when(F.col("__p95x").isNull(), F.col("p95").isNull())
+        .otherwise(F.col("p95").between(F.col("__p95lo"), F.col("__p95hi")))
+        .alias("p95_ok"),
     )
 
 
@@ -13808,7 +13902,81 @@ def a40_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("w28_dtw_to_centroid")
+@_register(
+    "w28_dtw_to_centroid",
+    """
+    WITH RECURSIVE
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000, 0)
+                           AS BIGINT)) AS BIGINT) AS day_milli
+      FROM events GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT day, SUM(day_milli) // COUNT(*) AS rv FROM daily GROUP BY 1
+    ),
+    refc AS (
+      SELECT list(rv ORDER BY day) AS ref, CAST(COUNT(*) AS INT) AS m
+      FROM cent
+    ),
+    ser AS (
+      SELECT user_id, list(day_milli ORDER BY day) AS xs,
+             CAST(COUNT(*) AS INT) AS n
+      FROM daily GROUP BY 1
+    ),
+    -- banded DTW replayed as a recursive CTE over list state: one
+    -- iteration per series point; the within-row left-to-right DP scan
+    -- cur[j] = d[j] + min(prev[j], prev[j-1], cur[j-1]) is replaced by
+    -- its closed form cur[j] = SD[j] + min_{k in lo..j}(min(prev[k],
+    -- prev[k-1]) - SD[k-1]) over band prefix sums SD, which is pure
+    -- list algebra. 2^62-1 is the +inf sentinel; real path costs are
+    -- bounded far below it so the saturating LEAST is exact.
+    dp AS (
+      SELECT s.user_id, s.xs, s.n, r.m, r.ref, 0 AS i,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, r.m + 1),
+                              j -> CAST(4611686018427387903 AS BIGINT)))
+               AS prev
+      FROM ser s, refc r
+      UNION ALL
+      SELECT user_id, xs, n, m, ref, ii,
+             list_prepend(CAST(4611686018427387903 AS BIGINT),
+               list_transform(range(1, m + 1), j ->
+                 CASE WHEN j < lo OR j > hi
+                      THEN CAST(4611686018427387903 AS BIGINT)
+                      ELSE LEAST(CAST(4611686018427387903 AS BIGINT),
+                                 sd[j] + list_min(list_slice(qv, lo, j)))
+                 END)) AS prev
+      FROM (
+        SELECT *,
+               list_transform(range(1, m + 1), k ->
+                 LEAST(prev[k + 1], prev[k])
+                 - CASE WHEN k > 1 THEN sd[k - 1]
+                        ELSE CAST(0 AS BIGINT) END) AS qv
+        FROM (
+          SELECT *,
+                 list_transform(range(1, m + 1), j2 ->
+                   CAST(list_sum(list_slice(dl, 1, j2)) AS BIGINT)) AS sd
+          FROM (
+            SELECT *,
+                   i + 1 AS ii,
+                   GREATEST(1, ((i + 1) * m) // n
+                     - GREATEST(7, (m + n - 1) // n + 1)) AS lo,
+                   LEAST(m, ((i + 1) * m) // n
+                     + GREATEST(7, (m + n - 1) // n + 1)) AS hi,
+                   list_transform(range(1, m + 1), t ->
+                     abs(xs[i + 1] - ref[t])) AS dl
+            FROM dp WHERE i < n
+          )
+        )
+      )
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN prev[m + 1] < 4611686018427387903
+                THEN prev[m + 1] END AS dtw_milli
+    FROM dp WHERE i = n
+    """,
+)
 def w28_dtw_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded DTW distance from each user's daily-activity series to the
     corpus centroid series (operators/timeseries.dtw_to_reference): the
@@ -13819,9 +13987,11 @@ def w28_dtw_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic) and is calendar-bounded, so collecting it to the driver
     is a tens-of-rows collect, not data-sized. DP is exact int64 inside a
     Sakoe-Chiba band (O(n·band) per user), one hash shuffle on user_id.
-    Rows-only by design: the banded DP isn't SQL-expressible; parity is
-    pinned in tests/test_no_oracle_parity.py against an independent
-    pure-Python DP twin at fixture scale."""
+    Oracle: the banded DP replays exactly in DuckDB as a recursive CTE
+    over list state (round 8; the within-row scan becomes a prefix-sum
+    closed form), so this query is hash-checked end to end; an
+    independent pure-Python DP twin additionally pins the operator in
+    tests/test_no_oracle_parity.py."""
     from ..operators.timeseries import dtw_to_reference
 
     ev = _t(spark, sf_dir, "events").select(
