@@ -16883,6 +16883,54 @@ _DRIVER_FRONT = [
     "v_referential_integrity",
     "v_t_closeness",
     "v_type_conformance",
+    # round-8 changed-module re-queue (file-keyed rule; behind the
+    # never-windowed backlog because VERDICT r7 #1 owns this round's
+    # window, and every one of these is hash-green in the r8 sweeps):
+    # neardup.py rewrite (ppjoin + paragraph_dedup), timeseries.py
+    # (median_polish checkpoints; dtw oracle), components.py (hyperball
+    # hash reduce + hub-exclusion logging), frequency.py (histogram
+    # clamps), attribution.py (markov validation), plus fixture/oracle
+    # edits for g5/g6/u15/v_column_profile/g10.
+    "g5_link_prediction",
+    "g6_node_jaccard",
+    "a42_median_polish",
+    "dd_ppjoin_pairs",
+    "w28_dtw_to_centroid",
+    "v_column_profile",
+    "g10_hyperball_reach",
+    "u15_histogram_quantiles",
+    "ta_paragraph_dedup",
+    "a43_markov_attribution",
+    "w27_sax_symbols",
+    "w30_theil_sen",
+    "w31_ohlc_bars",
+    "dd_exact_fingerprint",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_ngram_jaccard",
+    "dd_semantic_dedup",
+    "dd_cluster_canonicalization",
+    "dd_winnowing_pairs",
+    "dd_cdc_chunks",
+    "dd_substring_dupes",
+    "dd_substring_scrub",
+    "dd_shingle_containment",
+    "dd_contamination_check",
+    "dd_connected_components",
+    "dd_minhash_estimate_eval",
+    "w12_rolling_median",
+    "w13_ewma",
+    "w18_holt_forecast",
+    "w21_holt_winters",
+    "g11_scc",
+    "g12_ppr",
+    "g13_modularity",
+    "g9_label_propagation",
+    "g8_bfs_hops",
+    "g2_triangle_count",
+    "g4_kcore",
+    "g1_pagerank",
+    "a38_countmin_sketch",
 ]
 
 

@@ -1,0 +1,109 @@
+"""Heavy-tail stress bench (round-8 task): run the slowest registry
+queries at sf0.1 / sf0.3 / sf0.5 (tools/make_stress_data.py replicas)
+and report per-query wall time plus the empirical growth exponent
+alpha = ln(t_0.5 / t_0.1) / ln(5). Sub-quadratic growth (alpha < 2)
+is the pass bar for the four queries whose asymptotics matter most
+(dd_ppjoin_pairs, g5_link_prediction, g6_node_jaccard,
+w28_dtw_to_centroid); anything super-linear by a distance is the next
+round's first optimization target.
+
+Each query runs twice per scale and the MIN is kept (first run pays
+janino/JIT compilation; see .claude/skills/verify/SKILL.md). Writes
+BENCH_STRESS.json at the repo root: one JSON object
+{"scales": {...}, "per_query": {name: {"sf0.1": s, "sf0.3": s,
+"sf0.5": s, "alpha": a}}, "pass_subquadratic": bool}.
+
+Usage: python tools/bench_stress.py  (run on a quiet machine)
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    # the four asymptotics-critical ones first
+    "dd_ppjoin_pairs",
+    "g5_link_prediction",
+    "g6_node_jaccard",
+    "w28_dtw_to_centroid",
+    # the rest of the r7 slow tail
+    "g12_ppr",
+    "dd_minhash_estimate_eval",
+    "sm_admissions_full",
+    "a42_median_polish",
+    "g1_pagerank",
+    "a22_rfm_segmentation",
+    "g13_modularity",
+    "ann_topk_ivf_kmeans",
+    "g10_hyperball_reach",
+    "v_fd_discovery",
+    "ta_langid_ngram",
+]
+SCALES = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf0.3": "/root/repo/stress_data/sf0.3",
+    "sf0.5": "/root/repo/stress_data/sf0.5",
+}
+CRITICAL = QUERIES[:4]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    per_query: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        per_query[name] = {}
+        for label, d in SCALES.items():
+            if not os.path.isdir(d) and not os.path.isfile(
+                os.path.join(d, "lineitem.parquet")
+            ) and not os.path.exists(d):
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            per_query[name][label] = round(best, 3)
+            print(f"{name} @ {label}: {per_query[name][label]}s", flush=True)
+        t1, t5 = per_query[name].get("sf0.1"), per_query[name].get("sf0.5")
+        if t1 and t5:
+            per_query[name]["alpha"] = round(
+                math.log(max(t5, 1e-9) / max(t1, 1e-9)) / math.log(5), 3
+            )
+    ok = all(per_query[q].get("alpha", 99) < 2.0 for q in CRITICAL)
+    out = {
+        "scales": SCALES,
+        "per_query": per_query,
+        "critical": CRITICAL,
+        "pass_subquadratic": ok,
+        "note": (
+            "alpha = ln(t_sf0.5/t_sf0.1)/ln(5); data volume grows 5x with "
+            "per-key structure constant (disjoint shards). alpha<1 means "
+            "fixed overhead still dominates; alpha<2 is the pass bar."
+        ),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_STRESS.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"pass_subquadratic": ok}))
+
+
+if __name__ == "__main__":
+    main()
