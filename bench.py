@@ -109,7 +109,16 @@ def main() -> None:
     # We report min(first, second) per query and flag >30% swings so an
     # environmental hiccup can't masquerade as a code regression.
     runs: dict[str, list[float]] = {}
-    for name, fn in QUERIES.items():
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi % 25 == 24:
+            # 295 queries in one JVM accumulate dropped-but-uncollected
+            # RDD/broadcast state (localCheckpoint blocks release via
+            # ContextCleaner weak refs only after a GC); an explicit
+            # collection every ~25 queries keeps late-registry queries
+            # from paying earlier queries' heap pressure — measured as
+            # the difference between a 4.7 s in-bench number and a 0.9 s
+            # standalone number for the same query (round 8). Untimed.
+            spark.sparkContext._jvm.System.gc()
         pair = []
         for _ in range(2):
             t0 = time.perf_counter()
