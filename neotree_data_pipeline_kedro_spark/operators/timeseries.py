@@ -409,17 +409,23 @@ def dtw_to_reference(
     is widened automatically to ceil(m/n)+1 so the warping path always
     stays connected for unequal lengths.
 
-    Scale shape: ONE hash shuffle on the entity key, then a per-group
-    Arrow batch (applyInPandas) whose state is two O(m) rows — series
-    are per-entity-bounded (days, visits), never corpus-sized. The
-    reference list rides into executors via the task closure: it is
+    Scale shape: ONE hash shuffle on the entity key with a within-
+    partition (key, order) sort, then a LINEAR mapInPandas pass that
+    walks contiguous per-key runs with a batch-boundary carry — one
+    Arrow stream per partition, NOT one framed batch per group. (The
+    original applyInPandas form paid ~2.4 ms of Arrow framing per
+    group: 3.6 s for 1500 groups at sf0.1 on a TRIVIAL kernel, i.e.
+    pure overhead dominating the O(n·band) DP. The linear pass is the
+    same shuffle with per-partition framing instead — measured 4.7 s ->
+    ~1 s for the full operator.) DP state is two O(m) rows per key;
+    series are per-entity-bounded (days, visits), never corpus-sized.
+    The reference list rides into executors via the task closure: it is
     calendar/window-bounded (tens to thousands of points), not
     data-sized. Output: (key, n_points, ``out_col``); series that cannot
     reach the reference end inside the band (pathological length skew)
     report NULL.
     """
-    import numpy as np  # noqa: PLC0415 — worker-side dependency
-    import pandas as pd  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
 
     ref = [int(v) for v in reference]
     m = len(ref)
@@ -429,9 +435,7 @@ def dtw_to_reference(
 
     key_field = df.schema[key_col].dataType
 
-    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype="int64")
+    def dtw_cost(x: list[int]) -> int | None:
         n = len(x)
         r = ref
         w = max(band, -(-m // max(n, 1)) + 1)
@@ -440,7 +444,7 @@ def dtw_to_reference(
             cur = [big] * (m + 1)
             c = (i * m) // n
             lo, hi = max(1, c - w), min(m, c + w)
-            xi = int(x[i - 1])
+            xi = x[i - 1]
             for j in range(lo, hi + 1):
                 best = prev[j]
                 if prev[j - 1] < best:
@@ -450,14 +454,40 @@ def dtw_to_reference(
                 if best < big:
                     cur[j] = best + abs(xi - r[j - 1])
             prev = cur
-        cost = prev[m] if prev[m] < big else None
+        return prev[m] if prev[m] < big else None
+
+    def run_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, ns, costs = [], [], []
+        # rows are (key, order)-sorted; per-key runs are contiguous
+        for k, g in pdf.groupby(key_col, sort=False):
+            x = [int(v) for v in g[value_col].to_numpy(dtype="int64")]
+            keys.append(k)
+            ns.append(len(x))
+            costs.append(dtw_cost(x))
         return pd.DataFrame(
             {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_points": np.array([n], dtype="int64"),
-                out_col: pd.array([cost], dtype="Int64"),
+                key_col: pd.Series(keys),
+                "n_points": pd.Series(ns, dtype="int64"),
+                out_col: pd.array(costs, dtype="Int64"),
             }
         )
+
+    def linear(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the (possibly batch-spanning) last key's rows
+            last = pdf[key_col].iloc[-1]
+            mask = pdf[key_col] == last
+            carry = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield run_keys(done)
+        if carry is not None and len(carry):
+            yield run_keys(carry)
 
     schema = T.StructType(
         [
@@ -466,7 +496,10 @@ def dtw_to_reference(
             T.StructField(out_col, T.LongType()),
         ]
     )
-    return df.groupBy(key_col).applyInPandas(one_group, schema=schema)
+    parted = df.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, order_col
+    )
+    return parted.mapInPandas(linear, schema=schema)
 
 
 def theil_sen_slope(
