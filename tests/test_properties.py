@@ -405,20 +405,31 @@ def test_priority_sample_per_group(spark):
 # --- PPJoin: exactness + filter-stack pruning (SURVEY §2.12 dedup) ---------
 
 @given(
-    st.lists(
-        st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
-        min_size=2,
-        max_size=18,
+    st.one_of(
+        # small vocab (<=61 distinct): exercises the <=63-bit bitset path
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+            min_size=2,
+            max_size=18,
+        ),
+        # wide vocab (up to 200 distinct): forces the array + PPJoin+
+        # suffix-filter path, so its upper-bound-only pruning is fuzzed too
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=199), min_size=1, max_size=25),
+            min_size=4,
+            max_size=18,
+        ),
     )
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=14, deadline=None)
 def test_ppjoin_property_matches_bruteforce(spark, sets):
     """set_similarity_join output == brute-force O(n^2) Jaccard twin on
     arbitrary generated set families (dup members, shared hot tokens,
-    subset/superset pairs). Exercises whichever path the vocabulary size
-    selects — <=63 distinct ints rides the bitset path, wider the
-    array+suffix-filter path — so the suffix filter's exactness
-    (upper-bound-only pruning) is pinned property-wide."""
+    subset/superset pairs). The two strategies pin BOTH execution paths:
+    <=63 distinct members rides the exact-bitset fast path, the wide
+    strategy forces the sorted-array + suffix-filter path — so the
+    suffix filter's exactness (upper-bound-only pruning) is fuzzed
+    property-wide, not just at the crafted adversarial pair below."""
     from neotree_data_pipeline_kedro_spark.operators.neardup import (
         set_similarity_join,
     )
