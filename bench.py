@@ -59,6 +59,7 @@ def emit_lines(payload: dict) -> list[str]:
         "slowest": {},
         "unstable": len(payload.get("unstable", [])),
         "loadavg": payload.get("loadavg"),
+        "loadavg_before": payload.get("loadavg_before"),
         "sf": payload["sf"],
         "full": "BENCH_FULL.json",
     }
@@ -88,6 +89,13 @@ def emit_lines(payload: dict) -> list[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # loadavg BEFORE the bench generates its own load: the in-run/tail
+    # loadavg always reflects the bench's 32 threads, so only this value
+    # says whether the MACHINE was quiet when the run started
+    try:
+        load_before = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_before = None
     spark = get_spark(app_name="neotree-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -149,6 +157,7 @@ def main() -> None:
         "runs": runs,
         "unstable": sorted(unstable),
         "loadavg": [load1, load5, load15],
+        "loadavg_before": load_before,
         "sf": sf,
     }
     try:
