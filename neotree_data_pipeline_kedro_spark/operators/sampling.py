@@ -330,3 +330,45 @@ def rendezvous_assign(
     ]
     best = F.array_max(F.array(*pairs))
     return df.withColumn(out_col, (-best.getField("ns")).cast("int"))
+
+
+def grid_diversity_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    sign_dims: int = 8,
+    quota: int = 8,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling over an embedding column: map
+    every vector to a deterministic sign-pattern cell (bit i set when
+    component i is >= 0 — a 2^sign_dims-cell partition of embedding
+    space, the hyperplane-LSH bucketing with axis-aligned planes), then
+    keep at most ``quota`` rows per cell by md5-of-id priority. The
+    diversity-quota step of training-data curation: near-duplicate
+    regions of embedding space stop dominating the sample because every
+    cell — dense or sparse — contributes the same cap, and the
+    md5 priority makes the draw reproducible and engine-portable
+    (no RNG, no engine hash).
+
+    All built-in expressions: a fold over the first ``sign_dims``
+    components, one window per cell. Shuffle carries (cell, priority,
+    id) plus whatever the caller selects; at 100 TB the cell key is
+    uniform-ish by construction (sign bits of roughly centered
+    embeddings), and quota bounds every cell's survivors regardless of
+    skew. Output: input columns + (cell INT, pick_rank INT), filtered
+    to the quota.
+    """
+    cell = None
+    for i in range(sign_dims):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    prio = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cell").orderBy(prio.alias("__p"), id_col)
+    return (
+        df.withColumn("cell", cell.cast("int"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= quota)
+    )

@@ -876,3 +876,55 @@ def rolling_zscore_outliers(
     return df.withColumn(
         out_col, F.when(cnt == window, flag)
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    *,
+    out_start: str = "s",
+    out_end: str = "e",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    covered spans (gaps-and-islands): order a key's intervals by
+    (start, end), open a new island exactly when an interval starts
+    AFTER the running max end of everything before it, then collapse
+    each island to (min start, max end, member count). The canonical
+    interval-normalization step before coverage/occupancy math — the
+    dual of interval_concurrency (which counts overlap depth, where
+    this erases it). Closed-merge semantics: an interval starting
+    exactly at the running max end joins the island (use half-open
+    inputs shifted by one tick if touching must NOT merge).
+
+    Shape: ONE window over (key, start, end) — running max end over the
+    preceding frame plus a running sum of island-open flags — then one
+    grouped aggregate on (key, island). A key's intervals must fit a
+    partition (the usual window contract); islands never span keys.
+    Deterministic: equal (start, end) duplicates are interchangeable,
+    and every other order position is forced by the total order.
+
+    Output: (*key_cols, out_start, out_end, n_merged).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_e = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_e.isNull() | (F.col(start_col) > prev_max_e), 1
+    ).otherwise(0)
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__island", island)
+        .groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias(out_start),
+            F.max(end_col).alias(out_end),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -16751,6 +16751,107 @@ def a53_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w32_interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS k,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS s,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            o_orderdate) AS BIGINT)
+               + o_orderkey % 45 + 5 AS e
+      FROM orders WHERE o_custkey % 5 = 0
+    ), flagged AS (
+      SELECT k, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ), islands AS (
+      SELECT k, s, e,
+             SUM(opens) OVER (PARTITION BY k ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT k, MIN(s) AS s, MAX(e) AS e,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY k, island
+    """,
+)
+def w32_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (operators/windows.interval_coalesce):
+    per-customer order-activity intervals merged into maximal covered
+    spans — the gaps-and-islands normalization every coverage/occupancy
+    computation runs first, and the dual of w10's sweep-line concurrency
+    (w10 counts overlap depth; this erases it). One window per key
+    (running max end + island-open flag running sum) and one grouped
+    aggregate; epoch-day integer endpoints with a key-derived length so
+    overlap, touching, nested, and disjoint cases are all populated at
+    every SF. The oracle states the same two-window island construction
+    in SQL."""
+    from ..operators.windows import interval_coalesce
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 5 == 0)
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("bigint")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        day.alias("s"),
+        (day + F.col("o_orderkey") % 45 + 5).alias("e"),
+    )
+    return interval_coalesce(iv, ["k"], "s", "e")
+
+
+@_register(
+    "emb_diversity_sample",
+    """
+    WITH cells AS (
+      SELECT vec_id, label,
+             CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+               AS INTEGER) AS cell
+      FROM embeddings
+    ), ranked AS (
+      SELECT vec_id, label, cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  AS INTEGER) AS pick_rank
+      FROM cells
+    )
+    SELECT vec_id, label, cell, pick_rank
+    FROM ranked WHERE pick_rank <= 8
+    """,
+)
+def emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (operators/sampling.grid_diversity_sample): embeddings bucketed into
+    2^4 sign-pattern cells (axis-aligned hyperplane LSH; sign_dims
+    sized so the quota actually BINDS at fixture scale — 16 cells x 8
+    survivors < corpus), at most 8 survivors per cell by md5-of-id
+    priority — the diversity-quota
+    curation step that stops dense near-duplicate regions of embedding
+    space from dominating a training sample, downstream of semantic
+    dedup (dd_semantic_dedup removes clones; this equalizes what
+    remains). Deterministic and engine-portable: sign tests on raw
+    floats and an md5 priority, no RNG and no engine hash, so the
+    ORACLE replays the draw exactly."""
+    from ..operators.sampling import grid_diversity_sample
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = grid_diversity_sample(
+        em, "vec_id", "embedding", sign_dims=4, quota=8
+    )
+    return out.select("vec_id", "label", "cell", "pick_rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within

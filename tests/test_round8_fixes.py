@@ -174,3 +174,53 @@ def test_rollup_norm_keeps_remote_uris_and_rejects_remote_paths(tmp_path, spark)
             ["id"],
             {"n": ("count", "id")},
         )
+
+
+# ------------------------------------------------- interval coalescing
+def test_interval_coalesce_islands(spark):
+    """Overlapping, touching, nested, and disjoint intervals per key:
+    closed-merge semantics (touching joins), nested absorbs, disjoint
+    splits, other keys never interact."""
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        interval_coalesce,
+    )
+
+    rows = [
+        # key 1: [0,10] overlaps [5,12], [12,15] touches -> one span
+        (1, 0, 10), (1, 5, 12), (1, 12, 15),
+        # key 1: [20,25] disjoint; [21,22] nested inside it
+        (1, 20, 25), (1, 21, 22),
+        # key 2: single interval
+        (2, 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "k int, s bigint, e bigint")
+    got = {
+        (r.k, r.s, r.e): r.n_merged
+        for r in interval_coalesce(df, ["k"], "s", "e").collect()
+    }
+    assert got == {(1, 0, 15): 3, (1, 20, 25): 2, (2, 3, 4): 1}
+
+
+# --------------------------------------------- grid diversity sampling
+def test_grid_diversity_sample_quota_and_determinism(spark):
+    """Every cell contributes at most the quota; a dense cell is capped
+    while sparse cells survive whole; the draw is a pure function of the
+    ids (re-running yields the identical pick set)."""
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        grid_diversity_sample,
+    )
+
+    rows = [(i, [1.0, 1.0]) for i in range(50)]          # dense cell 3
+    rows += [(100 + i, [-1.0, 1.0]) for i in range(3)]   # sparse cell 2
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out1 = grid_diversity_sample(df, "vec_id", "embedding", sign_dims=2, quota=5)
+    picks1 = {(r.cell, r.vec_id) for r in out1.collect()}
+    cells = {}
+    for c, v in picks1:
+        cells.setdefault(c, set()).add(v)
+    assert len(cells[3]) == 5          # dense cell capped at quota
+    assert cells[2] == {100, 101, 102}  # sparse cell intact
+    out2 = grid_diversity_sample(df, "vec_id", "embedding", sign_dims=2, quota=5)
+    assert picks1 == {(r.cell, r.vec_id) for r in out2.collect()}
+    ranks = {r.pick_rank for r in out1.collect() if r.cell == 3}
+    assert ranks == {1, 2, 3, 4, 5}
