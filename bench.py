@@ -119,7 +119,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for qi, (name, fn) in enumerate(QUERIES.items()):
         if qi % 25 == 24:
-            # 295 queries in one JVM accumulate dropped-but-uncollected
+            # ~300 queries in one JVM accumulate dropped-but-uncollected
             # RDD/broadcast state (localCheckpoint blocks release via
             # ContextCleaner weak refs only after a GC); an explicit
             # collection every ~25 queries keeps late-registry queries
