@@ -16852,6 +16852,149 @@ def emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", "cell", "pick_rank")
 
 
+@_register(
+    "ta_shard_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 16 AS INTEGER) AS shard,
+             CAST(length(trim(text)) AS BIGINT) AS n_chars,
+             CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(trim(text), '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM t GROUP BY shard
+    """,
+)
+def ta_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest: every
+    document routes to one of 16 shards by a PORTABLE md5-derived key
+    (the f_feature_hashing hex→bigint trick, so any engine — and any
+    re-run — produces the identical split), and the manifest row per
+    shard carries doc/token/char budgets, language spread, and the
+    doc-id range. This is the WRITE step of training-data prep: after
+    sampling (ta_token_budget_sample), packing (ta_sequence_packing),
+    and diversity quotas (emb_diversity_sample), the corpus ships as N
+    equal-ish shards plus exactly this manifest (what a loader reads to
+    plan epochs and what an auditor diffs between dataset versions).
+    md5 routing makes shards stable under corpus growth: a document's
+    shard never changes when neighbors are added or removed, unlike
+    row-number striping. One hash + one grouped aggregate; token counts
+    via whitespace-token arithmetic shared with the oracle: count =
+    non-space-run count of the trimmed text (0 for blank docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    n_tokens = F.when(trimmed == "", F.lit(0).cast("bigint")).otherwise(
+        F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint") + 1
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 16
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            F.col("lang"),
+            F.length(trimmed).cast("bigint").alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@_register(
+    "ta_dataset_card",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CAST(length(trim(text)) AS BIGINT) AS n_chars,
+             CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(trim(text), '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM documents
+    ), fps AS (
+      SELECT fp, COUNT(*) AS c FROM t GROUP BY fp
+    ), dup AS (
+      SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup FROM fps
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS english_ppm,
+           CAST((SELECT n_dup FROM dup) * 1000000
+                // COUNT(*) AS BIGINT) AS exact_dup_ppm,
+           CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_doc_tokens
+    FROM t
+    """,
+)
+def ta_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers a training-data release
+    publishes (and an ingestion gate re-checks) — corpus size in docs/
+    tokens/chars, language spread, English share, exact-duplicate rate
+    (md5 fingerprints beyond each group's first copy, the dd_exact
+    numerator), and mean document length. Everything integer/ppm exact:
+    two grouped aggregates (fingerprint counts, then the card) — the
+    scan-twice honest version; a production card would fold more gates
+    (quality pass rate, PII hits) from the same single pass."""
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    n_tokens = F.when(trimmed == "", F.lit(0).cast("bigint")).otherwise(
+        F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint") + 1
+    )
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("fp"),
+        F.length(trimmed).cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+    )
+    n_dup = (
+        t.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_dup"))
+    )
+    card = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("__en"),
+    )
+    return card.crossJoin(F.broadcast(n_dup)).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        F.expr("__en * 1000000 div n_docs").alias("english_ppm"),
+        F.expr("n_dup * 1000000 div n_docs").alias("exact_dup_ppm"),
+        F.expr("total_tokens div n_docs").alias("mean_doc_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
