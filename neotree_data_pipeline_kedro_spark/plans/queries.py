@@ -16995,6 +16995,83 @@ def ta_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_mojibake_detect",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(replace(text, 'e', 'Ã©'), 'o', 'Ã´')
+                  WHEN doc_id % 7 = 0
+                  THEN 'â€œ' || text || 'â€\u009d'
+                  ELSE text END AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             CAST((length(t) - length(replace(t, 'Ã', '')))
+                + (length(t) - length(replace(t, 'â€', ''))) // 2
+                + (length(t) - length(replace(t, 'Â', '')))
+                + (length(t) - length(replace(t, '\ufffd', '')))
+               AS BIGINT) AS hits
+      FROM corpus
+    )
+    SELECT doc_id, hits,
+           CAST(hits * 1000000 // n_chars AS BIGINT) AS mojibake_ppm
+    FROM scored WHERE hits > 0
+    """,
+)
+def ta_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption (mojibake) detection: count the classic
+    double-encoded-UTF-8 artifacts — 'Ã'-prefixed Latin-1 re-reads
+    ('Ã©' for e-acute), 'â€'-prefixed punctuation re-reads (curly
+    quotes, dashes), stray 'Â' padding, and U+FFFD replacement chars —
+    and score each document in hits-per-million-chars. The standard
+    web-corpus hygiene gate next to the repetition/Gopher filters: a
+    crawler that mixed encodings poisons tokenizers with phantom
+    vocabulary, and the marker set above catches the overwhelming bulk
+    of real-world cases with plain substring arithmetic (count =
+    character-length delta after deleting the marker, divided by the
+    marker's length) — no regex engine in the hot path, exact in both
+    engines. The synthetic corpus is clean, so the fixture PLANTS both
+    corruption classes deterministically (doc_id%5: vowel re-encoding;
+    doc_id%7: curly-quote wrapping) and the detector must flag exactly
+    those."""
+    docs = _t(spark, sf_dir, "documents")
+    t = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("replace(replace(text, 'e', 'Ã©'), 'o', 'Ã´')"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("â€œ"), F.col("text"), F.lit("â€\u009d")),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select("doc_id", t.alias("t"))
+
+    def marker_hits(m: str) -> F.Column:
+        gone = F.expr(f"replace(t, '{m}', '')")
+        return (F.length("t") - F.length(gone)) / len(m)
+
+    hits = (
+        marker_hits("Ã")
+        + marker_hits("â€")
+        + marker_hits("Â")
+        + marker_hits("\ufffd")
+    ).cast("bigint")
+    scored = corpus.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("n_chars"),
+        hits.alias("hits"),
+    )
+    return scored.filter(F.col("hits") > 0).select(
+        "doc_id",
+        "hits",
+        F.expr("hits * 1000000 div n_chars").alias("mojibake_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
