@@ -338,3 +338,44 @@ def weighted_median_udaf():
         return float(x[np.searchsorted(cum, half)])
 
     return weighted_median
+
+
+# Ordered license/rights markers: first match wins, most-specific first.
+# Plain case-folded substring containment (no regex) so any engine's
+# `contains(lower(text), marker)` agrees byte-for-byte.
+LICENSE_MARKERS: list[tuple[str, str]] = [
+    ("apache license", "apache-2.0"),
+    ("mit license", "mit"),
+    ("gnu general public license", "gpl"),
+    ("gnu lesser general public license", "lgpl"),
+    ("mozilla public license", "mpl-2.0"),
+    ("creative commons", "cc-by"),
+    ("bsd license", "bsd"),
+    ("all rights reserved", "proprietary"),
+]
+
+
+def license_detect(col: Column | str) -> Column:
+    """Classify a document's license by an ordered case-insensitive
+    marker ladder (``LICENSE_MARKERS``; 'unknown' when nothing hits) —
+    the license-filtering gate of code/web corpus construction (only
+    permissively-licensed documents survive into training data). Pure
+    whole-stage-codegen CASE over ``contains(lower(text), marker)``;
+    no regex, no UDF, scan-stage at any corpus size."""
+    low = F.lower(_col(col))
+    out: Column | None = None
+    for marker, label in LICENSE_MARKERS:
+        hit = low.contains(F.lit(marker))
+        out = F.when(hit, F.lit(label)) if out is None else out.when(
+            hit, F.lit(label)
+        )
+    assert out is not None
+    return out.otherwise(F.lit("unknown"))
+
+
+def copyright_flag(col: Column | str) -> Column:
+    """True when the document carries a copyright line: case-folded
+    'copyright' or the '(c)' sigil. Same containment-only portability
+    contract as license_detect."""
+    low = F.lower(_col(col))
+    return low.contains(F.lit("copyright")) | low.contains(F.lit("(c)"))

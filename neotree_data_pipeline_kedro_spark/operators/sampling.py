@@ -372,3 +372,96 @@ def grid_diversity_sample(
         .withColumn("pick_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("pick_rank") <= quota)
     )
+
+
+def domain_mix_rebalance(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    shares_ppm: Mapping[str, int],
+) -> DataFrame:
+    """Static mixture rebalancing: downsample each group (language,
+    domain, source) so the kept corpus matches a target mixture — the
+    data-mixture step of LLM corpus construction (the static-weights
+    half of the DoReMi/Pile recipe: given target shares, never
+    upsample, find the largest corpus that satisfies every share cap
+    and the per-group rates that realize it).
+
+    Exact integer arithmetic throughout, so the whole computation is
+    one declarative plan with a value-hash oracle:
+
+    - ``tot_d``        = sum of ``weight_col`` per group (one shuffle);
+    - ``feasible_d``   = floor(tot_d * 1e6 / share_ppm_d) — the largest
+      total corpus for which group d's cap holds;
+    - ``T*``           = min_d feasible_d (a 1-row aggregate, broadcast
+      back — no driver collect);
+    - ``rate_ppm_d``   = min(1e6, floor(T* * share_ppm_d / tot_d));
+    - a row is kept iff the top 24 bits of md5(key) scaled by 1e6 fall
+      below rate_ppm_d * 2^24 — the stateless ``hash_gate`` family, so
+      retries and incremental re-runs keep the same rows.
+
+    Groups absent from ``shares_ppm`` are dropped (rate 0) and omitted
+    from the report. int64 bounds: tot_d * 1e6 and T* * share_ppm_d
+    must stay below 2^63, i.e. per-group weight totals up to ~9.2e12
+    (tokens); past that switch the two products to decimal(38,0) — the
+    comparison structure is unchanged.
+
+    Output (one row per targeted group): group, share_ppm, tot_weight,
+    rate_ppm, n_kept, weight_kept. Plan shape at 100 TB: one group-by
+    shuffle for totals, one broadcast of the per-group rate table back
+    onto the corpus scan (the gate itself is scan-stage, shuffle-free),
+    one group-by for the kept report.
+    """
+    g = F.col(group_col)
+    share = rate_map({k: str(v) for k, v in shares_ppm.items()})[g].cast(
+        "bigint"
+    )
+    totals = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("tot_weight"))
+        .withColumn("share_ppm", share)
+        .filter(F.col("share_ppm").isNotNull())
+    )
+    t_star = totals.select(
+        F.min(F.expr("(tot_weight * CAST(1000000 AS BIGINT)) div share_ppm"))
+        .cast("bigint")
+        .alias("t_star")
+    )
+    rates = (
+        totals.crossJoin(F.broadcast(t_star))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr("(t_star * share_ppm) div tot_weight"),
+            ),
+        )
+        .select(group_col, "share_ppm", "tot_weight", "rate_ppm")
+    )
+    gate = (
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 6), "
+            "16, 10) AS BIGINT)"
+        )
+        * F.lit(1_000_000)
+    )
+    kept = (
+        df.join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
+        .filter(gate < F.col("rate_ppm") * F.lit(16_777_216))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum(F.col(weight_col).cast("bigint")).alias("weight_kept"),
+        )
+    )
+    return rates.join(kept, group_col, "left").select(
+        g.alias("grp"),
+        "share_ppm",
+        "tot_weight",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("weight_kept"), F.lit(0).cast("bigint")).alias(
+            "weight_kept"
+        ),
+    )

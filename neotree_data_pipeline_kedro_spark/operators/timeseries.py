@@ -805,3 +805,112 @@ def ohlc_bars(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(value_col).cast("bigint").alias("total"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    buckets: int = 12,
+) -> DataFrame:
+    """Largest-Triangle downsampling of a per-key series to ~``buckets``
+    visually-representative points (Steinarsson's LTTB family; this is
+    the parallel centroid-anchor variant — LTTB proper anchors each
+    triangle on the previously SELECTED point, a sequential dependency,
+    so the scalable form anchors on the NEIGHBOR BUCKET CENTROIDS
+    instead, which the thesis reports as visually indistinguishable and
+    which makes every bucket's argmax independent).
+
+    Per key: rank points by (x, y) into a total order, assign rank r to
+    bucket floor((r-1)·B/n); the first bucket keeps its first point and
+    the last bucket its last point (series endpoints always survive);
+    every interior bucket keeps the point with the largest triangle
+    area against the previous and next buckets' centroids. The area
+    comparison is EXACT: with integer x (epoch days) and y (cents), the
+    doubled area scaled by np²·nn (np/nn = neighbor bucket sizes,
+    constant within a bucket, so the argmax is unchanged) is the pure
+    int64 expression
+
+        |(Sxp·nn − Sxn·np)·(y·np − Syp) − (Sxp − x·np)·(Syn·np − Syp·nn)|
+
+    over neighbor-bucket sums — no floats anywhere, so the selection is
+    engine-portable bit-for-bit. Ties: lowest rank wins. Keys with
+    n ≤ buckets pass through complete (every point kept, score 0).
+
+    int64 bound: |x|·n, |y|·n products must stay below ~2^62 — epoch-day
+    x and cent-scale y are safe to ~10^5-point buckets; rescale x to a
+    coarser unit past that.
+
+    Scale shape: ONE window shuffle on the key (rank + count), one
+    small per-(key, bucket) aggregate reused via lag/lead (window over
+    the bucket table, negligible), broadcast-sized join back onto the
+    points by (key, bucket), one final per-bucket argmax window. No
+    driver state, no iteration.
+
+    Output: key, bucket, x, y, a2_score (the scaled doubled area;
+    0 for endpoint/passthrough picks).
+    """
+    k, b = F.col(key_col), F.col("__b")
+    w = Window.partitionBy(key_col).orderBy(x_col, y_col)
+    pts = (
+        df.select(key_col, x_col, y_col)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .withColumn(
+            "__b",
+            F.expr(f"((__rn - 1) * {int(buckets)}) div __n").cast("bigint"),
+        )
+    )
+    bsum = pts.groupBy(key_col, "__b").agg(
+        F.sum(x_col).cast("bigint").alias("sx"),
+        F.sum(y_col).cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    wb = Window.partitionBy(key_col).orderBy("__b")
+    nb = bsum.select(
+        key_col,
+        "__b",
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lag("cnt").over(wb).alias("np"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+        F.lead("cnt").over(wb).alias("nn"),
+    )
+    x, y = F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint")
+    a2 = F.abs(
+        (F.col("sxp") * F.col("nn") - F.col("sxn") * F.col("np"))
+        * (y * F.col("np") - F.col("syp"))
+        - (F.col("sxp") - x * F.col("np"))
+        * (F.col("syn") * F.col("np") - F.col("syp") * F.col("nn"))
+    )
+    scored = pts.join(nb, [key_col, "__b"]).withColumn(
+        "__a2",
+        F.when(
+            (b == 0) | (b == buckets - 1) | (F.col("__n") <= buckets),
+            F.lit(0).cast("bigint"),
+        ).otherwise(a2),
+    )
+    wpick = Window.partitionBy(key_col, "__b").orderBy(
+        F.desc("__a2"), F.asc("__rn")
+    )
+    keep_rule = (
+        F.when(F.col("__n") <= buckets, F.lit(True))
+        .when(b == 0, F.col("__rn") == 1)
+        .when(b == buckets - 1, F.col("__rn") == F.col("__n"))
+        .otherwise(F.row_number().over(wpick) == 1)
+    )
+    return (
+        scored.withColumn("__keep", keep_rule)
+        .filter(F.col("__keep"))
+        .select(
+            k,
+            b.cast("bigint").alias("bucket"),
+            F.col(x_col),
+            F.col(y_col),
+            F.col("__a2").alias("a2_score"),
+        )
+    )

@@ -17072,6 +17072,238 @@ def ta_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_domain_mix_rebalance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      FROM documents WHERE trim(text) <> ''
+    ), shares(lang, share_ppm) AS (
+      VALUES ('en', 400000), ('de', 200000), ('fr', 200000),
+             ('es', 100000), ('zh', 100000)
+    ), totals AS (
+      SELECT t.lang, s.share_ppm, CAST(SUM(t.w) AS BIGINT) AS tot_weight
+      FROM toks t JOIN shares s ON s.lang = t.lang
+      GROUP BY 1, 2
+    ), ts AS (
+      SELECT MIN((tot_weight * 1000000) // share_ppm) AS t_star FROM totals
+    ), rates AS (
+      SELECT t.lang, t.share_ppm, t.tot_weight,
+             LEAST(1000000, (ts.t_star * t.share_ppm) // t.tot_weight)
+               AS rate_ppm
+      FROM totals t, ts
+    ), kept AS (
+      SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(t.w) AS BIGINT) AS weight_kept
+      FROM toks t JOIN rates r ON r.lang = t.lang
+      WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT
+              * 1000000
+            < r.rate_ppm * 16777216
+      GROUP BY 1
+    )
+    SELECT r.lang AS grp, CAST(r.share_ppm AS BIGINT) AS share_ppm,
+           r.tot_weight, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.weight_kept, 0) AS weight_kept
+    FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+    """,
+)
+def ta_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing (operators/sampling.domain_mix_rebalance):
+    given target mixture shares (en 40% / de 20% / fr 20% / es 10% /
+    zh 10% in token weight), find the largest corpus satisfying every
+    cap without upsampling and the per-language keep-rates that realize
+    it, then apply the rates with the stateless md5 gate — the static
+    data-mixture step of LLM corpus construction (the deterministic
+    half of the DoReMi/Pile recipe). Everything is exact int64
+    arithmetic (truncating div on non-negative operands) and the gate
+    is the top-24-bits-of-md5 comparison, so rate derivation AND the
+    realized sample hash-match the oracle bit-for-bit. Plan: one
+    group-by for totals, a 1-row min broadcast back (no driver
+    collect), broadcast rate map onto the scan-stage gate, one group-by
+    for the kept report."""
+    from ..operators.sampling import domain_mix_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("w")
+    )
+    out = domain_mix_rebalance(
+        weighted,
+        "lang",
+        "w",
+        "doc_id",
+        {"en": 400_000, "de": 200_000, "fr": 200_000, "es": 100_000,
+         "zh": 100_000},
+    )
+    return out
+
+
+@_register(
+    "ta_license_detect",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN ' Licensed under the Apache License, Version 2.0.'
+               WHEN 1 THEN ' Released under the MIT License.'
+               WHEN 2 THEN ' This program is free software under the GNU General Public License.'
+               WHEN 3 THEN ' This work is licensed under a Creative Commons Attribution 4.0 License.'
+               WHEN 4 THEN ' Copyright (c) 2024 Example Corp. All rights reserved.'
+               ELSE ''
+             END AS t
+      FROM documents
+    ), det AS (
+      SELECT doc_id, t,
+             CASE
+               WHEN contains(lower(t), 'apache license') THEN 'apache-2.0'
+               WHEN contains(lower(t), 'mit license') THEN 'mit'
+               WHEN contains(lower(t), 'gnu general public license') THEN 'gpl'
+               WHEN contains(lower(t), 'gnu lesser general public license') THEN 'lgpl'
+               WHEN contains(lower(t), 'mozilla public license') THEN 'mpl-2.0'
+               WHEN contains(lower(t), 'creative commons') THEN 'cc-by'
+               WHEN contains(lower(t), 'bsd license') THEN 'bsd'
+               WHEN contains(lower(t), 'all rights reserved') THEN 'proprietary'
+               ELSE 'unknown'
+             END AS license,
+             CASE WHEN contains(lower(t), 'copyright')
+                    OR contains(lower(t), '(c)') THEN 1 ELSE 0 END AS has_c
+      FROM corpus
+    )
+    SELECT license, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_c) AS BIGINT) AS n_copyright,
+           CAST(SUM(length(t)) AS BIGINT) AS total_chars
+    FROM det GROUP BY license
+    """,
+)
+def ta_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License / rights classification (functions/text.license_detect):
+    an ordered case-folded marker ladder (apache/mit/gpl/lgpl/mpl/cc/
+    bsd/proprietary, first match wins) plus a copyright-line flag — the
+    license-filtering gate of code/web corpus construction where only
+    permissively-licensed documents survive into training data. Pure
+    containment CASE ladder (no regex, no UDF — scan-stage codegen at
+    any corpus size). The synthetic corpus carries no license text, so
+    the fixture PLANTS one marker class per doc_id%6 residue and the
+    detector must recover exactly that partition (residue 5 stays
+    'unknown', residue 4 exercises the proprietary/copyright overlap
+    and ladder ordering)."""
+    from ..functions.text import copyright_flag, license_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit(" Licensed under the Apache License, Version 2.0."))
+        .when(F.col("doc_id") % 6 == 1,
+              F.lit(" Released under the MIT License."))
+        .when(F.col("doc_id") % 6 == 2,
+              F.lit(" This program is free software under the GNU General"
+                    " Public License."))
+        .when(F.col("doc_id") % 6 == 3,
+              F.lit(" This work is licensed under a Creative Commons"
+                    " Attribution 4.0 License."))
+        .when(F.col("doc_id") % 6 == 4,
+              F.lit(" Copyright (c) 2024 Example Corp. All rights"
+                    " reserved."))
+        .otherwise(F.lit(""))
+    )
+    corpus = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    return (
+        corpus.select(
+            license_detect(F.col("t")).alias("license"),
+            copyright_flag(F.col("t")).cast("int").alias("has_c"),
+            F.length("t").cast("bigint").alias("chars"),
+        )
+        .groupBy("license")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("has_c").cast("bigint").alias("n_copyright"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "w34_lttb_downsample",
+    """
+    WITH pts0 AS (
+      SELECT DISTINCT l_suppkey AS k,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS x,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+               AS y
+      FROM lineitem
+    ), pts AS (
+      SELECT k, CAST(x AS BIGINT) AS x, y,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY x, y)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      FROM pts0
+    ), pb AS (
+      SELECT *, ((rn - 1) * 12) // n AS b FROM pts
+    ), bsum AS (
+      SELECT k, b, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pb GROUP BY 1, 2
+    ), nb AS (
+      SELECT k, b,
+             lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp,
+             lag(cnt) OVER w AS np,
+             lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn,
+             lead(cnt) OVER w AS nn
+      FROM bsum WINDOW w AS (PARTITION BY k ORDER BY b)
+    ), scored AS (
+      SELECT p.k, p.b, p.x, p.y, p.rn, p.n,
+             CASE WHEN p.b = 0 OR p.b = 11 OR p.n <= 12 THEN CAST(0 AS BIGINT)
+                  ELSE abs((nb.sxp * nb.nn - nb.sxn * nb.np)
+                             * (p.y * nb.np - nb.syp)
+                           - (nb.sxp - p.x * nb.np)
+                             * (nb.syn * nb.np - nb.syp * nb.nn))
+             END AS a2
+      FROM pb p JOIN nb ON nb.k = p.k AND nb.b = p.b
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY k, b
+                                   ORDER BY a2 DESC, rn) AS pick
+      FROM scored
+    )
+    SELECT k AS l_suppkey, CAST(b AS BIGINT) AS bucket, x, y,
+           CAST(a2 AS BIGINT) AS a2_score
+    FROM ranked
+    WHERE n <= 12 OR (b = 0 AND rn = 1) OR (b = 11 AND rn = n)
+       OR (b > 0 AND b < 11 AND pick = 1)
+    """,
+)
+def w34_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle time-series downsampling
+    (operators/timeseries.lttb_downsample, Steinarsson's LTTB family —
+    the parallel centroid-anchor variant) of each supplier's
+    (ship-day, price-cents) series to 12 representative points:
+    endpoints always survive, every interior bucket keeps its largest-
+    triangle point against the neighbor buckets' centroids, and the
+    area argmax is pure int64 (doubled area scaled by the constant
+    np²·nn per bucket) so selection is engine-portable bit-for-bit.
+    The downsampling primitive for dashboarding / visual QA over
+    billion-point series: one window shuffle on the key, a tiny
+    per-bucket aggregate joined back, no iteration, no Python."""
+    from ..operators.timeseries import lttb_downsample
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_suppkey"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return lttb_downsample(pts, "l_suppkey", "x", "y", buckets=12)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -17140,6 +17372,9 @@ _DRIVER_FRONT = [
     "a15_copurchase_pairs",
     "a16_trend_slope",
     # never-windowed remainder (r9 front, in the same priority order):
+    "ta_domain_mix_rebalance",
+    "ta_license_detect",
+    "w34_lttb_downsample",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -1,0 +1,171 @@
+"""Round-8 session ops: mixture rebalancing, license detection, LTTB
+downsampling — unit semantics beyond the registry oracle rows."""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ domain_mix_rebalance
+def _mix(spark, rows, shares):
+    from neotree_data_pipeline_kedro_spark.operators.sampling import (
+        domain_mix_rebalance,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w bigint")
+    return {
+        r["grp"]: r
+        for r in domain_mix_rebalance(
+            df, "grp", "w", "doc_id", shares
+        ).collect()
+    }
+
+
+def test_domain_mix_exact_rates(spark):
+    """Hand-computed rates: A tot=10 share=50%, B tot=30 share=50% →
+    feasible A=20, B=60, T*=20, rate_A=1e6 (binding cap), rate_B=333333."""
+    rows = [(i, "A", 1) for i in range(10)] + [
+        (100 + i, "B", 1) for i in range(30)
+    ]
+    out = _mix(spark, rows, {"A": 500_000, "B": 500_000})
+    assert out["A"]["rate_ppm"] == 1_000_000
+    assert out["B"]["rate_ppm"] == 333_333
+    assert out["A"]["tot_weight"] == 10
+    assert out["B"]["tot_weight"] == 30
+    # the binding group keeps everything (gate < 1e6*2^24 always true)
+    assert out["A"]["n_kept"] == 10 and out["A"]["weight_kept"] == 10
+
+
+def test_domain_mix_gate_matches_md5(spark):
+    """The kept count equals a Python replay of the md5 gate."""
+    rows = [(i, "B", 2) for i in range(50)]
+    shares = {"B": 500_000, "C": 500_000}
+    rows += [(1000, "C", 100)]  # C huge → B is capped hard
+    out = _mix(spark, rows, shares)
+    rate = out["B"]["rate_ppm"]
+    kept = [
+        i
+        for i in range(50)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) * 1_000_000
+        < rate * 16_777_216
+    ]
+    assert out["B"]["n_kept"] == len(kept)
+    assert out["B"]["weight_kept"] == 2 * len(kept)
+
+
+def test_domain_mix_untargeted_group_dropped(spark):
+    rows = [(1, "A", 5), (2, "Z", 5)]
+    out = _mix(spark, rows, {"A": 1_000_000})
+    assert set(out) == {"A"}
+
+
+# ---------------------------------------------------- license_detect
+def test_license_ladder_priority_and_flags(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        copyright_flag,
+        license_detect,
+    )
+
+    cases = [
+        (1, "Licensed under the Apache License. All rights reserved."),
+        (2, "Released under the MIT License"),
+        (3, "free software: GNU General Public License v3"),
+        (4, "Copyright (c) 2024 Example. All rights reserved."),
+        (5, "just some plain text"),
+        (6, "THIS USES THE MOZILLA PUBLIC LICENSE 2.0"),
+    ]
+    df = spark.createDataFrame(cases, "id int, t string")
+    got = {
+        r["id"]: (r["lic"], r["c"])
+        for r in df.select(
+            "id",
+            license_detect("t").alias("lic"),
+            copyright_flag("t").alias("c"),
+        ).collect()
+    }
+    assert got[1] == ("apache-2.0", False)  # ladder: apache beats proprietary
+    assert got[2] == ("mit", False)
+    assert got[3] == ("gpl", False)
+    assert got[4] == ("proprietary", True)
+    assert got[5] == ("unknown", False)
+    assert got[6] == ("mpl-2.0", False)  # case-folded
+
+
+# --------------------------------------------------- lttb_downsample
+def _lttb_twin(points, buckets):
+    """Numpy-free exact replay of the centroid-anchor selection."""
+    pts = sorted(set(points))
+    n = len(pts)
+    if n <= buckets:
+        return [
+            ((i * buckets) // n, x, y, 0) for i, (x, y) in enumerate(pts)
+        ]
+    by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+    for rn, (x, y) in enumerate(pts, start=1):
+        by_bucket.setdefault(((rn - 1) * buckets) // n, []).append((rn, x, y))
+    sums = {
+        b: (sum(x for _, x, _ in v), sum(y for _, _, y in v), len(v))
+        for b, v in by_bucket.items()
+    }
+    out = []
+    for b, v in sorted(by_bucket.items()):
+        if b == 0:
+            rn, x, y = v[0]
+            out.append((b, x, y, 0))
+        elif b == buckets - 1:
+            rn, x, y = v[-1]
+            out.append((b, x, y, 0))
+        else:
+            sxp, syp, np_ = sums[b - 1]
+            sxn, syn, nn = sums[b + 1]
+            best = max(
+                v,
+                key=lambda p: (
+                    abs(
+                        (sxp * nn - sxn * np_) * (p[2] * np_ - syp)
+                        - (sxp - p[1] * np_) * (syn * np_ - syp * nn)
+                    ),
+                    -p[0],
+                ),
+            )
+            a2 = abs(
+                (sxp * nn - sxn * np_) * (best[2] * np_ - syp)
+                - (sxp - best[1] * np_) * (syn * np_ - syp * nn)
+            )
+            out.append((b, best[1], best[2], a2))
+    return out
+
+
+def test_lttb_matches_exact_twin(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    pts = [(i, ((i * 37) % 101) - 50) for i in range(30)]
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in pts], "k string, x bigint, y bigint"
+    )
+    got = sorted(
+        (r["bucket"], r["x"], r["y"], r["a2_score"])
+        for r in lttb_downsample(df, "k", "x", "y", buckets=5).collect()
+    )
+    assert got == sorted(_lttb_twin(pts, 5))
+    # endpoints always survive
+    xs = {x for _, x, _, _ in got}
+    assert 0 in xs and 29 in xs
+    # exactly one point per bucket when n > buckets
+    assert len(got) == 5
+
+
+def test_lttb_passthrough_small_series(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, i * 2) for i in range(4)], "k string, x bigint, y bigint"
+    )
+    got = lttb_downsample(df, "k", "x", "y", buckets=12).collect()
+    assert len(got) == 4
+    assert all(r["a2_score"] == 0 for r in got)
