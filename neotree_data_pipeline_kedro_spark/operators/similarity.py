@@ -1467,3 +1467,101 @@ def hard_example_mining(
         "neg_sim",
         (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
     )
+
+
+def binary_quantize_words(
+    df: DataFrame, id_col: str, vec_col: str, *, dims: int = 64
+) -> DataFrame:
+    """1-bit embedding quantization: sign-binarize each component and
+    pack the bits into two 32-bit-per-word BIGINT columns (w0 = dims
+    0-31, w1 = dims 32-63) — the 64x-compression binary-embedding
+    codec whose Hamming distance approximates angular distance
+    (Charikar's hyperplane LSH with axis-aligned planes, the packed
+    whole-vector form). Bits stay in the low 32 of each word so no
+    sign-bit/overflow semantics are involved and any engine's int64
+    agrees. Pure codegen expression (64 conditional adds), scan-stage
+    at any corpus size; downstream retrieval is xor + bit_count on two
+    words instead of a d-dim float dot product.
+    """
+    def word(lo: int) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for i in range(32):
+            acc = acc + F.when(
+                F.element_at(F.col(vec_col), lo + i + 1) >= 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    assert dims == 64, "fixture embeddings are 64-dim; extend per 32 dims"
+    return df.select(
+        F.col(id_col), word(0).alias("w0"), word(32).alias("w1")
+    )
+
+
+def binary_topk_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    *,
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Retrieval-quality eval of the 1-bit codec: per query, the
+    Hamming-distance top-k over packed sign words vs the exact
+    quantized-cosine top-k (the sq8/retrieval_metrics pattern), and
+    the overlap between the two lists. All-integer scoring on both
+    arms (xor+bit_count Hamming; micro-quantized dot products), ties
+    by neighbor id, so the whole eval value-hashes across engines.
+    Scale shape: queries broadcast twice over one corpus scan each —
+    the binary arm shuffles only (id, w0, w1).
+
+    Output per query: n_overlap (|binary top-k ∩ exact top-k|),
+    min_ham / max_ham over the binary top-k.
+    """
+    codes = binary_quantize_words(df, id_col, vec_col)
+    qcodes = codes.join(
+        df.filter(query_pred).select(id_col), id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)")
+            .cast("bigint")
+            .alias("ham"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("ham"), F.asc("neighbor_id")
+    )
+    btop = ham.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= k
+    )
+    exact = brute_force_topk(
+        df, df.filter(query_pred), id_col, vec_col, k=k, scale=scale
+    ).select("query_id", "neighbor_id")
+    overlap = btop.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    return (
+        btop.groupBy("query_id")
+        .agg(
+            F.min("ham").alias("min_ham"),
+            F.max("ham").alias("max_ham"),
+        )
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            "min_ham",
+            "max_ham",
+        )
+    )

@@ -914,3 +914,68 @@ def lttb_downsample(
             F.col("__a2").alias("a2_score"),
         )
     )
+
+
+def isotonic_fit(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Isotonic (non-decreasing) regression per key via pool-adjacent-
+    violators (PAVA) — the monotone calibration primitive (calibrating
+    a quality/relevance score against observed outcomes, enforcing
+    monotone dose-response curves). EXACT arithmetic: blocks carry
+    integer (sum, count); the violation test is the cross-multiplied
+    comparison s₁·c₂ > s₂·c₁ (strict — equal means stay separate
+    blocks, matching the oracle's replay rule); each point's fitted
+    value is returned as the gcd-reduced fraction (fit_num, fit_den)
+    of its block mean, so the whole fit value-hashes across engines.
+
+    Contract: ``x_col`` is unique per key (aggregate first) and each
+    key's series fits one Arrow batch — the dtw_to_reference scale
+    shape: ONE shuffle on the key, a linear-time stack kernel per
+    series, no iteration over the cluster. int64 bound: block sums and
+    the cross-multiplication must stay below 2^63 (|y|·n² in the worst
+    case).
+
+    Output: key, x, y, fit_num, fit_den (block mean = fit_num/fit_den,
+    non-decreasing in x within each key).
+    """
+    from math import gcd
+
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        f"{key_col} {fields[key_col]}, {x_col} {fields[x_col]}, "
+        f"{y_col} bigint, fit_num bigint, fit_den bigint"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort").reset_index(drop=True)
+        blocks: list[list[int]] = []
+        for y in pdf[y_col]:
+            blocks.append([int(y), 1])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][0] * blocks[-1][1]
+                > blocks[-1][0] * blocks[-2][1]
+            ):
+                s, c = blocks.pop()
+                blocks[-1][0] += s
+                blocks[-1][1] += c
+        num, den = [], []
+        for s, c in blocks:
+            g = gcd(s, c) or 1
+            num.extend([s // g] * c)
+            den.extend([c // g] * c)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                x_col: pdf[x_col],
+                y_col: pdf[y_col].astype("int64"),
+                "fit_num": pd.Series(num, dtype="int64"),
+                "fit_den": pd.Series(den, dtype="int64"),
+            }
+        )
+
+    return df.select(key_col, x_col, F.col(y_col).cast("bigint").alias(y_col)) \
+        .groupBy(key_col).applyInPandas(kernel, schema)

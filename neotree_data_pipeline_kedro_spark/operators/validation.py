@@ -701,3 +701,64 @@ def run_contract(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Mutual information I(feature; label) per feature column, in
+    micro-nats — the model-free feature-relevance ranking used to
+    audit leakage (a feature with MI ≈ H(label) is the label in
+    disguise) and to rank candidate stratification keys. Exact
+    cross-engine protocol: joint and marginal counts are exact
+    integers; each cell's contribution
+    n_xy · ln(n_xy·N / (n_x·n_y)) · micro / N is rounded to an int64
+    BEFORE the per-feature sum, so the only transcendental (ln) is
+    absorbed by the micro-round and the sum is order-independent (the
+    BM25 idf recipe). Plan: features unpivot via stack (one scan),
+    one groupBy for joint counts; marginals derive from the joint
+    counts (no second scan), broadcast-joined back.
+
+    Output per feature: feature, n_cells, mi_micro_nats.
+    """
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in feature_cols
+    )
+    stacked = df.select(
+        F.expr(
+            f"stack({len(feature_cols)}, {pairs}) AS (feature, x)"
+        ),
+        F.col(label_col).cast("string").alias("y"),
+    )
+    joint = stacked.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    mx = joint.groupBy("feature", "x").agg(
+        F.sum("n_xy").alias("n_x")
+    )
+    my = joint.groupBy("feature", "y").agg(
+        F.sum("n_xy").alias("n_y")
+    )
+    nn = joint.groupBy("feature").agg(F.sum("n_xy").alias("n_tot"))
+    cells = (
+        joint.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(nn), "feature")
+    )
+    term = F.round(
+        F.log(
+            (F.col("n_xy") * F.col("n_tot")).cast("double")
+            / (F.col("n_x") * F.col("n_y")).cast("double")
+        )
+        * (F.col("n_xy") * F.lit(micro)).cast("double")
+        / F.col("n_tot").cast("double"),
+        0,
+    ).cast("bigint")
+    return cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(term).alias("mi_micro_nats"),
+    )

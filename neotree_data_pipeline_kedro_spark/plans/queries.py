@@ -17304,6 +17304,249 @@ def w34_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(pts, "l_suppkey", "x", "y", buckets=12)
 
 
+@_register(
+    "emb_binary_quantize",
+    f"""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32),
+                 i -> CASE WHEN embedding[i + 1] >= 0
+                           THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(0, 32),
+                 i -> CASE WHEN embedding[i + 33] >= 0
+                           THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w1
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+      FROM codes WHERE vec_id % 50 = 0
+    ), ham AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.qw0, c.w0))
+                  + bit_count(xor(q.qw1, c.w1)) AS BIGINT) AS ham
+      FROM qs q, codes c
+    ), btop AS (
+      SELECT query_id, neighbor_id, ham,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ham, neighbor_id) AS r
+      FROM ham QUALIFY r <= 10
+    ), q2 AS ({_QVEC_DUCK}), n2 AS (
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+      FROM q2
+    ), escore AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(qq.qv) + 1),
+                                 i -> qq.qv[i] * c.qv[i])) AS BIGINT)
+                  AS DOUBLE)
+             / (sqrt(CAST(qq.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE)))
+               AS cosine_sim
+      FROM n2 qq, n2 c
+      WHERE qq.vec_id % 50 = 0
+    ), etop AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC NULLS LAST,
+                                         neighbor_id ASC NULLS FIRST) AS r
+      FROM escore QUALIFY r <= 10
+    ), ov AS (
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM btop b JOIN etop e
+        ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id
+      GROUP BY 1
+    )
+    SELECT b.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+           MIN(b.ham) AS min_ham, MAX(b.ham) AS max_ham
+    FROM btop b LEFT JOIN ov ON ov.query_id = b.query_id
+    GROUP BY 1, 2
+    """,
+)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding codec + retrieval eval
+    (operators/similarity.binary_quantize_words / binary_topk_recall):
+    sign-binarize each of the 64 dims into two 32-bit-per-word BIGINT
+    codes (no sign-bit semantics, engine-exact), then per query compare
+    the xor+bit_count Hamming top-10 against the exact quantized-cosine
+    top-10 — the 64x-compression binary-embedding rerank-candidate
+    pattern (Charikar hyperplane LSH, packed whole-vector form). Both
+    arms are all-integer scoring with id tie-breaks, so overlap counts
+    and Hamming extrema value-hash across engines. Scale shape: the
+    binary arm shuffles only (id, w0, w1) — 16 bytes a vector instead
+    of 256."""
+    from ..operators.similarity import binary_topk_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_topk_recall(
+        emb, "vec_id", "embedding", F.col("vec_id") % 50 == 0, k=10
+    )
+
+
+@_register(
+    "v_mutual_information",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS f_priority,
+             CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR) AS f_month,
+             CAST(o_custkey % 10 AS VARCHAR) AS f_cust_mod,
+             CAST(o_orderstatus AS VARCHAR) AS y
+      FROM orders
+    ), stacked AS (
+      SELECT 'f_priority' AS feature, f_priority AS x, y FROM base
+      UNION ALL
+      SELECT 'f_month', f_month, y FROM base
+      UNION ALL
+      SELECT 'f_cust_mod', f_cust_mod, y FROM base
+    ), joint AS (
+      SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM stacked GROUP BY 1, 2, 3
+    ), mx AS (
+      SELECT feature, x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+      FROM joint GROUP BY 1, 2
+    ), my AS (
+      SELECT feature, y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+      FROM joint GROUP BY 1, 2
+    ), nn AS (
+      SELECT feature, CAST(SUM(n_xy) AS BIGINT) AS n_tot
+      FROM joint GROUP BY 1
+    ), cells AS (
+      SELECT j.feature,
+             CAST(round(
+               ln(CAST(j.n_xy * nn.n_tot AS DOUBLE)
+                  / CAST(mx.n_x * my.n_y AS DOUBLE))
+               * CAST(j.n_xy * 1000000 AS DOUBLE)
+               / CAST(nn.n_tot AS DOUBLE), 0) AS BIGINT) AS term
+      FROM joint j
+      JOIN mx ON mx.feature = j.feature AND mx.x = j.x
+      JOIN my ON my.feature = j.feature AND my.y = j.y
+      JOIN nn ON nn.feature = j.feature
+    )
+    SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term) AS BIGINT) AS mi_micro_nats
+    FROM cells GROUP BY feature
+    """,
+)
+def v_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) in micro-nats
+    (operators/validation.mutual_information) between order features
+    (priority, order month, custkey%10 — the last a deliberate
+    MI-zero control) and order status — the model-free
+    feature-relevance / leakage audit (a feature with MI near H(label)
+    is the label in disguise). Exact protocol: integer joint counts,
+    per-cell ln absorbed by a micro-round BEFORE the order-independent
+    bigint sum (the BM25 idf recipe). One scan + one joint groupBy;
+    marginals derive from the joint (no rescan) and broadcast back."""
+    from ..operators.validation import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("f_month"),
+        (F.col("o_custkey") % 10).cast("string").alias("f_cust_mod"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return mutual_information(
+        base, ["f_priority", "f_month", "f_cust_mod"], "status"
+    )
+
+
+@_register(
+    "w35_isotonic_fit",
+    """
+    WITH RECURSIVE series AS (
+      SELECT CAST(o_custkey % 5 AS BIGINT) AS grp,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1, 2
+    ), pts AS (
+      SELECT grp, m, y_cents,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY m)
+                  AS BIGINT) AS rn
+      FROM series
+    ), np AS (SELECT grp, MAX(rn) AS n FROM pts GROUP BY grp),
+    pava AS (
+      SELECT p.grp, CAST(1 AS BIGINT) AS rn, np.n,
+             [{'s': p.y_cents, 'c': CAST(1 AS BIGINT)}] AS st
+      FROM pts p JOIN np ON np.grp = p.grp WHERE p.rn = 1
+      UNION ALL
+      SELECT grp, CASE WHEN viol THEN rn ELSE rn + 1 END AS rn, n,
+             CASE WHEN viol THEN
+               list_append(st[1:len(st)-2],
+                           {'s': st[len(st)-1].s + st[len(st)].s,
+                            'c': st[len(st)-1].c + st[len(st)].c})
+             ELSE list_append(st, {'s': ynext, 'c': CAST(1 AS BIGINT)})
+             END AS st
+      FROM (
+        SELECT v.grp, v.rn, v.n, v.st,
+               (len(v.st) >= 2
+                AND v.st[len(v.st)-1].s * v.st[len(v.st)].c
+                    > v.st[len(v.st)].s * v.st[len(v.st)-1].c) AS viol,
+               pn.y_cents AS ynext
+        FROM pava v LEFT JOIN pts pn
+          ON pn.grp = v.grp AND pn.rn = v.rn + 1
+      )
+      WHERE viol OR rn < n
+    ), fin AS (
+      SELECT grp, st FROM pava
+      WHERE rn = n
+        AND NOT (len(st) >= 2
+                 AND st[len(st)-1].s * st[len(st)].c
+                     > st[len(st)].s * st[len(st)-1].c)
+    ), blocks AS (
+      SELECT f.grp, t.i, f.st[t.i].s AS s, f.st[t.i].c AS c
+      FROM fin f JOIN range(1, 201) t(i) ON t.i <= len(f.st)
+    ), cum AS (
+      SELECT grp, s, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY i) AS cum_end
+      FROM blocks
+    )
+    SELECT p.grp, p.m, p.y_cents,
+           b.s // gcd(b.s, b.c) AS fit_num,
+           b.c // gcd(b.s, b.c) AS fit_den
+    FROM cum b JOIN pts p
+      ON p.grp = b.grp AND p.rn > b.cum_end - b.c AND p.rn <= b.cum_end
+    """,
+)
+def w35_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (operators/timeseries.isotonic_fit, pool-
+    adjacent-violators) of monthly revenue-cents per customer cohort —
+    the monotone-calibration primitive (calibrating quality/relevance
+    scores, enforcing monotone dose-response). Exact integer blocks
+    with cross-multiplied violation tests and gcd-reduced fractional
+    fits make the whole fit hash-comparable: the ORACLE replays the
+    identical stack algorithm as a DuckDB recursive CTE over
+    list-of-struct state (the Holt-Winters list-state pattern), one
+    append-or-merge per iteration. Engine shape: one key shuffle into
+    a linear Arrow kernel per series (the dtw/w28 contract) — the
+    oracle's O(n) recursion is exactly why the kernel is the engine
+    and the CTE is the oracle."""
+    from ..operators.timeseries import isotonic_fit
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    series = (
+        o.groupBy(
+            (F.col("o_custkey") % 5).cast("bigint").alias("grp"),
+            ((F.year(d) - 1970) * 12 + F.month(d) - 1)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y_cents")
+        )
+    )
+    return isotonic_fit(series, "grp", "m", "y_cents")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -17375,6 +17618,9 @@ _DRIVER_FRONT = [
     "ta_domain_mix_rebalance",
     "ta_license_detect",
     "w34_lttb_downsample",
+    "emb_binary_quantize",
+    "v_mutual_information",
+    "w35_isotonic_fit",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

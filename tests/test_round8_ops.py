@@ -169,3 +169,118 @@ def test_lttb_passthrough_small_series(spark):
     got = lttb_downsample(df, "k", "x", "y", buckets=12).collect()
     assert len(got) == 4
     assert all(r["a2_score"] == 0 for r in got)
+
+
+# ----------------------------------------------- binary quantization
+def test_binary_words_pack_sign_bits(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        binary_quantize_words,
+    )
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id bigint, embedding array<float>"
+    )
+    row = binary_quantize_words(df, "vec_id", "embedding").collect()[0]
+    w0 = sum(1 << i for i in range(32) if i % 3 == 0)
+    w1 = sum(1 << i for i in range(32) if (i + 32) % 3 == 0)
+    assert (row["w0"], row["w1"]) == (w0, w1)
+    assert 0 <= row["w0"] < 1 << 32 and 0 <= row["w1"] < 1 << 32
+
+
+def test_binary_recall_self_is_perfect(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (
+        binary_topk_recall,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) for j in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["query_id"]: r
+        for r in binary_topk_recall(
+            df, "vec_id", "embedding", SF.col("vec_id") < 3, k=5
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        # the query itself is Hamming-0 and cosine-rank-1: overlap >= 1
+        assert r["min_ham"] == 0
+        assert 1 <= r["n_overlap"] <= 5
+
+
+# ---------------------------------------------- mutual information
+def test_mutual_information_extremes(spark):
+    import math
+
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        mutual_information,
+    )
+
+    # f_same == label (MI = H(label)); f_indep constant (MI = 0)
+    rows = [(str(i % 3), "k", str(i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "f_same string, f_indep string, y string")
+    out = {
+        r["feature"]: r["mi_micro_nats"]
+        for r in mutual_information(df, ["f_same", "f_indep"], "y").collect()
+    }
+    assert out["f_indep"] == 0
+    # H(uniform over 3) = ln 3; 3 cells each round(ln(3)*30*1e6/90)
+    expect = 3 * round(math.log(3.0) * 30 * 1_000_000 / 90)
+    assert abs(out["f_same"] - expect) <= 3  # per-cell rounding slack
+
+
+# ---------------------------------------------------- isotonic PAVA
+def _pava_twin(ys):
+    from math import gcd
+
+    blocks = []
+    for y in ys:
+        blocks.append([int(y), 1])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            s, c = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += c
+    out = []
+    for s, c in blocks:
+        g = gcd(s, c) or 1
+        out.extend([(s // g, c // g)] * c)
+    return out
+
+
+def test_isotonic_matches_twin_and_is_monotone(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        isotonic_fit,
+    )
+
+    ys = [((i * 37) % 23) + i // 3 for i in range(40)]
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)],
+        "grp string, x bigint, y bigint",
+    )
+    got = sorted(
+        (r["x"], r["fit_num"], r["fit_den"])
+        for r in isotonic_fit(df, "grp", "x", "y").collect()
+    )
+    twin = _pava_twin(ys)
+    assert [(n, d) for _, n, d in got] == twin
+    fits = [n / d for _, n, d in got]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+
+
+def test_isotonic_monotone_input_passthrough(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        isotonic_fit,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, 10 + i) for i in range(8)], "grp string, x bigint, y bigint"
+    )
+    got = isotonic_fit(df, "grp", "x", "y").collect()
+    assert all(r["fit_num"] == r["y"] and r["fit_den"] == 1 for r in got)
