@@ -438,6 +438,10 @@ def domain_mix_rebalance(
             ),
         )
         .select(group_col, "share_ppm", "tot_weight", "rate_ppm")
+        # one row per targeted group, but derived from a full corpus
+        # scan — materialize it so the gate pass and the final report
+        # join don't each replay that scan (the g5/g6 lesson)
+        .localCheckpoint()
     )
     gate = (
         F.expr(

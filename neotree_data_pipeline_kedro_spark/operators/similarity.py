@@ -1520,8 +1520,11 @@ def binary_topk_recall(
     min_ham / max_ham over the binary top-k.
     """
     codes = binary_quantize_words(df, id_col, vec_col)
-    qcodes = codes.join(
-        df.filter(query_pred).select(id_col), id_col
+    # pack the (small) query side from the filtered input directly —
+    # deriving it from `codes` would replay the corpus-wide packing
+    # scan a second time just to keep a handful of rows
+    qcodes = binary_quantize_words(
+        df.filter(query_pred), id_col, vec_col
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("w0").alias("qw0"),
@@ -1545,23 +1548,18 @@ def binary_topk_recall(
     )
     exact = brute_force_topk(
         df, df.filter(query_pred), id_col, vec_col, k=k, scale=scale
-    ).select("query_id", "neighbor_id")
-    overlap = btop.join(exact, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    # one pass over the binary top-k: left-mark exact-arm membership,
+    # then overlap count and Hamming extrema in a single aggregate
+    # (a second btop consumer would replay the whole Hamming scan)
     return (
-        btop.groupBy("query_id")
+        btop.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
         .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
             F.min("ham").alias("min_ham"),
             F.max("ham").alias("max_ham"),
-        )
-        .join(overlap, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
-                "n_overlap"
-            ),
-            "min_ham",
-            "max_ham",
         )
     )
