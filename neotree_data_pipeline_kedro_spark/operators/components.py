@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -1052,3 +1052,70 @@ def personalized_pagerank(
     return r.filter(F.col("r") > 0).select(
         F.col("v").alias("node"), F.col("r").alias("ppr_nano")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    walk_length: int = 4,
+    walks_per_seed: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk/node2vec
+    sampling step that turns a graph into training sequences): from each
+    seed node, ``walks_per_seed`` walks of up to ``walk_length`` steps,
+    where the walker at step t in walk w moves to the out-neighbor v
+    minimizing md5(w || '|' || t || '|' || v) — a stateless hash draw,
+    so walks are reproducible, engine-portable, and independent of
+    partitioning (no RNG, the hash_gate discipline). Walks stop early at
+    dangling nodes (the emitted prefix is still a valid sequence).
+
+    Per step: ONE equi-join current-node→out-edges (shuffle on the node
+    key) and one per-walk top-1 window (shuffle on walk id), frontier
+    localCheckpoint'd per step — bounded iteration, the pagerank/bfs
+    discipline; walk_length is small by contract (sequences for a
+    skip-gram window). Walk ids = seed·walks_per_seed + j, disjoint for
+    non-negative seed ids.
+
+    Output: (walk_id BIGINT, step INT, node BIGINT) — one row per
+    visited node, step 0 = the seed.
+    """
+    js = [F.lit(j) for j in range(walks_per_seed)]
+    state = seeds.select(
+        F.explode(F.array(*js)).alias("__j"),
+        F.col(seeds.columns[0]).cast("bigint").alias("node"),
+    ).select(
+        (F.col("node") * walks_per_seed + F.col("__j")).alias("walk_id"),
+        "node",
+    )
+    e = edges.select(
+        F.col(src).cast("bigint").alias("__s"),
+        F.col(dst).cast("bigint").alias("__d"),
+    )
+    out = state.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+    frontier = state
+    for t in range(1, walk_length + 1):
+        prio = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("walk_id").cast("string"),
+                F.lit(str(t)),
+                F.col("__d").cast("string"),
+            )
+        )
+        w = Window.partitionBy("walk_id").orderBy(prio, F.col("__d"))
+        frontier = (
+            frontier.join(e, F.col("node") == F.col("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("walk_id", F.col("__d").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out

@@ -17547,6 +17547,90 @@ def w35_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_fit(series, "grp", "m", "y_cents")
 
 
+@_register(
+    "g14_random_walks",
+    """
+    WITH nx AS (
+      SELECT l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT src, dst FROM nx
+      WHERE dst IS NOT NULL AND src % 10 = 0 AND dst % 10 = 0
+        AND src != dst
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT v FROM nodes WHERE v % 40 = 0),
+    s0 AS (
+      SELECT CAST(v * 2 + j AS BIGINT) AS walk_id, CAST(v AS BIGINT) AS node
+      FROM seeds CROSS JOIN (VALUES (0), (1)) t(j)
+    ),
+    s1 AS (SELECT walk_id, node FROM (
+      SELECT s.walk_id, CAST(e.dst AS BIGINT) AS node,
+             row_number() OVER (PARTITION BY s.walk_id
+               ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|1|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS r
+      FROM s0 s JOIN e ON e.src = s.node) WHERE r = 1),
+    s2 AS (SELECT walk_id, node FROM (
+      SELECT s.walk_id, CAST(e.dst AS BIGINT) AS node,
+             row_number() OVER (PARTITION BY s.walk_id
+               ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|2|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS r
+      FROM s1 s JOIN e ON e.src = s.node) WHERE r = 1),
+    s3 AS (SELECT walk_id, node FROM (
+      SELECT s.walk_id, CAST(e.dst AS BIGINT) AS node,
+             row_number() OVER (PARTITION BY s.walk_id
+               ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|3|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS r
+      FROM s2 s JOIN e ON e.src = s.node) WHERE r = 1),
+    s4 AS (SELECT walk_id, node FROM (
+      SELECT s.walk_id, CAST(e.dst AS BIGINT) AS node,
+             row_number() OVER (PARTITION BY s.walk_id
+               ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|4|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS r
+      FROM s3 s JOIN e ON e.src = s.node) WHERE r = 1)
+    SELECT walk_id, CAST(0 AS INTEGER) AS step, node FROM s0
+    UNION ALL SELECT walk_id, CAST(1 AS INTEGER), node FROM s1
+    UNION ALL SELECT walk_id, CAST(2 AS INTEGER), node FROM s2
+    UNION ALL SELECT walk_id, CAST(3 AS INTEGER), node FROM s3
+    UNION ALL SELECT walk_id, CAST(4 AS INTEGER), node FROM s4
+    """,
+)
+def g14_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk sampling (operators/components.
+    random_walks, the DeepWalk/node2vec sequence-generation step) over
+    the g11 part-succession graph: 2 walks of ≤4 steps from every 40th
+    node, next hop = out-neighbor minimizing a stateless md5 draw — so
+    the walk corpus is reproducible across engines, retries, and
+    partitionings, and the ORACLE can replay every hop exactly (four
+    unrolled join+argmin steps). Walks stop early at dangling nodes.
+    Engine shape: per step one node-key equi-join + one per-walk top-1
+    window with a frontier localCheckpoint (the bounded-iteration
+    pagerank/bfs discipline)."""
+    from ..operators.components import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    nx = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    e = nx.filter(
+        F.col("dst").isNotNull()
+        & (F.col("src") % 10 == 0)
+        & (F.col("dst") % 10 == 0)
+        & (F.col("src") != F.col("dst"))
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("v") % 40 == 0)
+    return random_walks(e, seeds, walk_length=4, walks_per_seed=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -17621,6 +17705,7 @@ _DRIVER_FRONT = [
     "emb_binary_quantize",
     "v_mutual_information",
     "w35_isotonic_fit",
+    "g14_random_walks",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

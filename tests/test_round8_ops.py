@@ -284,3 +284,52 @@ def test_isotonic_monotone_input_passthrough(spark):
     )
     got = isotonic_fit(df, "grp", "x", "y").collect()
     assert all(r["fit_num"] == r["y"] and r["fit_den"] == 1 for r in got)
+
+
+# ----------------------------------------------------- random walks
+def test_random_walks_are_valid_and_deterministic(spark):
+    import hashlib
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        random_walks,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)]  # 2,3,1 cyclic; 4 → 1
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (4,), (9,)], "v bigint")  # 9 dangling
+    out = random_walks(e, seeds, walk_length=3, walks_per_seed=2)
+    rows = sorted(
+        (r["walk_id"], r["step"], r["node"]) for r in out.collect()
+    )
+    walks: dict[int, list[int]] = {}
+    for wid, step, node in rows:
+        walks.setdefault(wid, []).append(node)
+    # walk ids: seed*2 + j
+    assert set(walks) == {2, 3, 8, 9, 18, 19}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for wid, seq in walks.items():
+        assert seq[0] == wid // 2  # step 0 = the seed
+        for a, b in zip(seq, seq[1:]):
+            assert b in adj[a]  # every hop is a real edge
+    # seed 9 has no out-edges: walk stops at the seed
+    assert walks[18] == [9] and walks[19] == [9]
+    # full-length walks from connected seeds
+    assert len(walks[2]) == 4 and len(walks[8]) == 4
+
+    # Python replay of the hash draw for walk 2, step 1 (node 1 → {2,3})
+    def prio(wid, t, d):
+        return hashlib.md5(f"{wid}|{t}|{d}".encode()).hexdigest()
+
+    expect = min([2, 3], key=lambda d: (prio(2, 1, d), d))
+    assert walks[2][1] == expect
+
+    # determinism across runs
+    again = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            e, seeds, walk_length=3, walks_per_seed=2
+        ).collect()
+    )
+    assert again == rows
