@@ -119,3 +119,35 @@ def sanitize_json_key(name: str) -> str:
     """JSON key sanitizer ``re.sub(r'[^A-Za-z0-9_ ]+','')``
     (json_restructure.py:72-81)."""
     return re.sub(r"[^A-Za-z0-9_ ]+", "", name)
+
+
+# American Soundex letter→code map (A..Z): vowels + H/W/Y → 0,
+# BFPV→1, CGJKQSXZ→2, DT→3, L→4, MN→5, R→6.
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def phonetic_code(col: Column | str) -> Column:
+    """Simplified American Soundex: first letter + the first three
+    collapsed consonant codes, zero-padded — the classic phonetic
+    blocking key for record linkage (names that SOUND alike share a
+    code, so vowel typos and doubled letters land in the same block).
+    Simplification vs full Soundex: the H/W same-code-bridge rule is
+    dropped (letters separated by H or W collapse here; full Soundex
+    keeps the vowel distinction only for A/E/I/O/U/Y), which is the
+    common "simplified soundex" variant.
+
+    Portability is the design constraint: upper + strip-non-letters +
+    ``translate`` through the 26-letter map + per-digit run collapse
+    via six backreference-free regexp_replace calls (RE2-safe, so the
+    DuckDB oracle states the identical algorithm) + rpad. Empty/null
+    input → NULL."""
+    u = F.upper(F.regexp_replace(_col(col).cast("string"), "[^A-Za-z]", ""))
+    mapped = F.translate(u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", _SOUNDEX_MAP)
+    collapsed = mapped
+    for d in "123456":
+        collapsed = F.regexp_replace(collapsed, f"{d}{{2,}}", d)
+    body = F.regexp_replace(F.substring(collapsed, 2, 1_000_000), "0", "")
+    code = F.concat(
+        F.substring(u, 1, 1), F.rpad(F.substring(body, 1, 3), 3, "0")
+    )
+    return F.when(F.length(u) > 0, code)

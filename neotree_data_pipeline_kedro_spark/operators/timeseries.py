@@ -979,3 +979,66 @@ def isotonic_fit(
 
     return df.select(key_col, x_col, F.col(y_col).cast("bigint").alias(y_col)) \
         .groupBy(key_col).applyInPandas(kernel, schema)
+
+
+def xcorr_lag_scan(
+    a: DataFrame,
+    b: DataFrame,
+    t_col: str,
+    a_col: str,
+    b_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation lag scan between two integer-valued series:
+    for every lag k in [-max_lag, max_lag], the exact Pearson-numerator
+    components of (a(t), b(t + k)) over co-observed time points — the
+    lead/lag alignment finder (does metric B follow metric A by k
+    days?). Everything stays int64: per lag the scan emits n, Σab and
+    the centered pieces num = n·Σab − Σa·Σb, den_a = n·Σa² − (Σa)²,
+    den_b likewise, so the full correlation ordering is recoverable
+    exactly (corr² = num²/(den_a·den_b)) without a cross-engine sqrt.
+    int64 bound: n·Σa² must stay below 2^63 — pre-scale heavy series
+    (the registry fixture uses whole currency units, not cents).
+
+    Plan: the lag axis is a 2·max_lag+1-element generated column (no
+    driver loop), one equi-join on the shifted time key, one group-by
+    on lag — two shuffles total regardless of series length; inner-join
+    semantics (only co-observed points count) are part of the
+    contract.
+    """
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    av = F.col(a_col).cast("bigint")
+    bv = F.col(b_col).cast("bigint")
+    left = a.select(
+        F.col(t_col).cast("bigint").alias("__t"), av.alias("__a")
+    ).select("*", lags)
+    right = b.select(
+        F.col(t_col).cast("bigint").alias("__tb"), bv.alias("__b")
+    )
+    joined = left.join(
+        right, F.col("__tb") == F.col("__t") + F.col("lag")
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("__a").alias("sa"),
+        F.sum("__b").alias("sb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("sab"),
+        F.sum(F.col("__a") * F.col("__a")).alias("saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("sbb"),
+    )
+    return agg.select(
+        F.col("lag").cast("int"),
+        "n_points",
+        (F.col("n_points") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("n_points") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("bigint")
+        .alias("den_a"),
+        (F.col("n_points") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("bigint")
+        .alias("den_b"),
+    )

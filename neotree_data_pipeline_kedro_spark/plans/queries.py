@@ -17631,6 +17631,152 @@ def g14_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, seeds, walk_length=4, walks_per_seed=2)
 
 
+@_register(
+    "j32_phonetic_join",
+    r"""
+    WITH dict AS (SELECT DISTINCT p_name FROM part),
+    probe AS (
+      SELECT replace(p_name, 'e', 'a') AS probe_name
+      FROM dict WHERE contains(p_name, 'e')
+    ),
+    dc AS (
+      SELECT p_name, substring(u, 1, 1) ||
+             rpad(substring(regexp_replace(substring(c6, 2), '0', '', 'g'),
+                            1, 3), 3, '0') AS code
+      FROM (
+        SELECT p_name, u,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                              '01230120022455012623010202'),
+                 '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                 '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+                 AS c6
+        FROM (SELECT p_name,
+                     upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS u
+              FROM dict)
+      ) WHERE length(u) > 0
+    ),
+    pc AS (
+      SELECT probe_name, substring(u, 1, 1) ||
+             rpad(substring(regexp_replace(substring(c6, 2), '0', '', 'g'),
+                            1, 3), 3, '0') AS code
+      FROM (
+        SELECT probe_name, u,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                              '01230120022455012623010202'),
+                 '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                 '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+                 AS c6
+        FROM (SELECT probe_name,
+                     upper(regexp_replace(probe_name, '[^A-Za-z]', '', 'g'))
+                       AS u
+              FROM probe)
+      ) WHERE length(u) > 0
+    )
+    SELECT p.probe_name, d.p_name AS matched, p.code,
+           CAST(levenshtein(p.probe_name, d.p_name) AS INTEGER) AS edit_dist
+    FROM pc p JOIN dc d ON d.code = p.code
+    WHERE levenshtein(p.probe_name, d.p_name) <= 3
+    """,
+)
+def j32_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-blocked fuzzy dictionary join (functions/strings.
+    phonetic_code, simplified American Soundex): probes are the part
+    names with every 'e' flattened to 'a' — a vowel corruption that
+    CHANGES the length-blocking story of j13 not at all but keeps the
+    Soundex code bit-identical (vowels map to 0), so the phonetic block
+    recovers every true match before the Levenshtein ≤ 3 verify. The
+    record-linkage blocking pattern complementary to j13's length
+    buckets and j21's Fellegi-Sunter weights: candidates come from a
+    tiny equi-join on the 4-char code, never all-pairs. The oracle
+    restates the identical backreference-free code derivation."""
+    from ..functions.strings import phonetic_code
+
+    dictionary = _t(spark, sf_dir, "part").select("p_name").distinct()
+    probes = dictionary.filter(F.col("p_name").contains("e")).select(
+        F.expr("replace(p_name, 'e', 'a')").alias("probe_name")
+    )
+    dc = dictionary.select(
+        "p_name", phonetic_code(F.col("p_name")).alias("code")
+    ).filter(F.col("code").isNotNull())
+    pc = probes.select(
+        "probe_name", phonetic_code(F.col("probe_name")).alias("code")
+    ).filter(F.col("code").isNotNull())
+    return (
+        pc.join(F.broadcast(dc), "code")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("probe_name"), F.col("p_name")).cast("int"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            "probe_name", F.col("p_name").alias("matched"), "code",
+            "edit_dist",
+        )
+    )
+
+
+@_register(
+    "w36_xcorr_lag",
+    """
+    WITH base AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS g,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS v
+      FROM orders
+    ),
+    a AS (SELECT d, CAST(SUM(v) AS BIGINT) AS x FROM base
+          WHERE g = 0 GROUP BY d),
+    b AS (SELECT d, CAST(SUM(v) AS BIGINT) AS y FROM base
+          WHERE g = 1 GROUP BY d),
+    l AS (SELECT CAST(i AS INT) AS lag FROM range(-7, 8) t(i)),
+    j AS (
+      SELECT l.lag, a.x, b.y
+      FROM a CROSS JOIN l JOIN b ON b.d = a.d + l.lag
+    )
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS den_a,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS den_b
+    FROM j GROUP BY lag
+    """,
+)
+def w36_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan (operators/timeseries.xcorr_lag_scan)
+    between the even- and odd-customer cohorts' daily revenue (whole
+    kilodollar units — the int64 headroom choice: n·Σa² must stay
+    below 2^63): for each lag in [-7, 7] the exact Pearson-numerator
+    components over co-observed days, so "does B follow A by k days"
+    is answerable with exact integers and no cross-engine sqrt
+    (corr² = num²/(den_a·den_b)). Plan: the lag axis is a generated
+    15-element column, one shifted-key equi-join, one group-by —
+    two shuffles regardless of series length."""
+    from ..operators.timeseries import xcorr_lag_scan
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_custkey") % 2).cast("int").alias("g"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("v"),
+    )
+    a = base.filter(F.col("g") == 0).groupBy("d").agg(
+        F.sum("v").cast("bigint").alias("x")
+    )
+    b = base.filter(F.col("g") == 1).groupBy("d").agg(
+        F.sum("v").cast("bigint").alias("y")
+    )
+    return xcorr_lag_scan(a, b, "d", "x", "y", max_lag=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -17706,6 +17852,8 @@ _DRIVER_FRONT = [
     "v_mutual_information",
     "w35_isotonic_fit",
     "g14_random_walks",
+    "j32_phonetic_join",
+    "w36_xcorr_lag",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

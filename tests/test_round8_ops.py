@@ -333,3 +333,51 @@ def test_random_walks_are_valid_and_deterministic(spark):
         ).collect()
     )
     assert again == rows
+
+
+# ------------------------------------------------------ phonetic code
+def test_phonetic_code_classic_values(spark):
+    from neotree_data_pipeline_kedro_spark.functions.strings import (
+        phonetic_code,
+    )
+
+    cases = [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),   # sounds alike → same block
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),  # doubled initial code collapses
+        ("a", "A000"),        # pad
+        ("small ring", "S546"),
+        ("small rang", "S546"),  # vowel typo keeps the code
+        ("!!!", None),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i int, s string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", phonetic_code("s").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+# --------------------------------------------------- xcorr lag scan
+def test_xcorr_finds_planted_lag(spark):
+    from neotree_data_pipeline_kedro_spark.operators.timeseries import (
+        xcorr_lag_scan,
+    )
+
+    pat = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    a = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(pat)], "t bigint, x bigint"
+    )
+    b = spark.createDataFrame(  # b is a delayed copy: b(t+2) = a(t)
+        [(t + 2, v) for t, v in enumerate(pat)], "t bigint, y bigint"
+    )
+    out = {r["lag"]: r for r in
+           xcorr_lag_scan(a, b, "t", "x", "y", max_lag=3).collect()}
+    r2 = out[2]
+    assert r2["n_points"] == 10
+    assert r2["num"] > 0 and r2["num"] ** 2 == r2["den_a"] * r2["den_b"]
+    # no other lag is a perfect correlation
+    for k, r in out.items():
+        if k != 2 and r["n_points"] > 1:
+            assert r["num"] ** 2 < r["den_a"] * r["den_b"]
