@@ -151,3 +151,46 @@ def phonetic_code(col: Column | str) -> Column:
         F.substring(u, 1, 1), F.rpad(F.substring(body, 1, 3), 3, "0")
     )
     return F.when(F.length(u) > 0, code)
+
+
+def parse_messy_number(col: Column | str) -> Column:
+    """Locale-messy numeric string → exact micro-units BIGINT: accepts
+    en-US grouping ('1,234.56'), European ('1.234,56'), French space
+    grouping ('1 234,56'), currency sigils ($ €), and accountant
+    negatives ('(123.45)') — the amount-repair cousin of the 20-format
+    timestamp parser (same reference lineage: dirty free-text fields).
+
+    Deterministic separator ladder (stated identically in SQL oracles):
+    strip sigils/spaces/parens; when both ',' and '.' appear, the LATER
+    one is the decimal separator; when only one appears, it is decimal
+    iff it occurs once with ≤ 2 trailing digits, else grouping. Parse
+    via try_cast (unparseable → NULL, never a throw under ANSI), round
+    half-away to micro. Pure codegen expressions — reverse/strpos/
+    replace, no regex backtracking, no UDF.
+    """
+    t = F.trim(_col(col).cast("string"))
+    neg = (
+        (t.startswith("(") & t.endswith(")"))
+        | t.contains("-")
+    )
+    u = F.regexp_replace(t, r"[()$€\s-]", "")
+    n_c = F.length(u) - F.length(F.replace(u, F.lit(",")))
+    n_p = F.length(u) - F.length(F.replace(u, F.lit(".")))
+    rc = F.instr(F.reverse(u), ",")
+    rp = F.instr(F.reverse(u), ".")
+    comma_dec = F.when(
+        (n_c > 0) & (n_p > 0), rc < rp
+    ).otherwise((n_c == 1) & (n_p == 0) & (rc - 1 <= 2))
+    point_dec = F.when(
+        (n_c > 0) & (n_p > 0), rp < rc
+    ).otherwise((n_p == 1) & (n_c == 0) & (rp - 1 <= 2))
+    v = (
+        F.when(
+            comma_dec,
+            F.replace(F.replace(u, F.lit(".")), F.lit(","), F.lit(".")),
+        )
+        .when(point_dec, F.replace(u, F.lit(",")))
+        .otherwise(F.replace(F.replace(u, F.lit(",")), F.lit(".")))
+    )
+    micro = F.round(v.try_cast("double") * 1_000_000, 0).cast("bigint")
+    return F.when(neg, -micro).otherwise(micro)

@@ -762,3 +762,29 @@ def mutual_information(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum(term).alias("mi_micro_nats"),
     )
+
+
+def row_fingerprint_checksum(
+    df: DataFrame, cols: Sequence[str], *, hex_chars: int = 12
+) -> DataFrame:
+    """Order-independent table checksum: md5 over the '|'-joined
+    canonical rendering of ``cols`` per row, the top ``hex_chars`` hex
+    digits as an int64, SUMMED — the replication/migration integrity
+    probe (two engines or two copies agree iff every row agrees,
+    independent of row order and partitioning; the Percona
+    pt-table-checksum idea as one aggregate). Callers pre-quantize
+    float columns (e.g. to cents) — raw double→string rendering is NOT
+    engine-portable. The 48-bit fingerprints are summed into
+    DECIMAL(38,0), so the checksum never overflows at any table size
+    (int64 would cap out near 32k rows of max-valued fingerprints).
+
+    Output: one row (n_rows BIGINT, checksum DECIMAL(38,0))."""
+    fp = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        + f")), 1, {hex_chars}), 16, 10) AS DECIMAL(38,0))"
+    )
+    return df.select(fp.alias("__fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("__fp").cast("decimal(38,0)").alias("checksum"),
+    )

@@ -17777,6 +17777,283 @@ def w36_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xcorr_lag_scan(a, b, "d", "x", "y", max_lag=7)
 
 
+@_register(
+    "f_number_normalization",
+    r"""
+    WITH fx AS (
+      SELECT o_orderkey % 5 AS style,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS i,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+               - CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) * 100
+               AS c2
+      FROM orders
+    ), parts AS (
+      SELECT style, i, c2, lpad(CAST(c2 AS VARCHAR), 2, '0') AS fr,
+             CAST(i // 1000000 AS VARCHAR) AS mil,
+             lpad(CAST((i % 1000000) // 1000 AS VARCHAR), 3, '0') AS th,
+             lpad(CAST(i % 1000 AS VARCHAR), 3, '0') AS un
+      FROM fx
+    ), built AS (
+      SELECT style, i, c2,
+             CASE CAST(style AS INT)
+               WHEN 0 THEN CAST(i AS VARCHAR) || '.' || fr
+               WHEN 1 THEN CASE WHEN i >= 1000000
+                                THEN mil || '.' || th || '.' || un
+                                WHEN i >= 1000
+                                THEN CAST(i // 1000 AS VARCHAR) || '.' || un
+                                ELSE CAST(i AS VARCHAR) END || ',' || fr
+               WHEN 2 THEN '$' || CASE WHEN i >= 1000000
+                                THEN mil || ',' || th || ',' || un
+                                WHEN i >= 1000
+                                THEN CAST(i // 1000 AS VARCHAR) || ',' || un
+                                ELSE CAST(i AS VARCHAR) END || '.' || fr
+               WHEN 3 THEN CASE WHEN i >= 1000000
+                                THEN mil || ' ' || th || ' ' || un
+                                WHEN i >= 1000
+                                THEN CAST(i // 1000 AS VARCHAR) || ' ' || un
+                                ELSE CAST(i AS VARCHAR) END || ',' || fr
+               ELSE '(' || CAST(i AS VARCHAR) || '.' || fr || ')'
+             END AS s,
+             (i * 100 + c2) * 10000
+               * CASE WHEN CAST(style AS INT) = 4 THEN -1 ELSE 1 END
+               AS expected_micro
+      FROM parts
+    ), parsed AS (
+      SELECT style, expected_micro, s,
+             (s LIKE '(%' AND s LIKE '%)') OR contains(s, '-') AS neg,
+             regexp_replace(s, '[()$€\s-]', '', 'g') AS u
+      FROM built
+    ), sep AS (
+      SELECT style, expected_micro, neg, u,
+             length(u) - length(replace(u, ',', '')) AS n_c,
+             length(u) - length(replace(u, '.', '')) AS n_p,
+             strpos(reverse(u), ',') AS rc,
+             strpos(reverse(u), '.') AS rp
+      FROM parsed
+    ), val AS (
+      SELECT style, expected_micro,
+             CAST(round(TRY_CAST(
+               CASE
+                 WHEN CASE WHEN n_c > 0 AND n_p > 0 THEN rc < rp
+                           ELSE n_c = 1 AND n_p = 0 AND rc - 1 <= 2 END
+                 THEN replace(replace(u, '.', ''), ',', '.')
+                 WHEN CASE WHEN n_c > 0 AND n_p > 0 THEN rp < rc
+                           ELSE n_p = 1 AND n_c = 0 AND rp - 1 <= 2 END
+                 THEN replace(u, ',', '')
+                 ELSE replace(replace(u, ',', ''), '.', '')
+               END AS DOUBLE) * 1000000, 0) AS BIGINT)
+             * CASE WHEN neg THEN -1 ELSE 1 END AS micro
+      FROM sep
+    )
+    SELECT CAST(style AS BIGINT) AS style,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(micro) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) FILTER (micro IS DISTINCT FROM expected_micro)
+                AS BIGINT) AS n_mismatch,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro
+    FROM val GROUP BY 1
+    """,
+)
+def f_number_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-messy amount repair (functions/strings.parse_messy_number,
+    the 20-format timestamp parser's numeric sibling): order totals are
+    re-rendered five ways — plain, European '1.234,56', '$'-sigil en-US
+    grouping, French space grouping, accountant '(…)' negatives — and
+    the parser must recover the exact micro value for EVERY row
+    (n_mismatch = 0 per style, checked against an expectation built
+    arithmetically, not via the parser). The separator ladder (later of
+    ',' and '.' wins; a lone separator is decimal iff single with ≤ 2
+    trailing digits) is pure codegen string ops and try_cast, ANSI-safe
+    on garbage. The oracle restates both the fixture construction and
+    the full ladder."""
+    from ..functions.strings import parse_messy_number
+
+    o = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    i = F.floor(tp).cast("bigint")
+    c2 = (F.floor(tp * 100).cast("bigint") - i * F.lit(100)).alias("c2")
+    fx = o.select(
+        (F.col("o_orderkey") % 5).alias("style"), i.alias("i"), c2
+    )
+    fr = F.lpad(F.col("c2").cast("string"), 2, "0")
+    mil = F.expr("CAST(i div 1000000 AS STRING)")
+    th = F.lpad(F.expr("CAST((i % 1000000) div 1000 AS STRING)"), 3, "0")
+    un = F.lpad((F.col("i") % 1000).cast("string"), 3, "0")
+    th_only = F.expr("CAST(i div 1000 AS STRING)")
+    iv = F.col("i")
+
+    def grouped(sep: str) -> F.Column:
+        return (
+            F.when(iv >= 1000000,
+                   F.concat(mil, F.lit(sep), th, F.lit(sep), un))
+            .when(iv >= 1000, F.concat(th_only, F.lit(sep), un))
+            .otherwise(iv.cast("string"))
+        )
+
+    plain = F.concat(iv.cast("string"), F.lit("."), fr)
+    s = (
+        F.when(F.col("style") == 0, plain)
+        .when(F.col("style") == 1, F.concat(grouped("."), F.lit(","), fr))
+        .when(F.col("style") == 2,
+              F.concat(F.lit("$"), grouped(","), F.lit("."), fr))
+        .when(F.col("style") == 3, F.concat(grouped(" "), F.lit(","), fr))
+        .otherwise(F.concat(F.lit("("), plain, F.lit(")")))
+    )
+    expected = (
+        (F.col("i") * 100 + F.col("c2")) * 10000
+        * F.when(F.col("style") == 4, -1).otherwise(1)
+    )
+    built = fx.select(
+        F.col("style").cast("bigint").alias("style"),
+        s.alias("s"),
+        expected.cast("bigint").alias("expected_micro"),
+    )
+    parsed = built.withColumn("micro", parse_messy_number(F.col("s")))
+    return parsed.groupBy("style").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("micro").cast("bigint").alias("n_parsed"),
+        F.sum(
+            F.when(
+                ~F.col("micro").eqNullSafe(F.col("expected_micro")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.sum("micro").cast("bigint").alias("sum_micro"),
+    )
+
+
+@_register(
+    "ta_curriculum_interleave",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(substring(source, 4) AS INT) AS src_idx
+      FROM documents
+    ), ns AS (SELECT MAX(src_idx) + 1 AS n_sources FROM d),
+    r AS (
+      SELECT doc_id, source, src_idx,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rn
+      FROM d
+    )
+    SELECT r.doc_id, r.source, r.rn,
+           CAST((r.rn - 1) * ns.n_sources + r.src_idx + 1 AS BIGINT)
+             AS global_pos
+    FROM r, ns
+    """,
+)
+def ta_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus interleaving for training order: within each
+    source, rows are shuffled by the stateless md5 draw (reproducible,
+    partition-independent — the hash_gate discipline applied to
+    ORDERING), then round-robined across sources via
+    global_pos = (rn−1)·n_sources + src_idx + 1 — the "mix shards so no
+    source runs hot for thousands of consecutive steps" property every
+    LLM data loader needs, computed declaratively with NO global
+    window: one per-source window shuffle plus a 1-row n_sources
+    broadcast. Gaps where a source runs dry are harmless (global_pos
+    stays strictly ordered and deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("src_idx"),
+    )
+    ns = d.select((F.max("src_idx") + 1).alias("n_sources"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    return r.crossJoin(F.broadcast(ns)).select(
+        "doc_id",
+        "source",
+        "rn",
+        ((F.col("rn") - 1) * F.col("n_sources") + F.col("src_idx") + 1)
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+
+
+@_register(
+    "v_table_checksum",
+    """
+    WITH fps AS (
+      SELECT 'customer' AS table_name,
+             ('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+               || CAST(c_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100)
+                            AS BIGINT) AS VARCHAR)
+               || '|' || c_mktsegment), 1, 12))::BIGINT AS fp
+      FROM customer
+      UNION ALL
+      SELECT 'supplier',
+             ('0x' || substring(md5(
+               CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+               || CAST(s_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(FLOOR(CAST(s_acctbal AS DOUBLE) * 100)
+                            AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT
+      FROM supplier
+      UNION ALL
+      SELECT 'nation',
+             ('0x' || substring(md5(
+               CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+               || CAST(n_regionkey AS VARCHAR)), 1, 12))::BIGINT
+      FROM nation
+      UNION ALL
+      SELECT 'region',
+             ('0x' || substring(md5(
+               CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1,
+               12))::BIGINT
+      FROM region
+    )
+    SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM fps GROUP BY table_name
+    """,
+)
+def v_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksums
+    (operators/validation.row_fingerprint_checksum) over the four
+    dimension tables — the replication/migration integrity probe (two
+    copies agree iff every row agrees, independent of row order and
+    partitioning; the pt-table-checksum idea as one aggregate per
+    table). Doubles are pre-quantized to cents (raw double→string
+    rendering is not engine-portable); 48-bit md5-prefix fingerprints
+    sum into DECIMAL(38,0) so the checksum never overflows. One scan +
+    one 1-row aggregate per table, unioned."""
+    from ..operators.validation import row_fingerprint_checksum
+
+    def dim(name: str, cols: list[str], bal: str | None) -> DataFrame:
+        df = _t(spark, sf_dir, name)
+        if bal is not None:
+            df = df.withColumn(
+                bal,
+                F.floor(F.col(bal).cast("double") * 100).cast("bigint"),
+            )
+        return row_fingerprint_checksum(df, cols).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            # string-rendered: DECIMAL(38,0) loses exactness through the
+            # oracle harness's float64 fetch path above 2^53
+            F.col("checksum").cast("string").alias("checksum"),
+        )
+
+    return (
+        dim("customer",
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+             "c_mktsegment"], "c_acctbal")
+        .unionByName(dim("supplier",
+                         ["s_suppkey", "s_name", "s_nationkey",
+                          "s_acctbal"], "s_acctbal"))
+        .unionByName(dim("nation",
+                         ["n_nationkey", "n_name", "n_regionkey"], None))
+        .unionByName(dim("region", ["r_regionkey", "r_name"], None))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -17854,6 +18131,9 @@ _DRIVER_FRONT = [
     "g14_random_walks",
     "j32_phonetic_join",
     "w36_xcorr_lag",
+    "f_number_normalization",
+    "ta_curriculum_interleave",
+    "v_table_checksum",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -381,3 +381,74 @@ def test_xcorr_finds_planted_lag(spark):
     for k, r in out.items():
         if k != 2 and r["n_points"] > 1:
             assert r["num"] ** 2 < r["den_a"] * r["den_b"]
+
+
+# ------------------------------------------------ messy number parse
+def test_parse_messy_number_formats(spark):
+    from neotree_data_pipeline_kedro_spark.functions.strings import (
+        parse_messy_number,
+    )
+
+    cases = [
+        ("1,234.56", 1_234_560_000),
+        ("1.234,56", 1_234_560_000),
+        ("1 234,56", 1_234_560_000),
+        ("$12,345.00", 12_345_000_000),
+        ("(123.45)", -123_450_000),
+        ("12,34", 12_340_000),     # lone ',' with 2 digits → decimal
+        ("1,234", 1_234_000_000),  # lone ',' with 3 digits → grouping
+        ("1.234", 1_234_000_000),  # same rule for '.'
+        ("-42", -42_000_000),
+        ("junk", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {r["i"]: r["m"] for r in df.select(
+        "i", parse_messy_number("s").alias("m")).collect()}
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, (s, got[i], want)
+
+
+# ------------------------------------------------- table checksum
+def test_checksum_order_independent_and_sensitive(spark):
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        row_fingerprint_checksum,
+    )
+
+    rows = [(i, f"name{i}", i * 7 % 13) for i in range(200)]
+    a = spark.createDataFrame(rows, "k bigint, s string, v bigint")
+    b = spark.createDataFrame(rows[::-1], "k bigint, s string, v bigint") \
+        .repartition(7)
+    cols = ["k", "s", "v"]
+    ca = row_fingerprint_checksum(a, cols).collect()[0]
+    cb = row_fingerprint_checksum(b, cols).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    mutated = [(i, f"name{i}", (i * 7 % 13) + (1 if i == 123 else 0))
+               for i in range(200)]
+    cm = row_fingerprint_checksum(
+        spark.createDataFrame(mutated, "k bigint, s string, v bigint"), cols
+    ).collect()[0]
+    assert cm["checksum"] != ca["checksum"] and cm["n_rows"] == 200
+
+
+# --------------------------------------------- curriculum interleave
+def test_interleave_positions_unique_and_stable(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    out = QUERIES["ta_curriculum_interleave"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pos = [r["global_pos"] for r in out]
+    assert len(pos) == len(set(pos))  # round-robin slots never collide
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(
+            (r["rn"], r["global_pos"])
+        )
+    for src, pairs in by_src.items():
+        pairs.sort()
+        # within a source, positions advance by exactly n_sources
+        strides = {b2 - b1 for (_, b1), (_, b2) in zip(pairs, pairs[1:])}
+        assert strides <= {20}
