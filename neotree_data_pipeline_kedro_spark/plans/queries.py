@@ -18054,6 +18054,200 @@ def v_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_sft_format_validate",
+    """
+    WITH turns AS (
+      SELECT o_custkey AS cust_id, o_orderkey AS rn,
+             CASE WHEN o_custkey % 7 = 2 THEN 'user'
+                  WHEN row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) % 2 = 1
+                  THEN 'user' ELSE 'assistant' END AS role,
+             CASE WHEN o_custkey % 7 = 1
+                   AND row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) = 1
+                  THEN ''
+                  ELSE 'msg-' || CAST(o_orderkey AS VARCHAR) END AS content
+      FROM orders
+    ), convs AS (
+      SELECT cust_id,
+             list(struct_pack(role := role, content := content)
+                  ORDER BY rn) AS l
+      FROM turns GROUP BY cust_id
+    )
+    SELECT cust_id, CAST(len(l) AS BIGINT) AS n_turns,
+           l[1].role = 'user' AS starts_user,
+           len(list_filter(range(2, len(l) + 1),
+                           i -> l[i].role = l[i-1].role)) = 0 AS alternates,
+           l[len(l)].role = 'assistant' AS ends_assistant,
+           len(list_filter(l, x -> length(x.content) = 0)) = 0 AS no_empty,
+           (l[1].role = 'user'
+            AND len(list_filter(range(2, len(l) + 1),
+                                i -> l[i].role = l[i-1].role)) = 0
+            AND l[len(l)].role = 'assistant'
+            AND len(list_filter(l, x -> length(x.content) = 0)) = 0)
+             AS valid
+    FROM convs
+    """,
+)
+def ta_sft_format_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT-format validation: each customer's orders become a
+    serialized conversation (alternating user/assistant turns, planted
+    violations: custkey%7==1 → empty first message, %7==2 → the roles
+    never alternate), round-tripped through to_json/from_json exactly
+    as an SFT JSONL corpus would arrive, then structurally validated —
+    starts-with-user, strict alternation, ends-with-assistant,
+    no empty content — the schema gate every instruction-tuning
+    pipeline runs before tokenization. All checks are higher-order
+    array expressions over the PARSED conversation (zip_with adjacent
+    pairs + forall, no UDF); the oracle states the same predicates
+    over DuckDB list state. Conversations with an odd turn count fail
+    ends_assistant naturally, so both planted and organic violations
+    are exercised."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    rn = F.row_number().over(w)
+    turns = o.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("rn"),
+        F.when(F.col("o_custkey") % 7 == 2, F.lit("user"))
+        .when(rn % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when((F.col("o_custkey") % 7 == 1) & (rn == 1), F.lit(""))
+        .otherwise(
+            F.concat(F.lit("msg-"), F.col("o_orderkey").cast("string"))
+        )
+        .alias("content"),
+    )
+    conv_json = (
+        turns.groupBy("cust_id")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "role", "content"))
+                    ),
+                    lambda t: F.struct(
+                        t["role"].alias("role"),
+                        t["content"].alias("content"),
+                    ),
+                )
+            ).alias("j")
+        )
+    )
+    arr = F.from_json(
+        F.col("j"), "array<struct<role:string,content:string>>"
+    )
+    parsed = conv_json.select("cust_id", arr.alias("l"))
+    n = F.size("l")
+    adjacent_ok = F.when(n < 2, F.lit(True)).otherwise(
+        F.forall(
+            F.zip_with(
+                F.slice(F.col("l"), 1, n - 1),
+                F.slice(F.col("l"), 2, n - 1),
+                lambda a, b: a["role"] != b["role"],
+            ),
+            lambda x: x,
+        )
+    )
+    starts = F.element_at("l", 1)["role"] == "user"
+    ends = F.element_at("l", -1)["role"] == "assistant"
+    no_empty = F.forall("l", lambda x: F.length(x["content"]) > 0)
+    return parsed.select(
+        "cust_id",
+        n.cast("bigint").alias("n_turns"),
+        starts.alias("starts_user"),
+        adjacent_ok.alias("alternates"),
+        ends.alias("ends_assistant"),
+        no_empty.alias("no_empty"),
+        (starts & adjacent_ok & ends & no_empty).alias("valid"),
+    )
+
+
+@_register(
+    "ta_span_integrity",
+    """
+    WITH spans AS (
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_len,
+             CAST(t.j AS BIGINT) AS span_id,
+             CAST((d.doc_id * 7 + t.j * 13) % length(d.text) AS BIGINT)
+               AS s,
+             CAST((d.doc_id * 7 + t.j * 13) % length(d.text)
+                  + 5 + (d.doc_id + t.j) % 10 AS BIGINT) AS e
+      FROM documents d JOIN range(0, 3) t(j) ON TRUE
+      WHERE length(d.text) > 0
+    ), flagged AS (
+      SELECT doc_id, span_id, s, e, n_len,
+             e > n_len AS oob,
+             s < MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e, span_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS overlap
+      FROM spans
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (oob) AS BIGINT) AS n_oob,
+           CAST(COUNT(*) FILTER (COALESCE(overlap, FALSE)) AS BIGINT)
+             AS n_overlap,
+           COUNT(*) FILTER (oob) = 0
+             AND COUNT(*) FILTER (COALESCE(overlap, FALSE)) = 0 AS clean
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def ta_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-span integrity audit — the QA gate for labeled NLP
+    corpora (NER/extraction training data): every span must lie within
+    its document's bounds and spans within a document must not overlap.
+    Three deterministic spans are synthesized per document (offsets a
+    pure function of doc_id, so out-of-bounds and overlapping spans
+    occur organically); bounds are checked against the live text
+    length, overlap via the running-max-of-end window (one shuffle on
+    doc_id, no self-join — the w10 interval-concurrency shape). Output
+    per document: span count, violation counts, clean flag."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_len")
+    )
+    spans = d.select(
+        "doc_id",
+        "n_len",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("span_id"),
+    ).select(
+        "doc_id",
+        "n_len",
+        F.col("span_id").cast("bigint").alias("span_id"),
+        ((F.col("doc_id") * 7 + F.col("span_id") * 13) % F.col("n_len"))
+        .cast("bigint")
+        .alias("s"),
+    ).withColumn(
+        "e",
+        (F.col("s") + 5 + (F.col("doc_id") + F.col("span_id")) % 10)
+        .cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e", "span_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "doc_id",
+        (F.col("e") > F.col("n_len")).alias("oob"),
+        F.coalesce(F.col("s") < F.max("e").over(w), F.lit(False)).alias(
+            "overlap"
+        ),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        cnt(F.col("oob")).alias("n_oob"),
+        cnt(F.col("overlap")).alias("n_overlap"),
+        (
+            (F.sum(F.when(F.col("oob"), 1).otherwise(0)) == 0)
+            & (F.sum(F.when(F.col("overlap"), 1).otherwise(0)) == 0)
+        ).alias("clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -18134,6 +18328,8 @@ _DRIVER_FRONT = [
     "f_number_normalization",
     "ta_curriculum_interleave",
     "v_table_checksum",
+    "ta_sft_format_validate",
+    "ta_span_integrity",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -452,3 +452,38 @@ def test_interleave_positions_unique_and_stable(spark):
         # within a source, positions advance by exactly n_sources
         strides = {b2 - b1 for (_, b1), (_, b2) in zip(pairs, pairs[1:])}
         assert strides <= {20}
+
+
+# -------------------------------------------- SFT + span validation
+def test_sft_validator_flags_planted_violations(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ta_sft_format_validate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["cust_id"] % 7 == 1:
+            assert not r["no_empty"]  # planted empty first message
+        if r["cust_id"] % 7 == 2 and r["n_turns"] >= 2:
+            assert not r["alternates"]  # planted all-user roles
+        assert r["valid"] == (
+            r["starts_user"] and r["alternates"]
+            and r["ends_assistant"] and r["no_empty"]
+        )
+    # organic failures exist too: odd-turn conversations end on 'user'
+    assert any(not r["ends_assistant"] for r in rows)
+    assert any(r["valid"] for r in rows)
+
+
+def test_span_integrity_flags_consistent(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ta_span_integrity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["n_spans"] == 3 for r in rows)
+    for r in rows:
+        assert r["clean"] == (r["n_oob"] == 0 and r["n_overlap"] == 0)
+    assert any(not r["clean"] for r in rows)  # violations occur organically
+    assert any(r["clean"] for r in rows)
