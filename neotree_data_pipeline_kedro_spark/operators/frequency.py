@@ -277,6 +277,20 @@ def dsir_ratio_weights(
     )
 
 
+def histogram_bucket(
+    value, lo: float, hi: float, buckets: int = 64
+):
+    """Clamped equi-width bucket id for ``value`` over [lo, hi) — the
+    shared derivation behind histogram_state and the streaming
+    histogram maintainer (streaming/incremental.
+    run_foreach_batch_histogram): out-of-range values count at the
+    edges instead of minting invalid bucket ids."""
+    b = F.floor(
+        (F.col(value) - F.lit(lo)) * F.lit(float(buckets)) / F.lit(hi - lo)
+    ).cast("int")
+    return F.greatest(F.least(b, F.lit(buckets - 1)), F.lit(0))
+
+
 def histogram_state(
     df: DataFrame,
     group: str,
@@ -296,10 +310,7 @@ def histogram_state(
     silently corrupt the quantile walk — r7 advice). The bucket
     expression is pure IEEE double arithmetic on exact inputs, so two
     engines evaluating the same shape agree bit-for-bit."""
-    b = F.floor(
-        (F.col(value) - F.lit(lo)) * F.lit(float(buckets)) / F.lit(hi - lo)
-    ).cast("int")
-    b = F.greatest(F.least(b, F.lit(buckets - 1)), F.lit(0))
+    b = histogram_bucket(value, lo, hi, buckets)
     return (
         df.select(F.col(group), b.alias("bucket"))
         .groupBy(group, "bucket")

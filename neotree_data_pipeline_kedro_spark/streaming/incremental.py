@@ -122,6 +122,7 @@ def run_foreach_batch_rollup(
     keys: Sequence[str],
     measures,
     max_files_per_trigger: int | None = 1,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Streaming materialized-view maintenance: every micro-batch is
     partially aggregated and MERGED into the stored rollup
@@ -251,6 +252,11 @@ def run_foreach_batch_rollup(
         src_df = batch if len(new) == len(files) else s.read.schema(
             schema
         ).parquet(*new)
+        if transform is not None:
+            # per-batch derivation (e.g. histogram bucketing) applied on
+            # BOTH ingest paths so a mixed-batch re-read rolls up the
+            # same shape; must be row-local (no cross-batch state)
+            src_df = transform(src_df)
         delta = partial_rollup(src_df, keys, measures)
         stored = (
             s.read.parquet(rollup_path) if os.path.isdir(rollup_path) else None
@@ -273,3 +279,52 @@ def run_foreach_batch_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_histogram(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    state_path: str,
+    checkpoint: str,
+    group: str,
+    value: str,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming quantile-sketch maintenance: keep a mergeable
+    equi-width histogram state (operators/frequency.histogram_state's
+    shape) continuously current over a file stream — approximate
+    percentiles over unbounded data without ever re-scanning history,
+    the streaming companion of u15_histogram_quantiles. Each
+    micro-batch is bucketized row-locally (frequency.histogram_bucket)
+    and merged into the stored (group, bucket, count_bucket) table via
+    run_foreach_batch_rollup, inheriting its source-file-set
+    idempotency and atomic swap, so replays and checkpoint relocations
+    never double-count. Read the state back and feed
+    frequency.histogram_quantile (rename count_bucket → cnt) for
+    estimates with the same one-bucket-width error bound as the batch
+    form."""
+    from pyspark.sql import functions as F
+
+    from ..operators.frequency import histogram_bucket
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group),
+            histogram_bucket(value, lo, hi, buckets).alias("bucket"),
+        )
+
+    run_foreach_batch_rollup(
+        spark,
+        source_path,
+        schema,
+        state_path,
+        checkpoint,
+        keys=(group, "bucket"),
+        measures={"bucket": "count"},
+        max_files_per_trigger=max_files_per_trigger,
+        transform=bucketize,
+    )
