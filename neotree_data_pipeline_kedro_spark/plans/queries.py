@@ -18248,6 +18248,206 @@ def ta_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w38_forecast_backtest",
+    """
+    WITH series AS (
+      SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+             CAST((year(CAST(o.o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) / 1000.0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT region, m, y,
+             lag(y, 1) OVER w AS f_naive,
+             lag(y, 12) OVER w AS f_seasonal,
+             MAX(m) OVER (PARTITION BY region) AS m_max
+      FROM series WINDOW w AS (PARTITION BY region ORDER BY m)
+    ), e AS (
+      SELECT t.region, t.model,
+             abs(t.y - t.f) AS abs_err,
+             CASE WHEN t.y > 0
+                  THEN (abs(t.y - t.f) * 1000000) // t.y END AS ape_ppm
+      FROM (
+        SELECT region, m, y, 'naive' AS model, f_naive AS f FROM lagged
+        WHERE m > m_max - 6 AND f_naive IS NOT NULL
+        UNION ALL
+        SELECT region, m, y, 'seasonal_naive', f_seasonal FROM lagged
+        WHERE m > m_max - 6 AND f_seasonal IS NOT NULL
+      ) t
+    )
+    SELECT region, model, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(ape_ppm) AS BIGINT) AS sum_ape_ppm
+    FROM e GROUP BY region, model
+    """,
+)
+def w38_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest over per-region monthly revenue
+    (kilodollar units): naive (last month) and seasonal-naive (same
+    month last year) forecasts evaluated over the final 6 months, with
+    EXACT integer error accounting — absolute errors sum in int64 and
+    per-point APE is micro-rounded (ppm, truncating div) before the
+    order-independent sum, so MAE/MAPE comparisons hash across engines.
+    The model-eval harness every forecasting pipeline needs BEFORE a
+    real model enters: beat-the-naive-baseline is the acceptance bar
+    (Hyndman's M-competition methodology). One join to dimension
+    tables, one month rollup, one window per region, one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    d = F.col("o_orderdate").cast("date")
+    series = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").cast("bigint").alias("region"),
+            ((F.year(d) - 1970) * 12 + F.month(d) - 1)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("m")
+    lagged = series.select(
+        "region",
+        "m",
+        "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 12).over(w).alias("f_seasonal"),
+        F.max("m").over(Window.partitionBy("region")).alias("m_max"),
+    ).filter(F.col("m") > F.col("m_max") - 6)
+    frames = []
+    for model, fcol in (("naive", "f_naive"), ("seasonal_naive",
+                                               "f_seasonal")):
+        frames.append(
+            lagged.filter(F.col(fcol).isNotNull()).select(
+                "region",
+                F.lit(model).alias("model"),
+                F.abs(F.col("y") - F.col(fcol)).alias("abs_err"),
+                F.when(
+                    F.col("y") > 0,
+                    F.expr(f"(abs(y - {fcol}) * 1000000) div y"),
+                ).alias("ape_ppm"),
+            )
+        )
+    e = frames[0].unionByName(frames[1])
+    return e.groupBy("region", "model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+        F.sum("ape_ppm").cast("bigint").alias("sum_ape_ppm"),
+    )
+
+
+@_register(
+    "j33_temporal_fk_check",
+    """
+    WITH versions AS (
+      SELECT c_custkey AS k, 1 AS version,
+             DATE '1995-01-01' AS v_from, DATE '1998-01-01' AS v_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             CASE WHEN c_custkey % 11 = 0 THEN DATE '1998-06-01'
+                  WHEN c_custkey % 13 = 0 THEN DATE '1997-06-01'
+                  ELSE DATE '1998-01-01' END,
+             DATE '9999-01-01'
+      FROM customer
+    ), facts AS (
+      SELECT o_orderkey AS fact_id, o_custkey AS k,
+             CAST(o_orderdate AS DATE) AS ts
+      FROM orders
+    ), matched AS (
+      SELECT f.fact_id, f.k,
+             CAST(COUNT(v.version) AS BIGINT) AS n_versions
+      FROM facts f LEFT JOIN versions v
+        ON v.k = f.k AND f.ts >= v.v_from AND f.ts < v.v_to
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN k % 11 = 0 THEN 'gap_planted'
+                WHEN k % 13 = 0 THEN 'overlap_planted'
+                ELSE 'clean' END AS dim_class,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(COUNT(*) FILTER (n_versions = 1) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) FILTER (n_versions = 0) AS BIGINT) AS n_orphaned,
+           CAST(COUNT(*) FILTER (n_versions >= 2) AS BIGINT)
+             AS n_ambiguous
+    FROM matched GROUP BY 1
+    """,
+)
+def j33_temporal_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal referential-integrity audit: every fact timestamp must
+    resolve to EXACTLY ONE valid SCD2 dimension version — the join-time
+    invariant behind j16/j25 that silently corrupts features when it
+    breaks (an orphaned fact drops from inner joins; an ambiguous one
+    double-counts). A two-version validity history is synthesized per
+    customer with planted defects — custkey%11: a half-year GAP between
+    versions (orders inside it orphan), custkey%13: a half-year OVERLAP
+    (orders inside it match both versions) — and the audit counts
+    exact/orphaned/ambiguous facts per defect class. One interval join
+    on the dimension key + one aggregate; the v_referential_integrity
+    pattern lifted to validity time."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    v1 = c.select(
+        "k",
+        F.lit(1).alias("version"),
+        F.lit("1995-01-01").cast("date").alias("v_from"),
+        F.lit("1998-01-01").cast("date").alias("v_to"),
+    )
+    v2 = c.select(
+        "k",
+        F.lit(2).alias("version"),
+        F.when(F.col("k") % 11 == 0, F.lit("1998-06-01").cast("date"))
+        .when(F.col("k") % 13 == 0, F.lit("1997-06-01").cast("date"))
+        .otherwise(F.lit("1998-01-01").cast("date"))
+        .alias("v_from"),
+        F.lit("9999-01-01").cast("date").alias("v_to"),
+    )
+    versions = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+    )
+    matched = (
+        facts.join(
+            versions,
+            (versions["k"] == facts["k"])
+            & (F.col("ts") >= F.col("v_from"))
+            & (F.col("ts") < F.col("v_to")),
+            "left",
+        )
+        .groupBy(facts["fact_id"], facts["k"])
+        .agg(F.count("version").cast("bigint").alias("n_versions"))
+    )
+    cls = (
+        F.when(F.col("k") % 11 == 0, F.lit("gap_planted"))
+        .when(F.col("k") % 13 == 0, F.lit("overlap_planted"))
+        .otherwise(F.lit("clean"))
+    )
+    cnt = lambda c_: F.sum(F.when(c_, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return matched.groupBy(cls.alias("dim_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+        cnt(F.col("n_versions") == 1).alias("n_exact"),
+        cnt(F.col("n_versions") == 0).alias("n_orphaned"),
+        cnt(F.col("n_versions") >= 2).alias("n_ambiguous"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -18330,6 +18530,8 @@ _DRIVER_FRONT = [
     "v_table_checksum",
     "ta_sft_format_validate",
     "ta_span_integrity",
+    "w38_forecast_backtest",
+    "j33_temporal_fk_check",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

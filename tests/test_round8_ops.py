@@ -487,3 +487,36 @@ def test_span_integrity_flags_consistent(spark):
         assert r["clean"] == (r["n_oob"] == 0 and r["n_overlap"] == 0)
     assert any(not r["clean"] for r in rows)  # violations occur organically
     assert any(r["clean"] for r in rows)
+
+
+# --------------------------------------- temporal FK + backtest
+def test_temporal_fk_planted_defects(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["dim_class"]: r for r in QUERIES["j33_temporal_fk_check"](
+        spark, "/root/testdata/sf0.001").collect()}
+    clean = rows["clean"]
+    assert clean["n_orphaned"] == 0 and clean["n_ambiguous"] == 0
+    assert clean["n_exact"] == clean["n_facts"]
+    # gap cohort: some orders orphan, none double-match
+    assert rows["gap_planted"]["n_orphaned"] > 0
+    assert rows["gap_planted"]["n_ambiguous"] == 0
+    # overlap cohort: some orders match both versions, none orphan
+    assert rows["overlap_planted"]["n_ambiguous"] > 0
+    assert rows["overlap_planted"]["n_orphaned"] == 0
+    for r in rows.values():
+        assert r["n_exact"] + r["n_orphaned"] + r["n_ambiguous"] \
+            == r["n_facts"]
+
+
+def test_forecast_backtest_shape(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["w38_forecast_backtest"](
+        spark, "/root/testdata/sf0.001").collect()
+    by = {(r["region"], r["model"]): r for r in rows}
+    models = {m for _, m in by}
+    assert models == {"naive", "seasonal_naive"}
+    for r in rows:
+        assert 1 <= r["n_points"] <= 6
+        assert r["sum_abs_err"] >= 0 and r["sum_ape_ppm"] >= 0
