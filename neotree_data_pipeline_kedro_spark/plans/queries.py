@@ -18328,21 +18328,27 @@ def w38_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("y", 12).over(w).alias("f_seasonal"),
         F.max("m").over(Window.partitionBy("region")).alias("m_max"),
     ).filter(F.col("m") > F.col("m_max") - 6)
-    frames = []
-    for model, fcol in (("naive", "f_naive"), ("seasonal_naive",
-                                               "f_seasonal")):
-        frames.append(
-            lagged.filter(F.col(fcol).isNotNull()).select(
-                "region",
-                F.lit(model).alias("model"),
-                F.abs(F.col("y") - F.col(fcol)).alias("abs_err"),
-                F.when(
-                    F.col("y") > 0,
-                    F.expr(f"(abs(y - {fcol}) * 1000000) div y"),
-                ).alias("ape_ppm"),
-            )
+    # unpivot both models from ONE pass over the lagged series (a
+    # two-branch union would replay the 3-table join per model)
+    e = (
+        lagged.select(
+            "region",
+            "y",
+            F.expr(
+                "stack(2, 'naive', f_naive, 'seasonal_naive', f_seasonal)"
+                " AS (model, f)"
+            ),
         )
-    e = frames[0].unionByName(frames[1])
+        .filter(F.col("f").isNotNull())
+        .select(
+            "region",
+            "model",
+            F.abs(F.col("y") - F.col("f")).alias("abs_err"),
+            F.when(
+                F.col("y") > 0, F.expr("(abs(y - f) * 1000000) div y")
+            ).alias("ape_ppm"),
+        )
+    )
     return e.groupBy("region", "model").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
