@@ -18454,6 +18454,177 @@ def j33_temporal_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) CDF thresholds in 2^24 units (computed once in Python and
+# embedded as literals on BOTH engines — the hex-threshold-ladder recipe
+# that makes any distribution draw exact cross-engine):
+# P(X<=k) * 16777216 for k = 0..6; draws past the ladder take weight 7.
+_POISSON1_T = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247,
+               16775819]
+
+
+def _poisson_ladder_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON1_T)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@_register(
+    "a58_bootstrap_ci",
+    f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), draws AS (
+      SELECT r.b, d.d, d.y,
+             ('0x' || substring(md5(CAST(d.d AS VARCHAR) || '|'
+                                    || CAST(r.b AS VARCHAR)), 1, 6))::BIGINT
+               AS u
+      FROM daily d CROSS JOIN range(1, 17) r(b)
+    ), weighted AS (
+      SELECT b, d, y, {_poisson_ladder_sql('u')} AS w FROM draws
+    )
+    SELECT CAST(b AS BIGINT) AS replica,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * y) AS BIGINT) AS sum_wy,
+           CAST(SUM(w * y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS mean_rev
+    FROM weighted GROUP BY b
+    """,
+)
+def a58_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of daily-revenue means — the
+    standard-error machinery for metrics at scale (Poisson(1) weights
+    approximate multinomial resampling without coordinating a global n,
+    the classic streaming-bootstrap trick). Every draw is STATELESS:
+    replica b's weight for day d is the Poisson(1) inverse-CDF of the
+    top 24 md5 bits of 'd|b', with the CDF thresholds precomputed in
+    Python and embedded as integer literals on both engines (the
+    hex-threshold-ladder recipe) — so all 16 replicas hash-match the
+    oracle exactly. Plan: the replica axis is a generated 16-element
+    cross join over the (tiny) daily rollup, one group-by; the raw
+    fact scan happens once. Downstream, the CI is the percentile
+    spread of mean_rev across replicas."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    draws = daily.select(
+        "d",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("b"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', "
+            "CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+        ),
+    )
+    w = F.lit(7)
+    for k in range(len(_POISSON1_T) - 1, -1, -1):
+        w = F.when(F.col("u") < _POISSON1_T[k], F.lit(k)).otherwise(w)
+    weighted = draws.withColumn("w", w)
+    return weighted.groupBy(
+        F.col("b").cast("bigint").alias("replica")
+    ).agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("sum_wy"),
+        (
+            F.sum(F.col("w") * F.col("y")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_rev"),
+    )
+
+
+@_register(
+    "u17_zipf_fit",
+    r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, f,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY f DESC, token) AS BIGINT)
+               AS r
+      FROM freq QUALIFY r <= 100
+    ), pts AS (
+      SELECT lang,
+             CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS y
+      FROM ranked
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+             AS slope_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+             AS slope_den,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+             AS zipf_slope
+    FROM pts GROUP BY lang
+    """,
+)
+def u17_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per language — the corpus-health diagnostic
+    (natural text fits ln f ≈ c − s·ln r with s near 1; template spam
+    and boilerplate bend the curve): least-squares slope over the top
+    100 (ln rank, ln frequency) points, with each coordinate
+    micro-rounded to int64 BEFORE the closed-form sums so the only
+    transcendental is absorbed (BM25 recipe) and the slope arrives as
+    an exact integer num/den pair plus the double ratio. One token
+    explode + one frequency group-by + a per-language top-100 window."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("token"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r") <= 100)
+    )
+    pts = ranked.select(
+        "lang",
+        F.round(F.log(F.col("r").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1))
+    num = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+    den = (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+    return pts.groupBy("lang").agg(
+        n.cast("bigint").alias("n_points"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -18538,6 +18709,8 @@ _DRIVER_FRONT = [
     "ta_span_integrity",
     "w38_forecast_backtest",
     "j33_temporal_fk_check",
+    "a58_bootstrap_ci",
+    "u17_zipf_fit",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

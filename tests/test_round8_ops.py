@@ -520,3 +520,60 @@ def test_forecast_backtest_shape(spark):
     for r in rows:
         assert 1 <= r["n_points"] <= 6
         assert r["sum_abs_err"] >= 0 and r["sum_ape_ppm"] >= 0
+
+
+# ------------------------------------------- bootstrap + zipf fit
+def test_bootstrap_replicas_sane(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a58_bootstrap_ci"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 16
+    # Poisson(1) weights: effective n stays near the day count and the
+    # replica means bracket the plain mean
+    import duckdb
+
+    con = duckdb.connect()
+    n_days, mean_y = con.execute(
+        """SELECT COUNT(*), AVG(y) FROM (
+             SELECT CAST(o_orderdate AS DATE) AS d,
+                    SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                        AS BIGINT)) AS y
+             FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+             GROUP BY 1)"""
+    ).fetchone()
+    for r in rows:
+        assert 0.5 * n_days < r["n_eff"] < 1.5 * n_days
+        assert abs(r["mean_rev"] - mean_y) / mean_y < 0.5
+    # replicas differ (the draws are real, not degenerate)
+    assert len({r["n_eff"] for r in rows}) > 1
+
+
+def test_poisson_ladder_boundaries(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import (
+        _POISSON1_T,
+    )
+
+    # ladder is monotone and spans the full 24-bit range
+    assert _POISSON1_T == sorted(_POISSON1_T)
+    assert 0 < _POISSON1_T[0] < _POISSON1_T[-1] < 16_777_216
+    import math
+
+    # thresholds really are the Poisson(1) CDF in 2^24 units
+    pk, cum = math.exp(-1.0), 0.0
+    for k, t in enumerate(_POISSON1_T):
+        cum += pk
+        assert t == int(cum * 16_777_216)
+        pk = pk / (k + 1)
+
+
+def test_zipf_slope_negative(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["u17_zipf_fit"](spark, "/root/testdata/sf0.001").collect()
+    assert {r["lang"] for r in rows} >= {"en"}
+    for r in rows:
+        assert 1 <= r["n_points"] <= 100
+        assert r["slope_den"] > 0
+        assert r["zipf_slope"] < 0  # frequency falls with rank
