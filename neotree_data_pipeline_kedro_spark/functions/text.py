@@ -379,3 +379,28 @@ def copyright_flag(col: Column | str) -> Column:
     contract as license_detect."""
     low = F.lower(_col(col))
     return low.contains(F.lit("copyright")) | low.contains(F.lit("(c)"))
+
+
+# Latin accent fold map (translate is code-point-wise in both Spark and
+# DuckDB, so the pair below is engine-portable; ß needs replace, not
+# translate, because it folds to TWO chars).
+_FOLD_SRC = "áàâäãåÁÀÂÄÃÅéèêëÉÈÊËíìîïÍÌÎÏóòôöõÓÒÔÖÕúùûüÚÙÛÜñÑçÇýÿÝ"
+_FOLD_DST = "aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUnNcCyyY"
+
+
+def unicode_fold(col: Column | str) -> Column:
+    """ASCII-fold accented Latin letters and typographic punctuation:
+    á→a, ß→ss, curly quotes→straight, en/em dashes→'-', ellipsis→'...',
+    NBSP→space — the normalization applied BEFORE fingerprinting and
+    tokenization so 'café' and 'cafe' dedup together (normalize_text
+    would delete the non-ASCII letter outright, losing the token).
+    Pure translate/replace chain, no regex, scan-stage codegen; the
+    oracle states the identical chain with the same literal maps."""
+    t = F.translate(_col(col), _FOLD_SRC, _FOLD_DST)
+    for src, dst in (
+        ("ß", "ss"), ("“", '"'), ("”", '"'), ("‘", "'"),
+        ("’", "'"), ("–", "-"), ("—", "-"),
+        ("…", "..."), (" ", " "),
+    ):
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    return t

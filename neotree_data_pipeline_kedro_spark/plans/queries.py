@@ -18625,6 +18625,189 @@ def u17_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_unicode_fold",
+    """
+    WITH fx AS (
+      SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS variant,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN translate(text, 'ae', 'áé')
+               WHEN 1 THEN '“' || replace(text, ' ', chr(160)) || '”'
+               ELSE text
+             END AS corrupted,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 1 THEN '"' || text || '"'
+               ELSE text
+             END AS expected
+      FROM documents
+    ), folded AS (
+      SELECT variant, expected,
+             replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(
+               translate(corrupted,
+                 'áàâäãåÁÀÂÄÃÅéèêëÉÈÊËíìîïÍÌÎÏóòôöõÓÒÔÖÕúùûüÚÙÛÜñÑçÇýÿÝ',
+                 'aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUnNcCyyY'),
+               'ß', 'ss'), '“', '"'), '”', '"'), '‘', ''''), '’', ''''),
+               '–', '-'), '—', '-'), '…', '...'), chr(160), ' ') AS f
+      FROM fx
+    )
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (f = expected) AS BIGINT) AS n_roundtrip,
+           CAST(SUM(length(f)) AS BIGINT) AS total_chars
+    FROM folded GROUP BY variant
+    """,
+)
+def ta_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII folding (functions/text.unicode_fold): accented Latin
+    letters, curly quotes, dashes, ellipses, and NBSPs fold to their
+    ASCII forms — the normalization that runs BEFORE fingerprinting so
+    'café'/'cafe' dedup together (normalize_text deletes non-ASCII
+    outright and loses the token). The fixture plants two corruption
+    classes (doc_id%3==0: accent re-spelling; ==1: curly-quote wrap +
+    NBSP spaces) and the fold must ROUND-TRIP every document to its
+    expected form (n_roundtrip == n_docs per class) — planted and
+    clean classes alike. Pure translate/replace chain, identical
+    literal maps in both engines."""
+    from ..functions.text import unicode_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    variant = (F.col("doc_id") % 3).cast("int")
+    corrupted = (
+        F.when(variant == 0, F.expr("translate(text, 'ae', 'áé')"))
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("“"),
+                F.replace(F.col("text"), F.lit(" "), F.lit(" ")),
+                F.lit("”"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    expected = F.when(
+        variant == 1, F.concat(F.lit('"'), F.col("text"), F.lit('"'))
+    ).otherwise(F.col("text"))
+    fx = docs.select(
+        variant.alias("variant"),
+        unicode_fold(corrupted).alias("f"),
+        expected.alias("expected"),
+    )
+    return fx.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("f") == F.col("expected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.sum(F.length("f")).cast("bigint").alias("total_chars"),
+    )
+
+
+@_register(
+    "s16_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+               AS cents,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS pm
+      FROM orders
+    ), newsnap AS (
+      SELECT k,
+             CASE WHEN pm = 310 THEN cents + 100000 ELSE cents END AS cents,
+             pm
+      FROM base WHERE pm != 300
+      UNION ALL
+      SELECT k + 1000000000, cents, 400 FROM base WHERE pm = 320
+    ), oldsum AS (
+      SELECT pm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+               || CAST(cents AS VARCHAR)), 1, 12))::BIGINT)
+               AS DECIMAL(38,0)) AS cs
+      FROM base GROUP BY pm
+    ), newsum AS (
+      SELECT pm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+               || CAST(cents AS VARCHAR)), 1, 12))::BIGINT)
+               AS DECIMAL(38,0)) AS cs
+      FROM newsnap GROUP BY pm
+    ), diff AS (
+      SELECT COALESCE(o.pm, n.pm) AS pm,
+             CASE WHEN o.pm IS NULL THEN 'added'
+                  WHEN n.pm IS NULL THEN 'deleted'
+                  WHEN o.n != n.n OR o.cs != n.cs THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oldsum o FULL OUTER JOIN newsum n ON n.pm = o.pm
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_partitions
+    FROM diff GROUP BY status
+    """,
+)
+def s16_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level snapshot diff: compare two table snapshots by
+    per-partition (row count, order-independent fingerprint checksum)
+    and classify every partition added / deleted / changed / unchanged
+    — the incremental-replication planner (recopy ONLY changed
+    partitions instead of diffing rows across 100 TB; the
+    v_table_checksum fingerprint machinery applied per partition). The
+    'new' snapshot is synthesized with one deleted month (1995-01),
+    one mutated month (cents shifted), and one added month (cloned
+    rows under fresh keys), and the diff must recover exactly that
+    classification. Two scans + two group-bys + one tiny
+    partition-count full-outer join."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        ((F.year(d) - 1970) * 12 + F.month(d) - 1)
+        .cast("bigint")
+        .alias("pm"),
+    )
+    newsnap = base.filter(F.col("pm") != 300).select(
+        "k",
+        F.when(F.col("pm") == 310, F.col("cents") + 100000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "pm",
+    ).unionByName(
+        base.filter(F.col("pm") == 320).select(
+            (F.col("k") + 1_000_000_000).alias("k"),
+            "cents",
+            F.lit(400).cast("bigint").alias("pm"),
+        )
+    )
+
+    def persum(df: DataFrame) -> DataFrame:
+        fp = F.expr(
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|', "
+            "CAST(cents AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+        )
+        return df.select("pm", fp.alias("fp")).groupBy("pm").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("fp").cast("decimal(38,0)").alias("cs"),
+        )
+
+    oldsum, newsum = persum(base), persum(newsnap)
+    j = oldsum.alias("o").join(
+        newsum.alias("n"), F.col("o.pm") == F.col("n.pm"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.pm").isNull(), F.lit("added"))
+        .when(F.col("n.pm").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("o.n") != F.col("n.n"))
+            | (F.col("o.cs") != F.col("n.cs")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -18711,6 +18894,8 @@ _DRIVER_FRONT = [
     "j33_temporal_fk_check",
     "a58_bootstrap_ci",
     "u17_zipf_fit",
+    "ta_unicode_fold",
+    "s16_snapshot_diff",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

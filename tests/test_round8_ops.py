@@ -577,3 +577,36 @@ def test_zipf_slope_negative(spark):
         assert 1 <= r["n_points"] <= 100
         assert r["slope_den"] > 0
         assert r["zipf_slope"] < 0  # frequency falls with rank
+
+
+# ------------------------------------------ fold + snapshot diff
+def test_unicode_fold_cases(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        unicode_fold,
+    )
+
+    cases = [
+        ("café", "cafe"),
+        ("ÀÉÎÕÜ ñ ç ß", "AEIOU n c ss"),
+        ("“quoted” — dash… done", '"quoted" - dash... done'),
+        ("nbsp here", "nbsp here"),
+        ("plain ascii", "plain ascii"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", unicode_fold("s").alias("f")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+def test_snapshot_diff_classification(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["status"]: r["n_partitions"] for r in QUERIES[
+        "s16_snapshot_diff"](spark, "/root/testdata/sf0.001").collect()}
+    assert rows.get("added") == 1      # the cloned month under pm=400
+    assert rows.get("deleted") == 1    # 1995-01 dropped
+    assert rows.get("changed") == 1    # the cents-shifted month
+    assert rows.get("unchanged", 0) >= 70  # the rest of 1995-2001
