@@ -428,3 +428,62 @@ def afingerprint_audio(
             )
 
     return src.mapInPandas(run, schema="id bigint, afp bigint")
+
+
+def tile_image_stats(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    tile: int = 2,
+    decoder=None,
+) -> DataFrame:
+    """ViT-style patch extraction plumbing: decode each image and emit one
+    row per ``tile``×``tile`` patch (edge patches smaller) with EXACT
+    integer pixel sums — (id, tile_r, tile_c, tile_h, tile_w, px_sum,
+    px_n). The patching stage of any vision-transformer preprocessing
+    pipeline, with sums instead of float means so the output
+    value-hashes across engines and the per-patch normalization stays a
+    downstream choice. Arrow-batched mapInPandas over the same
+    native-decoder seam as decode_image; undecodable payloads drop
+    (tolerant-ingest contract). Partitioning, batch shape, and schema
+    are the real 100 TB plumbing; the decoder slots PIL/libvips in
+    production."""
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(binary_col).alias("payload")
+    )
+    schema = (
+        "id bigint, tile_r int, tile_c int, tile_h int, tile_w int, "
+        "px_sum bigint, px_n bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder or default_image_decoder()
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "tile_r", "tile_c", "tile_h", "tile_w", "px_sum",
+                "px_n",
+            )}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    px = dec(payload)
+                except Exception:
+                    continue
+                h, w, _ch = px.shape
+                for tr in range((h + tile - 1) // tile):
+                    for tc in range((w + tile - 1) // tile):
+                        blk = px[
+                            tr * tile: min((tr + 1) * tile, h),
+                            tc * tile: min((tc + 1) * tile, w),
+                            :,
+                        ]
+                        rows["id"].append(i)
+                        rows["tile_r"].append(tr)
+                        rows["tile_c"].append(tc)
+                        rows["tile_h"].append(blk.shape[0])
+                        rows["tile_w"].append(blk.shape[1])
+                        rows["px_sum"].append(int(blk.sum(dtype="int64")))
+                        rows["px_n"].append(int(blk.size))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=schema)

@@ -18808,6 +18808,141 @@ def s16_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm_image_tiles",
+    """
+    WITH ids AS (
+      SELECT event_id AS id,
+             CAST(3 + event_id % 4 AS BIGINT) AS h,
+             CAST(4 + event_id % 5 AS BIGINT) AS w
+      FROM events WHERE event_id % 20 = 0
+    ), tiles AS (
+      SELECT id, h, w, tr.i AS tile_r, tc.i AS tile_c,
+             2 * tr.i AS r0, LEAST(2 * tr.i + 2, h) AS r1,
+             2 * tc.i AS c0, LEAST(2 * tc.i + 2, w) AS c1
+      FROM ids
+      JOIN range(0, 4) tr(i) ON tr.i < (h + 1) // 2
+      JOIN range(0, 4) tc(i) ON tc.i < (w + 1) // 2
+    )
+    SELECT id, CAST(tile_r AS INT) AS tile_r, CAST(tile_c AS INT) AS tile_c,
+           CAST(r1 - r0 AS INT) AS tile_h, CAST(c1 - c0 AS INT) AS tile_w,
+           CAST(3 * (3 * (((r0 + r1 - 1) * (r1 - r0)) // 2) * (c1 - c0)
+                     + 5 * (((c0 + c1 - 1) * (c1 - c0)) // 2) * (r1 - r0))
+                AS BIGINT) AS px_sum,
+           CAST(3 * (r1 - r0) * (c1 - c0) AS BIGINT) AS px_n
+    FROM tiles
+    """,
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction (operators/multimodal.tile_image_stats)
+    through the REAL byte path: deterministic gradient images
+    (pixel = 3·row + 5·col, dims from event_id) are PNG-encoded, decoded
+    by the byte-level codec, and split into 2×2 patches with exact
+    integer pixel sums — so the oracle can state every patch's sum in
+    closed form (3·channels·[3·Σrow·w + 5·Σcol·h] over the patch) and a
+    tiler that misaligns edges, drops edge patches, or mixes channels
+    hash-mismatches. Both stages Arrow-batched mapInPandas; the decoder
+    seam takes PIL/libvips in production."""
+    import numpy as np
+
+    from ..functions.png import encode_png
+    from ..operators.multimodal import tile_image_stats
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    ).select("event_id")
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            imgs = []
+            for i in pdf["event_id"]:
+                h, w = 3 + int(i) % 4, 4 + int(i) % 5
+                grad = (
+                    3 * np.arange(h, dtype=np.int64)[:, None]
+                    + 5 * np.arange(w, dtype=np.int64)[None, :]
+                )
+                px = np.repeat(
+                    grad[:, :, None], 3, axis=2
+                ).astype(np.uint8)
+                imgs.append(bytearray(encode_png(px)))
+            yield pd.DataFrame({"id": pdf["event_id"], "img": imgs})
+
+    encoded = ev.mapInPandas(enc, schema="id bigint, img binary")
+    return tile_image_stats(encoded, "id", "img", tile=2)
+
+
+@_register(
+    "ta_readability_scores",
+    r"""
+    WITH fx AS (
+      SELECT doc_id, replace(text, ' value ', '. ') AS t2
+      FROM documents WHERE trim(text) <> ''
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(t2), '\s+')) AS BIGINT)
+               AS words,
+             CAST(length(t2) - length(replace(t2, '.', '')) + 1 AS BIGINT)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(t2), '[aeiouy]+'))
+                  AS BIGINT) AS syllables
+      FROM fx
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(round((0.39 * words / sentences
+                       + 11.8 * syllables / words - 15.59) * 1000000, 0)
+                AS BIGINT) AS fk_grade_micro
+    FROM m WHERE words > 0
+    """,
+)
+def ta_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability grading — the classic text-quality
+    signal next to the Gopher/repetition gates (too-low or too-high
+    grades both mark junk for a training corpus). Sentence boundaries
+    are planted deterministically (' value ' → '. '), syllables are the
+    standard vowel-group heuristic (runs of [aeiouy]), and the grade is
+    micro-rounded so the double formula (exact-int operands, identical
+    literal constants and association in both engines) hash-compares.
+    One scan, three codegen string expressions, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.expr("replace(text, ' value ', '. ')")
+    fx = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", t2.alias("t2")
+    )
+    m = fx.select(
+        "doc_id",
+        token_count(F.col("t2")).alias("words"),
+        (
+            F.length("t2")
+            - F.length(F.replace(F.col("t2"), F.lit(".")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.expr("size(regexp_extract_all(lower(t2), '[aeiouy]+', 0))")
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    return m.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            (
+                F.lit(0.39) * F.col("words") / F.col("sentences")
+                + F.lit(11.8) * F.col("syllables") / F.col("words")
+                - F.lit(15.59)
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("fk_grade_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -18896,6 +19031,8 @@ _DRIVER_FRONT = [
     "u17_zipf_fit",
     "ta_unicode_fold",
     "s16_snapshot_diff",
+    "mm_image_tiles",
+    "ta_readability_scores",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -610,3 +610,48 @@ def test_snapshot_diff_classification(spark):
     assert rows.get("deleted") == 1    # 1995-01 dropped
     assert rows.get("changed") == 1    # the cents-shifted month
     assert rows.get("unchanged", 0) >= 70  # the rest of 1995-2001
+
+
+# ------------------------------------------- tiles + readability
+def test_tile_image_stats_covers_all_pixels(spark):
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_png
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import (
+        tile_image_stats,
+    )
+
+    h, w = 5, 7  # odd dims force edge tiles
+    px = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 200
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px.astype(np.uint8))))],
+        "id bigint, img binary",
+    )
+    rows = tile_image_stats(df, "id", "img", tile=2).collect()
+    assert len(rows) == 3 * 4  # ceil(5/2) x ceil(7/2)
+    assert sum(r["px_n"] for r in rows) == h * w * 3
+    assert sum(r["px_sum"] for r in rows) == int(px.sum())
+    # edge tiles are smaller
+    dims = {(r["tile_r"], r["tile_c"]): (r["tile_h"], r["tile_w"])
+            for r in rows}
+    assert dims[(2, 3)] == (1, 1) and dims[(0, 0)] == (2, 2)
+    # exact per-tile replay
+    for r in rows:
+        blk = px[r["tile_r"]*2:r["tile_r"]*2+r["tile_h"],
+                 r["tile_c"]*2:r["tile_c"]*2+r["tile_w"], :]
+        assert r["px_sum"] == int(blk.sum())
+
+
+def test_readability_monotone_in_sentence_length(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ta_readability_scores"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["sentences"] >= 1 and r["syllables"] > 0
+        # grade reconstructs from the components
+        import math
+        fk = (0.39 * r["words"] / r["sentences"]
+              + 11.8 * r["syllables"] / r["words"] - 15.59) * 1e6
+        assert abs(r["fk_grade_micro"] - fk) <= 1
