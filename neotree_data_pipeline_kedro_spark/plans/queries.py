@@ -18943,6 +18943,139 @@ def ta_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u18_bloom_calibration",
+    """
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0
+    ), probes AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 2 = 1
+    ), mpos AS (
+      SELECT m.k,
+             ('0x' || substring(md5(CAST(m.k AS VARCHAR) || '|'
+               || CAST(j.i AS VARCHAR)), 1, 6))::BIGINT % 4096 AS pos
+      FROM members m JOIN range(0, 3) j(i) ON TRUE
+    ), bloom AS (
+      SELECT pos // 32 AS word,
+             CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT)
+               AS wv
+      FROM mpos GROUP BY 1
+    ), ppos AS (
+      SELECT p.k,
+             ('0x' || substring(md5(CAST(p.k AS VARCHAR) || '|'
+               || CAST(j.i AS VARCHAR)), 1, 6))::BIGINT % 4096 AS pos
+      FROM probes p JOIN range(0, 3) j(i) ON TRUE
+    ), hits AS (
+      SELECT pp.k,
+             CAST(SUM(CASE WHEN b.wv IS NOT NULL
+                 AND (b.wv & (1::BIGINT << CAST(pp.pos % 32 AS INT))) != 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM ppos pp LEFT JOIN bloom b ON b.word = pp.pos // 32
+      GROUP BY pp.k
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+           (SELECT CAST(SUM(bit_count(wv)) AS BIGINT) FROM bloom)
+             AS bits_set,
+           CAST(COUNT(*) FILTER (n_hit = 3) AS BIGINT) AS n_false_pos,
+           CAST((COUNT(*) FILTER (n_hit = 3)) * 1000000
+                // (SELECT COUNT(*) FROM probes) AS BIGINT) AS fpr_ppm
+    FROM hits
+    """,
+)
+def u18_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate calibration: build a 4096-bit /
+    3-hash bloom over the even customer keys (md5-derived positions,
+    32-bit word packing — no sign-bit shifts, engine-portable), probe
+    it with the DISJOINT odd keys, and measure bits_set and the
+    realized FPR against capacity — the sizing audit run before
+    trusting a bloom prefilter (j20) at 100 TB, where an undersized
+    filter silently degrades a semi-join into a scan. Every position is
+    a stateless hash draw, so filter contents, popcount, and FPR all
+    hash-match the oracle. Plan: one group-by builds the 128-word
+    filter, which broadcasts onto the probe side."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    members = c.filter(F.col("k") % 2 == 0)
+    probes = c.filter(F.col("k") % 2 == 1)
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+        ).select(
+            "k",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|', "
+                "CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4096"
+            ).alias("pos"),
+        )
+
+    bloom = (
+        positions(members)
+        .groupBy(F.expr("pos div 32").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            )
+            .cast("bigint")
+            .alias("wv")
+        )
+    )
+    hits = (
+        positions(probes)
+        .join(F.broadcast(bloom), F.expr("pos div 32") == F.col("word"),
+              "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("wv").isNotNull()
+                    & (
+                        F.expr(
+                            "wv & shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 32 AS INT))"
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    n_members = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    n_probes = probes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    bits = bloom.agg(
+        F.sum(F.expr("bit_count(wv)")).cast("bigint").alias("bits_set")
+    )
+    fp = hits.agg(
+        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos")
+    )
+    return (
+        n_members.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_members",
+            "n_probes",
+            "bits_set",
+            "n_false_pos",
+            F.expr(
+                "(n_false_pos * CAST(1000000 AS BIGINT)) div n_probes"
+            ).alias("fpr_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19033,6 +19166,7 @@ _DRIVER_FRONT = [
     "s16_snapshot_diff",
     "mm_image_tiles",
     "ta_readability_scores",
+    "u18_bloom_calibration",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -655,3 +655,21 @@ def test_readability_monotone_in_sentence_length(spark):
         fk = (0.39 * r["words"] / r["sentences"]
               + 11.8 * r["syllables"] / r["words"] - 15.59) * 1e6
         assert abs(r["fk_grade_micro"] - fk) <= 1
+
+
+# ---------------------------------------------- bloom calibration
+def test_bloom_fpr_near_theory(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    r = QUERIES["u18_bloom_calibration"](
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_members"] > 0 and r["n_probes"] > 0
+    assert 0 < r["bits_set"] <= min(4096, 3 * r["n_members"])
+    # theory: p_bit = 1-(1-1/m)^(k*n); fpr ~ p_bit^k — measured FPR and
+    # popcount should land near it (loose band: one small filter draw)
+    m, k, n = 4096, 3, r["n_members"]
+    p_bit = 1 - (1 - 1 / m) ** (k * n)
+    assert abs(r["bits_set"] / m - p_bit) < 0.05
+    fpr = r["n_false_pos"] / r["n_probes"]
+    assert abs(fpr - p_bit ** k) < 0.1
+    assert r["fpr_ppm"] == r["n_false_pos"] * 1_000_000 // r["n_probes"]
