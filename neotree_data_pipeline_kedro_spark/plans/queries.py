@@ -18994,9 +18994,11 @@ def u18_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stateless hash draw, so filter contents, popcount, and FPR all
     hash-match the oracle. Plan: one group-by builds the 128-word
     filter, which broadcasts onto the probe side."""
+    # c_custkey is the dimension's primary key: no distinct needed, and
+    # skipping it removes one shuffle per consumer branch
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")
-    ).distinct()
+    )
     members = c.filter(F.col("k") % 2 == 0)
     probes = c.filter(F.col("k") % 2 == 1)
 
@@ -19046,11 +19048,15 @@ def u18_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hit")
         )
     )
-    n_members = members.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
-    n_probes = probes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    # one pass over the key universe for BOTH set sizes (separate aggs
+    # would rescan customer per count)
+    counts = c.agg(
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_probes"),
     )
     bits = bloom.agg(
         F.sum(F.expr("bit_count(wv)")).cast("bigint").alias("bits_set")
@@ -19061,8 +19067,7 @@ def u18_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_false_pos")
     )
     return (
-        n_members.crossJoin(F.broadcast(n_probes))
-        .crossJoin(F.broadcast(bits))
+        counts.crossJoin(F.broadcast(bits))
         .crossJoin(F.broadcast(fp))
         .select(
             "n_members",
