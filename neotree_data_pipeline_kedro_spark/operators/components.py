@@ -1119,3 +1119,67 @@ def random_walks(
             )
         )
     return out
+
+
+def dag_layers(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 64,
+) -> DataFrame:
+    """Longest-path layering of a DAG (Kahn levels): sources sit at
+    layer 0 and every node's layer is 1 + max over its predecessors —
+    the dependency-scheduling primitive (which tasks/tables can build
+    in parallel, how deep is the critical path). Iterative max-
+    relaxation: each round joins the current layer table to the edge
+    list and keeps the per-node MAX, localCheckpoint'd (the
+    bounded-frontier bfs/pagerank discipline); convergence is detected
+    with a monotone (count, sum) aggregate, never a change-join. Raises
+    if ``max_iters`` rounds don't converge — on a DAG the round count
+    is the critical-path depth, so hitting the cap means the input has
+    a cycle (layers would relax forever).
+
+    Output: (node BIGINT, layer INT).
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("__s"),
+        F.col(dst).cast("bigint").alias("__d"),
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    lv = nodes.join(
+        e.select(F.col("__d").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.lit(0).alias("layer"))
+    prev = (-1, -1)
+    for _ in range(max_iters):
+        relaxed = lv.join(e, F.col("node") == F.col("__s")).select(
+            F.col("__d").alias("node"), (F.col("layer") + 1).alias("layer")
+        )
+        lv = (
+            lv.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint()
+        )
+        row = lv.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("layer").alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
+        if cur == prev:
+            unlayered = nodes.join(lv, "node", "left_anti").count()
+            if unlayered:
+                raise ValueError(
+                    f"dag_layers: {unlayered} node(s) unreachable from "
+                    "any source — the edge set contains a cycle, so it "
+                    "is not a DAG"
+                )
+            return lv.select("node", F.col("layer").cast("int"))
+        prev = cur
+    raise ValueError(
+        f"dag_layers: no fixpoint after {max_iters} rounds — the edge "
+        "set is not a DAG (or raise max_iters for a deeper graph)"
+    )

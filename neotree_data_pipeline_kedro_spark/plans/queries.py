@@ -19165,6 +19165,60 @@ def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "g15_dag_layers",
+    """
+    WITH RECURSIVE nx AS (
+      SELECT l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT src, dst FROM nx
+      WHERE dst IS NOT NULL AND src % 10 = 0 AND dst % 10 = 0
+        AND dst >= src * 2
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    lv AS (
+      SELECT v, 0 AS l FROM nodes
+      WHERE v NOT IN (SELECT dst FROM e)
+      UNION
+      SELECT e.dst AS v, lv.l + 1 FROM lv JOIN e ON e.src = lv.v
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(MAX(l) AS INT) AS layer
+    FROM lv GROUP BY v
+    """,
+)
+def g15_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG layering / Kahn levels (operators/components.dag_layers) of
+    the GEOMETRICALLY-ASCENDING part-succession graph (dst >= 2*src is
+    acyclic AND caps the critical path at log2(max id) rounds at
+    ANY scale factor — a relaxation fixture must bound its own
+    iteration count): sources at layer 0, every node at 1 + max over its
+    predecessors — the dependency-scheduling primitive (what can build
+    in parallel; the max layer is the critical-path depth). Engine:
+    iterative max-relaxation with per-round localCheckpoint and a
+    monotone (count, sum) convergence aggregate, cycle-guarded by a
+    round cap; ORACLE: a recursive UNION closure over (node, depth)
+    pairs reduced by MAX — bounded by nodes x depth on a DAG, exactly
+    why the closure is the oracle and the relaxation is the engine."""
+    from ..operators.components import dag_layers
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    nx = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    e = nx.filter(
+        F.col("dst").isNotNull()
+        & (F.col("src") % 10 == 0)
+        & (F.col("dst") % 10 == 0)
+        & (F.col("dst") >= F.col("src") * 2)
+    ).distinct()
+    return dag_layers(e)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19257,6 +19311,7 @@ _DRIVER_FRONT = [
     "ta_readability_scores",
     "u18_bloom_calibration",
     "f_luhn_checksum",
+    "g15_dag_layers",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

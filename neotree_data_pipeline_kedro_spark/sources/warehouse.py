@@ -340,3 +340,86 @@ def vacuum_snapshots(base_dir: str, keep: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(base_dir, f"v={v}"))
     return doomed
+
+
+def stage_snapshot(df: DataFrame, base_dir: str, fmt: str = "parquet") -> int:
+    """WRITE leg of write-audit-publish: land a complete immutable
+    ``v=N`` directory WITHOUT flipping ``_LATEST`` — readers keep seeing
+    the published snapshot while audits run against the staged one. The
+    version is allocated past every existing ``v=`` directory (published
+    or staged), so concurrent stages cannot collide with the pointer."""
+    import os
+    import re
+
+    os.makedirs(base_dir, exist_ok=True)
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(base_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    version = (max(existing) if existing else -1) + 1
+    df.write.format(fmt).mode("errorifexists").save(
+        os.path.join(base_dir, f"v={version}")
+    )
+    return version
+
+
+def publish_snapshot(base_dir: str, version: int) -> None:
+    """PUBLISH leg: atomically flip ``_LATEST`` to a previously staged
+    version (the same rename-swap discipline as write_snapshot)."""
+    import os
+
+    if not os.path.isdir(os.path.join(base_dir, f"v={version}")):
+        raise FileNotFoundError(
+            f"publish_snapshot: staged directory v={version} missing "
+            f"under {base_dir!r}"
+        )
+    tmp = os.path.join(base_dir, "_LATEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(base_dir, "_LATEST"))
+
+
+def abort_snapshot(base_dir: str, version: int) -> None:
+    """Discard a staged version. Refuses to remove the PUBLISHED one —
+    an abort must never take the live table away from readers."""
+    import os
+    import shutil
+
+    if read_snapshot_version(base_dir) == version:
+        raise ValueError(
+            f"abort_snapshot: v={version} is published; aborting it would "
+            "remove the live snapshot"
+        )
+    vdir = os.path.join(base_dir, f"v={version}")
+    if os.path.isdir(vdir):
+        shutil.rmtree(vdir)
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    base_dir: str,
+    audits,
+    fmt: str = "parquet",
+) -> tuple[int, bool, list[str]]:
+    """Write-audit-publish (the Iceberg WAP pattern on the snapshot
+    store): stage the snapshot, run every audit against the STAGED
+    files (re-read, so audits see exactly what readers would), and flip
+    the pointer only if all pass — a failing audit aborts the stage and
+    the published table is untouched. ``audits`` is a sequence of
+    callables ``DataFrame -> str | None`` returning a failure message
+    or None; all audits run (the report lists every failure, not just
+    the first). Returns (version, published, failures)."""
+    import os
+
+    version = stage_snapshot(df, base_dir, fmt)
+    staged = spark.read.format(fmt).load(
+        os.path.join(base_dir, f"v={version}")
+    )
+    failures = [msg for a in audits if (msg := a(staged)) is not None]
+    if failures:
+        abort_snapshot(base_dir, version)
+        return version, False, failures
+    publish_snapshot(base_dir, version)
+    return version, True, []

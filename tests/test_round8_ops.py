@@ -696,3 +696,77 @@ def test_luhn_split_and_known_values(spark):
         return total % 10 == 0
     assert luhn_ok("79927398713")  # the canonical Luhn test number
     assert not luhn_ok("79927398710")
+
+
+# ------------------------------------------------------ DAG layers
+def test_dag_layers_longest_path_and_cycle_guard(spark):
+    import pytest
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        dag_layers,
+    )
+
+    # diamond + tail: longest path wins (1->2->4->5 beats 1->4->5)
+    edges = [(1, 2), (2, 4), (1, 4), (4, 5), (3, 5)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["layer"] for r in dag_layers(e).collect()}
+    assert got == {1: 0, 3: 0, 2: 1, 4: 2, 5: 3}
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="not a DAG"):
+        dag_layers(cyc, max_iters=8)
+
+
+# -------------------------------------------- write-audit-publish
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        abort_snapshot,
+        read_snapshot,
+        read_snapshot_version,
+        write_audit_publish,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    v0 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "k bigint, s string"), base
+    )
+    assert read_snapshot_version(base) == v0
+
+    def no_nulls(df):
+        n = df.filter("s IS NULL").count()
+        return f"{n} null s rows" if n else None
+
+    def min_rows(df):
+        return None if df.count() >= 2 else "too few rows"
+
+    # failing audit: staged version aborted, readers untouched
+    bad = spark.createDataFrame([(2, None)], "k bigint, s string")
+    v, published, failures = write_audit_publish(
+        spark, bad, base, [no_nulls, min_rows]
+    )
+    assert not published and len(failures) == 2  # ALL failures reported
+    assert read_snapshot_version(base) == v0
+    assert read_snapshot(spark, base).count() == 1
+    import os
+    assert not os.path.isdir(os.path.join(base, f"v={v}"))
+
+    # passing audits: atomic publish
+    good = spark.createDataFrame(
+        [(2, "b"), (3, "c")], "k bigint, s string"
+    )
+    v2, published2, failures2 = write_audit_publish(
+        spark, good, base, [no_nulls, min_rows]
+    )
+    assert published2 and not failures2
+    assert read_snapshot_version(base) == v2 > v0
+    assert read_snapshot(spark, base).count() == 2
+    # time travel to the pre-WAP version still works
+    assert read_snapshot(spark, base, version=v0).count() == 1
+
+    # abort refuses to delete the published version
+    import pytest
+    with pytest.raises(ValueError, match="published"):
+        abort_snapshot(base, v2)
