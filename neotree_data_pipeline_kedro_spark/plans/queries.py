@@ -19219,6 +19219,234 @@ def g15_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_layers(e)
 
 
+@_register(
+    "a60_cuped_adjustment",
+    """
+    WITH units AS (
+      SELECT o_custkey AS k, CAST(o_custkey % 2 AS INT) AS arm,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) < 1998
+               THEN CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                         AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+               THEN CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                         AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM units
+    ), adj AS (
+      SELECT u.arm, u.y,
+             CAST(round(u.y
+               - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                  / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                 * (u.x - CAST(g.sx AS DOUBLE) / g.n), 0) AS BIGINT)
+               AS y_adj
+      FROM units u, g
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(y_adj) AS BIGINT) AS sum_y_adj,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+             AS var_num_y,
+           CAST(COUNT(*) * SUM(y_adj * y_adj) - SUM(y_adj) * SUM(y_adj)
+                AS BIGINT) AS var_num_adj
+    FROM adj GROUP BY arm
+    """,
+)
+def a60_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13 — the
+    experimentation-platform standard): pre-period revenue (1995-97,
+    whole kilodollars — the int64 headroom choice: the 1-row moment
+    products n·Σxy and the per-arm n·Σy² must stay below 2^63) is
+    the covariate, post-period (1998+) the metric; θ = cov(X,Y)/var(X)
+    from EXACT integer sums, each unit's adjusted metric
+    y − θ·(x − x̄) rounded back to whole currency units so every
+    downstream sum is order-independent int64, and per-arm variance
+    numerators (n·Σy²−(Σy)²) emitted for both raw and adjusted — the
+    variance-reduction factor the A/B readout divides by. One unit
+    rollup, a 1-row moment aggregate broadcast back, one per-arm
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    dollars = F.floor(F.col("o_totalprice").cast("double") / 1000.0).cast(
+        "bigint"
+    )
+    units = o.groupBy(
+        F.col("o_custkey").alias("k"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+    ).agg(
+        F.sum(F.when(yr < 1998, dollars).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(yr >= 1998, dollars).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    adj = units.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "y",
+        F.round(
+            F.col("y")
+            - (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            * (F.col("x") - F.col("sx").cast("double") / F.col("n")),
+            0,
+        )
+        .cast("bigint")
+        .alias("y_adj"),
+    )
+    cnt = F.count(F.lit(1))
+    return adj.groupBy("arm").agg(
+        cnt.cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum("y_adj").cast("bigint").alias("sum_y_adj"),
+        (cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        .cast("bigint")
+        .alias("var_num_y"),
+        (
+            cnt * F.sum(F.col("y_adj") * F.col("y_adj"))
+            - F.sum("y_adj") * F.sum("y_adj")
+        )
+        .cast("bigint")
+        .alias("var_num_adj"),
+    )
+
+
+@_register(
+    "emb_outlier_mahalanobis",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), dims AS (
+      SELECT t.i,
+             CAST(SUM(qv[t.i]) AS BIGINT) AS sx,
+             CAST(SUM(qv[t.i] * qv[t.i]) AS BIGINT) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q JOIN range(1, 65) t(i) ON TRUE
+      GROUP BY t.i
+    ), stats AS (
+      SELECT list(CAST(sx AS DOUBLE) / n ORDER BY i) AS mu,
+             list(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                  ORDER BY i) AS vr
+      FROM dims
+    ), scored AS (
+      SELECT q.vec_id,
+             CAST(round(list_sum(list_transform(range(1, 65), i ->
+               (qv[i] - s.mu[i]) * (qv[i] - s.mu[i]) / s.vr[i]))
+               * 1000000, 0) AS BIGINT) AS dist_micro
+      FROM q, stats s
+    )
+    SELECT vec_id, dist_micro,
+           CAST(row_number() OVER (ORDER BY dist_micro DESC, vec_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier audit: per-dimension mean
+    and population variance from EXACT integer sums over the
+    micro-quantized vectors, then each vector's distance
+    Σᵢ (qᵢ−μᵢ)²/σᵢ² folded in FIXED dimension order and micro-rounded
+    (ulp-level fold differences are absorbed; the operands themselves
+    are deterministic doubles from exact ints) — the embedding-quality
+    gate that surfaces collapsed, clipped, or mis-scaled vectors before
+    they poison an ANN index or a dedup threshold. Top-20 by distance,
+    ties by id. Plan: one per-dim aggregate (64 rows) collected into
+    broadcast arrays, one corpus scan for scoring — no driver loops;
+    int64 bound: n·Σq² per dim must stay below 2^63 (~10^6 vectors at
+    unit scale; shrink the quantization past that)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    dims = (
+        q.select(F.posexplode("qv").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum("v").cast("bigint").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sxx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        (F.col("sx").cast("double") / F.col("n")).alias(
+                            "m"
+                        ),
+                        (
+                            (
+                                F.col("n") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")
+                            ).cast("double")
+                            / (F.col("n").cast("double") * F.col("n"))
+                        ).alias("s2"),
+                    )
+                )
+            ),
+            lambda t: t["m"],
+        ).alias("mu"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        (F.col("sx").cast("double") / F.col("n")).alias(
+                            "m"
+                        ),
+                        (
+                            (
+                                F.col("n") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")
+                            ).cast("double")
+                            / (F.col("n").cast("double") * F.col("n"))
+                        ).alias("s2"),
+                    )
+                )
+            ),
+            lambda t: t["s2"],
+        ).alias("vr"),
+    )
+    dist = F.expr(
+        "CAST(round(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + (element_at(qv, i) - element_at(mu, i)) "
+        "* (element_at(qv, i) - element_at(mu, i)) / element_at(vr, i)) "
+        "* 1000000, 0) AS BIGINT)"
+    )
+    scored = q.crossJoin(F.broadcast(stats)).select(
+        "vec_id", dist.alias("dist_micro")
+    )
+    w = Window.orderBy(F.desc("dist_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19312,6 +19540,8 @@ _DRIVER_FRONT = [
     "u18_bloom_calibration",
     "f_luhn_checksum",
     "g15_dag_layers",
+    "a60_cuped_adjustment",
+    "emb_outlier_mahalanobis",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

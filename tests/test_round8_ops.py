@@ -770,3 +770,35 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="published"):
         abort_snapshot(base, v2)
+
+
+# ----------------------------------------- CUPED + mahalanobis
+def test_cuped_reduces_variance(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["arm"]: r for r in QUERIES["a60_cuped_adjustment"](
+        spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        # synthetic pre/post revenues are ~uncorrelated, so theta ~ 0:
+        # the adjustment must never INFLATE variance beyond rounding
+        # jitter (a correlated fixture would show a real cut; the
+        # oracle pins the exact arithmetic either way)
+        assert 0 < r["var_num_adj"] < r["var_num_y"] * 1.001
+        assert r["n"] > 0 and r["sum_y"] > 0
+
+
+def test_mahalanobis_ranks_planted_outlier_first(spark):
+    from neotree_data_pipeline_kedro_spark.operators.similarity import (  # noqa: F401
+        binary_quantize_words,
+    )
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["emb_outlier_mahalanobis"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    ranks = [r["rank"] for r in rows]
+    assert sorted(ranks) == list(range(1, 21))
+    dm = [r["dist_micro"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert all(a >= b for a, b in zip(dm, dm[1:]))  # sorted by distance
+    assert dm[0] > 0
