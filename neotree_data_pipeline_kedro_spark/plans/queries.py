@@ -19447,6 +19447,63 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_tokenizer_fertility",
+    f"""
+    WITH p AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+               '{_BPE_RX.replace(chr(39), chr(39) * 2)}')) AS BIGINT)
+               AS n_pieces,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_pieces) * 1000000 // SUM(n_words) AS BIGINT)
+             AS pieces_per_word_ppm,
+           CAST(SUM(n_chars) * 1000000 // SUM(n_pieces) AS BIGINT)
+             AS chars_per_piece_ppm
+    FROM p GROUP BY lang
+    """,
+)
+def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — pieces-per-word and
+    chars-per-piece under the GPT-2-style pretokenizer regex, the audit
+    that decides whether a tokenizer (or a candidate vocab) taxes some
+    languages with far more pieces per word than others (the fairness /
+    cost lens on multilingual corpora; high fertility = more compute
+    per byte of that language). Same lookahead-free regex contract as
+    ta_bpe_token_count so Java regex and RE2 segment identically; pure
+    explode-free aggregation (counts come from regexp_extract_all
+    lengths in-row, one group-by on lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.filter(F.trim(F.col("text")) != "").select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RX), 0))
+        .cast("bigint")
+        .alias("n_pieces"),
+        token_count(F.col("text")).alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_pieces").cast("bigint").alias("pieces"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.expr(
+            "(sum(n_pieces) * CAST(1000000 AS BIGINT)) div sum(n_words)"
+        ).alias("pieces_per_word_ppm"),
+        F.expr(
+            "(sum(n_chars) * CAST(1000000 AS BIGINT)) div sum(n_pieces)"
+        ).alias("chars_per_piece_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19542,6 +19599,7 @@ _DRIVER_FRONT = [
     "g15_dag_layers",
     "a60_cuped_adjustment",
     "emb_outlier_mahalanobis",
+    "ta_tokenizer_fertility",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",
