@@ -19504,6 +19504,212 @@ def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holm step-down z thresholds for m = 25 hypotheses at family alpha 0.05:
+# rank r (1 = smallest p / largest |z|) is tested at alpha/(m - r + 1);
+# the two-sided z critical values are precomputed in Python (bisection on
+# erf) and embedded as MICRO-INT literals on both engines — the
+# hex-threshold-ladder recipe applied to a significance ladder.
+_HOLM_Z_MICRO_25 = [
+    3090232, 3078088, 3065383, 3052065, 3038074, 3023341, 3007787,
+    2991316, 2973820, 2955167, 2935199, 2913726, 2890512, 2865260,
+    2837597, 2807034, 2772921, 2734369, 2690110, 2638257, 2575829,
+    2497705, 2393980, 2241403, 1959964,
+]
+
+
+@_register(
+    "a61_holm_bonferroni",
+    f"""
+    WITH per AS (
+      SELECT c.c_nationkey AS nation, CAST(o.o_custkey % 2 AS INT) AS arm,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT nation,
+             CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (arm = 0) AS BIGINT) AS s0,
+             CAST(SUM(y) FILTER (arm = 1) AS BIGINT) AS s1,
+             CAST(SUM(y * y) FILTER (arm = 0) AS BIGINT) AS q0,
+             CAST(SUM(y * y) FILTER (arm = 1) AS BIGINT) AS q1
+      FROM per GROUP BY nation
+    ), z AS (
+      SELECT nation, n0, n1,
+             CAST(round(abs(
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               / sqrt(
+                   CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                   + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                     / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+               )) * 1000000, 0) AS BIGINT) AS z_micro
+      FROM g WHERE n0 >= 2 AND n1 >= 2
+    ), ranked AS (
+      SELECT nation, n0, n1, z_micro,
+             CAST(row_number() OVER (ORDER BY z_micro DESC, nation)
+                  AS INTEGER) AS rank
+      FROM z
+    ), holm AS (
+      SELECT *,
+             CASE WHEN z_micro >=
+               ([{', '.join(str(t) for t in _HOLM_Z_MICRO_25)}])[rank]
+             THEN 1 ELSE 0 END AS pass
+      FROM ranked
+    )
+    SELECT nation, n0, n1, z_micro, rank,
+           MIN(pass) OVER (ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1 AS significant
+    FROM holm
+    """,
+)
+def a61_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down multiple-testing correction over the
+    25 per-nation A/B Welch z-statistics — the guard every
+    segment-drilldown experiment readout needs (testing 25 segments at
+    raw alpha 0.05 expects a false positive; Holm controls the family
+    error with more power than plain Bonferroni). z-statistics come
+    from exact integer sums (kilodollar units keep n·Σy² in int64 at
+    any fixture scale) micro-rounded to integers; critical values are
+    precomputed z thresholds per rank embedded as micro-int literals
+    on BOTH engines, so the pass/fail ladder and the step-down
+    cumulative-min flag hash-match exactly. One join + one group-by +
+    one 25-row ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = lambda a, e: F.sum(F.when(F.col("arm") == a, e).otherwise(0)).cast("bigint")  # noqa: E731
+    g = per.groupBy("nation").agg(
+        s(0, F.lit(1)).alias("n0"),
+        s(1, F.lit(1)).alias("n1"),
+        s(0, F.col("y")).alias("s0"),
+        s(1, F.col("y")).alias("s1"),
+        s(0, F.col("y") * F.col("y")).alias("q0"),
+        s(1, F.col("y") * F.col("y")).alias("q1"),
+    ).filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    z_micro = F.round(
+        F.abs(
+            (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+            / F.sqrt(
+                (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+                .cast("double")
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n1")
+                    * (F.col("n1") - 1)
+                )
+                + (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0"))
+                .cast("double")
+                / (
+                    F.col("n0").cast("double")
+                    * F.col("n0")
+                    * (F.col("n0") - 1)
+                )
+            )
+        )
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    zt = g.select("nation", "n0", "n1", z_micro.alias("z_micro"))
+    w = Window.orderBy(F.desc("z_micro"), F.asc("nation"))
+    ranked = zt.withColumn("rank", F.row_number().over(w).cast("int"))
+    thr = F.element_at(
+        F.array(*[F.lit(t).cast("bigint") for t in _HOLM_Z_MICRO_25]),
+        F.col("rank"),
+    )
+    holm = ranked.withColumn(
+        "pass", F.when(F.col("z_micro") >= thr, 1).otherwise(0)
+    )
+    wcum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return holm.select(
+        "nation",
+        "n0",
+        "n1",
+        "z_micro",
+        "rank",
+        (F.min("pass").over(wcum) == 1).alias("significant"),
+    )
+
+
+@_register(
+    "a62_trimmed_mean",
+    """
+    WITH v AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE)) AS BIGINT) AS y,
+             o.o_orderkey AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), r AS (
+      SELECT nation, y,
+             CAST(row_number() OVER (PARTITION BY nation
+                                     ORDER BY y, k) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT nation, MAX(n) AS n, MAX(n) // 10 AS k_trim,
+           CAST(SUM(y) AS BIGINT) AS sum_all,
+           CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN y ELSE 0 END) AS BIGINT) AS sum_trimmed,
+           CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+    FROM r GROUP BY nation
+    """,
+)
+def a62_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean components per nation — the robust-metric
+    estimator for heavy-tailed revenue (one whale order drags a plain
+    mean; the trimmed mean drops the top and bottom decile BY RANK with
+    a total tie order, so the estimate is deterministic and exact:
+    integer sums over the surviving ranks, division left to the
+    reader). One window shuffle on the group key, one aggregate —
+    the u3/u4 rank discipline applied to robust statistics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    v = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("o_totalprice").cast("double"))
+        .cast("bigint")
+        .alias("y"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("nation").orderBy("y", "k")
+    r = v.select(
+        "nation",
+        "y",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("nation"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    keep = (F.col("rn") > F.expr("n div 10")) & (
+        F.col("rn") <= F.col("n") - F.expr("n div 10")
+    )
+    return r.groupBy("nation").agg(
+        F.max("n").alias("n"),
+        F.expr("max(n) div 10").alias("k_trim"),
+        F.sum("y").cast("bigint").alias("sum_all"),
+        F.sum(F.when(keep, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_trimmed"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+            "n_trimmed"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19600,6 +19806,8 @@ _DRIVER_FRONT = [
     "a60_cuped_adjustment",
     "emb_outlier_mahalanobis",
     "ta_tokenizer_fertility",
+    "a61_holm_bonferroni",
+    "a62_trimmed_mean",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

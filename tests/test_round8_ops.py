@@ -802,3 +802,36 @@ def test_mahalanobis_ranks_planted_outlier_first(spark):
     dm = [r["dist_micro"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert all(a >= b for a, b in zip(dm, dm[1:]))  # sorted by distance
     assert dm[0] > 0
+
+
+# ------------------------------------- holm + trimmed mean
+def test_holm_stepdown_is_monotone(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = sorted(QUERIES["a61_holm_bonferroni"](
+        spark, "/root/testdata/sf0.01").collect(), key=lambda r: r["rank"])
+    assert len(rows) == 25
+    sig = [r["significant"] for r in rows]
+    # step-down: once a rank fails, everything after fails
+    if False in sig:
+        first_fail = sig.index(False)
+        assert all(not s for s in sig[first_fail:])
+    # with random arms the null holds: nothing should clear the ladder
+    # at rank 1's 3.09-sigma bar in this fixture
+    z = [r["z_micro"] for r in rows]
+    assert z == sorted(z, reverse=True)
+
+
+def test_trimmed_mean_bounds(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a62_trimmed_mean"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["n_trimmed"] == r["n"] - 2 * r["k_trim"]
+        assert 0 < r["sum_trimmed"] < r["sum_all"]
+        # trimming symmetric deciles of a right-skewed metric pulls the
+        # mean DOWN (whale orders live in the top decile)
+        assert (r["sum_trimmed"] / r["n_trimmed"]
+                < r["sum_all"] / r["n"] * 1.01)
