@@ -19710,6 +19710,178 @@ def a62_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u22_wasserstein_drift",
+    """
+    WITH v AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS arm,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS y
+      FROM orders
+    ), per AS (
+      SELECT y,
+             CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS cb
+      FROM v GROUP BY y
+    ), cum AS (
+      SELECT y,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             lead(y) OVER (ORDER BY y) AS y_next
+      FROM per WINDOW w AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM per
+    )
+    SELECT t.na, t.nb,
+           CAST(SUM(abs(c.cum_a * t.nb - c.cum_b * t.na)
+                    * (c.y_next - c.y)) AS BIGINT) AS w1_num,
+           CAST(t.na * t.nb AS BIGINT) AS w1_den,
+           CAST(SUM(abs(c.cum_a * t.nb - c.cum_b * t.na)
+                    * (c.y_next - c.y)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) AS w1
+    FROM cum c, tot t
+    WHERE c.y_next IS NOT NULL
+    GROUP BY t.na, t.nb
+    """,
+)
+def u22_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D Wasserstein (earth-mover) distance between the even-
+    and odd-customer order-value distributions — the drift metric that
+    reports HOW FAR a distribution moved in metric units, where KS
+    (v_ks_drift) reports only the largest CDF gap and PSI needs bins:
+    W1 = ∫|F_a − F_b| dx over the merged support, cross-multiplied to
+    the integer form Σ |cumA·nB − cumB·nA|·Δx so the statistic is an
+    exact num/den pair (double ratio emitted for the dashboard).
+    Support is the distinct kilodollar values — bounded, so the single
+    ordered window is a contract, not an accident; at unbounded-support
+    scale the same sum runs over histogram_state buckets instead."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    cnt = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    per = v.groupBy("y").agg(cnt(0).alias("ca"), cnt(1).alias("cb"))
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "y",
+        F.sum("ca").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(wc).cast("bigint").alias("cum_b"),
+        F.lead("y").over(Window.orderBy("y")).alias("y_next"),
+    )
+    tot = per.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    term = F.abs(
+        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    ) * (F.col("y_next") - F.col("y"))
+    return (
+        cum.filter(F.col("y_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(term).cast("bigint").alias("w1_num"),
+            (F.first("na") * F.first("nb")).cast("bigint").alias("w1_den"),
+            (
+                F.sum(term).cast("double")
+                / (F.first("na") * F.first("nb")).cast("double")
+            ).alias("w1"),
+        )
+    )
+
+
+@_register(
+    "a63_mde_power",
+    """
+    WITH per AS (
+      SELECT c.c_nationkey AS nation, CAST(o.o_custkey % 2 AS INT) AS arm,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT nation,
+             CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (arm = 0) AS BIGINT) AS s0,
+             CAST(SUM(y) FILTER (arm = 1) AS BIGINT) AS s1,
+             CAST(SUM(y * y) FILTER (arm = 0) AS BIGINT) AS q0,
+             CAST(SUM(y * y) FILTER (arm = 1) AS BIGINT) AS q1
+      FROM per GROUP BY nation
+    )
+    SELECT nation, n0, n1,
+           CAST(round(2.801585 * sqrt(
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+             + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+           ) * 1000000, 0) AS BIGINT) AS mde_micro,
+           CAST(round(2.801585 * sqrt(
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+             + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+           ) / (CAST(s0 + s1 AS DOUBLE) / (n0 + n1)) * 1000000, 0)
+                AS BIGINT) AS mde_rel_ppm
+    FROM g WHERE n0 >= 2 AND n1 >= 2
+    """,
+)
+def a63_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha per
+    nation — the experiment-SIZING readout (is this segment even worth
+    testing, or is its MDE bigger than any plausible effect?):
+    MDE = (z_{α/2} + z_{β})·SE with the multiplier precomputed in
+    Python as the single literal 2.801585 (= 1.959964 + 0.841621,
+    the hex-ladder recipe applied to normal quantiles), the standard
+    error from exact integer moments, and both the absolute and
+    relative-to-pooled-mean forms micro-rounded. Completes the
+    experimentation suite (a17 lift, a60 CUPED, a61 Holm): one join,
+    one group-by, pure scalar math."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = lambda a, e: F.sum(F.when(F.col("arm") == a, e).otherwise(0)).cast("bigint")  # noqa: E731
+    g = per.groupBy("nation").agg(
+        s(0, F.lit(1)).alias("n0"),
+        s(1, F.lit(1)).alias("n1"),
+        s(0, F.col("y")).alias("s0"),
+        s(1, F.col("y")).alias("s1"),
+        s(0, F.col("y") * F.col("y")).alias("q0"),
+        s(1, F.col("y") * F.col("y")).alias("q1"),
+    ).filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    se = F.sqrt(
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+        + (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0"))
+        .cast("double")
+        / (F.col("n0").cast("double") * F.col("n0") * (F.col("n0") - 1))
+    )
+    mde = F.lit(2.801585) * se
+    pooled_mean = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return g.select(
+        "nation",
+        "n0",
+        "n1",
+        F.round(mde * 1_000_000, 0).cast("bigint").alias("mde_micro"),
+        F.round(mde / pooled_mean * 1_000_000, 0)
+        .cast("bigint")
+        .alias("mde_rel_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19808,6 +19980,8 @@ _DRIVER_FRONT = [
     "ta_tokenizer_fertility",
     "a61_holm_bonferroni",
     "a62_trimmed_mean",
+    "u22_wasserstein_drift",
+    "a63_mde_power",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -835,3 +835,32 @@ def test_trimmed_mean_bounds(spark):
         # mean DOWN (whale orders live in the top decile)
         assert (r["sum_trimmed"] / r["n_trimmed"]
                 < r["sum_all"] / r["n"] * 1.01)
+
+
+# --------------------------------------- wasserstein + MDE
+def test_wasserstein_properties(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    r = QUERIES["u22_wasserstein_drift"](
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["w1_den"] == r["na"] * r["nb"]
+    assert r["w1_num"] >= 0
+    assert abs(r["w1"] - r["w1_num"] / r["w1_den"]) < 1e-9
+    # random arm split from the same distribution: W1 small vs the
+    # value range (~hundreds of kilodollars)
+    assert r["w1"] < 50
+
+
+def test_mde_scales_inversely_with_n(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a63_mde_power"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["mde_micro"] > 0 and r["mde_rel_ppm"] > 0
+    # bigger segments get tighter MDEs (loose rank correlation check)
+    big = min(rows, key=lambda r: -(r["n0"] + r["n1"]))
+    small = min(rows, key=lambda r: r["n0"] + r["n1"])
+    if (big["n0"] + big["n1"]) > 2 * (small["n0"] + small["n1"]):
+        assert big["mde_micro"] < small["mde_micro"]
