@@ -43,6 +43,16 @@ QUERIES = [
     "g10_hyperball_reach",
     "v_fd_discovery",
     "ta_langid_ngram",
+    # round-8 session additions with iterative / join-heavy shapes.
+    # Deliberately absent: g15_dag_layers (its dst >= 2*src fixture
+    # filter is not shard-shift-invariant, so stress volume would not
+    # grow) and emb_binary_quantize (its exact brute-force EVAL arm is
+    # quadratic in corpus x queries by construction — an eval fixture,
+    # not a scale path).
+    "g14_random_walks",
+    "w34_lttb_downsample",
+    "w35_isotonic_fit",
+    "dd_cdc_chunks",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
