@@ -19882,6 +19882,170 @@ def a63_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_ngram_entropy_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE trim(text) <> ''
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || chr(1) || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ), nab AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM big GROUP BY 1, 2
+    ), na AS (
+      SELECT doc_id, string_split(bg, chr(1))[1] AS a,
+             CAST(SUM(n_ab) AS BIGINT) AS n_a
+      FROM nab GROUP BY 1, 2
+    ), cells AS (
+      SELECT j.doc_id,
+             CAST(round(ln(CAST(j.n_ab AS DOUBLE) / CAST(na.n_a AS DOUBLE))
+                        * j.n_ab * 1000000, 0) AS BIGINT) AS term,
+             j.n_ab
+      FROM nab j JOIN na
+        ON na.doc_id = j.doc_id
+       AND na.a = string_split(j.bg, chr(1))[1]
+    )
+    SELECT doc_id, CAST(SUM(n_ab) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(term) AS BIGINT) AS h_micro_nats,
+           CAST(-SUM(term) AS DOUBLE) / CAST(SUM(n_ab) AS DOUBLE) / 1000000
+             AS entropy_rate
+    FROM cells GROUP BY doc_id
+    """,
+)
+def ta_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram conditional entropy H(next | current) — the
+    text-RANDOMNESS gate complementing the repetition filters from the
+    other side (repetition catches loops, i.e. entropy too LOW; junk
+    like base64 blobs or shuffled word salad scores entropy too HIGH
+    for its vocabulary). Exact protocol: bigram and context counts are
+    integers, each cell's n_ab·ln(n_ab/n_a) is micro-rounded BEFORE
+    the order-independent per-doc sum (the MI recipe applied per
+    document). Bigrams are built in-row (transform over the token
+    array, chr(1) separator so tokens can't collide), one group-by per
+    level — no UDF, no Python."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    big = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), chr(1), "
+                "element_at(tk, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    nab = big.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    a_of = F.expr("split(bg, chr(1))[0]")
+    na = nab.groupBy("doc_id", a_of.alias("a")).agg(
+        F.sum("n_ab").cast("bigint").alias("n_a")
+    )
+    cells = nab.alias("j").join(
+        na.alias("m"),
+        (F.col("m.doc_id") == F.col("j.doc_id"))
+        & (F.col("m.a") == F.expr("split(j.bg, chr(1))[0]")),
+    ).select(
+        F.col("j.doc_id").alias("doc_id"),
+        F.col("j.n_ab").alias("n_ab"),
+        F.round(
+            F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+            * F.col("n_ab")
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    return cells.groupBy("doc_id").agg(
+        F.sum("n_ab").cast("bigint").alias("n_bigrams"),
+        (-F.sum("term")).cast("bigint").alias("h_micro_nats"),
+        (
+            (-F.sum("term")).cast("double")
+            / F.sum("n_ab").cast("double")
+            / 1_000_000
+        ).alias("entropy_rate"),
+    )
+
+
+@_register(
+    "s18_late_arriving_dim",
+    """
+    WITH avail AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 9 != 0
+    ), enriched AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             COALESCE(a.c_custkey, -1) AS dim_key,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT)
+               AS cents
+      FROM orders o LEFT JOIN avail a ON a.c_custkey = o.o_custkey
+    ), repaired AS (
+      SELECT e.o_orderkey,
+             CASE WHEN e.dim_key != -1 THEN 'matched'
+                  WHEN f.c_custkey IS NOT NULL THEN 'repaired'
+                  ELSE 'orphaned' END AS status,
+             e.cents
+      FROM enriched e
+      LEFT JOIN customer f
+        ON e.dim_key = -1 AND f.c_custkey = e.o_custkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM repaired GROUP BY status
+    """,
+)
+def s18_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (the Kimball pattern): facts
+    whose dimension row hasn't landed yet get the -1 placeholder key at
+    ingest (an inner join would silently DROP them — revenue vanishing
+    from the mart), and a later repair pass re-joins the placeholders
+    once the dimension catches up. The fixture hides every ninth
+    customer at ingest; the repair must reclassify exactly those facts
+    (with dollar-weighted impact) and nothing may stay orphaned once
+    the full dimension is present. Two broadcast dim joins, one
+    aggregate — the audit every star-schema load should ship with."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    avail = cust.filter(F.col("c_custkey") % 9 != 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    enriched = o.join(
+        F.broadcast(avail), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("dim_key"),
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    full = cust.select(F.col("c_custkey").alias("f_key"))
+    repaired = enriched.join(
+        F.broadcast(full),
+        (F.col("dim_key") == -1) & (F.col("f_key") == F.col("o_custkey")),
+        "left",
+    ).select(
+        F.when(F.col("dim_key") != -1, F.lit("matched"))
+        .when(F.col("f_key").isNotNull(), F.lit("repaired"))
+        .otherwise(F.lit("orphaned"))
+        .alias("status"),
+        "cents",
+    )
+    return repaired.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -19982,6 +20146,8 @@ _DRIVER_FRONT = [
     "a62_trimmed_mean",
     "u22_wasserstein_drift",
     "a63_mde_power",
+    "ta_ngram_entropy_rate",
+    "s18_late_arriving_dim",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -864,3 +864,42 @@ def test_mde_scales_inversely_with_n(spark):
     small = min(rows, key=lambda r: r["n0"] + r["n1"])
     if (big["n0"] + big["n1"]) > 2 * (small["n0"] + small["n1"]):
         assert big["mde_micro"] < small["mde_micro"]
+
+
+# ----------------------------------- entropy rate + late dims
+def test_entropy_rate_orders_texts_sanely(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+    from pyspark.sql import functions as SF
+
+    # deterministic successors (ab->cd->ab...) score zero conditional
+    # entropy; a repeated context with 30 DIFFERENT successors scores
+    # high (note: all-unique bigrams also score 0 — every context is
+    # deterministic — which is why the gate pairs with the repetition
+    # filters instead of replacing them)
+    reps = " ".join(["ab cd"] * 30)
+    varied = " ".join(f"x w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, reps, "en", "s", 1), (2, varied, "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["ta_ngram_entropy_rate"](
+        spark, d).collect()}
+    assert out[1]["entropy_rate"] < out[2]["entropy_rate"]
+    assert out[1]["h_micro_nats"] >= 0
+    # fully deterministic repetition: every bigram's successor is fixed
+    # except at the seam -> near-zero entropy
+    assert out[1]["entropy_rate"] < 0.2
+
+
+def test_late_arriving_dim_repairs_everything(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["status"]: r for r in QUERIES["s18_late_arriving_dim"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert "orphaned" not in rows  # the full dim repairs every fact
+    assert rows["repaired"]["n_facts"] > 0
+    assert rows["matched"]["n_facts"] > rows["repaired"]["n_facts"]
