@@ -20046,6 +20046,134 @@ def s18_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ta_template_mining",
+    """
+    WITH logs AS (
+      SELECT 'order ' || CAST(o_orderkey AS VARCHAR)
+             || ' for customer ' || CAST(o_custkey AS VARCHAR)
+             || CASE o_orderstatus
+                  WHEN 'F' THEN ' shipped, total '
+                  WHEN 'O' THEN ' pending, total '
+                  ELSE ' failed after retry, total ' END
+             || CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)
+                     AS VARCHAR) AS msg
+      FROM orders
+    ), t AS (
+      SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS template, msg
+      FROM logs
+    )
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(msg) AS example
+    FROM t GROUP BY template
+    """,
+)
+def ta_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (the Drain-lite skeleton step): mask every
+    digit run to '#' and group — free-text log/event streams collapse
+    to their handful of generating templates, the first move of any
+    observability or log-anomaly pipeline (a NEW template is the
+    alert). The fixture renders order events through three message
+    branches and the miner must recover exactly those templates with
+    counts and a deterministic MIN example. One regexp_replace + one
+    group-by; the Zipf-skewed template key relies on map-side partial
+    aggregation, like vocab_topk."""
+    o = _t(spark, sf_dir, "orders")
+    msg = F.concat(
+        F.lit("order "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" for customer "),
+        F.col("o_custkey").cast("string"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(" shipped, total "))
+        .when(F.col("o_orderstatus") == "O", F.lit(" pending, total "))
+        .otherwise(F.lit(" failed after retry, total ")),
+        F.floor(F.col("o_totalprice").cast("double"))
+        .cast("bigint")
+        .cast("string"),
+    )
+    t = o.select(
+        F.regexp_replace(msg, "[0-9]+", "#").alias("template"),
+        msg.alias("msg"),
+    )
+    return t.groupBy("template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("msg").alias("example"),
+    )
+
+
+@_register(
+    "a67_shrunk_means",
+    """
+    WITH per AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM per GROUP BY nation
+    ), gall AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(s) AS BIGINT) AS s_all
+      FROM g
+    )
+    SELECT g.nation, g.n,
+           CAST(round(CAST(g.s AS DOUBLE) / g.n * 1000000, 0) AS BIGINT)
+             AS mean_micro,
+           CAST(round(((CAST(g.n AS DOUBLE) / (g.n + 50))
+                        * (CAST(g.s AS DOUBLE) / g.n)
+                      + (50.0 / (g.n + 50))
+                        * (CAST(gl.s_all AS DOUBLE) / gl.n_all))
+                      * 1000000, 0) AS BIGINT)
+             AS shrunk_micro,
+           CAST((g.n * 1000000) // (g.n + 50) AS BIGINT) AS weight_ppm
+    FROM g g, gall gl
+    """,
+)
+def a67_shrunk_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk segment means (the James-Stein idea with
+    a fixed pseudo-count prior k = 50): small segments get pulled
+    toward the global mean by weight n/(n+k), so a 12-order nation
+    stops whipsawing a dashboard while a 10,000-order nation keeps its
+    own mean — the smoothing every per-segment metric readout needs.
+    Exact protocol: integer sums broadcast from a 1-row global
+    aggregate; the blended mean is the identical double expression on
+    both engines, micro-rounded; the shrink weight is exact ppm via
+    truncating div. One group-by + one broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = per.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    glob = g.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("bigint").alias("s_all"),
+    )
+    j = g.crossJoin(F.broadcast(glob))
+    mean_g = F.col("s").cast("double") / F.col("n")
+    mean_all = F.col("s_all").cast("double") / F.col("n_all")
+    w = F.col("n").cast("double") / (F.col("n") + 50)
+    blended = w * mean_g + (F.lit(50.0) / (F.col("n") + 50)) * mean_all
+    return j.select(
+        "nation",
+        "n",
+        F.round(mean_g * 1_000_000, 0).cast("bigint").alias("mean_micro"),
+        F.round(blended * 1_000_000, 0).cast("bigint").alias(
+            "shrunk_micro"
+        ),
+        F.expr(
+            "(n * CAST(1000000 AS BIGINT)) div (n + 50)"
+        ).alias("weight_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -20148,6 +20276,8 @@ _DRIVER_FRONT = [
     "a63_mde_power",
     "ta_ngram_entropy_rate",
     "s18_late_arriving_dim",
+    "ta_template_mining",
+    "a67_shrunk_means",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

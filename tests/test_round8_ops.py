@@ -903,3 +903,37 @@ def test_late_arriving_dim_repairs_everything(spark):
     assert "orphaned" not in rows  # the full dim repairs every fact
     assert rows["repaired"]["n_facts"] > 0
     assert rows["matched"]["n_facts"] > rows["repaired"]["n_facts"]
+
+
+# --------------------------------- templates + shrunk means
+def test_template_mining_recovers_branches(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ta_template_mining"](
+        spark, "/root/testdata/sf0.001").collect()
+    templates = {r["template"] for r in rows}
+    assert templates == {
+        "order # for customer # shipped, total #",
+        "order # for customer # pending, total #",
+        "order # for customer # failed after retry, total #",
+    }
+    for r in rows:
+        assert r["n_events"] > 0 and r["example"].startswith("order ")
+
+
+def test_shrunk_means_pull_toward_global(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["a67_shrunk_means"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 25
+    total_n = sum(r["n"] for r in rows)
+    for r in rows:
+        # the blend lands between the raw segment mean and global side
+        assert r["weight_ppm"] == r["n"] * 1_000_000 // (r["n"] + 50)
+        assert 0 < r["weight_ppm"] < 1_000_000
+    # shrinkage moves every mean strictly toward the others' pooled mean
+    raw = {r["nation"]: r["mean_micro"] for r in rows}
+    shr = {r["nation"]: r["shrunk_micro"] for r in rows}
+    moved = sum(1 for k in raw if abs(shr[k] - raw[k]) > 0)
+    assert moved >= 20  # almost every segment shifts at least a hair
