@@ -20174,6 +20174,209 @@ def a67_shrunk_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a68_chain_ladder",
+    """
+    WITH o2 AS (
+      SELECT o_custkey AS k,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+               AS v
+      FROM orders
+    ), cohort AS (
+      SELECT k, MIN(m) AS m0 FROM o2 GROUP BY k
+    ), aged AS (
+      SELECT c.m0, o2.m - c.m0 AS age, o2.v
+      FROM o2 JOIN cohort c ON c.k = o2.k
+      WHERE o2.m - c.m0 <= 11
+    ), tri AS (
+      SELECT m0, age, CAST(SUM(v) AS BIGINT) AS inc
+      FROM aged GROUP BY m0, age
+    ), grid AS (
+      SELECT t.m0, a.i AS age FROM (SELECT DISTINCT m0 FROM tri) t
+      JOIN range(0, 12) a(i) ON TRUE
+    ), cum AS (
+      SELECT g.m0, g.age,
+             CAST(SUM(COALESCE(t.inc, 0)) OVER (PARTITION BY g.m0
+               ORDER BY g.age ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS c
+      FROM grid g LEFT JOIN tri t ON t.m0 = g.m0 AND t.age = g.age
+    ), mx AS (SELECT MAX(m) AS m_max FROM o2),
+    pairs AS (
+      SELECT a.age AS j, a.c AS c_j, b.c AS c_j1
+      FROM cum a JOIN cum b ON b.m0 = a.m0 AND b.age = a.age + 1
+      CROSS JOIN mx
+      WHERE a.m0 + a.age + 1 <= mx.m_max
+    )
+    SELECT CAST(j AS INT) AS age,
+           CAST(SUM(c_j1) AS BIGINT) AS num,
+           CAST(SUM(c_j) AS BIGINT) AS den,
+           CAST(SUM(c_j1) AS DOUBLE) / CAST(SUM(c_j) AS DOUBLE)
+             AS dev_factor
+    FROM pairs GROUP BY j
+    """,
+)
+def a68_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors over the cohort revenue
+    triangle (the actuarial loss-development method, equally the
+    LTV-forecast backbone): cohorts by first-order month, cumulative
+    revenue by development age 0-11, and per-age volume-weighted
+    factors f_j = Σ cum_{j+1} / Σ cum_j restricted to cohorts whose
+    age j+1 is actually OBSERVED (the triangle's diagonal discipline —
+    leaking incomplete cells biases factors low). Factors arrive as
+    exact int64 num/den pairs plus the double ratio; missing cells
+    densify through a generated age grid so cumulative sums stay
+    honest. One cohort groupBy, one dense window, one self-join on
+    adjacent ages."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    o2 = o.select(
+        F.col("o_custkey").alias("k"),
+        ((F.year(d) - 1970) * 12 + F.month(d) - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("v"),
+    )
+    cohort = o2.groupBy("k").agg(F.min("m").alias("m0"))
+    aged = (
+        o2.join(cohort, "k")
+        .select("m0", (F.col("m") - F.col("m0")).alias("age"), "v")
+        .filter(F.col("age") <= 11)
+    )
+    tri = aged.groupBy("m0", "age").agg(
+        F.sum("v").cast("bigint").alias("inc")
+    )
+    grid = tri.select("m0").distinct().select(
+        "m0", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("age")
+    ).select("m0", F.col("age").cast("bigint").alias("age"))
+    wc = Window.partitionBy("m0").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.join(tri, ["m0", "age"], "left").select(
+        "m0",
+        "age",
+        F.sum(F.coalesce(F.col("inc"), F.lit(0)))
+        .over(wc)
+        .cast("bigint")
+        .alias("c"),
+    )
+    mx = o2.agg(F.max("m").alias("m_max"))
+    pairs = (
+        cum.alias("a")
+        .join(
+            cum.alias("b"),
+            (F.col("b.m0") == F.col("a.m0"))
+            & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("a.m0") + F.col("a.age") + 1 <= F.col("m_max"))
+        .select(
+            F.col("a.age").alias("j"),
+            F.col("a.c").alias("c_j"),
+            F.col("b.c").alias("c_j1"),
+        )
+    )
+    return pairs.groupBy(F.col("j").cast("int").alias("age")).agg(
+        F.sum("c_j1").cast("bigint").alias("num"),
+        F.sum("c_j").cast("bigint").alias("den"),
+        (F.sum("c_j1").cast("double") / F.sum("c_j").cast("double")).alias(
+            "dev_factor"
+        ),
+    )
+
+
+@_register(
+    "emb_drift_by_dim",
+    f"""
+    WITH q AS ({_QVEC_DUCK}), dims AS (
+      SELECT t.i AS dim, CAST(vec_id % 2 AS INT) AS arm,
+             qv[t.i] AS v
+      FROM q JOIN range(1, 65) t(i) ON TRUE
+    ), g AS (
+      SELECT dim,
+             CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1,
+             CAST(SUM(v) FILTER (arm = 0) AS BIGINT) AS s0,
+             CAST(SUM(v) FILTER (arm = 1) AS BIGINT) AS s1,
+             CAST(SUM(v * v) FILTER (arm = 0) AS BIGINT) AS q0,
+             CAST(SUM(v * v) FILTER (arm = 1) AS BIGINT) AS q1
+      FROM dims GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n0, n1,
+           CAST(round((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1),
+                      0) AS BIGINT) AS mean_diff_micro,
+           CAST(round(abs(
+             (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+             / sqrt(
+                 CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                   / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+                 + CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+             )) * 1000000, 0) AS BIGINT) AS z_micro
+    FROM g
+    """,
+)
+def emb_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two vector populations
+    (even vs odd ids as the fixture's two 'snapshots'): Welch z on each
+    of the 64 dimensions from exact integer moments over the
+    micro-quantized components — the embedding-space drift monitor
+    that catches a re-trained or mis-scaled encoder BEFORE stale
+    vectors poison an ANN index (one dimension shifting hard = encoder
+    change; all of them = normalization change). Mean diffs stay in
+    micro units; z micro-rounded. One posexplode + one per-dim
+    aggregate — 64 output rows regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("i0", "v"),
+    ).select(
+        (F.col("i0") + 1).alias("dim"),
+        (F.col("vec_id") % 2).cast("int").alias("arm"),
+        "v",
+    )
+    s = lambda a, e: F.sum(F.when(F.col("arm") == a, e).otherwise(0)).cast("bigint")  # noqa: E731
+    g = q.groupBy("dim").agg(
+        s(0, F.lit(1)).alias("n0"),
+        s(1, F.lit(1)).alias("n1"),
+        s(0, F.col("v")).alias("s0"),
+        s(1, F.col("v")).alias("s1"),
+        s(0, F.col("v") * F.col("v")).alias("q0"),
+        s(1, F.col("v") * F.col("v")).alias("q1"),
+    )
+    mean_diff = (
+        F.col("s0").cast("double") / F.col("n0")
+        - F.col("s1").cast("double") / F.col("n1")
+    )
+    se = F.sqrt(
+        (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0"))
+        .cast("double")
+        / (F.col("n0").cast("double") * F.col("n0") * (F.col("n0") - 1))
+        + (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+    )
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n0",
+        "n1",
+        F.round(mean_diff, 0).cast("bigint").alias("mean_diff_micro"),
+        F.round(F.abs(mean_diff) / se * 1_000_000, 0)
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -20278,6 +20481,8 @@ _DRIVER_FRONT = [
     "s18_late_arriving_dim",
     "ta_template_mining",
     "a67_shrunk_means",
+    "a68_chain_ladder",
+    "emb_drift_by_dim",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

@@ -937,3 +937,31 @@ def test_shrunk_means_pull_toward_global(spark):
     shr = {r["nation"]: r["shrunk_micro"] for r in rows}
     moved = sum(1 for k in raw if abs(shr[k] - raw[k]) > 0)
     assert moved >= 20  # almost every segment shifts at least a hair
+
+
+# --------------------------------- chain ladder + emb drift
+def test_chain_ladder_factor_properties(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = sorted(QUERIES["a68_chain_ladder"](
+        spark, "/root/testdata/sf0.01").collect(), key=lambda r: r["age"])
+    assert [r["age"] for r in rows] == list(range(11))
+    for r in rows:
+        # cumulative revenue never decreases: every factor >= 1
+        assert r["num"] >= r["den"] > 0
+        assert abs(r["dev_factor"] - r["num"] / r["den"]) < 1e-12
+    # early development ages grow faster than late ones in aggregate
+    assert rows[0]["dev_factor"] > rows[-1]["dev_factor"]
+
+
+def test_emb_drift_null_case_is_quiet(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["emb_drift_by_dim"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 64
+    # even/odd split of one distribution: most dims must NOT flag at 3
+    # sigma (null case); allow a couple of chance excursions
+    hot = sum(1 for r in rows if r["z_micro"] > 3_000_000)
+    assert hot <= 4
+    assert all(r["n0"] > 0 and r["n1"] > 0 for r in rows)
