@@ -20377,6 +20377,202 @@ def emb_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "f_iso8601_duration",
+    r"""
+    WITH fx AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey % 3 AS BIGINT) AS dd,
+             CAST(o_orderkey % 24 AS BIGINT) AS hh,
+             CAST(o_orderkey % 60 AS BIGINT) AS mi,
+             CAST(o_orderkey % 47 AS BIGINT) AS ss,
+             CAST(o_orderkey % 4 AS INT) AS variant
+      FROM orders
+    ), built AS (
+      SELECT variant,
+             CASE variant
+               WHEN 0 THEN 'PT' || CAST(mi AS VARCHAR) || 'M'
+               WHEN 1 THEN 'P' || CAST(dd AS VARCHAR) || 'D'
+               WHEN 2 THEN 'PT' || CAST(hh AS VARCHAR) || 'H'
+                           || CAST(ss AS VARCHAR) || 'S'
+               ELSE 'P' || CAST(dd AS VARCHAR) || 'DT'
+                    || CAST(hh AS VARCHAR) || 'H'
+                    || CAST(mi AS VARCHAR) || 'M'
+                    || CAST(ss AS VARCHAR) || 'S'
+             END AS s,
+             CASE variant
+               WHEN 0 THEN mi * 60
+               WHEN 1 THEN dd * 86400
+               WHEN 2 THEN hh * 3600 + ss
+               ELSE dd * 86400 + hh * 3600 + mi * 60 + ss
+             END AS expected
+      FROM fx
+    ), parsed AS (
+      SELECT variant, expected,
+             COALESCE(TRY_CAST(regexp_extract(s, '(\d+)D', 1) AS BIGINT), 0)
+               * 86400
+             + COALESCE(TRY_CAST(regexp_extract(
+                 CASE WHEN contains(s, 'T')
+                      THEN substring(s, strpos(s, 'T') + 1) ELSE '' END,
+                 '(\d+)H', 1) AS BIGINT), 0) * 3600
+             + COALESCE(TRY_CAST(regexp_extract(
+                 CASE WHEN contains(s, 'T')
+                      THEN substring(s, strpos(s, 'T') + 1) ELSE '' END,
+                 '(\d+)M', 1) AS BIGINT), 0) * 60
+             + COALESCE(TRY_CAST(regexp_extract(
+                 CASE WHEN contains(s, 'T')
+                      THEN substring(s, strpos(s, 'T') + 1) ELSE '' END,
+                 '(\d+)S', 1) AS BIGINT), 0) AS seconds
+      FROM built
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (seconds IS DISTINCT FROM expected)
+                AS BIGINT) AS n_mismatch,
+           CAST(SUM(seconds) AS BIGINT) AS sum_seconds
+    FROM parsed GROUP BY variant
+    """,
+)
+def f_iso8601_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 duration parsing ('P2DT3H14M5S' → seconds) — the
+    API-payload sibling of the timestamp parser (durations arrive as
+    ISO strings in webhook/event feeds; naive regexes confuse months
+    with minutes, so the parser scopes H/M/S extraction to the segment
+    AFTER the 'T' designator, exactly as the standard requires). Four
+    fixture variants (minutes-only, days-only, H+S, full) are rendered
+    arithmetically and n_mismatch is pinned to 0 per variant against
+    the independently-built expectation. try_cast + coalesce keeps
+    garbage NULL-safe under ANSI; pure regexp_extract, no UDF."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dd, hh, mi, ss = (
+        (k % 3).cast("bigint"),
+        (k % 24).cast("bigint"),
+        (k % 60).cast("bigint"),
+        (k % 47).cast("bigint"),
+    )
+    variant = (k % 4).cast("int")
+    s = (
+        F.when(variant == 0,
+               F.concat(F.lit("PT"), mi.cast("string"), F.lit("M")))
+        .when(variant == 1,
+              F.concat(F.lit("P"), dd.cast("string"), F.lit("D")))
+        .when(variant == 2,
+              F.concat(F.lit("PT"), hh.cast("string"), F.lit("H"),
+                       ss.cast("string"), F.lit("S")))
+        .otherwise(
+            F.concat(F.lit("P"), dd.cast("string"), F.lit("DT"),
+                     hh.cast("string"), F.lit("H"), mi.cast("string"),
+                     F.lit("M"), ss.cast("string"), F.lit("S")))
+    )
+    expected = (
+        F.when(variant == 0, mi * 60)
+        .when(variant == 1, dd * 86400)
+        .when(variant == 2, hh * 3600 + ss)
+        .otherwise(dd * 86400 + hh * 3600 + mi * 60 + ss)
+    )
+    built = o.select(
+        variant.alias("variant"), s.alias("s"),
+        expected.cast("bigint").alias("expected"),
+    )
+    tpart = F.when(
+        F.col("s").contains("T"),
+        F.expr("substring(s, instr(s, 'T') + 1)"),
+    ).otherwise(F.lit(""))
+    num = lambda src, pat: F.coalesce(  # noqa: E731
+        F.regexp_extract(src, pat, 1).try_cast("bigint"), F.lit(0)
+    )
+    parsed = built.withColumn(
+        "seconds",
+        num(F.col("s"), r"(\d+)D") * 86400
+        + num(tpart, r"(\d+)H") * 3600
+        + num(tpart, r"(\d+)M") * 60
+        + num(tpart, r"(\d+)S"),
+    )
+    return parsed.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                ~F.col("seconds").eqNullSafe(F.col("expected")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.sum("seconds").cast("bigint").alias("sum_seconds"),
+    )
+
+
+@_register(
+    "ta_dedup_impact",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text
+      FROM documents WHERE doc_id % 4 = 0
+    ), fp AS (
+      SELECT source, md5(text) AS f,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS toks
+      FROM corpus WHERE trim(text) <> ''
+    ), g AS (
+      SELECT source, f, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(toks) AS toks
+      FROM fp GROUP BY source, f
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n * toks) AS BIGINT) AS tokens_total,
+           CAST(SUM((n - 1) * toks) AS BIGINT) AS tokens_saved,
+           CAST(SUM((n - 1) * toks) * 1000000 // SUM(n * toks) AS BIGINT)
+             AS saved_ppm
+    FROM g GROUP BY source
+    """,
+)
+def ta_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting — the "what did dedup buy us" readout
+    every corpus-curation run should publish: per source, how many
+    documents and TOKENS exact dedup removes (keep-one-per-fingerprint
+    semantics, savings = (n−1)·tokens per group) and the saved
+    fraction in ppm. The fixture plants one clone for every fourth
+    document so planted savings are exactly recoverable; real corpora
+    feed the same rollup from dd_exact_fingerprint's ledger. One
+    fingerprint group-by + one source rollup, exact integers
+    throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    fp = corpus.filter(F.trim(F.col("text")) != "").select(
+        "source",
+        F.md5("text").alias("f"),
+        token_count(F.col("text")).alias("toks"),
+    )
+    g = fp.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("toks").alias("toks"),
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.col("n") * F.col("toks")).cast("bigint").alias(
+            "tokens_total"
+        ),
+        F.sum((F.col("n") - 1) * F.col("toks")).cast("bigint").alias(
+            "tokens_saved"
+        ),
+        F.expr(
+            "(sum((n - 1) * toks) * CAST(1000000 AS BIGINT)) "
+            "div sum(n * toks)"
+        ).alias("saved_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -20483,6 +20679,8 @@ _DRIVER_FRONT = [
     "a67_shrunk_means",
     "a68_chain_ladder",
     "emb_drift_by_dim",
+    "f_iso8601_duration",
+    "ta_dedup_impact",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

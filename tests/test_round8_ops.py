@@ -965,3 +965,36 @@ def test_emb_drift_null_case_is_quiet(spark):
     hot = sum(1 for r in rows if r["z_micro"] > 3_000_000)
     assert hot <= 4
     assert all(r["n0"] > 0 and r["n1"] > 0 for r in rows)
+
+
+# --------------------------------- iso duration + dedup impact
+def test_iso_duration_zero_mismatch(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["f_iso8601_duration"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert {r["variant"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["n_mismatch"] == 0 for r in rows)
+    assert all(r["sum_seconds"] >= 0 for r in rows)
+
+
+def test_dedup_impact_recovers_planted_savings(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ta_dedup_impact"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total_dup = sum(r["n_dup_docs"] for r in rows)
+    # exactly the planted clones (doc_id%4==0) are duplicates
+    import duckdb
+    con = duckdb.connect()
+    expect = con.execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 4 = 0 AND trim(text) <> ''").fetchone()[0]
+    assert total_dup == expect
+    for r in rows:
+        assert 0 <= r["tokens_saved"] < r["tokens_total"]
+        assert r["saved_ppm"] == (
+            r["tokens_saved"] * 1_000_000 // r["tokens_total"]
+        )
