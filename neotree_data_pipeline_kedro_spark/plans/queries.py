@@ -20573,6 +20573,73 @@ def ta_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_sequence_gaps",
+    """
+    WITH lines AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln
+      FROM lineitem WHERE NOT (l_linenumber % 7 = 3 AND l_orderkey % 5 = 0)
+    ), g AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT ln) AS BIGINT) AS n_distinct,
+             CAST(MIN(ln) AS BIGINT) AS mn,
+             CAST(MAX(ln) AS BIGINT) AS mx
+      FROM lines GROUP BY k
+    ), cls AS (
+      SELECT k,
+             CASE WHEN n_distinct < n THEN 'duplicated'
+                  WHEN mn != 1 OR mx != n_distinct THEN 'gapped'
+                  ELSE 'contiguous' END AS status,
+             mx - n_distinct + (mn - 1) AS n_missing
+      FROM g
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_missing) AS BIGINT) AS n_missing_items
+    FROM cls GROUP BY status
+    """,
+)
+def v_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-sequence integrity audit: line numbers within an
+    order must run 1..n with no gaps or duplicates — the completeness
+    check for any per-parent ordinal (file parts, page numbers, CDC
+    sequence numbers), where a gap means silent data loss upstream.
+    Pure aggregate algebra per parent (count vs distinct vs min/max —
+    NO window, NO self-join: gap detection from four aggregates), so
+    the scan groups once and the per-parent state is O(1). The fixture
+    deletes one line from every fifth order; the audit must count
+    exactly those sequences as gapped with the right missing-item
+    total."""
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.filter(
+        ~((F.col("l_linenumber") % 7 == 3) & (F.col("l_orderkey") % 5 == 0))
+    ).select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"))
+    g = lines.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("ln").cast("bigint").alias("n_distinct"),
+        F.min("ln").cast("bigint").alias("mn"),
+        F.max("ln").cast("bigint").alias("mx"),
+    )
+    status = (
+        F.when(F.col("n_distinct") < F.col("n"), F.lit("duplicated"))
+        .when(
+            (F.col("mn") != 1) | (F.col("mx") != F.col("n_distinct")),
+            F.lit("gapped"),
+        )
+        .otherwise(F.lit("contiguous"))
+    )
+    cls = g.select(
+        status.alias("status"),
+        (F.col("mx") - F.col("n_distinct") + (F.col("mn") - 1)).alias(
+            "n_missing"
+        ),
+    )
+    return cls.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum("n_missing").cast("bigint").alias("n_missing_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -20681,6 +20748,7 @@ _DRIVER_FRONT = [
     "emb_drift_by_dim",
     "f_iso8601_duration",
     "ta_dedup_impact",
+    "v_sequence_gaps",
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",

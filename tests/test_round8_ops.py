@@ -998,3 +998,15 @@ def test_dedup_impact_recovers_planted_savings(spark):
         assert r["saved_ppm"] == (
             r["tokens_saved"] * 1_000_000 // r["tokens_total"]
         )
+
+
+# ------------------------------------------------ sequence gaps
+def test_sequence_gap_audit_counts(spark):
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    rows = {r["status"]: r for r in QUERIES["v_sequence_gaps"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows["contiguous"]["n_missing_items"] == 0
+    assert rows["gapped"]["n_sequences"] > 0
+    assert rows["gapped"]["n_missing_items"] \
+        >= rows["gapped"]["n_sequences"]
