@@ -346,10 +346,28 @@ def weighted_median_udaf():
 LICENSE_MARKERS: list[tuple[str, str]] = [
     ("apache license", "apache-2.0"),
     ("mit license", "mit"),
-    ("gnu general public license", "gpl"),
+    # LGPL before GPL: every LGPL text cites the GNU GPL in its own body,
+    # so the generic GPL marker would shadow it.
     ("gnu lesser general public license", "lgpl"),
+    ("gnu general public license", "gpl"),
     ("mozilla public license", "mpl-2.0"),
-    ("creative commons", "cc-by"),
+    # CC restriction variants before the generic family marker: NC/ND/CC0
+    # are NOT equivalent to the permissive cc-by, and a permissive-only
+    # training-data gate must not let them through under that label.
+    ("creative commons zero", "cc0"),
+    ("cc0", "cc0"),
+    ("noncommercial", "cc-by-nc"),
+    ("non-commercial", "cc-by-nc"),
+    ("by-nc", "cc-by-nc"),
+    ("no derivatives", "cc-by-nd"),
+    ("noderivatives", "cc-by-nd"),
+    ("by-nd", "cc-by-nd"),
+    ("sharealike", "cc-by-sa"),
+    ("by-sa", "cc-by-sa"),
+    ("creative commons attribution", "cc-by"),
+    # generic family hit with no recognizable variant: unknown variant,
+    # NOT assumed permissive
+    ("creative commons", "cc-unknown"),
     ("bsd license", "bsd"),
     ("all rights reserved", "proprietary"),
 ]

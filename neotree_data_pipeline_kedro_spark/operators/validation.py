@@ -719,12 +719,22 @@ def mutual_information(
     n_xy · ln(n_xy·N / (n_x·n_y)) · micro / N is rounded to an int64
     BEFORE the per-feature sum, so the only transcendental (ln) is
     absorbed by the micro-round and the sum is order-independent (the
-    BM25 idf recipe). Plan: features unpivot via stack (one scan),
-    one groupBy for joint counts; marginals derive from the joint
-    counts (no second scan), broadcast-joined back.
+    BM25 idf recipe). NULL feature/label values are a real category:
+    they are folded to a reserved sentinel BEFORE the joint groupBy
+    (equi-joins otherwise drop NULL keys while n_tot still counts the
+    rows, so a NULL-half-the-time leaky feature would report MI 0 —
+    the opposite of the leakage-audit purpose). Counts are cast to
+    double individually before multiplying, so n_xy·n_tot never
+    overflows int64 at any table size. Plan: features unpivot via
+    stack (one scan), one groupBy for joint counts; marginals derive
+    from the joint counts (no second scan), broadcast-joined back.
 
     Output per feature: feature, n_cells, mi_micro_nats.
     """
+    # NUL-prefixed sentinel: cannot collide with any CAST(col AS STRING)
+    # rendering, and never appears in the output (only the grouping uses
+    # it), so any non-colliding oracle sentinel yields identical results.
+    null_s = "\x00null\x00"
     pairs = ", ".join(
         f"'{c}', CAST({c} AS STRING)" for c in feature_cols
     )
@@ -733,6 +743,10 @@ def mutual_information(
             f"stack({len(feature_cols)}, {pairs}) AS (feature, x)"
         ),
         F.col(label_col).cast("string").alias("y"),
+    ).select(
+        "feature",
+        F.coalesce(F.col("x"), F.lit(null_s)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(null_s)).alias("y"),
     )
     joint = stacked.groupBy("feature", "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
@@ -751,8 +765,8 @@ def mutual_information(
     )
     term = F.round(
         F.log(
-            (F.col("n_xy") * F.col("n_tot")).cast("double")
-            / (F.col("n_x") * F.col("n_y")).cast("double")
+            (F.col("n_xy").cast("double") * F.col("n_tot").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
         )
         * (F.col("n_xy") * F.lit(micro)).cast("double")
         / F.col("n_tot").cast("double"),
@@ -774,15 +788,25 @@ def row_fingerprint_checksum(
     independent of row order and partitioning; the Percona
     pt-table-checksum idea as one aggregate). Callers pre-quantize
     float columns (e.g. to cents) — raw double→string rendering is NOT
-    engine-portable. The 48-bit fingerprints are summed into
-    DECIMAL(38,0), so the checksum never overflows at any table size
-    (int64 would cap out near 32k rows of max-valued fingerprints).
+    engine-portable. Each column renders NULL-safely and
+    delimiter-safely as ``N`` for NULL else ``<length>:<value>``: the
+    length prefix makes distinct rows always render distinctly
+    (concat_ws alone silently skips NULL args, so ('a', NULL, 'b') and
+    ('a', 'b', NULL) would collide, and an unescaped '|' inside a
+    value would shift field boundaries). The 48-bit fingerprints are
+    summed into DECIMAL(38,0), so the checksum never overflows at any
+    table size (int64 would cap out near 32k rows of max-valued
+    fingerprints).
 
     Output: one row (n_rows BIGINT, checksum DECIMAL(38,0))."""
+    rendered = ", ".join(
+        f"CASE WHEN {c} IS NULL THEN 'N' ELSE concat(CAST(length("
+        f"CAST({c} AS STRING)) AS STRING), ':', CAST({c} AS STRING)) END"
+        for c in cols
+    )
     fp = F.expr(
-        "CAST(conv(substring(md5(concat_ws('|', "
-        + ", ".join(f"CAST({c} AS STRING)" for c in cols)
-        + f")), 1, {hex_chars}), 16, 10) AS DECIMAL(38,0))"
+        f"CAST(conv(substring(md5(concat_ws('|', {rendered}"
+        f")), 1, {hex_chars}), 16, 10) AS DECIMAL(38,0))"
     )
     return df.select(fp.alias("__fp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

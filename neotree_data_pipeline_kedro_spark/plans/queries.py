@@ -17145,12 +17145,15 @@ def ta_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH corpus AS (
       SELECT doc_id,
-             text || CASE CAST(doc_id % 6 AS INT)
+             text || CASE CAST(doc_id % 9 AS INT)
                WHEN 0 THEN ' Licensed under the Apache License, Version 2.0.'
                WHEN 1 THEN ' Released under the MIT License.'
                WHEN 2 THEN ' This program is free software under the GNU General Public License.'
                WHEN 3 THEN ' This work is licensed under a Creative Commons Attribution 4.0 License.'
                WHEN 4 THEN ' Copyright (c) 2024 Example Corp. All rights reserved.'
+               WHEN 5 THEN ' This library is free software under the GNU Lesser General Public License; see also the GNU General Public License.'
+               WHEN 6 THEN ' Licensed under a Creative Commons Attribution-NonCommercial 4.0 International License.'
+               WHEN 7 THEN ' Dedicated to the public domain under Creative Commons Zero (CC0 1.0).'
                ELSE ''
              END AS t
       FROM documents
@@ -17159,10 +17162,21 @@ def ta_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE
                WHEN contains(lower(t), 'apache license') THEN 'apache-2.0'
                WHEN contains(lower(t), 'mit license') THEN 'mit'
-               WHEN contains(lower(t), 'gnu general public license') THEN 'gpl'
                WHEN contains(lower(t), 'gnu lesser general public license') THEN 'lgpl'
+               WHEN contains(lower(t), 'gnu general public license') THEN 'gpl'
                WHEN contains(lower(t), 'mozilla public license') THEN 'mpl-2.0'
-               WHEN contains(lower(t), 'creative commons') THEN 'cc-by'
+               WHEN contains(lower(t), 'creative commons zero') THEN 'cc0'
+               WHEN contains(lower(t), 'cc0') THEN 'cc0'
+               WHEN contains(lower(t), 'noncommercial') THEN 'cc-by-nc'
+               WHEN contains(lower(t), 'non-commercial') THEN 'cc-by-nc'
+               WHEN contains(lower(t), 'by-nc') THEN 'cc-by-nc'
+               WHEN contains(lower(t), 'no derivatives') THEN 'cc-by-nd'
+               WHEN contains(lower(t), 'noderivatives') THEN 'cc-by-nd'
+               WHEN contains(lower(t), 'by-nd') THEN 'cc-by-nd'
+               WHEN contains(lower(t), 'sharealike') THEN 'cc-by-sa'
+               WHEN contains(lower(t), 'by-sa') THEN 'cc-by-sa'
+               WHEN contains(lower(t), 'creative commons attribution') THEN 'cc-by'
+               WHEN contains(lower(t), 'creative commons') THEN 'cc-unknown'
                WHEN contains(lower(t), 'bsd license') THEN 'bsd'
                WHEN contains(lower(t), 'all rights reserved') THEN 'proprietary'
                ELSE 'unknown'
@@ -17180,32 +17194,49 @@ def ta_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ta_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License / rights classification (functions/text.license_detect):
     an ordered case-folded marker ladder (apache/mit/gpl/lgpl/mpl/cc/
-    bsd/proprietary, first match wins) plus a copyright-line flag — the
-    license-filtering gate of code/web corpus construction where only
-    permissively-licensed documents survive into training data. Pure
-    containment CASE ladder (no regex, no UDF — scan-stage codegen at
-    any corpus size). The synthetic corpus carries no license text, so
-    the fixture PLANTS one marker class per doc_id%6 residue and the
-    detector must recover exactly that partition (residue 5 stays
-    'unknown', residue 4 exercises the proprietary/copyright overlap
-    and ladder ordering)."""
+    bsd/proprietary, first match wins; LGPL checked BEFORE GPL because
+    LGPL texts cite the GPL in their own body; CC NC/ND/CC0/SA variant
+    markers checked BEFORE the generic creative-commons entry so
+    non-permissive CC content never classifies as the permissive
+    cc-by, and a bare family hit labels 'cc-unknown') plus a
+    copyright-line flag — the license-filtering gate of code/web
+    corpus construction where only permissively-licensed documents
+    survive into training data. Pure containment CASE ladder (no
+    regex, no UDF — scan-stage codegen at any corpus size). The
+    synthetic corpus carries no license text, so the fixture PLANTS
+    one marker class per doc_id%9 residue and the detector must
+    recover exactly that partition (residue 8 stays 'unknown',
+    residue 4 exercises the proprietary/copyright overlap, residue 5
+    the LGPL-cites-GPL ordering, residues 6/7 the NC and CC0
+    variants)."""
     from ..functions.text import copyright_flag, license_detect
 
     docs = _t(spark, sf_dir, "documents")
     suffix = (
-        F.when(F.col("doc_id") % 6 == 0,
+        F.when(F.col("doc_id") % 9 == 0,
                F.lit(" Licensed under the Apache License, Version 2.0."))
-        .when(F.col("doc_id") % 6 == 1,
+        .when(F.col("doc_id") % 9 == 1,
               F.lit(" Released under the MIT License."))
-        .when(F.col("doc_id") % 6 == 2,
+        .when(F.col("doc_id") % 9 == 2,
               F.lit(" This program is free software under the GNU General"
                     " Public License."))
-        .when(F.col("doc_id") % 6 == 3,
+        .when(F.col("doc_id") % 9 == 3,
               F.lit(" This work is licensed under a Creative Commons"
                     " Attribution 4.0 License."))
-        .when(F.col("doc_id") % 6 == 4,
+        .when(F.col("doc_id") % 9 == 4,
               F.lit(" Copyright (c) 2024 Example Corp. All rights"
                     " reserved."))
+        .when(F.col("doc_id") % 9 == 5,
+              F.lit(" This library is free software under the GNU Lesser"
+                    " General Public License; see also the GNU General"
+                    " Public License."))
+        .when(F.col("doc_id") % 9 == 6,
+              F.lit(" Licensed under a Creative Commons"
+                    " Attribution-NonCommercial 4.0 International"
+                    " License."))
+        .when(F.col("doc_id") % 9 == 7,
+              F.lit(" Dedicated to the public domain under Creative"
+                    " Commons Zero (CC0 1.0)."))
         .otherwise(F.lit(""))
     )
     corpus = docs.select(
@@ -17389,14 +17420,23 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS f_priority,
              CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR) AS f_month,
              CAST(o_custkey % 10 AS VARCHAR) AS f_cust_mod,
+             CASE WHEN o_custkey % 2 = 0 THEN NULL
+                  ELSE o_orderpriority END AS f_half_null,
              CAST(o_orderstatus AS VARCHAR) AS y
       FROM orders
     ), stacked AS (
-      SELECT 'f_priority' AS feature, f_priority AS x, y FROM base
+      SELECT 'f_priority' AS feature,
+             COALESCE(f_priority, '__NULL__') AS x,
+             COALESCE(y, '__NULL__') AS y FROM base
       UNION ALL
-      SELECT 'f_month', f_month, y FROM base
+      SELECT 'f_month', COALESCE(f_month, '__NULL__'),
+             COALESCE(y, '__NULL__') FROM base
       UNION ALL
-      SELECT 'f_cust_mod', f_cust_mod, y FROM base
+      SELECT 'f_cust_mod', COALESCE(f_cust_mod, '__NULL__'),
+             COALESCE(y, '__NULL__') FROM base
+      UNION ALL
+      SELECT 'f_half_null', COALESCE(f_half_null, '__NULL__'),
+             COALESCE(y, '__NULL__') FROM base
     ), joint AS (
       SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
       FROM stacked GROUP BY 1, 2, 3
@@ -17412,8 +17452,8 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cells AS (
       SELECT j.feature,
              CAST(round(
-               ln(CAST(j.n_xy * nn.n_tot AS DOUBLE)
-                  / CAST(mx.n_x * my.n_y AS DOUBLE))
+               ln((CAST(j.n_xy AS DOUBLE) * CAST(nn.n_tot AS DOUBLE))
+                  / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
                * CAST(j.n_xy * 1000000 AS DOUBLE)
                / CAST(nn.n_tot AS DOUBLE), 0) AS BIGINT) AS term
       FROM joint j
@@ -17430,12 +17470,21 @@ def v_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information I(feature; label) in micro-nats
     (operators/validation.mutual_information) between order features
     (priority, order month, custkey%10 — the last a deliberate
-    MI-zero control) and order status — the model-free
+    MI-zero control, and priority-NULL-for-even-custkeys — the
+    NULL-category probe: a feature NULL half the time must still
+    report its full MI, because NULLs fold to a reserved sentinel
+    category BEFORE the joint counts instead of being dropped by the
+    marginal equi-joins) and order status — the model-free
     feature-relevance / leakage audit (a feature with MI near H(label)
     is the label in disguise). Exact protocol: integer joint counts,
     per-cell ln absorbed by a micro-round BEFORE the order-independent
-    bigint sum (the BM25 idf recipe). One scan + one joint groupBy;
-    marginals derive from the joint (no rescan) and broadcast back."""
+    bigint sum (the BM25 idf recipe); counts cast to double
+    individually before multiplying so n_xy·n_tot never overflows
+    int64. One scan + one joint groupBy; marginals derive from the
+    joint (no rescan) and broadcast back. The engines use different
+    sentinels (NUL-prefixed here, '__NULL__' in the oracle) — only the
+    grouping uses the sentinel, so results agree whenever neither
+    collides with real data."""
     from ..operators.validation import mutual_information
 
     o = _t(spark, sf_dir, "orders")
@@ -17445,10 +17494,14 @@ def v_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("f_month"),
         (F.col("o_custkey") % 10).cast("string").alias("f_cust_mod"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("f_half_null"),
         F.col("o_orderstatus").alias("status"),
     )
     return mutual_information(
-        base, ["f_priority", "f_month", "f_cust_mod"], "status"
+        base, ["f_priority", "f_month", "f_cust_mod", "f_half_null"],
+        "status",
     )
 
 
@@ -17979,35 +18032,60 @@ def ta_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "v_table_checksum",
     """
-    WITH fps AS (
+    WITH cr AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS v1, c_name AS v2,
+             CAST(c_nationkey AS VARCHAR) AS v3,
+             CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100)
+                       AS BIGINT) AS VARCHAR) AS v4,
+             c_mktsegment AS v5
+      FROM customer
+    ), sr AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS v1, s_name AS v2,
+             CAST(s_nationkey AS VARCHAR) AS v3,
+             CAST(CAST(FLOOR(CAST(s_acctbal AS DOUBLE) * 100)
+                       AS BIGINT) AS VARCHAR) AS v4
+      FROM supplier
+    ), nr AS (
+      SELECT CAST(n_nationkey AS VARCHAR) AS v1, n_name AS v2,
+             CAST(n_regionkey AS VARCHAR) AS v3
+      FROM nation
+    ), rr AS (
+      SELECT CAST(r_regionkey AS VARCHAR) AS v1, r_name AS v2
+      FROM region
+    ), fps AS (
       SELECT 'customer' AS table_name,
              ('0x' || substring(md5(
-               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-               || CAST(c_nationkey AS VARCHAR) || '|'
-               || CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100)
-                            AS BIGINT) AS VARCHAR)
-               || '|' || c_mktsegment), 1, 12))::BIGINT AS fp
-      FROM customer
+               CAST(length(v1) AS VARCHAR) || ':' || v1 || '|'
+               || CAST(length(v2) AS VARCHAR) || ':' || v2 || '|'
+               || CAST(length(v3) AS VARCHAR) || ':' || v3 || '|'
+               || CAST(length(v4) AS VARCHAR) || ':' || v4 || '|'
+               || CAST(length(v5) AS VARCHAR) || ':' || v5),
+               1, 12))::BIGINT AS fp
+      FROM cr
       UNION ALL
       SELECT 'supplier',
              ('0x' || substring(md5(
-               CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
-               || CAST(s_nationkey AS VARCHAR) || '|'
-               || CAST(CAST(FLOOR(CAST(s_acctbal AS DOUBLE) * 100)
-                            AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT
-      FROM supplier
+               CAST(length(v1) AS VARCHAR) || ':' || v1 || '|'
+               || CAST(length(v2) AS VARCHAR) || ':' || v2 || '|'
+               || CAST(length(v3) AS VARCHAR) || ':' || v3 || '|'
+               || CAST(length(v4) AS VARCHAR) || ':' || v4),
+               1, 12))::BIGINT
+      FROM sr
       UNION ALL
       SELECT 'nation',
              ('0x' || substring(md5(
-               CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
-               || CAST(n_regionkey AS VARCHAR)), 1, 12))::BIGINT
-      FROM nation
+               CAST(length(v1) AS VARCHAR) || ':' || v1 || '|'
+               || CAST(length(v2) AS VARCHAR) || ':' || v2 || '|'
+               || CAST(length(v3) AS VARCHAR) || ':' || v3),
+               1, 12))::BIGINT
+      FROM nr
       UNION ALL
       SELECT 'region',
              ('0x' || substring(md5(
-               CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1,
-               12))::BIGINT
-      FROM region
+               CAST(length(v1) AS VARCHAR) || ':' || v1 || '|'
+               || CAST(length(v2) AS VARCHAR) || ':' || v2),
+               1, 12))::BIGINT
+      FROM rr
     )
     SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
@@ -18021,9 +18099,11 @@ def v_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies agree iff every row agrees, independent of row order and
     partitioning; the pt-table-checksum idea as one aggregate per
     table). Doubles are pre-quantized to cents (raw double→string
-    rendering is not engine-portable); 48-bit md5-prefix fingerprints
-    sum into DECIMAL(38,0) so the checksum never overflows. One scan +
-    one 1-row aggregate per table, unioned."""
+    rendering is not engine-portable); every column renders NULL- and
+    delimiter-safely as N / <length>:<value> so distinct rows always
+    render distinctly; 48-bit md5-prefix fingerprints sum into
+    DECIMAL(38,0) so the checksum never overflows. One scan + one
+    1-row aggregate per table, unioned."""
     from ..operators.validation import row_fingerprint_checksum
 
     def dim(name: str, cols: list[str], bal: str | None) -> DataFrame:
@@ -20652,74 +20732,49 @@ def v_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # round-8 rotation (VERDICT r7 #1): the driver CORRECTNESS window shows
-    # the first ~50 registry entries only; 114/295 queries had never earned a
-    # driver row through r7. Front the 50 longest-unwindowed (TPC-H q2-q22,
-    # then j11-j26, w5-w17, a10+ per the verdict priority); the remaining 64
-    # never-windowed queue directly behind for the r9 window.
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_supplier_blame",
-    "q22_dormant_customers",
-    "j11_range_join_attribution",
-    "j12_salted_skew_join",
-    "j13_fuzzy_dictionary_join",
-    "j14_table_diff",
-    "j15_incremental_join",
-    "j16_scd2_temporal_join",
-    "j17_spatial_radius_join",
-    "j18_null_aware_anti",
-    "j19_hierarchy_closure",
-    "j20_bloom_prefilter_join",
-    "j21_fellegi_sunter",
-    "j22_nullsafe_join",
-    "j23_interval_proration",
-    "w5_event_funnel",
-    "w6_rolling_7day_features",
-    "w7_scd2_user_history",
-    "w8_forward_fill",
-    "w9_resample_grid",
-    "w10_interval_concurrency",
-    "w11_event_paths",
-    "w12_rolling_median",
-    "w13_ewma",
-    "w14_running_distinct",
-    "w15_interpolate",
-    "w16_cusum_changepoint",
-    "w17_rolling_zscore",
-    "a10_group_percentiles",
-    "a11_incremental_rollup",
-    "a12_cube_status_priority",
-    "a13_cohort_retention",
-    "a14_mom_growth",
-    "a15_copurchase_pairs",
-    "a16_trend_slope",
-    # never-windowed remainder (r9 front, in the same priority order):
-    "ta_domain_mix_rebalance",
+    # round-9 rotation (VERDICT r8 #1): front the never-windowed backlog
+    # (110 through r8; the ~50-query driver window shrinks it to ~60).
+    # Slots 1-3: the three queries whose semantics CHANGED this round
+    # (ADVICE r8 fixes: mutual_information NULL-category + overflow,
+    # license_detect variant ladder, row_fingerprint_checksum NULL/
+    # delimiter-safe rendering). Slots 4-6: the three perf-reworked graph
+    # queries (g2/g7 edge-builder checkpoint, g15 delta-frontier). Then
+    # the with-oracle never-windowed ANN / dedup / multimodal / embedding
+    # families and the r8 additions. The 16 no-oracle (rows-only) queries
+    # stay OUT of the front per VERDICT r8 #6 -- a driver window slot on
+    # them reports err:no_oracle instead of a hash row; their correctness
+    # is pinned by tests/test_no_oracle_parity.py twins instead.
     "ta_license_detect",
-    "w34_lttb_downsample",
-    "emb_binary_quantize",
     "v_mutual_information",
+    "v_table_checksum",
+    "g2_triangle_count",
+    "g7_assortativity",
+    "g15_dag_layers",
+    "ann_eval_sq8",
+    "ann_maxsim_topk",
+    "dd_connected_components",
+    "dd_contamination_check",
+    "dd_ppjoin_pairs",
+    "dd_substring_dupes",
+    "dd_substring_scrub",
+    "mm_phash_dedup",
+    "mm_afp_dedup",
+    "mm_video_frames",
+    "mm_image_tiles",
+    "emb_binary_quantize",
+    "emb_outlier_mahalanobis",
+    "emb_drift_by_dim",
+    "emb_int_covariance",
+    "emb_sq8_quantize",
+    "emb_diversity_sample",
+    "ta_domain_mix_rebalance",
+    "w34_lttb_downsample",
     "w35_isotonic_fit",
     "g14_random_walks",
     "j32_phonetic_join",
     "w36_xcorr_lag",
     "f_number_normalization",
     "ta_curriculum_interleave",
-    "v_table_checksum",
     "ta_sft_format_validate",
     "ta_span_integrity",
     "w38_forecast_backtest",
@@ -20728,13 +20783,10 @@ _DRIVER_FRONT = [
     "u17_zipf_fit",
     "ta_unicode_fold",
     "s16_snapshot_diff",
-    "mm_image_tiles",
     "ta_readability_scores",
     "u18_bloom_calibration",
     "f_luhn_checksum",
-    "g15_dag_layers",
     "a60_cuped_adjustment",
-    "emb_outlier_mahalanobis",
     "ta_tokenizer_fertility",
     "a61_holm_bonferroni",
     "a62_trimmed_mean",
@@ -20742,13 +20794,18 @@ _DRIVER_FRONT = [
     "a63_mde_power",
     "ta_ngram_entropy_rate",
     "s18_late_arriving_dim",
+    # never-windowed overflow (next window after this round's 50):
     "ta_template_mining",
     "a67_shrunk_means",
     "a68_chain_ladder",
-    "emb_drift_by_dim",
     "f_iso8601_duration",
     "ta_dedup_impact",
     "v_sequence_gaps",
+    "w32_interval_coalesce",
+    "ta_shard_manifest",
+    "ta_dataset_card",
+    "ta_mojibake_detect",
+    # never-windowed remainder, same priority rule:
     "a17_ab_experiment_lift",
     "a18_grouping_sets",
     "a19_salted_agg",
@@ -20757,33 +20814,13 @@ _DRIVER_FRONT = [
     "a38_countmin_sketch",
     "a8_pivot_status",
     "a9_rollup_orders",
-    "ann_eval_sq8",
-    "ann_join_ivf",
-    "ann_maxsim_topk",
-    "ann_topk_ivf_kmeans",
-    "ann_topk_ivfpq",
-    "ann_topk_pq",
     "d10_survivorship",
-    "dd_connected_components",
-    "dd_contamination_check",
-    "dd_ppjoin_pairs",
-    "dd_semantic_dedup",
-    "dd_substring_dupes",
-    "dd_substring_scrub",
-    "emb_int_covariance",
-    "emb_sq8_quantize",
     "f_ecdf_normalize",
     "f_label_repair",
     "f_vector_ops",
     "f_winsorize",
     "f_zorder_code",
-    "g1_pagerank",
-    "g2_triangle_count",
     "g3_degree_stats",
-    "g4_kcore",
-    "mm_afp_dedup",
-    "mm_phash_dedup",
-    "mm_video_frames",
     "s10_cdc_apply",
     "s11_minmax_skipping",
     "s9_orc_roundtrip",
@@ -20813,54 +20850,13 @@ _DRIVER_FRONT = [
     "v_referential_integrity",
     "v_t_closeness",
     "v_type_conformance",
-    # round-8 changed-module re-queue (file-keyed rule; behind the
-    # never-windowed backlog because VERDICT r7 #1 owns this round's
-    # window, and every one of these is hash-green in the r8 sweeps):
-    # neardup.py rewrite (ppjoin + paragraph_dedup), timeseries.py
-    # (median_polish checkpoints; dtw oracle), components.py (hyperball
-    # hash reduce + hub-exclusion logging), frequency.py (histogram
-    # clamps), attribution.py (markov validation), plus fixture/oracle
-    # edits for g5/g6/u15/v_column_profile/g10.
-    "g5_link_prediction",
-    "g6_node_jaccard",
-    "a42_median_polish",
-    "dd_ppjoin_pairs",
-    "w28_dtw_to_centroid",
+    # round-9 changed-module re-queue (file-keyed rule): previously-green
+    # queries whose implementing modules (functions/text.py,
+    # operators/validation.py, operators/components.py) changed this round.
     "v_column_profile",
-    "g10_hyperball_reach",
-    "u15_histogram_quantiles",
-    "ta_paragraph_dedup",
-    "a43_markov_attribution",
-    "w27_sax_symbols",
-    "w30_theil_sen",
-    "w31_ohlc_bars",
-    "dd_exact_fingerprint",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "dd_semantic_dedup",
-    "dd_cluster_canonicalization",
-    "dd_winnowing_pairs",
-    "dd_cdc_chunks",
-    "dd_substring_dupes",
-    "dd_substring_scrub",
-    "dd_shingle_containment",
-    "dd_contamination_check",
-    "dd_connected_components",
-    "dd_minhash_estimate_eval",
-    "w12_rolling_median",
-    "w13_ewma",
-    "w18_holt_forecast",
-    "w21_holt_winters",
-    "g11_scc",
-    "g12_ppr",
-    "g13_modularity",
-    "g9_label_propagation",
-    "g8_bfs_hops",
-    "g2_triangle_count",
-    "g4_kcore",
-    "g1_pagerank",
-    "a38_countmin_sketch",
+    "ta_collocations",
+    "ta_gopher_rules",
+    "ta_dsir_weights",
 ]
 
 

@@ -74,6 +74,16 @@ def test_license_ladder_priority_and_flags(spark):
         (4, "Copyright (c) 2024 Example. All rights reserved."),
         (5, "just some plain text"),
         (6, "THIS USES THE MOZILLA PUBLIC LICENSE 2.0"),
+        # LGPL cites the GPL in its own body: LGPL must win the ladder
+        (7, "GNU Lesser General Public License; see the GNU General"
+            " Public License for details"),
+        # CC restriction variants must NOT classify as permissive cc-by
+        (8, "Creative Commons Attribution-NonCommercial 4.0"),
+        (9, "Creative Commons Attribution-NoDerivatives 4.0"),
+        (10, "released under CC0 1.0 / Creative Commons Zero"),
+        (11, "Creative Commons Attribution 4.0 International"),
+        # bare family hit with no variant: unknown variant, not cc-by
+        (12, "licensed under a Creative Commons license"),
     ]
     df = spark.createDataFrame(cases, "id int, t string")
     got = {
@@ -90,6 +100,12 @@ def test_license_ladder_priority_and_flags(spark):
     assert got[4] == ("proprietary", True)
     assert got[5] == ("unknown", False)
     assert got[6] == ("mpl-2.0", False)  # case-folded
+    assert got[7] == ("lgpl", False)
+    assert got[8] == ("cc-by-nc", False)
+    assert got[9] == ("cc-by-nd", False)
+    assert got[10] == ("cc0", False)
+    assert got[11] == ("cc-by", False)
+    assert got[12] == ("cc-unknown", False)
 
 
 # --------------------------------------------------- lttb_downsample
@@ -231,6 +247,52 @@ def test_mutual_information_extremes(spark):
     # H(uniform over 3) = ln 3; 3 cells each round(ln(3)*30*1e6/90)
     expect = 3 * round(math.log(3.0) * 30 * 1_000_000 / 90)
     assert abs(out["f_same"] - expect) <= 3  # per-cell rounding slack
+
+
+def test_mutual_information_null_categories(spark):
+    """NULL feature values are a real category, not dropped rows
+    (ADVICE r8): a feature that is NULL exactly when the label is 'b'
+    and 'v' otherwise is a PERFECT predictor — MI must equal H(label),
+    not 0. And a half-NULL copy of a perfect feature keeps full MI."""
+    import math
+
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        mutual_information,
+    )
+
+    n = 120
+    rows = [
+        (
+            # f_nullleak: NULL <=> label 'b' (perfect, purely via NULLs)
+            None if i % 2 == 0 else "v",
+            # f_halfnull: equals label but NULL on i%4 in (0,1) —
+            # half NULL; NULL-category still aligns with both labels so
+            # MI = I where NULL cells split across labels
+            str(i % 2) if i % 4 >= 2 else None,
+            "b" if i % 2 == 0 else "a",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "f_nullleak string, f_halfnull string, y string"
+    )
+    out = {
+        r["feature"]: (r["mi_micro_nats"], r["n_cells"])
+        for r in mutual_information(
+            df, ["f_nullleak", "f_halfnull"], "y"
+        ).collect()
+    }
+    # perfect predictor: MI = H(label) = ln 2 (uniform binary)
+    expect = 2 * round(math.log(2.0) * (n // 2) * 1_000_000 / n)
+    mi, cells = out["f_nullleak"]
+    assert cells == 2 and abs(mi - expect) <= 2
+    # half-null copy: cells = {NULL×a, NULL×b, '0'×b, '1'×a};
+    # NULL marginal n=60 splits 30/30 -> its cells contribute 0;
+    # the two value cells each contribute round(ln(2*... )): exact
+    # I = 0.5*ln(2) per the construction
+    mi2, cells2 = out["f_halfnull"]
+    expect2 = 2 * round(math.log(2.0) * (n // 4) * 1_000_000 / n)
+    assert cells2 == 4 and abs(mi2 - expect2) <= 4
 
 
 # ---------------------------------------------------- isotonic PAVA
@@ -431,6 +493,31 @@ def test_checksum_order_independent_and_sensitive(spark):
         spark.createDataFrame(mutated, "k bigint, s string, v bigint"), cols
     ).collect()[0]
     assert cm["checksum"] != ca["checksum"] and cm["n_rows"] == 200
+
+
+def test_checksum_null_and_delimiter_distinct(spark):
+    """Distinct rows must render distinctly (ADVICE r8): NULL position
+    shifts and delimiter-bearing values are the concat_ws collision
+    classes the length-prefixed rendering exists to kill."""
+    from neotree_data_pipeline_kedro_spark.operators.validation import (
+        row_fingerprint_checksum,
+    )
+
+    cols = ["a", "b", "c"]
+
+    def cs(rows):
+        df = spark.createDataFrame(rows, "a string, b string, c string")
+        return row_fingerprint_checksum(df, cols).collect()[0]["checksum"]
+
+    # NULL-position shift: ('a', NULL, 'b') vs ('a', 'b', NULL)
+    assert cs([("a", None, "b")]) != cs([("a", "b", None)])
+    # NULL vs literal 'N' vs empty string are three different rows
+    assert len({cs([("a", None, "x")]), cs([("a", "N", "x")]),
+                cs([("a", "", "x")])}) == 3
+    # delimiter smuggling: ('a|b', 'c') row vs ('a', 'b|c') row
+    assert cs([("a|b", "c", "z")]) != cs([("a", "b|c", "z")])
+    # length-prefix smuggling: value containing the rendered prefix
+    assert cs([("1:a", "b", "z")]) != cs([("a", "1:b", "z")])
 
 
 # --------------------------------------------- curriculum interleave
