@@ -465,6 +465,11 @@ def triangle_count(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # referenced three times below (two wedge sides + the closing
+        # join): checkpoint so the upstream edge builder runs once, not
+        # per reference (the k_core/CC loop discipline; without it the
+        # plan re-scans the fact table per subtree replay)
+        .localCheckpoint()
     )
     wedge = (
         e.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -1131,45 +1136,52 @@ def dag_layers(
     """Longest-path layering of a DAG (Kahn levels): sources sit at
     layer 0 and every node's layer is 1 + max over its predecessors —
     the dependency-scheduling primitive (which tasks/tables can build
-    in parallel, how deep is the critical path). Iterative max-
-    relaxation: each round joins the current layer table to the edge
-    list and keeps the per-node MAX, localCheckpoint'd (the
-    bounded-frontier bfs/pagerank discipline); convergence is detected
-    with a monotone (count, sum) aggregate, never a change-join. Raises
-    if ``max_iters`` rounds don't converge — on a DAG the round count
-    is the critical-path depth, so hitting the cap means the input has
-    a cycle (layers would relax forever).
+    in parallel, how deep is the critical path).
+
+    Delta-frontier relaxation (the bfs_hops discipline, per VERDICT r8
+    #3 — the earlier form re-aggregated max over the WHOLE node set
+    every round, D full-graph shuffles for critical-path depth D):
+    frontier_t is exactly the nodes with some length-t source path, so
+    each node in it carries tentative layer t and the round's only work
+    is one frontier-sized equi-join + distinct. Per-round proposals
+    accumulate and merge into the stable table ONCE at the end with a
+    single groupBy-max (a node reached by paths of several lengths
+    appears once per length; the final max is its longest path = its
+    Kahn layer). Loop control is the empty-frontier test on a
+    checkpointed frame, like bfs_hops. Cycle rejection is two-sided and
+    unchanged in contract: a source-reachable cycle feeds the frontier
+    forever (max_iters raise), a source-UNreachable cycle leaves its
+    nodes without any layer (post-merge anti-join raise).
 
     Output: (node BIGINT, layer INT).
     """
     e = edges.select(
         F.col(src).cast("bigint").alias("__s"),
         F.col(dst).cast("bigint").alias("__d"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    lv = nodes.join(
+    frontier = nodes.join(
         e.select(F.col("__d").alias("node")).distinct(), "node", "left_anti"
-    ).select("node", F.lit(0).alias("layer"))
-    prev = (-1, -1)
-    for _ in range(max_iters):
-        relaxed = lv.join(e, F.col("node") == F.col("__s")).select(
-            F.col("__d").alias("node"), (F.col("layer") + 1).alias("layer")
+    ).localCheckpoint(eager=True)
+    proposals = frontier.select("node", F.lit(0).alias("layer"))
+    for t in range(1, max_iters + 1):
+        frontier = (
+            frontier.join(e, F.col("node") == F.col("__s"))
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        lv = (
-            lv.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.max("layer").alias("layer"))
-            .localCheckpoint()
-        )
-        row = lv.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("layer").alias("s")
-        ).collect()[0]
-        cur = (row["n"], row["s"])
-        if cur == prev:
+        if frontier.isEmpty():
+            lv = (
+                proposals.groupBy("node")
+                .agg(F.max("layer").alias("layer"))
+                .localCheckpoint(eager=True)
+            )
             unlayered = nodes.join(lv, "node", "left_anti").count()
             if unlayered:
                 raise ValueError(
@@ -1178,8 +1190,11 @@ def dag_layers(
                     "is not a DAG"
                 )
             return lv.select("node", F.col("layer").cast("int"))
-        prev = cur
+        proposals = proposals.unionByName(
+            frontier.select("node", F.lit(t).alias("layer"))
+        )
     raise ValueError(
-        f"dag_layers: no fixpoint after {max_iters} rounds — the edge "
-        "set is not a DAG (or raise max_iters for a deeper graph)"
+        f"dag_layers: frontier still non-empty after {max_iters} rounds "
+        "— the edge set is not a DAG (or raise max_iters for a deeper "
+        "graph)"
     )

@@ -7927,6 +7927,31 @@ def dd_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase edge builder for g2/g7: parts linked when they
+    ship in the same order (l_partkey % 10 < 3 keeps the fixture graph
+    bounded), oriented a<b and deduplicated. localCheckpoint'ed because
+    every consumer references the edge list multiple times (wedge sides,
+    closing join, both orientations of the degree union) — without it
+    each lazy reference replays the lineitem self-join, which at 100 TB
+    means re-scanning the fact table per subtree (the replay disease
+    VERDICT r7/r8 cured in g5/g6/a42)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 < 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return (
+        li.alias("la")
+        .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
+        .filter(F.col("la.p") < F.col("lb.p"))
+        .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 @_register(
     "g7_assortativity",
     """
@@ -7977,20 +8002,10 @@ def g7_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls back to a shuffle join at a scale where a forced hint would
     OOM the driver (the g6 standard); all five moments are exact
     bigint sums, and the single final expression is the same IEEE
-    double in both engines."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 10 < 3)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    e = (
-        li.alias("la")
-        .join(li.alias("lb"), F.col("la.o") == F.col("lb.o"))
-        .filter(F.col("la.p") < F.col("lb.p"))
-        .select(F.col("la.p").alias("a"), F.col("lb.p").alias("b"))
-        .distinct()
-    )
+    double in both engines. The edge list comes from the shared
+    checkpointed builder (_copurchase_edges) so the lineitem self-join
+    runs once, not per lazy reference."""
+    e = _copurchase_edges(spark, sf_dir)
     nb = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
@@ -10333,20 +10348,15 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oriented-wedge enumeration counts each triangle once as a<b<c;
     the oracle states the same three-way self-join declaratively. The
     cohesion signal validates near-dup clusters: chains of borderline
-    pairs have no triangles, cliques of true duplicates are dense."""
+    pairs have no triangles, cliques of true duplicates are dense. The
+    edge list comes from the shared checkpointed builder
+    (_copurchase_edges), so cap_hub_degree's degree pass, its anti-join
+    and triangle_count's wedge joins all read the materialized edges
+    instead of replaying the lineitem self-join per reference."""
     from ..operators.components import triangle_count
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 10 < 3)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     # max_degree=1000: enforced wedge hub cap — fixture degrees top out
     # ~76 so the answer is unchanged, but a planted celebrity part can
