@@ -96,6 +96,30 @@ def main() -> None:
         load_before = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_before = None
+    # Load guard (VERDICT r8 #4): a contended host inflates per-query
+    # numbers 2-7x and the artifact then reads as a code regression
+    # (r8's recorded 1.23x "regression" started at loadavg 12.7 and
+    # evaporated on a quiet re-run). Loop-wait until the 1-minute load
+    # drops under the threshold rather than refusing outright — the
+    # driver runs this unattended and an absent artifact is worse than
+    # a late one; if the host never quiets down within the budget, run
+    # anyway and record how long we waited so the reader can discount.
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    waited = 0.0
+    while (
+        load_before is not None
+        and load_before[0] > max_load
+        and waited < wait_budget
+    ):
+        print(
+            f"bench: loadavg {load_before[0]} > {max_load}, waiting 15s "
+            f"({waited:.0f}/{wait_budget:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="neotree-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -158,6 +182,7 @@ def main() -> None:
         "unstable": sorted(unstable),
         "loadavg": [load1, load5, load15],
         "loadavg_before": load_before,
+        "load_guard": {"threshold": max_load, "waited_sec": waited},
         "sf": sf,
     }
     try:
