@@ -391,6 +391,66 @@ def license_detect(col: Column | str) -> Column:
     return out.otherwise(F.lit("unknown"))
 
 
+# Ordered refusal / AI-disclosure markers: first match wins. Same
+# containment-only portability contract as LICENSE_MARKERS — the SFT /
+# distillation-output hygiene gate (model-generated corpora accumulate
+# refusals and self-references that must not reach training data).
+REFUSAL_MARKERS: list[tuple[str, str]] = [
+    ("i cannot assist", "refusal"),
+    ("i can't assist", "refusal"),
+    ("i cannot help with", "refusal"),
+    ("i can't help with", "refusal"),
+    ("i'm sorry, but i", "refusal"),
+    ("i am sorry, but i", "refusal"),
+    ("i must decline", "refusal"),
+    ("as an ai language model", "ai_disclosure"),
+    ("as an ai assistant", "ai_disclosure"),
+    ("as a large language model", "ai_disclosure"),
+    ("i do not have personal opinions", "ai_disclosure"),
+    ("my knowledge cutoff", "ai_disclosure"),
+    ("i'm just an ai", "ai_disclosure"),
+]
+
+
+def refusal_detect(col: Column | str) -> Column:
+    """Classify model-generated text as 'refusal' / 'ai_disclosure' /
+    'clean' by the ordered case-insensitive ``REFUSAL_MARKERS`` ladder —
+    the gate that keeps refusals and AI self-references out of SFT /
+    distillation training corpora. Pure whole-stage-codegen CASE over
+    ``contains(lower(text), marker)``; no regex, no UDF."""
+    low = F.lower(_col(col))
+    out: Column | None = None
+    for marker, label in REFUSAL_MARKERS:
+        hit = low.contains(F.lit(marker))
+        out = F.when(hit, F.lit(label)) if out is None else out.when(
+            hit, F.lit(label)
+        )
+    assert out is not None
+    return out.otherwise(F.lit("clean"))
+
+
+def code_line_stats(col: Column | str) -> Column:
+    """Per-document line statistics for code-quality gating (the
+    StarCoder-style file filters): struct(n_lines, max_line_len,
+    body_chars, alnum_chars) where body_chars excludes the newline
+    separators (= length - n_lines + 1) and alnum_chars counts
+    [A-Za-z0-9]. All four are exact integers from one split + one
+    regexp strip, array ops stay in-row — scan-stage at any corpus
+    size; thresholds and the gate ladder live with the caller."""
+    c = _col(col)
+    lines = F.split(c, "\n")
+    return F.struct(
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.array_max(F.transform(lines, F.length)).cast("bigint").alias(
+            "max_line_len"
+        ),
+        (F.length(c) - F.size(lines) + 1).cast("bigint").alias("body_chars"),
+        F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+        .cast("bigint")
+        .alias("alnum_chars"),
+    )
+
+
 def copyright_flag(col: Column | str) -> Column:
     """True when the document carries a copyright line: case-folded
     'copyright' or the '(c)' sigil. Same containment-only portability

@@ -426,6 +426,72 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int,
+    overlap_col: str = "overlap_us",
+) -> DataFrame:
+    """Interval×interval overlap join without a cartesian stage:
+    match (l, r) when the equi-``keys`` agree and the end-EXCLUSIVE
+    intervals [l.start, l.end) and [r.start, r.end) intersect; emit the
+    pair once with its overlap length. The ad-exposure×session /
+    machine-uptime×incident shape — ``range_join``'s big sibling where
+    BOTH sides are intervals of varying length, so neither side can be
+    bucketed by a single point.
+
+    Scale shape: both sides explode into the ``bucket_us``-grain
+    buckets their interval covers (fan-out per row =
+    len/bucket_us + 1 — pick ``bucket_us`` near the typical interval
+    length), candidate pairs meet by an ordinary equi-join on
+    (keys, bucket), the exact overlap predicate filters, and each
+    surviving pair is kept EXACTLY ONCE — at the bucket containing
+    greatest(l.start, r.start), a bucket both intervals necessarily
+    cover — so there is no post-join distinct shuffle. Candidate
+    fan-out is bounded by rows per (key, bucket), never |L|×|R|.
+
+    Column contract: ``left_start``/``left_end``/``right_start``/
+    ``right_end`` are epoch-microsecond longs (cast timestamps with
+    ``unix_micros`` first); the two sides must not share non-key column
+    names. Zero- and negative-length intervals match nothing (the
+    end-exclusive contract) and are filtered before the explode, which
+    also keeps ``sequence`` from counting down.
+    """
+    if bucket_us <= 0:
+        raise ValueError("interval_overlap_join: bucket_us must be positive")
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            "interval_overlap_join: overlapping non-key columns "
+            f"{sorted(overlap)}; alias them before joining"
+        )
+
+    def fdiv(c: Column) -> Column:
+        # exact floor-division in long arithmetic (no doubles)
+        return ((c - F.pmod(c, F.lit(bucket_us))) / bucket_us).cast("long")
+
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re = F.col(right_start), F.col(right_end)
+    lb = left.filter(le > ls).withColumn(
+        "__bucket", F.explode(F.sequence(fdiv(ls), fdiv(le - 1)))
+    )
+    rb = right.filter(re > rs).withColumn(
+        "__bucket", F.explode(F.sequence(fdiv(rs), fdiv(re - 1)))
+    )
+    pair_bucket = fdiv(F.greatest(ls, rs))
+    return (
+        lb.join(rb, [*keys, "__bucket"])
+        .filter((ls < re) & (rs < le) & (F.col("__bucket") == pair_bucket))
+        .withColumn(overlap_col, F.least(le, re) - F.greatest(ls, rs))
+        .drop("__bucket")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

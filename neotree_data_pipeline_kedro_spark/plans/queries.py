@@ -20731,6 +20731,539 @@ def v_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 extension operators
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j34_interval_overlap_join",
+    """
+    WITH a AS (
+      SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_s,
+             epoch_us(ts) + 1800000000 AS a_e
+      FROM events WHERE event_type = 'view'
+    ), b AS (
+      SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_s,
+             epoch_us(ts) + 1800000000 AS b_e
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT a.user_id,
+             LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_us
+      FROM a JOIN b ON a.user_id = b.user_id
+        AND a_s < b_e AND b_s < a_e
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us,
+           CAST(MAX(overlap_us) AS BIGINT) AS max_overlap_us
+    FROM pairs GROUP BY user_id
+    """,
+)
+def j34_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.
+    interval_overlap_join): per user, every (view-window, purchase-
+    window) pair of 30-minute activity intervals that intersect, with
+    exact overlap microseconds — the ad-exposure×session shape where
+    BOTH sides are intervals, so neither can be bucketed by a single
+    point (j11's range_join covers point-vs-band). Scale shape: both
+    sides explode into covered 1-hour buckets (fan-out <= 2 per
+    30-minute interval), candidates meet on an ordinary
+    (user, bucket) equi-join, and each pair is kept exactly once at the
+    bucket containing greatest(start) — no cartesian, no post-join
+    distinct. The oracle states the same pairs with a plain inequality
+    join (DuckDB handles the small fixture directly)."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    half_hour = 1_800_000_000
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        us.alias("a_s"),
+        (us + half_hour).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        us.alias("b_s"),
+        (us + half_hour).alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["user_id"], "a_s", "a_e", "b_s", "b_e",
+        bucket_us=3_600_000_000,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+        F.max("overlap_us").cast("bigint").alias("max_overlap_us"),
+    )
+
+
+@_register(
+    "s19_compaction_bins",
+    """
+    WITH files AS (
+      SELECT CAST(l_orderkey // 100 AS BIGINT) AS file_id,
+             CAST(COUNT(*) * 100 AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1
+    ), scanned AS (
+      SELECT file_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (
+               ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS before
+      FROM files
+    ), binned AS (
+      SELECT file_id, bytes, before // 50000 AS bin_id FROM scanned
+    )
+    SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM binned GROUP BY bin_id
+    """,
+)
+def s19_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving compaction bin-packing plan (sources/warehouse.
+    compaction_bins): a synthetic file inventory (one "file" per
+    100-orderkey range, 100 bytes/row) packs into ~50 KB output bins by
+    exclusive-prefix-sum div target — the planning half of an
+    Iceberg/Delta OPTIMIZE pass, order-preserving so the table's
+    clustering (and its min/max file skipping) survives the rewrite.
+    Scale shape: ONE two-phase global prefix scan (range-partition +
+    local cumsum + driver-side per-partition offsets — no
+    single-partition sort at any inventory size); the oracle states the
+    same exclusive running sum with a window. Bins track contiguous
+    file-id runs: first/last per bin pin the order-preservation
+    contract."""
+    from ..sources.warehouse import compaction_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.expr("l_orderkey div 100").cast("bigint").alias("file_id")
+    ).agg((F.count(F.lit(1)) * 100).cast("bigint").alias("bytes"))
+    planned = compaction_bins(files, ["file_id"], "bytes", 50_000)
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+    )
+
+
+@_register(
+    "ta_refusal_detect",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN ' I''m sorry, but I cannot assist with that request.'
+               WHEN 1 THEN ' As an AI language model, I do not have personal opinions.'
+               WHEN 2 THEN ' My knowledge cutoff means I may be out of date.'
+               ELSE ''
+             END AS t
+      FROM documents
+    ), det AS (
+      SELECT doc_id, t,
+             CASE
+               WHEN contains(lower(t), 'i cannot assist') THEN 'refusal'
+               WHEN contains(lower(t), 'i can''t assist') THEN 'refusal'
+               WHEN contains(lower(t), 'i cannot help with') THEN 'refusal'
+               WHEN contains(lower(t), 'i can''t help with') THEN 'refusal'
+               WHEN contains(lower(t), 'i''m sorry, but i') THEN 'refusal'
+               WHEN contains(lower(t), 'i am sorry, but i') THEN 'refusal'
+               WHEN contains(lower(t), 'i must decline') THEN 'refusal'
+               WHEN contains(lower(t), 'as an ai language model') THEN 'ai_disclosure'
+               WHEN contains(lower(t), 'as an ai assistant') THEN 'ai_disclosure'
+               WHEN contains(lower(t), 'as a large language model') THEN 'ai_disclosure'
+               WHEN contains(lower(t), 'i do not have personal opinions') THEN 'ai_disclosure'
+               WHEN contains(lower(t), 'my knowledge cutoff') THEN 'ai_disclosure'
+               WHEN contains(lower(t), 'i''m just an ai') THEN 'ai_disclosure'
+               ELSE 'clean'
+             END AS label
+      FROM corpus
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(t)) AS BIGINT) AS total_chars
+    FROM det GROUP BY label
+    """,
+)
+def ta_refusal_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal / AI-self-reference gate (functions/text.refusal_detect):
+    an ordered case-folded marker ladder classifying model-generated
+    text as refusal / ai_disclosure / clean — the hygiene filter of
+    SFT and distillation corpus construction (synthetic corpora
+    accumulate refusals and "as an AI" boilerplate that must not reach
+    training data). Pure containment CASE ladder, scan-stage codegen.
+    The synthetic corpus carries no such text, so the fixture PLANTS
+    one marker class per doc_id%5 residue (note residue 0 contains TWO
+    refusal markers — ladder order must still yield one label) and the
+    detector must recover exactly that partition."""
+    from ..functions.text import refusal_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" I'm sorry, but I cannot assist with that"
+                     " request."))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit(" As an AI language model, I do not have personal"
+                    " opinions."))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit(" My knowledge cutoff means I may be out of date."))
+        .otherwise(F.lit(""))
+    )
+    corpus = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    return (
+        corpus.select(
+            refusal_detect(F.col("t")).alias("label"),
+            F.length("t").cast("bigint").alias("chars"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "ta_script_mix",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 1 THEN repeat(' Привет мир тест данных',
+                                  CAST(n_chars // 10 + 1 AS INT))
+               WHEN 2 THEN repeat(' 你好世界数据测试',
+                                  CAST(n_chars // 5 + 1 AS INT))
+               WHEN 3 THEN repeat(' مرحبا بالعالم اختبار',
+                                  CAST(n_chars // 10 + 1 AS INT))
+               ELSE ''
+             END AS t
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS latin,
+             CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) AS cyrillic,
+             CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT) AS cjk,
+             CAST(len(regexp_extract_all(t, '[؀-ۿ]')) AS BIGINT) AS arabic,
+             CAST(length(t) AS BIGINT) AS n_chars
+      FROM corpus
+    ), dom AS (
+      SELECT doc_id, latin, cyrillic, cjk, arabic, n_chars,
+             CASE
+               WHEN latin >= cyrillic AND latin >= cjk AND latin >= arabic
+                 THEN 'latin'
+               WHEN cyrillic >= cjk AND cyrillic >= arabic THEN 'cyrillic'
+               WHEN cjk >= arabic THEN 'cjk'
+               ELSE 'arabic'
+             END AS dominant
+      FROM counts
+    )
+    SELECT dominant, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(latin) AS BIGINT) AS latin_chars,
+           CAST(SUM(cyrillic) AS BIGINT) AS cyrillic_chars,
+           CAST(SUM(cjk) AS BIGINT) AS cjk_chars,
+           CAST(SUM(arabic) AS BIGINT) AS arabic_chars
+    FROM dom GROUP BY dominant
+    """,
+)
+def ta_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document: Latin / Cyrillic / CJK /
+    Arabic character counts from literal code-point-range character
+    classes (portable across Java regex and RE2 — the ranges are
+    written as literal characters, not engine-specific escapes) and a
+    deterministic dominant-script vote with a fixed tie order — the
+    script-routing step of multilingual corpus construction (script
+    disagreement with the declared lang is also the cheapest mojibake
+    signal). Scan-stage regexp_count expressions, one groupBy. The
+    base corpus is pure ASCII, so the fixture plants a repeated
+    non-Latin run per doc_id%4 residue sized (via n_chars) to OUTWEIGH
+    the Latin body — dominance must flip to the planted script and the
+    per-script character sums pin the counting exactly; residue 0 pins
+    the all-Latin row."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.expr("repeat(' Привет мир тест данных',"
+                   " CAST(n_chars div 10 + 1 AS INT))"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.expr("repeat(' 你好世界数据测试',"
+                   " CAST(n_chars div 5 + 1 AS INT))"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.expr("repeat(' مرحبا بالعالم اختبار',"
+                   " CAST(n_chars div 10 + 1 AS INT))"),
+        )
+        .otherwise(F.lit(""))
+    )
+    corpus = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    t = F.col("t")
+    counts = corpus.select(
+        F.regexp_count(t, F.lit("[A-Za-z]")).cast("bigint").alias("latin"),
+        F.regexp_count(t, F.lit("[Ѐ-ӿ]")).cast("bigint").alias("cyrillic"),
+        F.regexp_count(t, F.lit("[一-鿿]")).cast("bigint").alias("cjk"),
+        F.regexp_count(t, F.lit("[؀-ۿ]")).cast("bigint").alias("arabic"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )
+    lat, cyr, cjk, ara = (
+        F.col("latin"), F.col("cyrillic"), F.col("cjk"), F.col("arabic")
+    )
+    dominant = (
+        F.when((lat >= cyr) & (lat >= cjk) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= cjk) & (cyr >= ara), F.lit("cyrillic"))
+        .when(cjk >= ara, F.lit("cjk"))
+        .otherwise(F.lit("arabic"))
+    )
+    return (
+        counts.withColumn("dominant", dominant)
+        .groupBy("dominant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("latin").cast("bigint").alias("latin_chars"),
+            F.sum("cyrillic").cast("bigint").alias("cyrillic_chars"),
+            F.sum("cjk").cast("bigint").alias("cjk_chars"),
+            F.sum("arabic").cast("bigint").alias("arabic_chars"),
+        )
+    )
+
+
+@_register(
+    "ta_code_quality_gates",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN replace(text, ' ', chr(10))
+                           || chr(10) || '# auto-generated - do not edit'
+               WHEN 1 THEN replace(text, ' ', chr(10))
+                           || chr(10) || repeat('x', 250)
+               WHEN 2 THEN replace(text, ' ', chr(10))
+                           || chr(10) || repeat('+=', GREATEST(n_chars, 50))
+               WHEN 3 THEN repeat('ab', 60) || chr(10) || repeat('cd', 60)
+                           || chr(10) || repeat('ef', 60)
+               ELSE replace(text, ' ', chr(10))
+             END AS t
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, t,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(string_split(t, chr(10)),
+                                          x -> length(x))) AS BIGINT)
+               AS max_line_len,
+             CAST(length(t) - len(string_split(t, chr(10))) + 1 AS BIGINT)
+               AS body_chars,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9]')) AS BIGINT)
+               AS alnum_chars
+      FROM corpus
+    ), gated AS (
+      SELECT doc_id, n_lines, max_line_len,
+             CASE
+               WHEN contains(lower(t), 'auto-generated')
+                 OR contains(lower(t), 'do not edit') THEN 'autogen'
+               WHEN alnum_chars * 1000000 < 600000 * length(t)
+                 THEN 'low_alnum'
+               WHEN max_line_len > 200 THEN 'long_lines'
+               WHEN body_chars * 1000 > 80000 * n_lines THEN 'long_avg_line'
+               ELSE 'pass'
+             END AS gate
+      FROM stats
+    )
+    SELECT gate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+           CAST(MAX(max_line_len) AS BIGINT) AS worst_line_len
+    FROM gated GROUP BY gate
+    """,
+)
+def ta_code_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-file quality gates (functions/text.code_line_stats): the
+    StarCoder/The-Stack-style file filters — auto-generated marker,
+    alphanumeric fraction < 60%, any line > 200 chars, average line
+    length > 80 — applied as an ordered ladder so every file gets ONE
+    deterministic reject reason (or 'pass'). All metrics are exact
+    integers from one split + one regexp strip; the threshold
+    comparisons are cross-multiplied so no division appears anywhere.
+    The prose corpus has no lines, so the fixture renders each doc as
+    one-word-per-line "code" and plants one violation class per
+    doc_id%5 residue (residue 2 plants a low-alnum blob that is ALSO a
+    >200-char line — ladder order must label it low_alnum)."""
+    from ..functions.text import code_line_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    t = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(lines, F.lit("\n# auto-generated - do not edit")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(lines, F.lit("\n"), F.repeat(F.lit("x"), 250)))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(lines, F.lit("\n"),
+                       F.expr("repeat('+=',"
+                              " CAST(GREATEST(n_chars, 50) AS INT))")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.repeat(F.lit("ab"), 60), F.lit("\n"),
+                       F.repeat(F.lit("cd"), 60), F.lit("\n"),
+                       F.repeat(F.lit("ef"), 60)))
+        .otherwise(lines)
+    )
+    corpus = docs.select("doc_id", t.alias("t"))
+    stats = corpus.select(
+        "doc_id", "t", code_line_stats("t").alias("s")
+    ).select("doc_id", "t", "s.*")
+    low = F.lower(F.col("t"))
+    gate = (
+        F.when(
+            low.contains("auto-generated") | low.contains("do not edit"),
+            F.lit("autogen"),
+        )
+        .when(
+            F.col("alnum_chars") * 1_000_000
+            < 600_000 * F.length(F.col("t")),
+            F.lit("low_alnum"),
+        )
+        .when(F.col("max_line_len") > 200, F.lit("long_lines"))
+        .when(
+            F.col("body_chars") * 1_000 > 80_000 * F.col("n_lines"),
+            F.lit("long_avg_line"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        stats.select(
+            gate.alias("gate"),
+            F.col("n_lines"),
+            F.col("max_line_len"),
+        )
+        .groupBy("gate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.max("max_line_len").cast("bigint").alias("worst_line_len"),
+        )
+    )
+
+
+@_register(
+    "ta_token_f1_eval",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok != '' GROUP BY 1, 2, 3
+    ), ref AS (
+      SELECT doc_id // 2 AS pair_id, source, tok, c FROM cnt
+      WHERE doc_id % 2 = 0
+    ), cand AS (
+      SELECT doc_id // 2 AS pair_id, tok, c FROM cnt WHERE doc_id % 2 = 1
+    ), ov AS (
+      SELECT r.pair_id, CAST(SUM(LEAST(r.c, c.c)) AS BIGINT) AS overlap
+      FROM ref r JOIN cand c ON c.pair_id = r.pair_id AND c.tok = r.tok
+      GROUP BY 1
+    ), totals AS (
+      SELECT r.pair_id, r.source, r.n_ref, c.n_cand,
+             COALESCE(o.overlap, 0) AS overlap
+      FROM (SELECT pair_id, ANY_VALUE(source) AS source,
+                   CAST(SUM(c) AS BIGINT) AS n_ref
+            FROM ref GROUP BY 1) r
+      JOIN (SELECT pair_id, CAST(SUM(c) AS BIGINT) AS n_cand
+            FROM cand GROUP BY 1) c ON c.pair_id = r.pair_id
+      LEFT JOIN ov o ON o.pair_id = r.pair_id
+    ), scored AS (
+      SELECT source,
+             (2000000 * overlap) // (n_ref + n_cand) AS f1_ppm
+      FROM totals
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT) AS mean_f1_ppm,
+           CAST(MIN(f1_ppm) AS BIGINT) AS min_f1_ppm,
+           CAST(MAX(f1_ppm) AS BIGINT) AS max_f1_ppm
+    FROM scored GROUP BY source
+    """,
+)
+def ta_token_f1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-tokens F1 between reference/candidate document pairs —
+    the SQuAD-style token-overlap metric used to score distillation
+    and summarization outputs against references at corpus scale
+    (ROUGE-1's bag form). Pairs are (even doc_id = reference, the
+    following odd doc_id = candidate). Exact integer protocol: bag
+    overlap = Σ min(count_ref, count_cand) per token, and the harmonic
+    identity F1 = 2·overlap/(n_ref+n_cand) makes F1 one integer
+    division — no floating point anywhere. Scale shape: token counts
+    are one explode + groupBy (map-side partials), the overlap join is
+    equi-keyed on (pair, token), and zero-overlap pairs survive via the
+    left join (a metric that silently drops the worst pairs overstates
+    quality). Output: per-source pair counts and mean/min/max F1 ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # referenced four times below (overlap join's two sides + both
+        # totals): checkpoint so the tokenize+count runs once, not per
+        # lazy reference (the g2/_copurchase_edges discipline)
+        .localCheckpoint()
+    )
+    ref = cnt.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"), "source", "tok", "c"
+    )
+    cand = cnt.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        "tok",
+        F.col("c").alias("cc"),
+    )
+    ov = (
+        ref.join(cand, ["pair_id", "tok"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c", "cc")).cast("bigint").alias("overlap"))
+    )
+    r_tot = ref.groupBy("pair_id").agg(
+        F.any_value("source").alias("source"),
+        F.sum("c").cast("bigint").alias("n_ref"),
+    )
+    c_tot = cand.groupBy("pair_id").agg(
+        F.sum("cc").cast("bigint").alias("n_cand")
+    )
+    totals = (
+        r_tot.join(c_tot, "pair_id")
+        .join(ov, "pair_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+            "n_ref",
+            "n_cand",
+        )
+    )
+    scored = totals.select(
+        "source",
+        F.expr("(2000000 * overlap) div (n_ref + n_cand)").alias("f1_ppm"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("sum(f1_ppm) div count(1)").cast("bigint").alias(
+            "mean_f1_ppm"
+        ),
+        F.min("f1_ppm").cast("bigint").alias("min_f1_ppm"),
+        F.max("f1_ppm").cast("bigint").alias("max_f1_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
 # two rounds. Re-queue rule is keyed on FILES, not functions: any registry
@@ -20760,6 +21293,13 @@ _DRIVER_FRONT = [
     "g2_triangle_count",
     "g7_assortativity",
     "g15_dag_layers",
+    # round-9 NEW operators (never windowed by construction):
+    "j34_interval_overlap_join",
+    "s19_compaction_bins",
+    "ta_refusal_detect",
+    "ta_script_mix",
+    "ta_code_quality_gates",
+    "ta_token_f1_eval",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",

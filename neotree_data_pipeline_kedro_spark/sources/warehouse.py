@@ -423,3 +423,45 @@ def write_audit_publish(
         return version, False, failures
     publish_snapshot(base_dir, version)
     return version, True, []
+
+
+def compaction_bins(
+    files: DataFrame,
+    order_cols: Sequence[str],
+    size_col: str,
+    target_bytes: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Order-preserving compaction bin-packing plan: given a file
+    inventory (one row per file with a byte size), assign CONTIGUOUS
+    runs of files — in ``order_cols`` order — to output bins of
+    ~``target_bytes`` via ``bin = exclusive_prefix_sum(size) div
+    target`` — the planning half of an Iceberg/Delta OPTIMIZE pass.
+    Order-preserving (vs first-fit-decreasing) because the inventory's
+    sort order IS the table's clustering: packing adjacent files keeps
+    min/max file statistics selective after the rewrite, which is the
+    point of compacting.
+
+    Scale shape: one ``global_prefix_scan`` (range-partition + local
+    cumsum + driver-side per-partition offsets — no single-partition
+    sort at any inventory size); everything else is expressions. Bins
+    overfill by at most one file (a file larger than ``target_bytes``
+    gets its own bin and spills the next boundary), the classic
+    next-fit guarantee: every bin except possibly the last holds
+    >= target_bytes only if a single file exceeds it, and bin count
+    <= ceil(total/target) + n_oversized.
+
+    Output: the input columns + ``bin_col`` (0-based BIGINT).
+    """
+    if target_bytes <= 0:
+        raise ValueError("compaction_bins: target_bytes must be positive")
+    from ..operators.windows import global_prefix_scan
+
+    scanned = global_prefix_scan(
+        files, list(order_cols), size_col, rn_col="__rn", cum_col="__cum"
+    )
+    before = F.col("__cum") - F.col(size_col)  # exclusive prefix
+    bin_id = (
+        (before - F.pmod(before, F.lit(target_bytes))) / target_bytes
+    ).cast("bigint")
+    return scanned.withColumn(bin_col, bin_id).drop("__rn", "__cum")

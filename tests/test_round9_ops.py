@@ -1,0 +1,141 @@
+"""Round-9 session ops: interval-overlap join, compaction bin packing,
+refusal/code-quality gates — unit semantics beyond the registry oracle
+rows."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- interval_overlap_join
+def _iojoin(spark, a_rows, b_rows, bucket_us=10):
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        a_rows, "k bigint, a_id bigint, a_s bigint, a_e bigint"
+    )
+    b = spark.createDataFrame(
+        b_rows, "k bigint, b_id bigint, b_s bigint, b_e bigint"
+    )
+    return interval_overlap_join(
+        a, b, ["k"], "a_s", "a_e", "b_s", "b_e", bucket_us
+    )
+
+
+def test_interval_overlap_exact_pairs_and_lengths(spark):
+    a = [(1, 10, 0, 100), (1, 11, 200, 250), (2, 12, 0, 50)]
+    b = [
+        (1, 20, 90, 110),   # overlaps a10 by 10
+        (1, 21, 100, 150),  # touches a10 end-exclusive: NO overlap
+        (1, 22, 240, 260),  # overlaps a11 by 10
+        (2, 23, 50, 60),    # touches a12 end-exclusive: NO overlap
+        (3, 24, 0, 100),    # key mismatch
+    ]
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_us"]
+        for r in _iojoin(spark, a, b).collect()
+    }
+    assert got == {(10, 20): 10, (11, 22): 10}
+
+
+def test_interval_overlap_exactly_once_across_buckets(spark):
+    # both intervals span MANY buckets; the pair must appear exactly once
+    a = [(1, 1, 0, 95)]
+    b = [(1, 2, 5, 90)]
+    rows = _iojoin(spark, a, b, bucket_us=10).collect()
+    assert len(rows) == 1 and rows[0]["overlap_us"] == 85
+
+
+def test_interval_overlap_rejects_shared_columns_and_zero_len(spark):
+    import pytest
+
+    from neotree_data_pipeline_kedro_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(1, 0, 10)], "k bigint, s bigint, e bigint")
+    with pytest.raises(ValueError, match="overlapping non-key"):
+        interval_overlap_join(a, a, ["k"], "s", "e", "s", "e", 10)
+    # zero-length interval matches nothing (end-exclusive contract)
+    b = spark.createDataFrame(
+        [(1, 9, 5, 5)], "k bigint, b_id bigint, b_s bigint, b_e bigint"
+    )
+    a2 = spark.createDataFrame(
+        [(1, 8, 0, 10)], "k bigint, a_id bigint, a_s bigint, a_e bigint"
+    )
+    assert (
+        interval_overlap_join(
+            a2, b, ["k"], "a_s", "a_e", "b_s", "b_e", 10
+        ).count()
+        == 0
+    )
+
+
+# ------------------------------------------------ compaction_bins
+def test_compaction_bins_next_fit_invariants(spark):
+    from neotree_data_pipeline_kedro_spark.sources.warehouse import (
+        compaction_bins,
+    )
+
+    rows = [(i, 30) for i in range(20)] + [(100, 500)] + [
+        (200 + i, 30) for i in range(10)
+    ]
+    files = spark.createDataFrame(rows, "file_id bigint, bytes bigint")
+    out = compaction_bins(files, ["file_id"], "bytes", 100).collect()
+    by_file = {r["file_id"]: r["bin_id"] for r in out}
+    # order-preserving: bin ids are non-decreasing in file order
+    ordered = [by_file[k] for k in sorted(by_file)]
+    assert ordered == sorted(ordered)
+    # exclusive-prefix rule: file 0..2 (cum before 0,30,60) -> bin 0,
+    # file 3 (before=90) -> bin 0, file 4 (before=120) -> bin 1
+    assert ordered[:5] == [0, 0, 0, 0, 1]
+    # the oversized 500-byte file occupies bins alone downstream of it:
+    # everything after it starts at a strictly larger bin
+    big_bin = by_file[100]
+    assert all(by_file[200 + i] > big_bin for i in range(10))
+
+
+# ------------------------------------------------- refusal_detect
+def test_refusal_ladder(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        refusal_detect,
+    )
+
+    cases = [
+        (1, "I'm sorry, but I cannot assist with that."),
+        (2, "AS AN AI LANGUAGE MODEL I must note..."),
+        (3, "My knowledge cutoff is 2025."),
+        (4, "perfectly normal document text"),
+        (5, "I must decline this request."),
+    ]
+    df = spark.createDataFrame(cases, "id int, t string")
+    got = {
+        r["id"]: r["lab"]
+        for r in df.select(
+            "id", refusal_detect("t").alias("lab")
+        ).collect()
+    }
+    assert got == {
+        1: "refusal",
+        2: "ai_disclosure",
+        3: "ai_disclosure",
+        4: "clean",
+        5: "refusal",
+    }
+
+
+# ------------------------------------------------ code_line_stats
+def test_code_line_stats_exact(spark):
+    from neotree_data_pipeline_kedro_spark.functions.text import (
+        code_line_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc\nde fg!\nx")], "id int, t string"
+    )
+    r = df.select(code_line_stats("t").alias("s")).select("s.*").collect()[0]
+    assert r["n_lines"] == 3
+    assert r["max_line_len"] == 6
+    assert r["body_chars"] == len("abc") + len("de fg!") + len("x")
+    assert r["alnum_chars"] == 8  # a b c d e f g x
