@@ -21263,6 +21263,225 @@ def ta_token_f1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w39_seasonal_decompose",
+    """
+    WITH series AS (
+      SELECT o_orderpriority AS grp,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), trended AS (
+      SELECT grp, m, y,
+             CAST(SUM(y) OVER w AS BIGINT) // CAST(COUNT(*) OVER w AS BIGINT)
+               AS trend
+      FROM series
+      WINDOW w AS (PARTITION BY grp ORDER BY m
+                   ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), detrended AS (
+      SELECT grp, m, m % 12 AS moy, y - trend AS detr FROM trended
+    ), seasoned AS (
+      SELECT grp, moy, detr,
+             CAST(SUM(detr) OVER s AS BIGINT)
+               // CAST(COUNT(*) OVER s AS BIGINT) AS seasonal
+      FROM detrended
+      WINDOW s AS (PARTITION BY grp, moy)
+    )
+    SELECT grp, CAST(moy AS BIGINT) AS moy,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(ANY_VALUE(seasonal) AS BIGINT) AS seasonal_cents,
+           CAST(SUM(ABS(detr - seasonal)) AS BIGINT) AS abs_remainder_cents
+    FROM seasoned GROUP BY grp, moy
+    """,
+)
+def w39_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of monthly revenue per
+    order priority: trend = centered 13-month moving average (exact
+    integer sum div count over a bounded rows frame), seasonal index =
+    per month-of-year mean of the detrended series, remainder = what's
+    left — the classic decomposition behind seasonality-aware
+    forecasting and anomaly baselines, in pure integer arithmetic (both
+    engines' div truncates toward zero; operands mirror exactly). Scale
+    shape: ONE groupBy collapses the fact table to the (group, month)
+    grain first, so every window runs over a calendar-bounded series
+    (~80 rows per group REGARDLESS of fact-table size) — the windows
+    cost nothing at 100 TB because the grain doesn't grow with data
+    volume. Month-of-year from epoch-months % 12 (calendar-convention
+    free). Output: per (group, month-of-year) seasonal index plus the
+    absolute-remainder mass that says how well the decomposition fits."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    series = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            ((F.year(d) - 1970) * 12 + F.month(d) - 1)
+            .cast("bigint")
+            .alias("m"),
+            F.floor(F.col("o_totalprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("grp", "m")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    trended = series.select(
+        "grp",
+        "m",
+        "y",
+        F.expr(
+            "CAST(sum(y) OVER (PARTITION BY grp ORDER BY m"
+            " ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT)"
+            " div CAST(count(1) OVER (PARTITION BY grp ORDER BY m"
+            " ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT)"
+        ).alias("trend"),
+    )
+    detr = trended.select(
+        "grp",
+        (F.col("m") % 12).cast("bigint").alias("moy"),
+        (F.col("y") - F.col("trend")).alias("detr"),
+    )
+    seasoned = detr.select(
+        "grp",
+        "moy",
+        "detr",
+        F.expr(
+            "CAST(sum(detr) OVER (PARTITION BY grp, moy) AS BIGINT)"
+            " div CAST(count(1) OVER (PARTITION BY grp, moy) AS BIGINT)"
+        ).alias("seasonal"),
+    )
+    return seasoned.groupBy("grp", "moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.any_value("seasonal").cast("bigint").alias("seasonal_cents"),
+        F.sum(F.abs(F.col("detr") - F.col("seasonal")))
+        .cast("bigint")
+        .alias("abs_remainder_cents"),
+    )
+
+
+@_register(
+    "a74_sprt_sequential",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS grp, o_orderkey AS k,
+             CASE WHEN (CASE WHEN substring(o_orderpriority, 1, 1)
+                               IN ('1', '3', '5')
+                        THEN o_orderstatus IN ('F', 'P')
+                        ELSE o_orderstatus = 'F' END)
+                  THEN 287682
+                  ELSE -154151 END AS llr
+      FROM orders
+    ), c AS (
+      SELECT grp, k, llr,
+             CAST(SUM(llr) OVER (PARTITION BY grp ORDER BY k) AS BIGINT)
+               AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k)
+                  AS BIGINT) AS rn
+      FROM t
+    ), x AS (
+      SELECT grp, rn, cum,
+             CASE WHEN cum >= 2944439 THEN 'reject_h0'
+                  ELSE 'accept_h0' END AS d
+      FROM c WHERE cum >= 2944439 OR cum <= -2944439
+    ), f AS (
+      SELECT grp, MIN(rn) AS rn FROM x GROUP BY grp
+    ), tot AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(llr) AS BIGINT) AS s
+      FROM t GROUP BY grp
+    )
+    SELECT tot.grp AS grp,
+           COALESCE(x.d, 'continue') AS decision,
+           CAST(COALESCE(f.rn, tot.n) AS BIGINT) AS n_at_decision,
+           CAST(COALESCE(x.cum, tot.s) AS BIGINT) AS llr_micro
+    FROM tot
+    LEFT JOIN f ON f.grp = tot.grp
+    LEFT JOIN x ON x.grp = f.grp AND x.rn = f.rn
+    """,
+)
+def a74_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per experiment group:
+    each order is a Bernoulli trial (success = status 'F'), the
+    log-likelihood ratio for H1: p=0.40 vs H0: p=0.30 accumulates in
+    trial order, and the experiment stops at the first crossing of
+    ln((1-beta)/alpha) (reject H0) or ln(beta/(1-alpha)) (accept H0)
+    at alpha=beta=0.05 — the always-valid sequential A/B test that
+    peeks after every observation without inflating error rates. Exact
+    cross-engine protocol: the per-trial LLR increments and both
+    boundaries are precomputed micro-nat integer literals (the
+    hex-threshold-ladder discipline), so the walk is pure bigint
+    cumsum. Scale shape: NO per-group single-partition sort — one
+    two-phase global prefix scan over the (group, key) total order
+    (windows.global_prefix_scan) plus a 5-row per-group offset table
+    broadcast back; first crossing via min_by on the crossing rows
+    only. Groups that never cross report 'continue' with their full-
+    sample LLR. The fixture defines success as status='F' for
+    even-numbered priorities (empirical p≈1/3 → accept H0) and
+    status∈{'F','P'} for odd ones (p≈2/3 → reject H0), so BOTH
+    boundaries are exercised and hash-pinned."""
+    from ..operators.windows import global_prefix_scan
+
+    o = _t(spark, sf_dir, "orders")
+    succ = F.when(
+        F.substring(F.col("o_orderpriority"), 1, 1).isin("1", "3", "5"),
+        F.col("o_orderstatus").isin("F", "P"),
+    ).otherwise(F.col("o_orderstatus") == "F")
+    trials = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("k"),
+        F.when(succ, F.lit(287682))
+        .otherwise(F.lit(-154151))
+        .cast("bigint")
+        .alias("llr"),
+    )
+    scan = global_prefix_scan(trials, ["grp", "k"], "llr",
+                              rn_col="rn", cum_col="cum")
+    tot = trials.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("llr").cast("bigint").alias("s"),
+    )
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    goff = tot.select(
+        "grp",
+        "n",
+        "s",
+        F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("n_off"),
+        F.coalesce(F.sum("s").over(wg), F.lit(0)).alias("s_off"),
+    )
+    within = scan.join(F.broadcast(goff), "grp").select(
+        "grp",
+        (F.col("rn") - F.col("n_off")).alias("rn_in"),
+        (F.col("cum") - F.col("s_off")).alias("cum_in"),
+    )
+    upper, lower = 2_944_439, -2_944_439
+    crossed = within.filter(
+        (F.col("cum_in") >= upper) | (F.col("cum_in") <= lower)
+    ).select(
+        "grp",
+        "rn_in",
+        "cum_in",
+        F.when(F.col("cum_in") >= upper, F.lit("reject_h0"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("d"),
+    )
+    first = crossed.groupBy("grp").agg(
+        F.min("rn_in").cast("bigint").alias("rn_at"),
+        F.min_by("cum_in", "rn_in").cast("bigint").alias("cum_at"),
+        F.min_by("d", "rn_in").alias("d"),
+    )
+    return tot.join(first, "grp", "left").select(
+        "grp",
+        F.coalesce(F.col("d"), F.lit("continue")).alias("decision"),
+        F.coalesce(F.col("rn_at"), F.col("n"))
+        .cast("bigint")
+        .alias("n_at_decision"),
+        F.coalesce(F.col("cum_at"), F.col("s"))
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -21300,6 +21519,8 @@ _DRIVER_FRONT = [
     "ta_script_mix",
     "ta_code_quality_gates",
     "ta_token_f1_eval",
+    "w39_seasonal_decompose",
+    "a74_sprt_sequential",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",

