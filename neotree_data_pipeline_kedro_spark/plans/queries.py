@@ -21482,6 +21482,160 @@ def a74_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "g16_topo_positions",
+    """
+    WITH RECURSIVE nx AS (
+      SELECT l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT src, dst FROM nx
+      WHERE dst IS NOT NULL AND src % 10 = 0 AND dst % 10 = 0
+        AND dst >= src * 2
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    lv AS (
+      SELECT v, 0 AS l FROM nodes
+      WHERE v NOT IN (SELECT dst FROM e)
+      UNION
+      SELECT e.dst AS v, lv.l + 1 FROM lv JOIN e ON e.src = lv.v
+    ), layered AS (
+      SELECT v AS node, MAX(l) AS layer FROM lv GROUP BY v
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(layer AS BIGINT) AS layer,
+           CAST(ROW_NUMBER() OVER (ORDER BY layer, node) AS BIGINT)
+             AS topo_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY layer ORDER BY node)
+                AS BIGINT) AS pos_in_layer
+    FROM layered
+    """,
+)
+def g16_topo_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic topological ordering of the g15 DAG: every node
+    gets a global topological rank (layer-major, node-id minor — a
+    valid topological order because Kahn layers respect all edges) and
+    a position within its layer — the schedule a dependency executor
+    actually dispatches (rank = submission order, pos_in_layer =
+    parallel slot). Scale shape: layers come from the delta-frontier
+    dag_layers; the GLOBAL rank is the two-phase range-partition scan
+    (windows.global_row_number — no single-partition ORDER BY at any
+    graph size), and pos_in_layer derives from the same global rank by
+    subtracting per-layer exclusive prefix counts (a depth-sized tiny
+    table, windowed then broadcast back) — the a74/a70 offset
+    discipline, reused."""
+    from ..operators.components import dag_layers
+    from ..operators.windows import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    nx = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    e = nx.filter(
+        F.col("dst").isNotNull()
+        & (F.col("src") % 10 == 0)
+        & (F.col("dst") % 10 == 0)
+        & (F.col("dst") >= F.col("src") * 2)
+    ).distinct()
+    layered = dag_layers(e)
+    ranked = global_row_number(layered, ["layer", "node"], out_col="rn")
+    per_layer = layered.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wl = Window.orderBy("layer").rowsBetween(Window.unboundedPreceding, -1)
+    loff = per_layer.select(
+        "layer", F.coalesce(F.sum("n").over(wl), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(loff), "layer").select(
+        F.col("node").cast("bigint"),
+        F.col("layer").cast("bigint"),
+        F.col("rn").cast("bigint").alias("topo_rank"),
+        (F.col("rn") - F.col("off")).cast("bigint").alias("pos_in_layer"),
+    )
+
+
+@_register(
+    "w40_peak_detection",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), nb AS (
+      SELECT event_type, day, v,
+             CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS left_max,
+             CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT)
+               AS right_max,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS n_left,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT)
+               AS n_right
+      FROM daily
+    )
+    SELECT event_type, day, v,
+           v - GREATEST(left_max, right_max) AS prominence
+    FROM nb
+    WHERE n_left = 2 AND n_right = 2
+      AND v > left_max AND v > right_max
+    """,
+)
+def w40_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 local-maximum peak detection over the daily event-count
+    series per type: a day is a peak when it strictly exceeds BOTH its
+    two predecessors and two successors (full neighborhoods required —
+    series edges can't be peaks), with prominence = value − the best
+    neighbor — the telemetry primitive behind burst/incident surfacing
+    and seasonality-peak labeling. Exact integer counts; the windows
+    run over the calendar-bounded (type, day) grain (one groupBy
+    collapses the fact table first, so at 100 TB the window input is
+    days × types, not events). Neighborhood completeness is checked
+    with frame COUNTs, not null-coalescing, so a flat 0-count day next
+    to a series edge can never fake a peak."""
+    ev = _t(spark, sf_dir, "events")
+    # integer `div`, not `/`: epoch-micros exceed double's exact range
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    wl = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, -1)
+    )
+    wr = Window.partitionBy("event_type").orderBy("day").rowsBetween(1, 2)
+    nb = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.max("v").over(wl).cast("bigint").alias("left_max"),
+        F.max("v").over(wr).cast("bigint").alias("right_max"),
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("n_left"),
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("n_right"),
+    )
+    return nb.filter(
+        (F.col("n_left") == 2)
+        & (F.col("n_right") == 2)
+        & (F.col("v") > F.col("left_max"))
+        & (F.col("v") > F.col("right_max"))
+    ).select(
+        "event_type",
+        "day",
+        "v",
+        (F.col("v") - F.greatest("left_max", "right_max")).alias(
+            "prominence"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -21521,6 +21675,8 @@ _DRIVER_FRONT = [
     "ta_token_f1_eval",
     "w39_seasonal_decompose",
     "a74_sprt_sequential",
+    "g16_topo_positions",
+    "w40_peak_detection",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",
