@@ -65,6 +65,44 @@ def best_match_join(
     )
 
 
+def topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    score: Callable[[DataFrame], Column],
+    tiebreak: Sequence[Column],
+    k: int,
+    how: str = "inner",
+    rank_col: str = "match_rank",
+    score_col: str | None = None,
+) -> DataFrame:
+    """``best_match_join``'s top-k generalization: the blocked equi-join
+    may fan out, then each left row keeps its ``k`` best-scoring right
+    rows with a 1-based rank — candidate retrieval for entity
+    resolution and recommendation shortlists (top-1 resolves, top-k
+    feeds a downstream verifier). Same scale shape as best_match_join:
+    the join shuffles on the blocking ``keys``, the rank window
+    partitions on the left row id, so per-partition work is that row's
+    candidate count — callers choose blocking keys that bound it (the
+    same contract the fuzzy/grid joins document). ``tiebreak`` makes
+    the cut deterministic at equal scores; ``score_col`` (optional)
+    keeps the computed score in the output."""
+    left_idx = left.withColumn("__lid", F.monotonically_increasing_id())
+    joined = left_idx.join(right, list(keys), how)
+    scored = joined.withColumn("__score", score(joined))
+    w = Window.partitionBy("__lid").orderBy(F.desc("__score"), *tiebreak)
+    out = (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__lid")
+    )
+    if score_col is not None:
+        out = out.withColumnRenamed("__score", score_col)
+    else:
+        out = out.drop("__score")
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

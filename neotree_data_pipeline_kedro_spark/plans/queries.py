@@ -21636,6 +21636,136 @@ def w40_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j37_topk_join",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+               AS c_cents
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(FLOOR(CAST(s_acctbal AS DOUBLE) * 100) AS BIGINT)
+               AS s_cents
+      FROM supplier
+    ), ranked AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             -ABS(c.c_cents - s.s_cents) AS score_cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.c_custkey
+               ORDER BY ABS(c.c_cents - s.s_cents) ASC, s.s_suppkey ASC
+             ) AS BIGINT) AS match_rank
+      FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+    )
+    SELECT c_custkey, match_rank,
+           CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(score_cents AS BIGINT) AS score_cents
+    FROM ranked WHERE match_rank <= 3
+    """,
+)
+def j37_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored top-k join (operators/joins.topk_join): every customer's
+    3 closest same-nation suppliers by account-balance proximity —
+    candidate retrieval for entity resolution / recommendation
+    shortlists, where top-1 (best_match_join) resolves but top-k feeds
+    a downstream verifier. Exact integer score (negated absolute cents
+    difference) keeps the rank cross-engine deterministic with the
+    supplier-key tiebreak. Scale shape: the join shuffles on the
+    nation blocking key and the rank window partitions per LEFT ROW,
+    so per-partition work is one customer's candidate count — bounded
+    by the blocking key's fan-out, never |C|x|S|."""
+    from ..operators.joins import topk_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nk"),
+        F.floor(F.col("c_acctbal").cast("double") * 100)
+        .cast("bigint")
+        .alias("c_cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        F.floor(F.col("s_acctbal").cast("double") * 100)
+        .cast("bigint")
+        .alias("s_cents"),
+    )
+    out = topk_join(
+        c,
+        s,
+        ["nk"],
+        score=lambda df: -F.abs(F.col("c_cents") - F.col("s_cents")),
+        tiebreak=[F.col("s_suppkey").asc()],
+        k=3,
+        score_col="score_cents",
+    )
+    return out.select(
+        "c_custkey",
+        F.col("match_rank").cast("bigint"),
+        F.col("s_suppkey").cast("bigint"),
+        F.col("score_cents").cast("bigint"),
+    )
+
+
+@_register(
+    "s22_backfill_plan",
+    """
+    WITH rows_ AS (
+      SELECT CAST((year(CAST(o.o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT)
+               AS event_m,
+             CAST((year(CAST(l.l_shipdate AS DATE)) - 1970) * 12
+                  + month(CAST(l.l_shipdate AS DATE)) - 1 AS BIGINT)
+               AS arrival_m
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT event_m,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN arrival_m > event_m + 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(MAX(arrival_m - event_m) AS BIGINT) AS max_lag_months,
+           SUM(CASE WHEN arrival_m > event_m + 1 THEN 1 ELSE 0 END) > 0
+             AS needs_backfill
+    FROM rows_ GROUP BY event_m
+    """,
+)
+def s22_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-data backfill planner: fact rows belong to the
+    EVENT month partition (order month) but arrive in their ship
+    month; a partition whose cron ran at event_month+1 is complete
+    only if nothing arrived later, so the plan lists per-partition
+    late-row counts, the worst arrival lag, and the recompute flag —
+    the incremental-pipeline audit that turns "reprocess everything
+    nightly" into "recompute exactly the partitions late data
+    touched" (the batch cousin of a streaming watermark). One
+    equi-join (order key) + one group-by on the partition grain;
+    epoch-month arithmetic is calendar-convention free. Pairs with
+    s16_snapshot_diff (which diffs the *stored* snapshots; this plans
+    from the *incoming* data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    sd = F.col("l_shipdate").cast("date")
+    rows = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        ((F.year(od) - 1970) * 12 + F.month(od) - 1)
+        .cast("bigint")
+        .alias("event_m"),
+        ((F.year(sd) - 1970) * 12 + F.month(sd) - 1)
+        .cast("bigint")
+        .alias("arrival_m"),
+    )
+    late = (F.col("arrival_m") > F.col("event_m") + 1).cast("long")
+    return rows.groupBy("event_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.max(F.col("arrival_m") - F.col("event_m"))
+        .cast("bigint")
+        .alias("max_lag_months"),
+        (F.sum(late) > 0).alias("needs_backfill"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -21677,6 +21807,8 @@ _DRIVER_FRONT = [
     "a74_sprt_sequential",
     "g16_topo_positions",
     "w40_peak_detection",
+    "j37_topk_join",
+    "s22_backfill_plan",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",
