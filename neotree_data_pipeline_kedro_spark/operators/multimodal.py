@@ -381,6 +381,94 @@ def ahash_image(
     return src.mapInPandas(run, schema="id bigint, ahash bigint")
 
 
+def frame_ahash(
+    frames: DataFrame,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash per SAMPLED FRAME — ``ahash_image``'s
+    kernel applied to ``sample_video_frames`` output while keeping the
+    (id, frame_index, ts_ms) lineage the per-image variant drops.
+    Same Arrow-batched decode seam; undecodable frames drop.
+    Output: (id, frame_index, ts_ms, ahash)."""
+    hs = hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        dec = default_image_decoder()
+        weights = 1 << np.arange(hs * hs, dtype=np.uint64)
+        for pdf in batches:
+            out = {k: [] for k in ("id", "frame_index", "ts_ms", "ahash")}
+            for i, fi, ts, payload in zip(
+                pdf["id"], pdf["frame_index"], pdf["ts_ms"], pdf["frame"]
+            ):
+                try:
+                    px = dec(payload)
+                except Exception:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                rows = (np.arange(hs) * h) // hs
+                cols = (np.arange(hs) * w) // hs
+                small = gray[np.ix_(rows, cols)]
+                bits = (small > small.mean()).reshape(-1)
+                out["id"].append(i)
+                out["frame_index"].append(fi)
+                out["ts_ms"].append(ts)
+                out["ahash"].append(int((bits * weights).sum()))
+            pdf_out = pd.DataFrame(out)
+            if len(pdf_out):
+                import numpy as np  # noqa: PLC0415
+
+                pdf_out["ahash"] = (
+                    pdf_out["ahash"].to_numpy(dtype=np.uint64).view(np.int64)
+                )
+            yield pdf_out
+
+    return frames.mapInPandas(
+        run, schema="id bigint, frame_index int, ts_ms bigint, ahash bigint"
+    )
+
+
+def shot_boundaries(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_ms: int,
+    hamming_threshold: int = 8,
+) -> DataFrame:
+    """Shot/scene boundary detection per video: sample one frame per
+    ``every_ms`` (sample_video_frames), perceptual-hash each frame
+    (frame_ahash — exactly invariant to uniform brightness drift, so
+    exposure wander within a shot never fires), and flag every sampled
+    frame whose hash sits >= ``hamming_threshold`` bits from its
+    predecessor — the keyframe/segment primitive of video corpus
+    construction (dedup per shot, caption per shot, sample training
+    frames per shot instead of per raw frame). Scale shape: decode and
+    hashing ride Arrow batches; the only shuffle is the per-clip lag
+    window, whose partitions are one clip's sampled frames (bounded by
+    duration/every_ms). Output: (id, frame_index, ts_ms, hamming) —
+    boundary rows only; frame 0 is a shot start by definition and is
+    not emitted."""
+    from pyspark.sql import Window
+
+    frames = sample_video_frames(df, id_col, binary_col, every_ms)
+    hashed = frame_ahash(frames)
+    w = Window.partitionBy("id").orderBy("frame_index")
+    prev = F.lag("ahash").over(w)
+    with_prev = hashed.withColumn("__prev", prev).filter(
+        F.col("__prev").isNotNull()
+    )
+    ham = F.bit_count(
+        F.col("ahash").bitwiseXOR(F.col("__prev"))
+    ).cast("bigint")
+    return (
+        with_prev.withColumn("hamming", ham)
+        .filter(F.col("hamming") >= hamming_threshold)
+        .select("id", "frame_index", "ts_ms", "hamming")
+    )
+
+
 def afingerprint_audio(
     df: DataFrame, id_col: str, binary_col: str, n_segments: int = 16
 ) -> DataFrame:

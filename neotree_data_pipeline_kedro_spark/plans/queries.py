@@ -21766,6 +21766,73 @@ def s22_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm_shot_boundaries",
+    """
+    WITH src AS (
+      SELECT event_id AS id, CAST(6 + event_id % 3 AS BIGINT) AS n
+      FROM events WHERE event_id % 40 = 0
+    )
+    SELECT id, CAST(n // 2 AS INTEGER) AS frame_index,
+           CAST((n // 2) * 40 AS BIGINT) AS ts_ms,
+           CAST(64 AS BIGINT) AS hamming
+    FROM src
+    """,
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot boundary detection end-to-end (operators/multimodal.
+    shot_boundaries): deterministic VID0 clips per event (6..8 frames,
+    40 ms each) carry an ascending 2x2 luminance gradient for the first
+    half and the REVERSED gradient from the midpoint cut on, plus a
+    per-frame uniform brightness jitter that aHash is exactly invariant
+    to — so the ONLY hamming jump is the planted cut (all 64 bits flip:
+    the quadrant pattern complements). The detector must recover
+    exactly (cut index, cut index x 40 ms, hamming 64) per clip and
+    nothing else; the within-shot jitter pins the brightness-invariance
+    claim, not just the happy path. Decode + hash ride Arrow batches;
+    the only shuffle is the per-clip lag window. The oracle replays the
+    planted cut arithmetic in closed form (frame bytes are
+    engine-specific PNGs — the mm_video_frames precedent; byte-level
+    decode fidelity is pinned in tests/test_multimodal.py)."""
+    import numpy as np
+
+    from ..functions.png import encode_video
+    from ..operators.multimodal import shot_boundaries
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 40 == 0)
+        .select("event_id")
+    )
+
+    def enc(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        def frame(ascending: bool, jitter: int) -> np.ndarray:
+            # jitter <= 15 keeps 240 + jitter inside uint8; a UNIFORM
+            # shift leaves every pixel-vs-mean comparison unchanged, so
+            # aHash is bit-identical across the jittered shot
+            ramp = [0, 80, 160, 240] if ascending else [240, 160, 80, 0]
+            px = np.array(
+                [r + jitter for r in ramp], dtype=np.uint8
+            ).reshape(2, 2)
+            return np.stack([px, px, px], axis=2)
+
+        for pdf in batches:
+            ids, vids = [], []
+            for i in pdf["event_id"]:
+                n = 6 + int(i) % 3
+                cut = n // 2
+                frames = [frame(f < cut, f % 16) for f in range(n)]
+                ids.append(int(i))
+                vids.append(bytearray(encode_video(frames, frame_ms=40)))
+            yield pd.DataFrame({"id": ids, "vid": vids})
+
+    clips = ev.mapInPandas(enc, schema="id bigint, vid binary")
+    return shot_boundaries(clips, "id", "vid", every_ms=40,
+                           hamming_threshold=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -21809,6 +21876,7 @@ _DRIVER_FRONT = [
     "w40_peak_detection",
     "j37_topk_join",
     "s22_backfill_plan",
+    "mm_shot_boundaries",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",

@@ -493,18 +493,20 @@ def test_wedge_queries_carry_the_hub_cap_anti_join(spark):
     # verdict's shared-subtree fix): the cap's two LeftAnti joins execute
     # inside the checkpoint-materialization job, so the FINAL plan reads
     # the capped edges from an ExistingRDD scan instead of re-deriving
-    # them. The cap's anti-join shape itself is pinned by
+    # them. Round 9 extended the same discipline to g2 (triangle_count
+    # checkpoints its oriented-distinct edges AFTER cap_hub_degree, and
+    # the shared _copurchase_edges builder checkpoints the raw edge
+    # list), so g2's final plan also starts from the checkpoint. The
+    # cap's anti-join shape itself is pinned by
     # test_round6_fixes.test_cap_hub_degree_planted_hub; here we assert
-    # (a) g2 (un-checkpointed) still shows both cap antis, (b) g5 keeps
-    # its existing-edge anti, (c) g5/g6 read the edge list from the
-    # checkpoint (no lineitem re-scan downstream of the cap), and (d)
-    # the cap is invoked at every wedge call site in source order
-    # before wedge enumeration.
-    plan = plan_of(spark, "g2_triangle_count")
-    assert plan.count("LeftAnti") >= 2, plan.count("LeftAnti")
+    # (a) g5 keeps its existing-edge anti, (b) g2/g5/g6 read the edge
+    # list from the checkpoint (no lineitem re-scan downstream of the
+    # cap), and (c) the cap is invoked at every wedge call site in
+    # source order before wedge enumeration.
     plan5 = plan_of(spark, "g5_link_prediction")
     assert plan5.count("LeftAnti") >= 1  # the existing-edge anti
-    for name in ("g5_link_prediction", "g6_node_jaccard"):
+    for name in ("g2_triangle_count", "g5_link_prediction",
+                 "g6_node_jaccard"):
         p = plan_of(spark, name)
         assert "ExistingRDD" in p, name  # capped edges come from the checkpoint
         assert "Scan parquet" not in p, name  # no base-table replay downstream

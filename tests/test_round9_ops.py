@@ -180,3 +180,36 @@ def test_seasonal_decompose_zero_remainder_on_pure_signal(spark):
         # mass is bounded by the series' own variation (sanity: finite,
         # non-negative, and n_months covers the ~80-month span)
         assert r["n_months"] >= 5 and r["abs_remainder_cents"] >= 0
+
+
+# --------------------------------------------- shot boundary detection
+def test_shot_boundaries_brightness_invariant_cut_only(spark):
+    """One planted pattern flip must be the ONLY boundary even when every
+    frame carries a different uniform brightness shift; a clip with no
+    flip must produce no boundaries at all."""
+    import numpy as np
+
+    from neotree_data_pipeline_kedro_spark.functions.png import encode_video
+    from neotree_data_pipeline_kedro_spark.operators.multimodal import (
+        shot_boundaries,
+    )
+
+    def frame(ascending, jitter):
+        ramp = [0, 80, 160, 240] if ascending else [240, 160, 80, 0]
+        px = np.array([r + jitter for r in ramp], dtype=np.uint8)
+        px = px.reshape(2, 2)
+        return np.stack([px, px, px], axis=2)
+
+    cut_clip = encode_video(
+        [frame(f < 3, f * 2) for f in range(6)], frame_ms=40
+    )
+    flat_clip = encode_video(
+        [frame(True, f * 2) for f in range(6)], frame_ms=40
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(cut_clip)), (2, bytearray(flat_clip))],
+        "id bigint, vid binary",
+    )
+    rows = shot_boundaries(df, "id", "vid", every_ms=40).collect()
+    assert [(r["id"], r["frame_index"], r["ts_ms"], r["hamming"])
+            for r in rows] == [(1, 3, 120, 64)]
