@@ -21768,6 +21768,7 @@ def s22_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "mm_shot_boundaries",
+    "a80_mann_whitney",
     """
     WITH src AS (
       SELECT event_id AS id, CAST(6 + event_id % 3 AS BIGINT) AS n
@@ -21833,6 +21834,136 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                            hamming_threshold=8)
 
 
+@_register(
+    "a80_mann_whitney",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS seg,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v,
+             CAST(o_custkey % 2 AS INT) AS arm
+      FROM orders
+    ), g AS (
+      SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1v
+      FROM t GROUP BY seg, v
+    ), s AS (
+      SELECT seg, v, cnt, n1v,
+             CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY v)
+                  - cnt AS BIGINT) AS n_lt
+      FROM g
+    ), r AS (
+      SELECT seg,
+             CAST(SUM(CAST(n1v AS DECIMAL(38,0))
+                      * CAST(2 * n_lt + cnt + 1 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS r2
+      FROM s GROUP BY seg
+    ), n AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM t GROUP BY seg
+    )
+    SELECT n.seg AS seg, n.n1, n.n2,
+           CAST(CAST(r.r2 - CAST(n.n1 AS DECIMAL(38,0))
+                     * CAST(n.n1 + 1 AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS VARCHAR) AS u_2x,
+           (CAST(r.r2 AS DOUBLE)
+              - CAST(n.n1 AS DOUBLE) * CAST(n.n1 + 1 AS DOUBLE)
+              - CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+                           * CAST(n.n1 + n.n2 + 1 AS DOUBLE) / 12.0))
+             AS z
+    FROM n JOIN r ON r.seg = n.seg
+    """,
+)
+def a80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per segment: arm 1 vs
+    arm 0 on order value — the nonparametric A/B test that survives the
+    heavy-tailed revenue distributions where Welch/t assumptions break.
+    Exact tie-aware protocol in scaled integers: the doubled midrank of
+    value v is 2·n_lt(v) + cnt(v) + 1 (integers — no .5 ranks), the
+    doubled rank-sum R2 accumulates n1v·midrank2 per DISTINCT VALUE
+    (never per row), and U·2 = R2 − n1(n1+1), summed in DECIMAL(38,0)
+    and string-rendered so the exact statistic survives any table size
+    (midrank·count products exceed int64 near 3e9 rows). The normal
+    z-score (no tie correction; documented) is one closed-form double
+    both engines evaluate identically from the same integers. Scale
+    shape: rows collapse to the (segment, value) grain FIRST (one
+    groupBy with map-side partials); the less-than counts come from the
+    value-grain prefix — n_lt per distinct value, never a per-row rank —
+    via one two-phase global scan plus a segment-count offset table
+    (the a74/g16 discipline), so no per-segment single-partition sort
+    exists anywhere."""
+    from ..operators.windows import global_prefix_scan
+
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+    )
+    g = t.groupBy("seg", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("bigint").alias("n1v"),
+    )
+    scan = global_prefix_scan(g, ["seg", "v"], "cnt",
+                              rn_col="rn", cum_col="cum")
+    seg_tot = g.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("nt"))
+    wg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    goff = seg_tot.select(
+        "seg", F.coalesce(F.sum("nt").over(wg), F.lit(0)).alias("off")
+    )
+    s = scan.join(F.broadcast(goff), "seg").select(
+        "seg",
+        "cnt",
+        "n1v",
+        (F.col("cum") - F.col("cnt") - F.col("off")).alias("n_lt"),
+    )
+    r = s.groupBy("seg").agg(
+        F.sum(
+            F.col("n1v").cast("decimal(38,0)")
+            * (2 * F.col("n_lt") + F.col("cnt") + 1).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("r2")
+    )
+    n = t.groupBy("seg").agg(
+        F.sum((F.col("arm") == 1).cast("long")).cast("bigint").alias("n1"),
+        F.sum((F.col("arm") == 0).cast("long")).cast("bigint").alias("n2"),
+    )
+    j = n.join(r, "seg")
+    u2x = (
+        F.col("r2")
+        - F.col("n1").cast("decimal(38,0)")
+        * (F.col("n1") + 1).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    z = (
+        F.col("r2").cast("double")
+        - F.col("n1").cast("double") * (F.col("n1") + 1).cast("double")
+        - F.col("n1").cast("double") * F.col("n2").cast("double")
+    ) / (
+        F.lit(2.0)
+        * F.sqrt(
+            F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+            * (F.col("n1") + F.col("n2") + 1).cast("double")
+            / F.lit(12.0)
+        )
+    )
+    return j.select(
+        "seg",
+        "n1",
+        "n2",
+        u2x.cast("string").alias("u_2x"),
+        z.alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -21877,6 +22008,7 @@ _DRIVER_FRONT = [
     "j37_topk_join",
     "s22_backfill_plan",
     "mm_shot_boundaries",
+    "a80_mann_whitney",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",
