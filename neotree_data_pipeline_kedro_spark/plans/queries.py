@@ -21768,7 +21768,6 @@ def s22_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "mm_shot_boundaries",
-    "a80_mann_whitney",
     """
     WITH src AS (
       SELECT event_id AS id, CAST(6 + event_id % 3 AS BIGINT) AS n

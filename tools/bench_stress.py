@@ -53,6 +53,16 @@ QUERIES = [
     "w34_lttb_downsample",
     "w35_isotonic_fit",
     "dd_cdc_chunks",
+    # round-9 additions with join/scan-heavy shapes. Shift-invariance
+    # audit: j34 blocks per (user, hour-bucket) with no key-modulo
+    # filter; a80 collapses to the (segment, distinct value) grain
+    # (custkey % 2 survives the 10^7 shift); ta_token_f1_eval pairs
+    # (doc_id, doc_id+1) stay within a shard because shard id ranges
+    # are disjoint and the shift is even. g16/g15 stay excluded (the
+    # dst >= 2*src fixture is not shift-invariant).
+    "j34_interval_overlap_join",
+    "a80_mann_whitney",
+    "ta_token_f1_eval",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
