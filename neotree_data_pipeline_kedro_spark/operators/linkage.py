@@ -68,3 +68,40 @@ def fs_classify(
         .when(score >= F.lit(lower), F.lit("possible"))
         .otherwise(F.lit("non_match"))
     )
+
+
+def multipass_block_pairs(df, id_col, block_exprs):
+    """Multi-pass blocking for record linkage: one equi-self-join per
+    blocking key, unioned and deduplicated to (id_a < id_b) candidate
+    pairs — the standard recall insurance of entity resolution (any
+    single dirty field breaks any single blocking key; a true pair only
+    needs ONE pass where both records agree). ``block_exprs`` is a list
+    of Column expressions, each deriving one blocking key from the
+    record.
+
+    Scale shape: each pass is an ordinary equi-join on its key
+    (shuffle = data + one key per row); pair rows carry IDS ONLY — the
+    caller re-joins payloads by id afterwards (the neardup candidate
+    discipline, so wide payloads never ride the low-cardinality block
+    join). Hot blocks are the caller's contract: pick keys whose
+    fan-out is bounded, or pre-cap with a block-size filter the way
+    the n-gram family does.
+
+    Output: (id_a, id_b) distinct.
+    """
+    out = None
+    for i, expr in enumerate(block_exprs):
+        keyed = df.select(
+            F.col(id_col).alias("__id"), expr.alias("__blk")
+        ).filter(F.col("__blk").isNotNull())
+        a = keyed.select(F.col("__id").alias("id_a"), "__blk")
+        b = keyed.select(F.col("__id").alias("id_b"), "__blk")
+        pairs = (
+            a.join(b, "__blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    if out is None:
+        raise ValueError("multipass_block_pairs: no blocking keys given")
+    return out.distinct()

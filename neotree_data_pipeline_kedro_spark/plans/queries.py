@@ -21963,6 +21963,142 @@ def a80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "er1_entity_resolution",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             substring(c_name, 1, length(c_name) - 1) || 'X',
+             c_nationkey
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 20000000,
+             replace(c_name, '#', '-'),
+             c_nationkey
+      FROM customer WHERE c_custkey % 10 = 0
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM recs a JOIN recs b
+        ON substring(a.name, 1, 17) = substring(b.name, 1, 17)
+       AND a.id < b.id
+      UNION
+      SELECT DISTINCT a.id, b.id
+      FROM recs a JOIN recs b
+        ON substring(a.name, length(a.name) - 5, 6)
+             = substring(b.name, length(b.name) - 5, 6)
+       AND a.id < b.id
+    ), matched AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN recs a ON a.id = c.id_a
+      JOIN recs b ON b.id = c.id_b
+      WHERE a.nat = b.nat AND levenshtein(a.name, b.name) <= 2
+    ), sym AS (
+      SELECT id_a AS x, id_b AS y FROM matched
+      UNION ALL SELECT id_b, id_a FROM matched
+    ), reach AS (
+      SELECT id AS a, id AS b FROM recs
+      UNION
+      SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b
+    ), comp AS (
+      SELECT a AS id, MIN(b) AS root FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY root
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_records
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, composed from the engine's linkage
+    family: multi-pass blocking (operators/linkage.multipass_block_pairs
+    — prefix-17 AND suffix-6 keys, discriminative on the digit tail so
+    block fan-out stays O(1), and chosen so each planted corruption
+    breaks exactly one of them), payload re-join by id, similarity gate
+    (same nation + Levenshtein <= 2, both engines' unit-cost edit
+    distance), then TRANSITIVE CLOSURE via connected_components and a
+    cluster-size census. The fixture plants deterministic duplicates:
+    every 5th customer gains a last-char corruption, every 10th ALSO a
+    '#'->'-' corruption; the two variants never share a block (each
+    breaks a different key) so the 3-record clusters exist ONLY through
+    closure over the original — the reason ER needs a graph step at
+    all. Customers whose keys differ in one digit AND share a nation
+    also merge (lev 1 — the realistic false-positive class every ER
+    threshold trades against), so the census is data-dependent but
+    exactly hash-pinned by the oracle. Scale shape: blocking
+    passes are equi-joins carrying ids only; the match graph is
+    pair-bounded by block fan-out; components contracts via the
+    big-then-local switch. Oracle: the same pipeline declaratively,
+    closure as a recursive reachability CTE + group-min."""
+    from ..operators.components import connected_components
+    from ..operators.linkage import multipass_block_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    orig = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    var_a = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 20_000_000).alias("id"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    recs = orig.unionByName(var_a).unionByName(var_b).localCheckpoint()
+    cand = multipass_block_pairs(
+        recs,
+        "id",
+        [
+            F.expr("substring(name, 1, 17)"),
+            F.expr("substring(name, length(name) - 5, 6)"),
+        ],
+    )
+    a = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("nat").alias("nat_a"),
+    )
+    b = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("nat").alias("nat_b"),
+    )
+    matched = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        matched.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        nodes=recs.select("id"),
+    )
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_records"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -22008,6 +22144,7 @@ _DRIVER_FRONT = [
     "s22_backfill_plan",
     "mm_shot_boundaries",
     "a80_mann_whitney",
+    "er1_entity_resolution",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",

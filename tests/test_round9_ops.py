@@ -213,3 +213,32 @@ def test_shot_boundaries_brightness_invariant_cut_only(spark):
     rows = shot_boundaries(df, "id", "vid", every_ms=40).collect()
     assert [(r["id"], r["frame_index"], r["ts_ms"], r["hamming"])
             for r in rows] == [(1, 3, 120, 64)]
+
+
+# --------------------------------------------- multipass blocking
+def test_multipass_blocking_recall_union(spark):
+    """A pair broken on one key must still surface through the other
+    pass; pairs sharing no key must not surface at all."""
+    from neotree_data_pipeline_kedro_spark.operators.linkage import (
+        multipass_block_pairs,
+    )
+
+    rows = [
+        (1, "alpha-99"),
+        (2, "alphX-99"),   # prefix broken, suffix shared with 1
+        (3, "alpha-77"),   # suffix broken, prefix shared with 1
+        (4, "zzzzz-00"),   # shares nothing
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multipass_block_pairs(
+            df,
+            "id",
+            [
+                F.expr("substring(name, 1, 5)"),
+                F.expr("substring(name, 7, 2)"),
+            ],
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3)}
