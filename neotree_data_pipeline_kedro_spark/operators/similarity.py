@@ -1030,6 +1030,43 @@ def save_ann_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ann_index(
+    delta: DataFrame, path: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Incremental IVFPQ index maintenance: encode ONLY the delta
+    vectors against the index's FROZEN centroids and codebooks (read
+    back from ``path``) and APPEND their (id, cell, codes) rows to the
+    cell-partitioned codes directory — the standard production cadence
+    (quantizers re-train offline occasionally; between re-trains, new
+    vectors land in O(|delta|) with zero rewrite of existing cells'
+    files, and every search sees them immediately because probes read
+    whole cell directories). Freezing the quantizers is what makes the
+    append idempotent-per-batch and cheap; the cost is assignment
+    drift — as the data distribution moves, cells skew — so this
+    returns the delta's per-cell counts for the caller's re-train
+    trigger (the skew report IS the maintenance contract, not a side
+    effect).
+
+    Returns: (cell, n_appended) — one row per cell the delta touched.
+    """
+    spark = delta.sparkSession
+    _, books, centroids = load_ann_index(spark, path)
+    indexed = build_ivfpq_index(delta, centroids, books, id_col, vec_col)
+    indexed.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    return (
+        spark.read.parquet(f"{path}/codes")
+        .join(
+            delta.select(F.col(id_col).alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_appended"))
+    )
+
+
 def load_ann_index(spark, path: str):
     """Load a persisted IVFPQ index: returns (index_df, codebooks,
     centroids_df) ready for ``ivfpq_topk``. The codes read keeps cell as a
