@@ -1078,11 +1078,16 @@ def random_walks(
     dangling nodes (the emitted prefix is still a valid sequence).
 
     Per step: ONE equi-join current-node→out-edges (shuffle on the node
-    key) and one per-walk top-1 window (shuffle on walk id), frontier
-    localCheckpoint'd per step — bounded iteration, the pagerank/bfs
-    discipline; walk_length is small by contract (sequences for a
-    skip-gram window). Walk ids = seed·walks_per_seed + j, disjoint for
-    non-negative seed ids.
+    key) and one per-walk argmin as a lexicographic ``min(struct(prio,
+    dst))`` GROUPED AGGREGATE — map-side partial aggregation, so the
+    per-walk reduction mostly happens before the shuffle (a top-1
+    window would SORT each walk's candidates after shuffling all of
+    them; min() ships one row per walk per map partition). Priorities
+    are md5-unique per (walk, t, dst), so the struct-min is exactly the
+    window's (prio, dst) argmin. Frontier localCheckpoint'd per step —
+    bounded iteration, the pagerank/bfs discipline; walk_length is
+    small by contract (sequences for a skip-gram window). Walk ids =
+    seed·walks_per_seed + j, disjoint for non-negative seed ids.
 
     Output: (walk_id BIGINT, step INT, node BIGINT) — one row per
     visited node, step 0 = the seed.
@@ -1098,7 +1103,9 @@ def random_walks(
     e = edges.select(
         F.col(src).cast("bigint").alias("__s"),
         F.col(dst).cast("bigint").alias("__d"),
-    )
+        # joined once per step: checkpoint so the caller's edge-builder
+        # subtree runs once, not walk_length times
+    ).localCheckpoint(eager=True)
     out = state.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
     frontier = state
     for t in range(1, walk_length + 1):
@@ -1110,12 +1117,15 @@ def random_walks(
                 F.col("__d").cast("string"),
             )
         )
-        w = Window.partitionBy("walk_id").orderBy(prio, F.col("__d"))
         frontier = (
             frontier.join(e, F.col("node") == F.col("__s"))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("walk_id", F.col("__d").alias("node"))
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(prio.alias("p"), F.col("__d").alias("d"))
+                ).alias("__m")
+            )
+            .select("walk_id", F.col("__m.d").alias("node"))
             .localCheckpoint()
         )
         out = out.unionByName(

@@ -695,8 +695,9 @@ def _checkpoint_count(spark, monkeypatch, name: str) -> int:
         # the fixture => frontiers t=1,2 non-empty, t=3 empty => 3) +
         # final merged layer table (1)
         ("g15_dag_layers", 7),
-        # one frontier checkpoint per step, walk_length=4 (static)
-        ("g14_random_walks", 4),
+        # the edge-list base (1) + one frontier checkpoint per step,
+        # walk_length=4 (static)
+        ("g14_random_walks", 5),
         # edges + seed distances (2) + one (frontier, settled) pair per
         # hop; fixture reaches max_hops with non-empty frontiers => 2+3*2
         ("g8_bfs_hops", 8),
