@@ -240,6 +240,89 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    comp: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_driver_pairs: int = 500_000,
+) -> DataFrame:
+    """Dynamic connected-components maintenance: merge an existing
+    labeling ``comp`` (id, comp) with a batch of NEW edges without
+    re-running CC over the full graph — the incremental half of
+    entity-resolution and dedup-cluster upkeep (yesterday's clusters +
+    today's matches). Each delta endpoint projects onto its current
+    label (two equi-joins); the DISTINCT cross-label pairs form the
+    COMPONENT GRAPH, bounded by |delta| regardless of graph size, whose
+    closure runs as a driver-side union-find (the same big-then-local
+    switch connected_components makes, bound-gated by
+    ``max_driver_pairs`` — raises rather than silently collecting an
+    unbounded set); the old-root→new-root remap broadcasts back over
+    ``comp``. Endpoints unseen by ``comp`` enter as singletons first,
+    so a delta may both grow old components and mint new ones.
+    Per batch: O(|delta| + |comp|) work vs O(E) for recomputation.
+
+    Output: (id, comp) with comp = min node id in the merged component
+    — identical to what connected_components would produce on the
+    union graph (pinned by the er2 registry query, whose incremental
+    census must hash-match the batch pipeline's oracle).
+    """
+    e = delta_edges.select(
+        F.col(src).cast("bigint").alias("__a"),
+        F.col(dst).cast("bigint").alias("__b"),
+    )
+    new_nodes = (
+        e.select(F.col("__a").alias("id"))
+        .union(e.select(F.col("__b").alias("id")))
+        .distinct()
+        .join(comp.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    base = comp.unionByName(new_nodes).localCheckpoint(eager=True)
+    la = base.select(F.col("id").alias("__a"), F.col("comp").alias("__la"))
+    lb = base.select(F.col("id").alias("__b"), F.col("comp").alias("__lb"))
+    pairs = (
+        e.join(la, "__a")
+        .join(lb, "__b")
+        .filter(F.col("__la") != F.col("__lb"))
+        .select(
+            F.least("__la", "__lb").alias("x"),
+            F.greatest("__la", "__lb").alias("y"),
+        )
+        .distinct()
+    )
+    n_pairs = pairs.count()
+    if n_pairs > max_driver_pairs:
+        raise ValueError(
+            f"incremental_components: {n_pairs} cross-component label "
+            f"pairs exceed max_driver_pairs={max_driver_pairs}; run "
+            "connected_components on the union graph instead"
+        )
+    parent: dict[int, int] = {}
+
+    def find(u: int) -> int:
+        while parent.get(u, u) != u:
+            parent[u] = parent.get(parent[u], parent[u])
+            u = parent[u]
+        return u
+
+    for r in pairs.collect():
+        ra, rb = find(int(r["x"])), find(int(r["y"]))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    remap = [(old, find(old)) for old in list(parent)]
+    if not remap:
+        return base
+    spark = comp.sparkSession
+    m = spark.createDataFrame(remap, "comp bigint, __root bigint")
+    return (
+        base.join(F.broadcast(m), "comp", "left")
+        .select("id", F.coalesce("__root", "comp").alias("comp"))
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -21963,6 +21963,151 @@ def a80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_match_graph(spark: SparkSession, sf_dir: str):
+    """Shared ER fixture for er1/er2: the dirty record pool (originals +
+    two deterministic corruption variants) and its blocked, gated match
+    edge list. Records are checkpointed (consumed by both blocking
+    passes, both payload sides and the node universe); matches carry
+    ids only."""
+    from ..operators.linkage import multipass_block_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    orig = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    var_a = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 20_000_000).alias("id"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    recs = orig.unionByName(var_a).unionByName(var_b).localCheckpoint()
+    cand = multipass_block_pairs(
+        recs,
+        "id",
+        [
+            F.expr("substring(name, 1, 17)"),
+            F.expr("substring(name, length(name) - 5, 6)"),
+        ],
+    )
+    a = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("nat").alias("nat_a"),
+    )
+    b = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("nat").alias("nat_b"),
+    )
+    matched = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select("id_a", "id_b")
+    )
+    return recs, matched
+
+
+@_register(
+    "er2_incremental_clusters",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             substring(c_name, 1, length(c_name) - 1) || 'X',
+             c_nationkey
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 20000000,
+             replace(c_name, '#', '-'),
+             c_nationkey
+      FROM customer WHERE c_custkey % 10 = 0
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM recs a JOIN recs b
+        ON substring(a.name, 1, 17) = substring(b.name, 1, 17)
+       AND a.id < b.id
+      UNION
+      SELECT DISTINCT a.id, b.id
+      FROM recs a JOIN recs b
+        ON substring(a.name, length(a.name) - 5, 6)
+             = substring(b.name, length(b.name) - 5, 6)
+       AND a.id < b.id
+    ), matched AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN recs a ON a.id = c.id_a
+      JOIN recs b ON b.id = c.id_b
+      WHERE a.nat = b.nat AND levenshtein(a.name, b.name) <= 2
+    ), sym AS (
+      SELECT id_a AS x, id_b AS y FROM matched
+      UNION ALL SELECT id_b, id_a FROM matched
+    ), reach AS (
+      SELECT id AS a, id AS b FROM recs
+      UNION
+      SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b
+    ), comp AS (
+      SELECT a AS id, MIN(b) AS root FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY root
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_records
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def er2_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution (operators/components.
+    incremental_components): yesterday's clusters (batch CC over the
+    match graph WITHOUT the '#'->'-' variants' edges) merged with
+    today's delta (exactly those edges) — label projection, a
+    delta-bounded component graph, driver union-find, broadcast remap —
+    must produce the IDENTICAL cluster census as re-running the batch
+    pipeline on the full graph: the oracle is er1's, verbatim. This is
+    the convergence check that makes incremental maintenance safe to
+    ship (and the delta is adversarial by construction: B-variant
+    edges are precisely the ones that upgrade size-2 clusters to
+    size-3, so every delta edge merges two existing components)."""
+    from ..operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    recs, matched = _er_match_graph(spark, sf_dir)
+    is_b = (F.col("id_a") >= 20_000_000) | (F.col("id_b") >= 20_000_000)
+    base_edges = matched.filter(~is_b).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    delta_edges = matched.filter(is_b).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    base_nodes = recs.select("id").filter(F.col("id") < 20_000_000)
+    comp0 = connected_components(base_edges, nodes=base_nodes)
+    comp1 = incremental_components(comp0, delta_edges)
+    sizes = comp1.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_records"),
+    )
+
+
 @_register(
     "er1_entity_resolution",
     """
@@ -22036,54 +22181,8 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     big-then-local switch. Oracle: the same pipeline declaratively,
     closure as a recursive reachability CTE + group-min."""
     from ..operators.components import connected_components
-    from ..operators.linkage import multipass_block_pairs
 
-    c = _t(spark, sf_dir, "customer")
-    orig = c.select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").alias("nat"),
-    )
-    var_a = c.filter(F.col("c_custkey") % 5 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("id"),
-        F.concat(
-            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
-        ).alias("name"),
-        F.col("c_nationkey").alias("nat"),
-    )
-    var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
-        (F.col("c_custkey") + 20_000_000).alias("id"),
-        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name"),
-        F.col("c_nationkey").alias("nat"),
-    )
-    recs = orig.unionByName(var_a).unionByName(var_b).localCheckpoint()
-    cand = multipass_block_pairs(
-        recs,
-        "id",
-        [
-            F.expr("substring(name, 1, 17)"),
-            F.expr("substring(name, length(name) - 5, 6)"),
-        ],
-    )
-    a = recs.select(
-        F.col("id").alias("id_a"),
-        F.col("name").alias("name_a"),
-        F.col("nat").alias("nat_a"),
-    )
-    b = recs.select(
-        F.col("id").alias("id_b"),
-        F.col("name").alias("name_b"),
-        F.col("nat").alias("nat_b"),
-    )
-    matched = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(
-            (F.col("nat_a") == F.col("nat_b"))
-            & (F.levenshtein("name_a", "name_b") <= 2)
-        )
-        .select("id_a", "id_b")
-    )
+    recs, matched = _er_match_graph(spark, sf_dir)
     comp = connected_components(
         matched.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -22145,6 +22244,7 @@ _DRIVER_FRONT = [
     "mm_shot_boundaries",
     "a80_mann_whitney",
     "er1_entity_resolution",
+    "er2_incremental_clusters",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",

@@ -294,3 +294,57 @@ def test_ann_index_append_delta_searchable(spark, tmp_path):
     for qid in [r["vec_id"] for r in q.collect()]:
         mine = hits[hits["query_id"] == qid]["neighbor_id"].tolist()
         assert qid in mine, (qid, mine)
+
+
+# --------------------------------------------- incremental components
+def test_incremental_components_matches_batch(spark):
+    """Incremental maintenance == batch recompute on the union graph,
+    including new-node minting and the singleton/bridge/merge cases."""
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_e = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id bigint")
+    comp0 = connected_components(base_e, nodes=nodes)
+    # delta: bridge two components (2-3), attach a brand-new node (9-6),
+    # and an internal edge that changes nothing (1-2 again)
+    delta = spark.createDataFrame(
+        [(2, 3), (9, 6), (1, 2)], "src bigint, dst bigint"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in incremental_components(comp0, delta).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 3), (9, 6)], "src bigint, dst bigint"
+    )
+    want = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            full, nodes=spark.createDataFrame(
+                [(i,) for i in list(range(1, 9)) + [9]], "id bigint"
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_components_bound_gate(spark):
+    import pytest
+
+    from neotree_data_pipeline_kedro_spark.operators.components import (
+        incremental_components,
+    )
+
+    comp = spark.createDataFrame(
+        [(i, i) for i in range(40)], "id bigint, comp bigint"
+    )
+    delta = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="max_driver_pairs"):
+        incremental_components(comp, delta, max_driver_pairs=5)
