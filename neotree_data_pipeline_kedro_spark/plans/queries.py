@@ -22198,6 +22198,122 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "v_schema_compat",
+    """
+    WITH old_s AS (
+      SELECT * FROM (VALUES
+        ('c_custkey',   'bigint', FALSE),
+        ('c_name',      'string', FALSE),
+        ('c_nationkey', 'bigint', FALSE),
+        ('c_acctbal',   'double', TRUE),
+        ('c_mktsegment','string', TRUE),
+        ('c_phone',     'string', TRUE)
+      ) AS t(col, dtype, nullable)
+    ), new_s AS (
+      SELECT * FROM (VALUES
+        ('c_custkey',   'bigint', FALSE),
+        ('c_name',      'string', FALSE),
+        ('c_nationkey', 'int',    FALSE),
+        ('c_acctbal',   'double', FALSE),
+        ('c_mktsegment','string', TRUE),
+        ('c_email',     'string', TRUE),
+        ('c_tier',      'int',    FALSE)
+      ) AS t(col, dtype, nullable)
+    ), j AS (
+      SELECT COALESCE(o.col, n.col) AS col,
+             o.dtype AS old_type, n.dtype AS new_type,
+             o.nullable AS old_null, n.nullable AS new_null,
+             CASE
+               WHEN o.col IS NULL AND NOT n.nullable
+                 THEN 'added_required'
+               WHEN o.col IS NULL THEN 'added_nullable'
+               WHEN n.col IS NULL THEN 'dropped'
+               WHEN o.dtype != n.dtype
+                    AND NOT (o.dtype = 'int' AND n.dtype = 'bigint')
+                 THEN 'type_changed'
+               WHEN o.dtype != n.dtype THEN 'type_widened'
+               WHEN o.nullable AND NOT n.nullable THEN 'tightened'
+               WHEN NOT o.nullable AND n.nullable THEN 'relaxed'
+               ELSE 'unchanged'
+             END AS change
+      FROM old_s o FULL OUTER JOIN new_s n ON n.col = o.col
+    )
+    SELECT col, change,
+           change IN ('dropped', 'type_changed', 'tightened')
+             AS breaks_backward,
+           change IN ('added_required', 'type_changed', 'relaxed')
+             AS breaks_forward
+    FROM j
+    """,
+)
+def v_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution compatibility audit (the schema-registry check
+    run before a producer deploys): classify every column change
+    between two schema versions and derive BACKWARD compatibility (can
+    new readers read old data? broken by drops, incompatible type
+    changes, nullable->required tightening) and FORWARD compatibility
+    (can old readers read new data? broken by required additions,
+    incompatible type changes, required->nullable relaxation).
+    int->bigint counts as a widening, not a break — the one promotion
+    every columnar reader performs. Schemas-as-data: the check itself
+    is one full-outer join + a CASE ladder, so it runs identically over
+    two literal versions (here), two information-schema dumps, or two
+    parquet footers at any column count. Static fixture: the driver's
+    value-hash pins the full classification matrix (drop, required
+    add, nullable add, narrow, widen, tighten, relax, unchanged)."""
+    old_rows = [
+        ("c_custkey", "bigint", False),
+        ("c_name", "string", False),
+        ("c_nationkey", "bigint", False),
+        ("c_acctbal", "double", True),
+        ("c_mktsegment", "string", True),
+        ("c_phone", "string", True),
+    ]
+    new_rows = [
+        ("c_custkey", "bigint", False),
+        ("c_name", "string", False),
+        ("c_nationkey", "int", False),
+        ("c_acctbal", "double", False),
+        ("c_mktsegment", "string", True),
+        ("c_email", "string", True),
+        ("c_tier", "int", False),
+    ]
+    schema = "col string, dtype string, nullable boolean"
+    o = spark.createDataFrame(old_rows, schema).alias("o")
+    n = spark.createDataFrame(new_rows, schema).alias("n")
+    j = o.join(n, F.col("o.col") == F.col("n.col"), "full_outer")
+    oc, nc = F.col("o.col"), F.col("n.col")
+    ot, nt = F.col("o.dtype"), F.col("n.dtype")
+    onl, nnl = F.col("o.nullable"), F.col("n.nullable")
+    change = (
+        F.when(oc.isNull() & ~nnl, F.lit("added_required"))
+        .when(oc.isNull(), F.lit("added_nullable"))
+        .when(nc.isNull(), F.lit("dropped"))
+        .when(
+            (ot != nt) & ~((ot == "int") & (nt == "bigint")),
+            F.lit("type_changed"),
+        )
+        .when(ot != nt, F.lit("type_widened"))
+        .when(onl & ~nnl, F.lit("tightened"))
+        .when(~onl & nnl, F.lit("relaxed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.coalesce(oc, nc).alias("col"), change.alias("change")
+    )
+    return out.select(
+        "col",
+        "change",
+        F.col("change").isin("dropped", "type_changed", "tightened").alias(
+            "breaks_backward"
+        ),
+        F.col("change").isin(
+            "added_required", "type_changed", "relaxed"
+        ).alias("breaks_forward"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -22245,6 +22361,7 @@ _DRIVER_FRONT = [
     "a80_mann_whitney",
     "er1_entity_resolution",
     "er2_incremental_clusters",
+    "v_schema_compat",
     "ann_eval_sq8",
     "ann_maxsim_topk",
     "dd_connected_components",
