@@ -271,7 +271,9 @@ def incremental_components(
     e = delta_edges.select(
         F.col(src).cast("bigint").alias("__a"),
         F.col(dst).cast("bigint").alias("__b"),
-    )
+        # consumed three times (both endpoint unions + the label join):
+        # checkpoint so the caller's delta subtree runs once
+    ).localCheckpoint(eager=True)
     new_nodes = (
         e.select(F.col("__a").alias("id"))
         .union(e.select(F.col("__b").alias("id")))

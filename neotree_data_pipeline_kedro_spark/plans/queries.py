@@ -22016,6 +22016,9 @@ def _er_match_graph(spark: SparkSession, sf_dir: str):
             & (F.levenshtein("name_a", "name_b") <= 2)
         )
         .select("id_a", "id_b")
+        # er1 closes over this once, er2 slices it twice (base + delta):
+        # checkpoint so the blocking joins + levenshtein gate run once
+        .localCheckpoint()
     )
     return recs, matched
 
