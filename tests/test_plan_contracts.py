@@ -729,3 +729,70 @@ def test_scc_uses_flat_checkpoint_not_local(spark, monkeypatch):
     src = inspect.getsource(c.strongly_connected_components)
     assert "flat_checkpoint" in src
     assert _checkpoint_count(spark, monkeypatch, "g11_scc") <= 1
+
+
+# ---------------------------------------------------------------------------
+# round-9 operator scale contracts
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_is_bucketed_equi(spark):
+    # both interval sides explode into covered buckets and meet on an
+    # ordinary (keys, bucket) equi-join: never a cartesian or BNLJ, and
+    # no post-join distinct aggregation (pairs are emitted exactly once
+    # at the greatest-start bucket)
+    plan = plan_of(spark, "j34_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") >= 2  # the two explodes survive
+
+
+def test_compaction_bins_single_scan_two_phase(spark):
+    # one two-phase global prefix scan: the file inventory is read once
+    # and the running sum comes from mapInPandas + driver offsets, not
+    # a single-partition window sort
+    plan = plan_of(spark, "s19_compaction_bins")
+    assert plan.count("Scan parquet") // 2 <= 1
+    assert "MapInPandas" in plan
+
+
+def test_corpus_gates_are_single_pass(spark):
+    # the marker-ladder gates are scan-stage expression pipelines: one
+    # scan, one aggregation shuffle, no Python stage
+    for name in ("ta_refusal_detect", "ta_code_quality_gates",
+                 "ta_script_mix"):
+        plan = plan_of(spark, name)
+        assert plan.count("Scan parquet") // 2 == 1, name
+        assert exchanges(plan) <= 1, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_mann_whitney_no_per_segment_sort_window(spark):
+    # ranks come from the distinct-value grain two-phase scan; the only
+    # Window allowed is over the tiny segment-offset table (its input
+    # is an aggregate, never the fact scan). Assert in source that the
+    # rank path routes through global_prefix_scan.
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    src = inspect.getsource(q.a80_mann_whitney)
+    assert "global_prefix_scan" in src
+    assert "row_number" not in src.lower()
+    plan = plan_of(spark, "a80_mann_whitney")
+    assert "CartesianProduct" not in plan
+
+
+def test_er_pipeline_no_cartesian_and_checkpointed_matches(spark):
+    # blocking is equi-only (no cartesian); the shared match graph is
+    # checkpointed so er2's base/delta slices read materialized edges
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    for name in ("er1_entity_resolution", "er2_incremental_clusters"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Scan parquet" not in plan, name  # post-checkpoint plans
+    src = inspect.getsource(q._er_match_graph)
+    assert "localCheckpoint" in src
