@@ -104,7 +104,10 @@ def main() -> None:
     # driver runs this unattended and an absent artifact is worse than
     # a late one; if the host never quiets down within the budget, run
     # anyway and record how long we waited so the reader can discount.
-    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4"))
+    # Default 2, not 4 (VERDICT r9 #3): the r9 driver run started at
+    # loadavg 3.7 — "under the old threshold" — and still recorded a
+    # median 2.6x inflation over the first 50 registry positions.
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
     waited = 0.0
     while (
@@ -141,6 +144,7 @@ def main() -> None:
     # We report min(first, second) per query and flag >30% swings so an
     # environmental hiccup can't masquerade as a code regression.
     runs: dict[str, list[float]] = {}
+    n_extra_runs = 0
     for qi, (name, fn) in enumerate(QUERIES.items()):
         if qi % 25 == 24:
             # ~300 queries in one JVM accumulate dropped-but-uncollected
@@ -156,6 +160,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             pair.append(round(time.perf_counter() - t0, 4))
+        # Contamination escape (VERDICT r9 #3): a >2x run1/run2 spread is
+        # the signature of an external load spike landing on ONE of the
+        # runs (steady code never swings that far) — take a third run and
+        # let min() discard the contaminated sample.
+        if max(pair) > 2.0 * min(pair) and max(pair) - min(pair) > 0.5:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pair.append(round(time.perf_counter() - t0, 4))
+            n_extra_runs += 1
         runs[name] = pair
 
     timings = {name: min(pair) for name, pair in runs.items()}
@@ -183,6 +196,7 @@ def main() -> None:
         "loadavg": [load1, load5, load15],
         "loadavg_before": load_before,
         "load_guard": {"threshold": max_load, "waited_sec": waited},
+        "n_extra_runs": n_extra_runs,
         "sf": sf,
     }
     try:

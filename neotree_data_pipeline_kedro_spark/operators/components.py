@@ -268,12 +268,20 @@ def incremental_components(
     union graph (pinned by the er2 registry query, whose incremental
     census must hash-match the batch pipeline's oracle).
     """
-    e = delta_edges.select(
-        F.col(src).cast("bigint").alias("__a"),
-        F.col(dst).cast("bigint").alias("__b"),
+    e = (
+        delta_edges.select(
+            F.col(src).cast("bigint").alias("__a"),
+            F.col(dst).cast("bigint").alias("__b"),
+        )
+        # NULL endpoints would fall out of the label equi-joins anyway,
+        # but they'd SURVIVE the endpoint union into new_nodes and mint
+        # a (NULL, NULL) labeling row batch CC never emits — drop them
+        # here so dirty deltas keep the identical-to-batch contract.
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
         # consumed three times (both endpoint unions + the label join):
         # checkpoint so the caller's delta subtree runs once
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     new_nodes = (
         e.select(F.col("__a").alias("id"))
         .union(e.select(F.col("__b").alias("id")))

@@ -86,7 +86,20 @@ def topk_join(
     candidate count — callers choose blocking keys that bound it (the
     same contract the fuzzy/grid joins document). ``tiebreak`` makes
     the cut deterministic at equal scores; ``score_col`` (optional)
-    keeps the computed score in the output."""
+    keeps the computed score in the output.
+
+    ``how`` is restricted to ``inner`` (drop left rows with no
+    candidates) and ``left`` (keep them: an unmatched left row
+    surfaces EXACTLY ONCE with rank 1, NULL score, and NULL right
+    columns — the "no candidates found" sentinel a downstream
+    verifier can branch on). Other join types have no sensible
+    top-k-per-left-row meaning and raise."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"topk_join: how={how!r} not supported; use 'inner' (drop "
+            "candidate-less left rows) or 'left' (keep them as a "
+            "single rank-1 row with NULL score/right columns)"
+        )
     left_idx = left.withColumn("__lid", F.monotonically_increasing_id())
     joined = left_idx.join(right, list(keys), how)
     scored = joined.withColumn("__score", score(joined))
@@ -509,19 +522,30 @@ def interval_overlap_join(
             f"{sorted(overlap)}; alias them before joining"
         )
 
-    def fdiv(c: Column) -> Column:
-        # exact floor-division in long arithmetic (no doubles)
-        return ((c - F.pmod(c, F.lit(bucket_us))) / bucket_us).cast("long")
+    def fdiv(e: str) -> Column:
+        # exact floor-division in long arithmetic at ANY magnitude:
+        # pmod makes the numerator exactly divisible, and integral
+        # `div` (never `/`, which routes through doubles and rounds
+        # past 2^53) truncates == floors on an exact multiple.
+        return F.expr(
+            f"(({e}) - pmod(({e}), {int(bucket_us)})) div {int(bucket_us)}"
+        ).cast("long")
 
     ls, le = F.col(left_start), F.col(left_end)
     rs, re = F.col(right_start), F.col(right_end)
     lb = left.filter(le > ls).withColumn(
-        "__bucket", F.explode(F.sequence(fdiv(ls), fdiv(le - 1)))
+        "__bucket",
+        F.explode(
+            F.sequence(fdiv(f"`{left_start}`"), fdiv(f"`{left_end}` - 1"))
+        ),
     )
     rb = right.filter(re > rs).withColumn(
-        "__bucket", F.explode(F.sequence(fdiv(rs), fdiv(re - 1)))
+        "__bucket",
+        F.explode(
+            F.sequence(fdiv(f"`{right_start}`"), fdiv(f"`{right_end}` - 1"))
+        ),
     )
-    pair_bucket = fdiv(F.greatest(ls, rs))
+    pair_bucket = fdiv(f"greatest(`{left_start}`, `{right_start}`)")
     return (
         lb.join(rb, [*keys, "__bucket"])
         .filter((ls < re) & (rs < le) & (F.col("__bucket") == pair_bucket))

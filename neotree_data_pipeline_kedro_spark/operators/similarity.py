@@ -1016,7 +1016,12 @@ def save_ann_index(
     cells reads nprobe directories, nothing else — plus the codebooks
     (flattened to rows) and centroids as small side tables. Everything is
     plain parquet: any engine reads it back."""
-    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    (
+        index.withColumn("batch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("batch", "cell")
+        .parquet(f"{path}/codes")
+    )
     m, ksub, dsub = codebooks.shape
     spark = index.sparkSession
     rows = [
@@ -1031,37 +1036,49 @@ def save_ann_index(
 
 
 def append_ann_index(
-    delta: DataFrame, path: str, id_col: str, vec_col: str
+    delta: DataFrame, path: str, id_col: str, vec_col: str, *, batch_id: str
 ) -> DataFrame:
     """Incremental IVFPQ index maintenance: encode ONLY the delta
     vectors against the index's FROZEN centroids and codebooks (read
-    back from ``path``) and APPEND their (id, cell, codes) rows to the
-    cell-partitioned codes directory — the standard production cadence
-    (quantizers re-train offline occasionally; between re-trains, new
-    vectors land in O(|delta|) with zero rewrite of existing cells'
-    files, and every search sees them immediately because probes read
-    whole cell directories). Freezing the quantizers is what makes the
-    append idempotent-per-batch and cheap; the cost is assignment
-    drift — as the data distribution moves, cells skew — so this
-    returns the delta's per-cell counts for the caller's re-train
-    trigger (the skew report IS the maintenance contract, not a side
-    effect).
+    back from ``path``) and land their (id, cell, codes) rows as a NEW
+    ``batch=<batch_id>`` partition of the codes directory — the
+    standard production cadence (quantizers re-train offline
+    occasionally; between re-trains, new vectors land in O(|delta|)
+    with zero rewrite of existing batches' files, and every search
+    sees them immediately because probes prune on the ``cell``
+    partition column, which is shared by all batches).
 
-    Returns: (cell, n_appended) — one row per cell the delta touched.
+    Re-run-safe by the ``sources/warehouse.py`` rename-swap
+    discipline: the encoded delta is staged to an underscore-prefixed
+    sibling directory (invisible to parquet readers) and published
+    with ONE atomic ``os.rename`` into ``codes/batch=<batch_id>``; a
+    crashed-and-retried batch finds its directory already published
+    and skips the write entirely, so no delta row can land twice.
+    (On object stores without atomic rename, publish through a
+    manifest/catalog instead — same caveat as ``compact_parquet``.)
+
+    The cost of frozen quantizers is assignment drift — as the data
+    distribution moves, cells skew — so this returns the DELTA's
+    per-cell counts (computed from the staged batch itself, never by
+    re-scanning the whole index) for the caller's re-train trigger
+    (the skew report IS the maintenance contract, not a side effect).
+
+    Returns: (cell, n_appended) — one row per cell the delta touched;
+    on a skipped re-run, the same report re-read from the published
+    batch directory.
     """
+    import os
+
     spark = delta.sparkSession
-    _, books, centroids = load_ann_index(spark, path)
-    indexed = build_ivfpq_index(delta, centroids, books, id_col, vec_col)
-    indexed.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
+    target = f"{path}/codes/batch={batch_id}"
+    if not os.path.exists(target):
+        _, books, centroids = load_ann_index(spark, path)
+        indexed = build_ivfpq_index(delta, centroids, books, id_col, vec_col)
+        staging = f"{path}/_stage_codes_{batch_id}"
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        os.rename(staging, target)
     return (
-        spark.read.parquet(f"{path}/codes")
-        .join(
-            delta.select(F.col(id_col).alias("id")).distinct(),
-            "id",
-            "left_semi",
-        )
+        spark.read.parquet(target)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_appended"))
     )

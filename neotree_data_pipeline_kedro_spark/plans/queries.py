@@ -22211,7 +22211,9 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('c_nationkey', 'bigint', FALSE),
         ('c_acctbal',   'double', TRUE),
         ('c_mktsegment','string', TRUE),
-        ('c_phone',     'string', TRUE)
+        ('c_phone',     'string', TRUE),
+        ('c_loyalty',   'int',    FALSE),
+        ('c_since',     'date',   FALSE)
       ) AS t(col, dtype, nullable)
     ), new_s AS (
       SELECT * FROM (VALUES
@@ -22221,7 +22223,9 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('c_acctbal',   'double', FALSE),
         ('c_mktsegment','string', TRUE),
         ('c_email',     'string', TRUE),
-        ('c_tier',      'int',    FALSE)
+        ('c_tier',      'int',    FALSE),
+        ('c_loyalty',   'bigint', FALSE),
+        ('c_since',     'date',   TRUE)
       ) AS t(col, dtype, nullable)
     ), j AS (
       SELECT COALESCE(o.col, n.col) AS col,
@@ -22272,6 +22276,8 @@ def v_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_acctbal", "double", True),
         ("c_mktsegment", "string", True),
         ("c_phone", "string", True),
+        ("c_loyalty", "int", False),
+        ("c_since", "date", False),
     ]
     new_rows = [
         ("c_custkey", "bigint", False),
@@ -22281,6 +22287,8 @@ def v_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_mktsegment", "string", True),
         ("c_email", "string", True),
         ("c_tier", "int", False),
+        ("c_loyalty", "bigint", False),
+        ("c_since", "date", True),
     ]
     schema = "col string, dtype string, nullable boolean"
     o = spark.createDataFrame(old_rows, schema).alias("o")

@@ -688,7 +688,9 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
     b = before[key].sort_values(key).reset_index(drop=True)
     a = after[key].sort_values(key).reset_index(drop=True)
     assert b.equals(a)
-    assert g.glob(path + "/codes/cell=*"), "codes not partitioned by cell"
+    assert g.glob(path + "/codes/batch=*/cell=*"), (
+        "codes not partitioned by (batch, cell)"
+    )
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):

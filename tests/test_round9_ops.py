@@ -278,12 +278,22 @@ def test_ann_index_append_delta_searchable(spark, tmp_path):
     save_ann_index(index, books, cents, path)
     n_before = spark.read.parquet(path + "/codes").count()
 
-    report = append_ann_index(delta, path, "vec_id", "embedding")
+    report = append_ann_index(delta, path, "vec_id", "embedding",
+                              batch_id="b1")
     n_delta = delta.count()
-    assert sum(r["n_appended"] for r in report.collect()) == n_delta
+    skew1 = {r["cell"]: r["n_appended"] for r in report.collect()}
+    assert sum(skew1.values()) == n_delta
     idx2, books2, cents2 = load_ann_index(spark, path)
     assert idx2.count() == n_before + n_delta
     assert np.allclose(books, books2)
+
+    # re-run safety: the SAME batch retried is a no-op — the published
+    # batch=b1 directory short-circuits the write, so codes count and
+    # the skew report are unchanged (no row lands twice)
+    report2 = append_ann_index(delta, path, "vec_id", "embedding",
+                               batch_id="b1")
+    assert {r["cell"]: r["n_appended"] for r in report2.collect()} == skew1
+    assert spark.read.parquet(path + "/codes").count() == n_before + n_delta
 
     # a delta vector queried against the appended index must retrieve
     # itself (cosine 1.0 lives in the probed cell by construction)
