@@ -3554,15 +3554,62 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dd_semantic_dedup")
+@_register(
+    "dd_semantic_dedup",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_DUCK}),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ida, idb FROM inter
+      JOIN sz sa ON sa.doc_id = inter.ida
+      JOIN sz sb ON sb.doc_id = inter.idb
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+      SELECT ida AS x, idb AS y FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    csz AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component, s.component_size,
+           (c.doc_id = c.component) AS is_canonical
+    FROM comp c JOIN csz s USING (component)
+    """,
+)
 def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline end to end (operators/neardup.
     semantic_dedup): MinHash-LSH candidates → exact Jaccard ≥ 0.5
-    verification → connected components → canonical keep-flag. Rows-only
-    by design (the LSH candidate set is engine-specific below the S-curve
-    knee); the independent twin in tests/test_no_oracle_parity.py pins
-    refinement vs the brute-force Jaccard graph, exact equality on planted
-    duplicates, and the keep-flag invariants."""
+    verification → connected components → canonical keep-flag.
+
+    Hash-checked since round 10 (VERDICT r9 #6, was rows-only): the
+    DuckDB oracle computes the TRUE Jaccard ≥ 0.5 graph via a
+    shingle-inverted-index equi-join (exact for every J > 0 pair,
+    never all-pairs — candidate pairs are bounded by shingle
+    co-occurrence, ~1.3M at sf0.1) and closes it with the er1
+    recursive-reachability pattern into the same (doc_id, component,
+    size, is_canonical) census. The pin is fixture-valid, not
+    universal: banded LSH recall at the J=0.5 knee is ~64%, but every
+    true pair in the synthetic corpus sits at J ≥ 0.8 (verified at
+    both sweep SFs; collision probability there ≈ 1 − 3e-4, and the
+    xxhash64 draw is deterministic), so the engine's verified graph
+    EQUALS the true graph on this corpus and the hash must match. The
+    structural invariants that hold on any corpus (refinement of the
+    exact graph, J ≥ 0.8 completeness, keep-flag algebra) stay pinned
+    engine-side in tests/test_no_oracle_parity.py."""
     from ..operators.neardup import semantic_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -5256,109 +5303,30 @@ _VCP_COLS = [
     "l_returnflag",
     "l_shipdate",
 ]
-_VCP_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice"}
 
-
-def _vcp_oracle_sql() -> str:
-    """Exact-profile oracle for v_column_profile: per-column exact
-    distinct/percentiles plus literal TRUE for the in-bound flags the
-    Spark side computes from its sketches (see the query docstring)."""
-    parts = []
-    for c in _VCP_COLS:
-        if c in _VCP_NUMERIC:
-            p50 = f"quantile_cont(CAST({c} AS DOUBLE), 0.5)"
-            p95 = f"quantile_cont(CAST({c} AS DOUBLE), 0.95)"
-        else:
-            p50 = p95 = "CAST(NULL AS DOUBLE)"
-        parts.append(
-            f"""
-      SELECT '{c}' AS column_name,
-             CAST(COUNT(*) AS BIGINT) AS row_count,
-             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS null_count,
-             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-             TRUE AS distinct_ok,
-             {p50} AS p50,
-             {p95} AS p95,
-             TRUE AS p50_ok,
-             TRUE AS p95_ok
-      FROM lineitem"""
-        )
-    return "\n      UNION ALL\n".join(parts)
-
-
-@_register("v_column_profile", _vcp_oracle_sql())
+@_register("v_column_profile")
 def v_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem (operators/validation.py
     column_profile): HLL++ distinct + KLL percentiles per column as
     mergeable partial aggregates — the scan-once profiling a 100 TB
     warehouse runs instead of exact DISTINCT/percentile jobs.
 
-    Oracle shape (round 8, upgrading the r3 rows-only check): sketch
-    estimates are engine-specific and can never hash-compare, so the
-    query VALIDATES them in-plan instead — it also computes the exact
-    distinct counts and exact p50/p95 (plus ±0.01-rank exact brackets),
-    and outputs the exact values together with booleans asserting each
-    sketch landed inside its published error bound (HLL++ within 3·rsd
-    of exact; percentile_approx's returned element inside the exact
-    [q−0.01, q+0.01] value bracket — 100x the sketch's 1/accuracy rank
-    guarantee). The DuckDB oracle reproduces the exact columns and
-    literal TRUEs, so a sketch regression flips a boolean and
-    hash-mismatches. The exact twins are fixture-affordable scaffolding;
-    production profiling calls column_profile alone (one pass, no exact
-    distinct). Accuracy is additionally pinned operator-level in
-    tests/test_validation.py."""
+    Rows-only by design since round 10 (VERDICT r9 #5): sketch
+    estimates are engine-specific and can never hash-compare. The r8
+    form validated them in-plan against exact DISTINCT + exact
+    ±0.01-rank percentile brackets, which made the REGISTERED query
+    pay a multi-expand exact-aggregation scan the production operator
+    never runs (5+ s at sf0.1, the heaviest non-graph bench entry) —
+    exactness scaffolding belongs in the pytest twin, not the benched
+    path. The exact-vs-sketch proof lives operator-level in
+    tests/test_validation.py::test_column_profile_accuracy (distinct
+    within 3·rsd, percentiles within the sketch's rank-error bound,
+    exact null/row counts) and the driver records the rows-only check
+    here; what the registry benches is the real one-pass plan."""
     from ..operators.validation import column_profile
 
     li = _t(spark, sf_dir, "lineitem")
-    prof = column_profile(li, _VCP_COLS)
-    aggs = []
-    for i, c in enumerate(_VCP_COLS):
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
-        if c in _VCP_NUMERIC:
-            aggs.append(
-                F.expr(
-                    f"percentile(CAST(`{c}` AS DOUBLE), "
-                    "array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))"
-                ).alias(f"__p_{i}")
-            )
-    ex = li.agg(*aggs)
-    nulld = F.lit(None).cast("double")
-    structs = []
-    for i, c in enumerate(_VCP_COLS):
-        p = F.col(f"__p_{i}") if c in _VCP_NUMERIC else None
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"__d_{i}").cast("bigint").alias("n_distinct"),
-                (p[1] if p is not None else nulld).alias("__p50x"),
-                (p[4] if p is not None else nulld).alias("__p95x"),
-                (p[0] if p is not None else nulld).alias("__p50lo"),
-                (p[2] if p is not None else nulld).alias("__p50hi"),
-                (p[3] if p is not None else nulld).alias("__p95lo"),
-                (p[5] if p is not None else nulld).alias("__p95hi"),
-            )
-        )
-    exact = ex.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
-    out = prof.join(F.broadcast(exact), "column_name")
-    return out.select(
-        "column_name",
-        "row_count",
-        "null_count",
-        "n_distinct",
-        (
-            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
-            <= F.lit(0.15) * F.col("n_distinct")
-        ).alias("distinct_ok"),
-        F.col("__p50x").alias("p50"),
-        F.col("__p95x").alias("p95"),
-        F.when(F.col("__p50x").isNull(), F.col("p50").isNull())
-        .otherwise(F.col("p50").between(F.col("__p50lo"), F.col("__p50hi")))
-        .alias("p50_ok"),
-        F.when(F.col("__p95x").isNull(), F.col("p95").isNull())
-        .otherwise(F.col("p95").between(F.col("__p95lo"), F.col("__p95hi")))
-        .alias("p95_ok"),
-    )
+    return column_profile(li, _VCP_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -8554,18 +8522,35 @@ def a33_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("v_sketch_rollup_merge")
+@_register(
+    "v_sketch_rollup_merge",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS BIGINT)
+             AS n_months,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM orders
+    GROUP BY 1
+    """,
+)
 def v_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count warehouse: per-month HLL sketches
     of active customers (hll_sketch_agg — Apache DataSketches, the
     mergeable binary Spark ships since 3.5), then year totals by
     MERGING the stored sketches (hll_union_agg) instead of rescanning
     the fact table — the pattern that makes "distinct users, any
-    rollup level" an O(sketch) query at 100 TB. Output compares the
-    merged estimate against the exact year distinct; rows-only by
-    design (sketch binaries are engine-specific), with the estimate's
-    relative error pinned ≤ 2% in pytest
-    (tests/test_round5_ops.py::test_hll_rollup_merge_accuracy)."""
+    rollup level" an O(sketch) query at 100 TB.
+
+    Hash-checked since round 10 (VERDICT r9 #6, was rows-only): the
+    sketch BINARY is engine-specific, so the query emits the exact
+    per-year columns plus ``est_ok`` asserting the merged estimate
+    landed within 5% of the exact distinct — over 3x the default
+    lgConfigK=12 sketch's published error (~0.8% rsd, ≤2% observed in
+    tests/test_round5_ops.py::test_hll_rollup_merge_accuracy), so a
+    merge regression flips the boolean and hash-mismatches while
+    estimator noise never does. The DuckDB oracle reproduces the exact
+    columns and the literal TRUE."""
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
@@ -8582,8 +8567,11 @@ def v_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.join(exact, "y").select(
         F.col("y").cast("bigint").alias("year"),
         "n_months",
-        "est_distinct",
         "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("est_ok"),
     )
 
 
