@@ -21966,14 +21966,14 @@ def _er_match_graph(spark: SparkSession, sf_dir: str):
         F.col("c_nationkey").alias("nat"),
     )
     var_a = c.filter(F.col("c_custkey") % 5 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("id"),
+        (F.col("c_custkey") + 1_000_000_000).alias("id"),
         F.concat(
             F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
         ).alias("name"),
         F.col("c_nationkey").alias("nat"),
     )
     var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
-        (F.col("c_custkey") + 20_000_000).alias("id"),
+        (F.col("c_custkey") + 2_000_000_000).alias("id"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name"),
         F.col("c_nationkey").alias("nat"),
     )
@@ -22018,12 +22018,12 @@ def _er_match_graph(spark: SparkSession, sf_dir: str):
       SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
       FROM customer
       UNION ALL
-      SELECT c_custkey + 10000000,
+      SELECT c_custkey + 1000000000,
              substring(c_name, 1, length(c_name) - 1) || 'X',
              c_nationkey
       FROM customer WHERE c_custkey % 5 = 0
       UNION ALL
-      SELECT c_custkey + 20000000,
+      SELECT c_custkey + 2000000000,
              replace(c_name, '#', '-'),
              c_nationkey
       FROM customer WHERE c_custkey % 10 = 0
@@ -22080,14 +22080,14 @@ def er2_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     recs, matched = _er_match_graph(spark, sf_dir)
-    is_b = (F.col("id_a") >= 20_000_000) | (F.col("id_b") >= 20_000_000)
+    is_b = (F.col("id_a") >= 2_000_000_000) | (F.col("id_b") >= 2_000_000_000)
     base_edges = matched.filter(~is_b).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     delta_edges = matched.filter(is_b).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    base_nodes = recs.select("id").filter(F.col("id") < 20_000_000)
+    base_nodes = recs.select("id").filter(F.col("id") < 2_000_000_000)
     comp0 = connected_components(base_edges, nodes=base_nodes)
     comp1 = incremental_components(comp0, delta_edges)
     sizes = comp1.groupBy("comp").agg(
@@ -22106,12 +22106,12 @@ def er2_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
       FROM customer
       UNION ALL
-      SELECT c_custkey + 10000000,
+      SELECT c_custkey + 1000000000,
              substring(c_name, 1, length(c_name) - 1) || 'X',
              c_nationkey
       FROM customer WHERE c_custkey % 5 = 0
       UNION ALL
-      SELECT c_custkey + 20000000,
+      SELECT c_custkey + 2000000000,
              replace(c_name, '#', '-'),
              c_nationkey
       FROM customer WHERE c_custkey % 10 = 0

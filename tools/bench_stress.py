@@ -63,6 +63,21 @@ QUERIES = [
     "j34_interval_overlap_join",
     "a80_mann_whitney",
     "ta_token_f1_eval",
+    # round-10 additions (VERDICT r9 #4). Shift-invariance audit:
+    # er1/er2 needed a generator fix — stress shards now embed
+    # custkey + i*10^5 in c_name so both blocking keys (prefix-17,
+    # suffix-6) stay shard-local and cross-shard copies are never
+    # co-blocked (verbatim names merged everything at lev 0/1);
+    # a74 groups on o_orderpriority with no key-modulo predicate;
+    # mm_shot_boundaries gates on event_id % 40 (40 | 10^7; the i%3
+    # clip-length draw shifts per shard but stays 6..8 frames).
+    # g16_topo_positions stays EXCLUDED alongside g15: its DAG fixture
+    # keeps only dst >= 2*src edges, which shard-i key ranges almost
+    # never satisfy, so stress volume would not grow.
+    "er1_entity_resolution",
+    "er2_incremental_clusters",
+    "a74_sprt_sequential",
+    "mm_shot_boundaries",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",

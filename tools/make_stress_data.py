@@ -43,6 +43,19 @@ def shard_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
     for name, _dtype in cols:
         if name in KEY_COLS.get(table, []):
             exprs.append(f"{name} + {i * SHIFT} AS {name}")
+        elif table == "customer" and name == "c_name" and i > 0:
+            # er1/er2 block on substring(c_name,1,17) AND suffix-6 and
+            # gate at levenshtein<=2: verbatim name copies would co-block
+            # ACROSS shards at lev 0/1 and merge everything (cluster sizes
+            # ~K, pairs ~K^2 by construction, not by algorithm). Embed
+            # custkey + i*10^5 instead: keys < 15000 < 10^5 keep shard
+            # display ranges disjoint, and the changed 10^5 digit sits at
+            # char 13 — inside BOTH blocking keys — so blocks stay
+            # shard-local while within-shard lev structure is unchanged.
+            exprs.append(
+                f"'Customer#' || lpad(CAST(c_custkey + {i * 100_000} "
+                "AS VARCHAR), 9, '0') AS c_name"
+            )
         elif table == "documents" and name == "text" and i > 0:
             exprs.append(f"text || '\\ncopyshard{i}' AS text")
         elif table == "documents" and name == "n_chars" and i > 0:
