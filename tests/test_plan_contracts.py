@@ -796,3 +796,54 @@ def test_er_pipeline_no_cartesian_and_checkpointed_matches(spark):
         assert "Scan parquet" not in plan, name  # post-checkpoint plans
     src = inspect.getsource(q._er_match_graph)
     assert "localCheckpoint" in src
+
+
+# ---------------------------------------------------------------------------
+# round-10 operator scale contracts
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_funnel_scale_shape(spark):
+    # text is dropped and the projected base checkpointed BEFORE any
+    # shuffle: the final plan reads materialized RDDs, never re-scans
+    # the corpus; the ONLY nested-loop join is the broadcast 1-row
+    # budget crossJoin (bounded by construction); the per-source
+    # running total is the two-phase prefix scan (MapInPandas), not a
+    # per-source sort window
+    plan = plan_of(spark, "cb1_corpus_build_funnel")
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # both bases are checkpointed
+    assert plan.count("BroadcastNestedLoopJoin") // 2 <= 1
+    assert "MapInPandas" in plan
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    src = inspect.getsource(q.cb1_corpus_build_funnel)
+    assert "global_prefix_scan" in src
+    assert " div " in src  # budget arithmetic never routes through `/`
+
+
+def test_split_leak_guard_blocked_join_only(spark):
+    # near-dup candidates meet on the (bucket, id, nsh) metadata
+    # equi-join with payload re-join by id; the split assignment is a
+    # stateless expression — no cartesian, no BNLJ, no row-Python
+    plan = plan_of(spark, "cb2_split_leak_guard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the shingle subtree is persisted: candidate + verify sides read
+    # the in-memory relation, not three shingling passes
+    assert "InMemoryTableScan" in plan
+
+
+def test_golden_record_post_checkpoint_single_agg(spark):
+    # reuses the checkpointed er match graph: no parquet rescans, no
+    # cartesian, and the survivorship merge is ONE grouped aggregation
+    # over the payload join (no window, no Python stage)
+    plan = plan_of(spark, "er3_golden_record")
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") // 2 <= 5
