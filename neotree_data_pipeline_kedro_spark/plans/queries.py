@@ -22729,6 +22729,212 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cb3_dataset_version_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(trim(text), '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM documents
+    ), v2raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 3 THEN text || ' (edited)'
+                  ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 50 <> 7
+      UNION ALL
+      SELECT doc_id + 5000000000, text || ' v2 appendix', source
+      FROM documents WHERE doc_id % 50 = 9
+    ), v2 AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(trim(text), '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM v2raw
+    ), d AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(b.n_tokens, 0) - COALESCE(a.n_tokens, 0) AS tok_delta
+      FROM v1 a FULL OUTER JOIN v2 b ON b.doc_id = a.doc_id
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+    FROM d GROUP BY source, status
+    """,
+)
+def cb3_dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version audit diff — what a dataset curator reviews
+    between two corpus releases: every document classified as
+    added / removed / changed / unchanged by fingerprint comparison,
+    rolled up per (source, status) with token deltas, so the release
+    note ("v2 removed N docs from srcX, edits added M tokens") is one
+    query over two snapshots and the totals reconcile by construction
+    (|v2| = |v1| - removed + added; token_delta sums to the corpus-level
+    token drift). Version 2 is planted deterministically from version 1
+    (er1 discipline, every branch exercised at every SF): docs with
+    id % 50 = 7 are removed, id % 25 = 3 get an edit (fingerprint
+    drifts), id % 50 = 9 gain a re-released copy at id + 5e9.
+
+    Scale shape: each version is scanned ONCE and projected to
+    (doc_id, source, 32-byte fp, token count) before the single
+    full-outer equi-join on doc_id — document bodies never shuffle;
+    the rollup is one grouped aggregation. At 100 TB this is two
+    column-pruned parquet scans + one id-hash shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def prof(df: DataFrame) -> DataFrame:
+        trimmed = F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+        )
+        n_tokens = F.when(
+            trimmed == "", F.lit(0).cast("bigint")
+        ).otherwise(
+            F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint")
+            + 1
+        )
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            n_tokens.alias("n_tokens"),
+        )
+
+    v1 = prof(docs)
+    v2 = prof(
+        docs.filter(F.col("doc_id") % 50 != 7)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 25 == 3,
+                F.concat(F.col("text"), F.lit(" (edited)")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 9).select(
+                (F.col("doc_id") + 5_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" v2 appendix")).alias("text"),
+                "source",
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("b.doc_id") == F.col("a.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+            (
+                F.coalesce(F.col("b.n_tokens"), F.lit(0))
+                - F.coalesce(F.col("a.n_tokens"), F.lit(0))
+            ).alias("tok_delta"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok_delta").cast("bigint").alias("token_delta"),
+        )
+    )
+
+
+@_register(
+    "g17_pagerank_exact",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e0 AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), e AS (
+      SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr(iter, node, r) AS (
+      SELECT 0, src, CAST(1000000000 // nn.n AS BIGINT) FROM deg, nn
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             CAST((15 * (1000000000 // MAX(nn.n))) // 100
+                  + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT)
+      FROM pr p JOIN e ON e.src = p.node JOIN deg d ON d.src = p.node, nn
+      WHERE p.iter < 8
+      GROUP BY p.iter, e.dst
+    )
+    SELECT node, r AS r_ppb FROM pr WHERE iter = 8
+    ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def g17_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, hash-pinned cross-engine — the upgrade
+    path for the 'iterative graph ops are rows-only' gap (g1's float
+    pagerank can never hash-compare; this twin runs the SAME power
+    iteration in parts-per-billion integer arithmetic, so DuckDB's
+    recursive CTE replays all 8 rounds bit-for-bit):
+    r_0 = 1e9 div n;  r_{t+1}(v) = (15·(1e9 div n)) div 100
+    + (85·Σ_{u→v} (r_t(u) div deg(u))) div 100 — every operand
+    non-negative, every division integral `div` (== DuckDB `//`), so
+    truncation agrees and no float enters the plan. The graph is the
+    checkpointed symmetric co-purchase graph (g2's builder), so every
+    node has degree ≥ 1 and there is no dangling-mass term to model.
+    Output: top-20 nodes by (rank, node) — deterministic under ties.
+
+    Scale shape: per iteration ONE edges⋈ranks equi-join + ONE
+    groupBy-sum (map-side partials), localCheckpoint per round (the
+    g14/bfs discipline — plans stay flat, ≤ 8 generations so bare
+    localCheckpoint is safe per the r7 originStats note); the final
+    top-k is TakeOrderedAndProject, never a global sort."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ed = edges.join(deg, "src").localCheckpoint()
+    n = deg.count()
+    r0 = 1_000_000_000 // n
+    base = (15 * r0) // 100
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(r0).cast("bigint").alias("r")
+    )
+    for _ in range(8):
+        contrib = ed.join(
+            r.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("r div deg").alias("c"))
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr("(85 * s) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+        .select("node", F.col("r").alias("r_ppb"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -22803,7 +23009,10 @@ _DRIVER_FRONT = [
     "g3_degree_stats",
     "f_ecdf_normalize",
     # ---- beyond the ~50-query window: the remaining never-green queue,
-    # already ordered for the round-11 rotation (32 entries).
+    # already ordered for the round-11 rotation (the two late-round-10
+    # additions first, then the 32 carried entries).
+    "cb3_dataset_version_diff",
+    "g17_pagerank_exact",
     "j33_temporal_fk_check",
     "u17_zipf_fit",
     "ta_unicode_fold",

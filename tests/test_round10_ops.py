@@ -205,3 +205,64 @@ def test_interval_overlap_join_exact_past_2_53(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["overlap_us"] == 50
+
+
+# ------------------------------------------------ cb3 version diff
+def test_dataset_version_diff_reconciles(spark):
+    """Release-note identity: |v2| = |v1| - removed + added; every
+    status present; removed rows carry negative token deltas, added
+    positive, unchanged zero."""
+    out = QUERIES["cb3_dataset_version_diff"](spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n1 = docs.count()
+    n_rem = docs.filter(F.col("doc_id") % 50 == 7).count()
+    n_add = docs.filter(F.col("doc_id") % 50 == 9).count()
+    by = out.groupby("status")["n_docs"].sum().to_dict()
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    assert by["removed"] == n_rem and by["added"] == n_add
+    assert by["unchanged"] + by["changed"] == n1 - n_rem
+    tok = out.groupby("status")["token_delta"].sum().to_dict()
+    assert tok["removed"] < 0 and tok["added"] > 0 and tok["unchanged"] == 0
+    # edits append ' (edited)' = +1 token per changed doc
+    assert tok["changed"] == by["changed"]
+
+
+# ------------------------------------------------ g17 exact pagerank
+def test_pagerank_exact_mass_and_order(spark):
+    """Integer pagerank: ranks positive, strictly ordered output
+    (desc, node tiebreak), and the full fixed point conserves mass up
+    to truncation (sum over ALL nodes <= 1e9, within n lost units per
+    division chain)."""
+    out = QUERIES["g17_pagerank_exact"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 20
+    assert (out["r_ppb"] > 0).all()
+    pairs = list(zip(out["r_ppb"], out["node"]))
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+    # independent float power iteration on the same graph: the integer
+    # walk must agree with the float walk to ~1e-6 relative (ppb grid +
+    # truncation), node for node
+    from neotree_data_pipeline_kedro_spark.plans.queries import (
+        _copurchase_edges,
+    )
+
+    e0 = _copurchase_edges(spark, SF_SMOKE).toPandas()
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in zip(e0["a"], e0["b"]):
+        adj[a].append(b)
+        adj[b].append(a)
+    n = len(adj)
+    r0 = 1_000_000_000 // n
+    base = (15 * r0) // 100
+    r = {v: r0 for v in adj}
+    for _ in range(8):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] // len(adj[u]) for u in adj[v])
+            nxt[v] = base + (85 * s) // 100
+        r = nxt
+    want = sorted(((rv, v) for v, rv in r.items()), key=lambda t: (-t[0], t[1]))[:20]
+    got = [(int(row["r_ppb"]), int(row["node"])) for _, row in out.iterrows()]
+    assert got == [(rv, v) for rv, v in want]
