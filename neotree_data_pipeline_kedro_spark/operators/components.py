@@ -592,9 +592,12 @@ def k_core(
     communities from stringy periphery (triangle_count's cousin with a
     global guarantee).
 
-    Not expressible as a monotone recursive CTE (peeling DELETES), so
-    the driver's check is rows-only; parity is pinned in pytest against
-    a direct peel twin. Each round: one degree aggregate + one semi
+    Peeling DELETES, so no MONOTONE recursive CTE expresses it — but
+    its fixpoint is unique, so a bounded-round recursive REPLAY does
+    (the g4_kcore registry oracle recomputes degrees per round with a
+    window over the symmetric edge state; rounds past the fixpoint are
+    idempotent). Parity is additionally pinned in pytest against a
+    direct peel twin. Each round: one degree aggregate + one semi
     join, localCheckpoint keeps the plan flat (the CC/pagerank loop
     discipline); rounds are bounded by the graph's degeneracy order —
     tens, not thousands, on real graphs.

@@ -12355,16 +12355,55 @@ def w17_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderkey", "x", "is_outlier")
 
 
-@_register("g4_kcore")
+@_register(
+    "g4_kcore",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 < 3
+    ), e0 AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), sym0 AS (
+      SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0
+    ), peel(iter, x, y) AS (
+      SELECT 0, x, y FROM sym0
+      UNION ALL
+      SELECT w1.iter + 1, w1.x, w1.y FROM
+        (SELECT iter, x, y, COUNT(*) OVER (PARTITION BY x) AS dx
+         FROM peel WHERE iter < 12) w1
+      JOIN (SELECT iter, x, y, COUNT(*) OVER (PARTITION BY x) AS dx
+            FROM peel WHERE iter < 12) w2
+        ON w2.x = w1.y AND w2.y = w1.x AND w2.iter = w1.iter
+      WHERE w1.dx >= 24 AND w2.dx >= 24
+    )
+    SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM peel WHERE iter = 12 GROUP BY x
+    """,
+)
 def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core survivors (operators/components.k_core, k=4) of the
+    """K-core survivors (operators/components.k_core, k=24) of the
     co-purchase part graph (g2's edge set): iterative peeling of
-    degree-<4 nodes until stable. Rows-only by design — peeling DELETES,
-    which no monotone recursive CTE expresses; parity is pinned in
-    pytest against a direct Python peel twin
-    (tests/test_round5_ops.py). Per round: one degree aggregate + two
-    semi joins, localCheckpoint keeping the plan flat (the CC/pagerank
-    loop discipline)."""
+    degree-<24 nodes until stable. k=24 is chosen so the peel actually
+    RUNS on this fixture — 3/5/8 rounds at sf0.001/0.01/0.1, including
+    the empty-core terminal case at sf0.001 (the old k=4 never removed
+    a node: min degree is ≥ 9 everywhere, so the loop body went
+    unexercised — the s11 degenerate-fixture lesson).
+
+    Hash-checked since round 10 (was rows-only): peeling's fixpoint is
+    UNIQUE, so a bounded-round recursive replay is a valid oracle even
+    though peeling deletes — DuckDB permits two references to the
+    recursive working table, so each round recomputes per-endpoint
+    degrees with a window over the symmetric edge state and keeps an
+    edge iff both endpoints' degrees reach k; extra rounds past the
+    fixpoint are idempotent, and an emptied graph simply stops the
+    recursion (iter=12 rows are then absent, matching the engine's
+    empty output). The Python peel twin in tests/test_round5_ops.py
+    still pins the operator on adversarial mini-graphs.
+
+    Engine per round: one degree aggregate + two semi joins,
+    localCheckpoint keeping the plan flat (the CC/pagerank loop
+    discipline); rounds are bounded by the degeneracy order."""
     from ..operators.components import k_core
 
     li = (
@@ -12379,7 +12418,7 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.p") < F.col("b.p"))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     )
-    return k_core(edges, k=4)
+    return k_core(edges, k=24)
 
 
 @_register(
@@ -23013,6 +23052,7 @@ _DRIVER_FRONT = [
     # additions first, then the 32 carried entries).
     "cb3_dataset_version_diff",
     "g17_pagerank_exact",
+    "g4_kcore",
     "j33_temporal_fk_check",
     "u17_zipf_fit",
     "ta_unicode_fold",

@@ -703,9 +703,10 @@ def _checkpoint_count(spark, monkeypatch, name: str) -> int:
         ("g8_bfs_hops", 8),
         # pagerank: edge base + per-iteration rank states on the fixture
         ("g1_pagerank", 6),
-        # peeling rounds on the fixture graph (k_core converges in 2) +
-        # the oriented edge base
-        ("g4_kcore", 3),
+        # k=24 peels the sf0.001 fixture to EMPTY in 3 rounds (the r10
+        # non-degenerate fixture); edge base (1) + (keep, kept_edges)
+        # checkpoints per round (2*3)
+        ("g4_kcore", 7),
         # ppr: edge base + per-push round states
         ("g12_ppr", 4),
     ],
