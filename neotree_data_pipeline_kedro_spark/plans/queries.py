@@ -9344,17 +9344,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT partkey, CAST(value AS DOUBLE) AS part_value
     FROM pv
     WHERE CAST(value AS DOUBLE) >
-          (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM pv)
+          (SELECT 1.5 * (CAST(SUM(value) AS DOUBLE) / COUNT(*)) FROM pv)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-shaped important-stock report (no partsupp: a part's
     held value is its lineitem revenue through the selected nations'
     suppliers — the group-rollup + global-scalar-threshold HAVING shape
-    is Q11's). The rollup is computed once; the threshold is an exact
-    decimal grand total cast to double, broadcast as a 1-row cross join —
-    never a .collect() — and the compare runs on identically-derived
-    doubles on both sides."""
+    is Q11's). The rollup is computed once; the threshold — 1.5x the
+    mean part value, distribution-relative so it stays discriminating
+    at ANY scale (the r10 fix: the old 0.001-of-grand-total fraction
+    passed 186 parts at sf0.001 but ZERO at sf0.1, because a fixed
+    share-of-total threshold drifts with part count — the s11
+    degenerate-fixture class) — is derived from exact decimal sums
+    cast to double, broadcast as a 1-row cross join — never a
+    .collect() — and the compare runs on identically-derived doubles
+    on both sides."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation").filter(
@@ -9367,7 +9372,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
     )
     thr = pv.agg(
-        (F.sum("value").cast("double") * F.lit(0.001)).alias("threshold")
+        (
+            F.lit(1.5)
+            * (F.sum("value").cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
     )
     return (
         pv.crossJoin(F.broadcast(thr))
@@ -23046,13 +23054,18 @@ _DRIVER_FRONT = [
     "w38_forecast_backtest",
     "d10_survivorship",
     "g3_degree_stats",
-    "f_ecdf_normalize",
+    # q11's HAVING threshold changed this round (degenerate at sf0.1
+    # with the old grand-total fraction) -> window slot for the driver
+    # to re-verify the new semantics; f_ecdf_normalize moves to the
+    # r11 queue below.
+    "q11_important_parts",
     # ---- beyond the ~50-query window: the remaining never-green queue,
     # already ordered for the round-11 rotation (the two late-round-10
     # additions first, then the 32 carried entries).
     "cb3_dataset_version_diff",
     "g17_pagerank_exact",
     "g4_kcore",
+    "f_ecdf_normalize",
     "j33_temporal_fk_check",
     "u17_zipf_fit",
     "ta_unicode_fold",
