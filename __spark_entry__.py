@@ -40,23 +40,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins, column-name aligned with queries().
 
-    Exactly 16 keys are absent here — dd_minhash_lsh, dd_simhash,
-    dd_semantic_dedup, j3_tiered_greedy_assignment, ann_topk_lsh,
-    ann_topk_ivf, ann_topk_ivf_kmeans, ann_topk_pq, ann_topk_ivfpq,
-    ann_join_ivf, g1_pagerank, g4_kcore, v_sketch_rollup_merge,
-    emb_pca_project, ta_bpe_train, ml_quality_probe — because they are
-    genuinely non-SQL-expressible
+    Exactly 14 keys are absent here — dd_minhash_lsh, dd_simhash,
+    j3_tiered_greedy_assignment, ann_topk_lsh, ann_topk_ivf,
+    ann_topk_ivf_kmeans, ann_topk_pq, ann_topk_ivfpq, ann_join_ivf,
+    g1_pagerank, emb_pca_project, ta_bpe_train, ml_quality_probe,
+    v_column_profile — because they are genuinely non-SQL-expressible
     (LSH banding / IVF / PQ probe internals, iterative Lloyd's /
-    PageRank / k-core peeling loops, greedy stateful assignment, power
-    iteration PCA, BPE merge training, engine-specific mergeable
-    sketches). They take the driver's weaker rows-only check BY DESIGN
-    and can never show hash-green in a driver window, so they are kept
-    OUT of the `_DRIVER_FRONT` rotation (a window slot on them reports
+    PageRank loops, greedy stateful assignment, power-iteration PCA,
+    BPE merge training, an HLL++/KLL sketch profile). They take the
+    driver's weaker rows-only check BY DESIGN and can never show
+    hash-green in a driver window, so they are kept OUT of the
+    `_DRIVER_FRONT` rotation (a window slot on them reports
     err:no_oracle instead of a hash row). Each is pinned by an
     independent pandas/numpy twin in tests/test_no_oracle_parity.py:
     exact-Jaccard soundness+completeness for the LSH/simhash family,
     brute-force hamming / quantized-cosine recomputation + recall@10
     floors for the ANN family, an independent greedy re-implementation
-    for j3, networkx-free power-iteration / peeling twins for the graph
-    loops, and sketch-vs-exact tolerance bands for the sketches."""
+    for j3, a networkx-free power-iteration twin for pagerank, and
+    sketch-vs-exact tolerance bands for the profile sketches.
+    (tests/test_driver_contract.py pins this list to the live
+    ``set(QUERIES) - set(ORACLE_SQL)`` so it cannot drift.)"""
     return dict(ORACLE_SQL)

@@ -118,18 +118,22 @@ def gopher_quality(col: Column | str) -> dict[str, Column]:
         toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
     # all ratios are floor-divisions of non-negative exact integers:
-    # F.floor(a/b) here == DuckDB a // b (truncation == floor for >= 0)
-    mean_x100 = F.floor((F.lit(100) * sum_len) / nw1).cast("bigint")
+    # integral `div` == DuckDB a // b (truncation == floor for >= 0)
+    # and never visits doubles (the repo-wide no-`/`-into-long rule)
+    def idiv(a, b):
+        return F.call_function("div", a, b).cast("bigint")
+
+    mean_x100 = idiv(F.lit(100) * sum_len, nw1)
     n_hash = (
         F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
     ).cast("bigint")
-    n_ellipsis = F.floor(
-        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", "")))
-        / F.lit(3)
-    ).cast("bigint")
-    symbol_ppm = F.floor(
-        (F.lit(1_000_000) * (n_hash + n_ellipsis)) / nw1
-    ).cast("bigint")
+    n_ellipsis = idiv(
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))).cast(
+            "bigint"
+        ),
+        F.lit(3),
+    )
+    symbol_ppm = idiv(F.lit(1_000_000) * (n_hash + n_ellipsis), nw1)
     lines = F.split(t, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("bigint")
     n_bullet = F.size(
@@ -144,12 +148,8 @@ def gopher_quality(col: Column | str) -> dict[str, Column]:
             lambda s: F.array_contains(F.transform(toks, F.lower), s),
         )
     ).cast("bigint")
-    bullet_ppm = F.floor((F.lit(1_000_000) * n_bullet) / n_lines).cast(
-        "bigint"
-    )
-    ellipsis_ppm = F.floor((F.lit(1_000_000) * n_ell_end) / n_lines).cast(
-        "bigint"
-    )
+    bullet_ppm = idiv(F.lit(1_000_000) * n_bullet, n_lines)
+    ellipsis_ppm = idiv(F.lit(1_000_000) * n_ell_end, n_lines)
     flags = {
         "flag_words": (n_words >= 50) & (n_words <= 100_000),
         "flag_word_len": (mean_x100 >= 300) & (mean_x100 <= 1000),

@@ -614,6 +614,7 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
     while True:
         deg = (
             e.select(F.col("a").alias("n"))
@@ -627,12 +628,13 @@ def k_core(
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint()
         )
-        if kept_edges.count() == e.count():
-            e = kept_edges
-            break
+        # ONE action per round: the previous round's count is carried in
+        # n_edges, and the empty check rides the same count.
+        n_kept = kept_edges.count()
         e = kept_edges
-        if e.isEmpty():
+        if n_kept == n_edges or n_kept == 0:
             break
+        n_edges = n_kept
     return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -820,7 +822,9 @@ def hyperball_reach(
     h = (F.lit(HB_A) * nred % HB_P + HB_B) % HB_P
     w = h % HB_P  # alias for clarity; full hash
     j = (w % m).cast("int")
-    geo = (w - w % m) / m
+    # w is non-negative (mod-P reduced), so integral `div` == floor and
+    # matches the oracle's `//` exactly without visiting doubles
+    geo = F.call_function("div", w, F.lit(m))
     cap = 27
     reg = nodes.select(
         "node",

@@ -92,7 +92,11 @@ def topk_join(
     candidates) and ``left`` (keep them: an unmatched left row
     surfaces EXACTLY ONCE with rank 1, NULL score, and NULL right
     columns — the "no candidates found" sentinel a downstream
-    verifier can branch on). Other join types have no sensible
+    verifier can branch on). The NULL-score sentinel is ENFORCED, not
+    merely hoped for: a right-side match marker is carried through the
+    join and the score is nulled where it is absent, so even a
+    ``score`` built from coalesce/literals cannot fabricate a non-NULL
+    score for a candidate-less row. Other join types have no sensible
     top-k-per-left-row meaning and raise."""
     if how not in ("inner", "left"):
         raise ValueError(
@@ -101,8 +105,16 @@ def topk_join(
             "single rank-1 row with NULL score/right columns)"
         )
     left_idx = left.withColumn("__lid", F.monotonically_increasing_id())
-    joined = left_idx.join(right, list(keys), how)
+    rhs = right.withColumn("__matched", F.lit(True)) if how == "left" else right
+    joined = left_idx.join(rhs, list(keys), how)
     scored = joined.withColumn("__score", score(joined))
+    if how == "left":
+        scored = scored.withColumn(
+            "__score",
+            F.when(F.col("__matched").isNull(), F.lit(None)).otherwise(
+                F.col("__score")
+            ),
+        ).drop("__matched")
     w = Window.partitionBy("__lid").orderBy(F.desc("__score"), *tiebreak)
     out = (
         scored.withColumn(rank_col, F.row_number().over(w))
@@ -452,13 +464,20 @@ def range_join(
             f"range_join: overlapping non-key columns {sorted(overlap)}; "
             "alias them before joining"
         )
-    def fdiv(x):  # exact floor-division in long arithmetic (no doubles)
-        return ((x - F.pmod(x, F.lit(width))) / width).cast("long")
-
     def us(c):
         # NTZ columns cast through TIMESTAMP; any session-tz shift is the
         # same on both sides, so diffs and bucket pairing are unaffected
         return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def fdiv(x):
+        # exact floor-division in long arithmetic at ANY magnitude: pmod
+        # makes the numerator exactly divisible (and its remainder
+        # non-negative), so integral `div` — never `/`, which routes
+        # through doubles and rounds past 2^53 — truncates == floors
+        # even for negative epochs.
+        return F.call_function(
+            "div", x - F.pmod(x, F.lit(width)), F.lit(width)
+        ).cast("long")
 
     l_us = us(left_ts)
     r_us = us(right_ts)
@@ -531,21 +550,29 @@ def interval_overlap_join(
             f"(({e}) - pmod(({e}), {int(bucket_us)})) div {int(bucket_us)}"
         ).cast("long")
 
-    ls, le = F.col(left_start), F.col(left_end)
-    rs, re = F.col(right_start), F.col(right_end)
+    def bt(name: str) -> str:
+        # backtick-quote a user column name for the SQL fragment;
+        # embedded backticks are doubled (the SQL escape) so any legal
+        # column name round-trips instead of breaking the parse or
+        # injecting into the expression. F.col parses backticks too, so
+        # the quoted form feeds both.
+        return "`" + name.replace("`", "``") + "`"
+
+    ls, le = F.col(bt(left_start)), F.col(bt(left_end))
+    rs, re = F.col(bt(right_start)), F.col(bt(right_end))
     lb = left.filter(le > ls).withColumn(
         "__bucket",
         F.explode(
-            F.sequence(fdiv(f"`{left_start}`"), fdiv(f"`{left_end}` - 1"))
+            F.sequence(fdiv(bt(left_start)), fdiv(f"{bt(left_end)} - 1"))
         ),
     )
     rb = right.filter(re > rs).withColumn(
         "__bucket",
         F.explode(
-            F.sequence(fdiv(f"`{right_start}`"), fdiv(f"`{right_end}` - 1"))
+            F.sequence(fdiv(bt(right_start)), fdiv(f"{bt(right_end)} - 1"))
         ),
     )
-    pair_bucket = fdiv(f"greatest(`{left_start}`, `{right_start}`)")
+    pair_bucket = fdiv(f"greatest({bt(left_start)}, {bt(right_start)})")
     return (
         lb.join(rb, [*keys, "__bucket"])
         .filter((ls < re) & (rs < le) & (F.col("__bucket") == pair_bucket))
@@ -618,16 +645,19 @@ def fuzzy_string_join(
             "fuzzy_string_join: overlapping non-key columns; alias them first"
         )
     w = max_dist + 1
+
+    def lbucket(col: str):
+        # lengths are non-negative, so integral `div` truncation == floor
+        # (the repo-wide no-`/`-into-long rule; doubles round past 2^53)
+        return F.call_function(
+            "div", F.length(F.col(col)).cast("long"), F.lit(w)
+        )
+
     lb = left.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                (F.length(F.col(left_col)) / w).cast("long") - 1,
-                (F.length(F.col(left_col)) / w).cast("long") + 1,
-            )
-        ),
+        F.explode(F.sequence(lbucket(left_col) - 1, lbucket(left_col) + 1)),
     )
-    rb = right.withColumn("__bucket", (F.length(F.col(right_col)) / w).cast("long"))
+    rb = right.withColumn("__bucket", lbucket(right_col))
     dist = F.levenshtein(F.lower(F.col(left_col)), F.lower(F.col(right_col)))
     return (
         lb.join(rb, [*extra_keys, "__bucket"])

@@ -1068,7 +1068,25 @@ def append_ann_index(
     batch directory.
     """
     import os
+    import re
 
+    # The batch id becomes a literal partition-directory component and
+    # the path feeds os.path/os.rename directly: reject anything that
+    # could corrupt Spark partition discovery ('/', '=', '%xx' escapes)
+    # or silently defeat the exists-check idempotency (URI schemes /
+    # non-local paths, where os.path.exists is permanently False and
+    # every retry would re-encode then crash in os.rename).
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(
+            f"append_ann_index: batch_id {batch_id!r} must match "
+            "[A-Za-z0-9_.-]+ (it names a partition directory)"
+        )
+    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*://|file:", path):
+        raise ValueError(
+            f"append_ann_index: path {path!r} must be a plain local "
+            "filesystem path (the staged-rename publish uses os.rename; "
+            "route object-store indexes through a manifest/catalog)"
+        )
     spark = delta.sparkSession
     target = f"{path}/codes/batch={batch_id}"
     if not os.path.exists(target):

@@ -403,10 +403,11 @@ def ntile_from_rank(rn: Column, n_total: Column, n_buckets: int) -> Column:
     All arithmetic is bigint ``div`` (exact cross-engine; everything is
     non-negative so truncation == floor)."""
     def idiv(num: Column, den: Column) -> Column:
-        # exact bigint floor-div for non-negative operands: subtracting
-        # num % den makes the numerator exactly divisible, so the double
-        # division is an exact integer at any magnitude
-        return ((num - num % den) / den).cast("bigint")
+        # exact bigint floor-div for non-negative operands: integral
+        # `div` (IntegralDivide) stays in long arithmetic at any
+        # magnitude — never `/`, which routes through doubles and
+        # rounds past 2^53 — and truncation == floor when num >= 0
+        return F.call_function("div", num, den).cast("bigint")
 
     b = F.lit(n_buckets).cast("bigint")
     n = n_total.cast("bigint")

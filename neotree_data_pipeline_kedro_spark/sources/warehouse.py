@@ -461,7 +461,7 @@ def compaction_bins(
         files, list(order_cols), size_col, rn_col="__rn", cum_col="__cum"
     )
     before = F.col("__cum") - F.col(size_col)  # exclusive prefix
-    bin_id = (
-        (before - F.pmod(before, F.lit(target_bytes))) / target_bytes
-    ).cast("bigint")
+    # non-negative prefix, so integral `div` truncation == floor (the
+    # repo-wide no-`/`-into-long rule; doubles round past 2^53)
+    bin_id = F.call_function("div", before, F.lit(target_bytes)).cast("bigint")
     return scanned.withColumn(bin_col, bin_id).drop("__rn", "__cum")
