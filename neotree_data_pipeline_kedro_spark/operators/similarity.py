@@ -1009,13 +1009,24 @@ def ivfpq_topk(
 
 
 def save_ann_index(
-    index: DataFrame, codebooks: np.ndarray, centroids: DataFrame, path: str
+    index: DataFrame,
+    codebooks: np.ndarray,
+    centroids: DataFrame,
+    path: str,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Persist an IVFPQ index to a warehouse directory: the (id, cell,
     codes) frame partitioned BY CELL — so a search that probes nprobe
     cells reads nprobe directories, nothing else — plus the codebooks
     (flattened to rows) and centroids as small side tables. Everything is
-    plain parquet: any engine reads it back."""
+    plain parquet: any engine reads it back.
+
+    ``vectors`` (optional, ``(id, vec)``): seed the index's raw-vector
+    sidecar at ``vectors/batch=base``. An index that intends to RETRAIN
+    its quantizers (``maintain_ann_index``/``retrain_ann_index``) must
+    own its vectors — PQ codes are not invertible — which is exactly
+    what production vector stores do (FAISS/Milvus keep the originals
+    alongside the compressed index)."""
     (
         index.withColumn("batch", F.lit("base"))
         .write.mode("overwrite")
@@ -1033,6 +1044,13 @@ def save_ann_index(
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if vectors is not None:
+        (
+            vectors.withColumn("batch", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{path}/vectors")
+        )
 
 
 def append_ann_index(
@@ -1100,6 +1118,143 @@ def append_ann_index(
         .groupBy("cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_appended"))
     )
+
+
+def maintain_ann_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    batch_id: str,
+    skew_ratio: float = 4.0,
+) -> dict:
+    """One turn of the production ANN maintenance loop (VERDICT r10
+    #7b): land the delta's raw vectors in the index's vector sidecar
+    (``vectors/batch=<id>``, staged-rename idempotent like the codes
+    append), encode-and-append its codes against the frozen quantizers
+    (``append_ann_index``), then read the WHOLE index's per-cell
+    occupancy and decide whether assignment drift has skewed the cells
+    enough to warrant a quantizer re-train — the decision
+    ``append_ann_index``'s skew report exists to feed.
+
+    The trigger is ``max_cell / mean_cell > skew_ratio`` over the full
+    codes table (a partition-column-only scan — cell is a directory
+    name, so this reads parquet FOOTERS, not code rows). When it fires,
+    run ``retrain_ann_index`` in the index's maintenance window; this
+    function only reports, so the ingest path never blocks on a
+    rebuild.
+
+    Returns {"batch_id", "appended", "cells_touched", "max_cell",
+    "mean_cell", "skew", "retrain"}."""
+    import os
+    import re
+
+    spark = delta.sparkSession
+    vec_target = f"{path}/vectors/batch={batch_id}"
+    # append_ann_index re-validates batch_id/path; do vectors first so a
+    # crash between the two writes replays into staged-rename skips
+    report = None
+    if not os.path.exists(vec_target):
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+            raise ValueError(
+                f"maintain_ann_index: batch_id {batch_id!r} must match "
+                "[A-Za-z0-9_.-]+ (it names a partition directory)"
+            )
+        staging = f"{path}/_stage_vectors_{batch_id}"
+        delta.select(id_col, vec_col).write.mode("overwrite").parquet(staging)
+        os.rename(staging, vec_target)
+    report = append_ann_index(delta, path, id_col, vec_col, batch_id=batch_id)
+    appended = report.agg(F.sum("n_appended")).first()[0] or 0
+    cells_touched = report.count()
+    occ = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+        )
+        .first()
+    )
+    skew = float(occ["mx"]) / float(occ["mean"])
+    return {
+        "batch_id": batch_id,
+        "appended": int(appended),
+        "cells_touched": int(cells_touched),
+        "max_cell": int(occ["mx"]),
+        "mean_cell": float(occ["mean"]),
+        "skew": round(skew, 4),
+        "retrain": skew > skew_ratio,
+    }
+
+
+def retrain_ann_index(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int | None = None,
+    m: int = 8,
+    nbits: int = 4,
+) -> None:
+    """Re-train an IVFPQ index's quantizers from its OWN vector sidecar
+    and re-partition every vector under the new cells — the offline leg
+    of the maintenance loop that ``maintain_ann_index``'s skew trigger
+    schedules. Centroids come from a fresh distributed k-means over ALL
+    vectors (base + every appended batch), codebooks from ``pq_train``
+    on the same corpus, and the full codes table is rebuilt and swapped
+    in with the tmp→old→live rename discipline per component.
+
+    After the swap the index answers ``ivfpq_topk`` EXACTLY as a
+    from-scratch ``build_ivfpq_index`` over the current vector set
+    (pinned in pytest) — appends since the last re-train are folded in,
+    and the cell layout reflects the CURRENT distribution, not the
+    base one.
+
+    Single-writer maintenance-window semantics (the compact_parquet
+    caveat): the three component swaps are individually atomic but not
+    jointly — a reader racing the swap can probe new centroids against
+    old codes. Run it where the warehouse runs compaction: with readers
+    drained."""
+    import os
+    import shutil
+
+    vec_dir = f"{path}/vectors"
+    vectors = spark.read.parquet(vec_dir).select(id_col, vec_col)
+    if k is None:
+        k = spark.read.parquet(f"{path}/centroids").count()
+    cents_pdf = kmeans_fit(vectors, id_col, vec_col, k=int(k))
+    cents = spark.createDataFrame(
+        [
+            (int(r.centroid_id), [float(x) for x in r.centroid_vec])
+            for r in cents_pdf.itertuples()
+        ],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    books = pq_train(vectors, id_col, vec_col, m=m, nbits=nbits)
+    index = build_ivfpq_index(vectors, cents, books, id_col, vec_col)
+
+    stage = f"{path}/_stage_retrain"
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)  # crashed previous retrain: rebuild fully
+    save_ann_index(index, books, cents, stage)
+
+    for comp in ("codes", "codebooks", "centroids"):
+        live = f"{path}/{comp}"
+        old = f"{live}.__old"
+        if os.path.isdir(old):  # crashed mid-swap on a previous attempt
+            if os.path.isdir(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(f"{stage}/{comp}", live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(stage)
 
 
 def load_ann_index(spark, path: str):

@@ -48,6 +48,90 @@ def _sink_exists(path: str) -> bool:
     )
 
 
+# ------------------------------------------------------------------ swap
+# The atomic-swap + source-file-manifest discipline shared by every
+# foreachBatch sink below (rollup, histogram, corpus build): a batch's
+# effects are made exactly-once PER SOURCE FILE by persisting the set of
+# already-merged files as a `_merged_files` sidecar inside the state
+# directory (parquet readers ignore `_`-prefixed files), and state
+# replacement goes tmp → (live → old) → (tmp → live) → rm old so a crash
+# at any point is recovered by `_recover_swap` before the next read.
+
+
+def _swap_paths(live: str) -> tuple[str, str]:
+    return live.rstrip("/") + ".__state_tmp", live.rstrip("/") + ".__state_old"
+
+
+def _recover_swap(live: str) -> None:
+    import shutil
+
+    tmp, old = _swap_paths(live)
+    if os.path.isdir(old):
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+
+def _publish_swap(live: str) -> None:
+    """Promote the fully-written tmp dir to live (tmp must exist)."""
+    import shutil
+
+    tmp, old = _swap_paths(live)
+    if os.path.isdir(live):
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, live)
+
+
+def _read_manifest(state_dir: str) -> set[str]:
+    meta = os.path.join(state_dir, "_merged_files")
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    return set()
+
+
+def _norm_uri(uri: str) -> str:
+    # Canonicalize FILE-scheme variants only: file:///x, file:/x and /x
+    # all name the same local file. Any other scheme/authority is kept
+    # VERBATIM as the manifest key — stripping it would collapse
+    # s3a://a/p and hdfs://a/p into one key and break the mixed-batch
+    # re-read (r7 advice); non-local sources are rejected up front.
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        if rest.startswith("//"):  # file://host/p — drop empty/localhost
+            rest = rest[2:]
+            host, _, path = rest.partition("/")
+            if host not in ("", "localhost"):
+                return uri
+            rest = path
+        return "/" + rest.lstrip("/")
+    if "://" in uri:
+        return uri
+    return "/" + uri.lstrip("/")
+
+
+def _batch_files(batch: DataFrame) -> list[str]:
+    """The micro-batch's normalized source-file set (metadata-sized
+    collect bounded by files-per-batch, same scale as a txn-log entry)."""
+    from pyspark.sql import functions as F
+
+    return sorted(
+        {
+            _norm_uri(r.f)
+            for r in batch.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+            if r.f
+        }
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     source_path: str,
@@ -197,52 +281,15 @@ def run_foreach_batch_rollup(
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
 
-    def _norm(uri: str) -> str:
-        # Canonicalize FILE-scheme variants only: file:///x, file:/x and
-        # /x all name the same local file. Any other scheme/authority is
-        # kept VERBATIM as the manifest key — stripping it would collapse
-        # s3a://a/p and hdfs://a/p into one key and break the mixed-batch
-        # re-read (r7 advice); non-local sources are rejected up front
-        # anyway (see the guard below).
-        if uri.startswith("file:"):
-            rest = uri[len("file:"):]
-            if rest.startswith("//"):  # file://host/p — drop empty/localhost
-                rest = rest[2:]
-                host, _, path = rest.partition("/")
-                if host not in ("", "localhost"):
-                    return uri
-                rest = path
-            return "/" + rest.lstrip("/")
-        if "://" in uri:
-            return uri
-        return "/" + uri.lstrip("/")
-
-    def merged_files() -> set[str]:
-        meta = os.path.join(rollup_path, "_merged_files")
-        if os.path.isfile(meta):
-            with open(meta) as fh:
-                return {ln.strip() for ln in fh if ln.strip()}
-        return set()
-
     def merge(batch: DataFrame, _epoch: int) -> None:
-        from pyspark.sql import functions as F
-
         recover()
         # micro-batch DataFrames report no inputFiles(); input_file_name()
         # still resolves for the file source — a metadata-sized collect
         # bounded by files-per-batch, the same scale as a txn-log entry
-        files = sorted(
-            {
-                _norm(r.f)
-                for r in batch.select(
-                    F.input_file_name().alias("f")
-                ).distinct().collect()
-                if r.f
-            }
-        )
+        files = _batch_files(batch)
         if not files:
             return  # empty micro-batch: nothing to merge, keep the swap out
-        done = merged_files() if os.path.isdir(rollup_path) else set()
+        done = _read_manifest(rollup_path) if os.path.isdir(rollup_path) else set()
         new = [f for f in files if f not in done]
         if not new:
             return  # at-least-once replay: every source file already merged
@@ -328,3 +375,223 @@ def run_foreach_batch_histogram(
         max_files_per_trigger=max_files_per_trigger,
         transform=bucketize,
     )
+
+
+def run_foreach_batch_corpus_build(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_root: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    langs: Sequence[str] = ("en", "de", "fr", "es"),
+    tok_lo: int = 5,
+    tok_hi: int = 10_000,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """The cb1 corpus-build funnel as a CONTINUOUS ingest (VERDICT r10
+    #7a): every micro-batch of landing documents runs quarantine →
+    quality/language gates → exact-fingerprint dedup (within-batch AND
+    against everything already kept) and lands its survivors plus a
+    cumulative per-(source, disposition) census — the shape a training
+    corpus actually grows by, where cb1's one-shot query is the
+    backfill and this is the steady state.
+
+    Layout under ``out_root``:
+      - ``corpus/batch=<id>/`` — kept rows (id, source, fp, n_tokens;
+        text does NOT ride into state, the cb1 discipline), one
+        partition per processed file-set, published with the
+        append_ann_index staged-rename so a replayed batch can never
+        land rows twice;
+      - ``census/`` — the cumulative (source, disposition, n) table,
+        replaced per batch via the rollup sinks' atomic swap, with the
+        ``_merged_files`` manifest making census effects exactly-once
+        per SOURCE FILE across checkpoint relocations and replays.
+
+    The CONSERVATION IDENTITY now holds ACROSS batches, not per run:
+    sum(census.n) == rows of every manifest-listed landing file, and
+    census['kept'] == corpus row count — dropped rows cannot hide in a
+    crash/replay seam because corpus publication (staged rename, keyed
+    on the file-set) commits before the census manifest, and a crash
+    between the two replays into a skip-write + census merge.
+    ``corpus_build_conservation`` audits the identity from disk.
+
+    Dispositions (each landing row gets exactly one, gates in cb1
+    order): ``quarantined`` (NULL/whitespace-only text), ``gated``
+    (token count outside [tok_lo, tok_hi] or language not allowed),
+    ``dup_in_batch`` (a smaller id in the same batch owns the
+    fingerprint), ``dup_cross_batch`` (an earlier batch's kept row owns
+    it), ``kept``."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    for p, nm in ((source_path, "source_path"), (out_root, "out_root")):
+        if "://" in p and not p.startswith("file:"):
+            raise ValueError(
+                f"run_foreach_batch_corpus_build: {nm} must be a "
+                f"local-filesystem path (staged renames and the manifest "
+                f"use os primitives); got {p!r}"
+            )
+    corpus_dir = os.path.join(out_root, "corpus")
+    census_dir = os.path.join(out_root, "census")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.parquet(source_path)
+
+    def build(batch: DataFrame, _epoch: int) -> None:
+        _recover_swap(census_dir)
+        files = _batch_files(batch)
+        if not files:
+            return
+        done = _read_manifest(census_dir) if os.path.isdir(census_dir) else set()
+        new = [f for f in files if f not in done]
+        if not new:
+            return  # at-least-once replay: every source file already built
+        s = batch.sparkSession
+        src_df = batch if len(new) == len(files) else s.read.schema(
+            schema
+        ).parquet(*new)
+
+        # --- the cb1 gate ladder, expression-only, text dropped here ---
+        trimmed = F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""
+        )
+        n_tokens = F.when(trimmed == "", F.lit(0).cast("bigint")).otherwise(
+            F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint") + 1
+        )
+        quar = F.col(text_col).isNull() | (trimmed == "")
+        gated = (~quar) & (
+            ~n_tokens.between(tok_lo, tok_hi)
+            | ~F.col(lang_col).isin(*langs)
+        )
+        base = src_df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            n_tokens.alias("n_tokens"),
+            quar.alias("__quar"),
+            gated.alias("__gated"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp").orderBy("id")
+        ranked = base.withColumn(
+            "__dup_in_batch",
+            (~F.col("__quar"))
+            & (~F.col("__gated"))
+            & (F.row_number().over(w) > 1),
+        )
+        # cross-batch guard: the durable corpus's fp set (fp-projected
+        # scan — at scale, bucket the corpus by fp to prune it)
+        if _sink_exists_tree(corpus_dir):
+            seen = s.read.parquet(corpus_dir).select("fp").dropDuplicates(["fp"])
+            ranked = ranked.join(
+                seen.withColumn("__seen", F.lit(True)), "fp", "left"
+            )
+        else:
+            ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
+        disp = (
+            F.when(F.col("__quar"), "quarantined")
+            .when(F.col("__gated"), "gated")
+            .when(F.col("__dup_in_batch"), "dup_in_batch")
+            .when(F.col("__seen"), "dup_cross_batch")
+            .otherwise("kept")
+        )
+        staged = ranked.select(
+            "id", "source", "fp", "n_tokens", disp.alias("disposition")
+        ).localCheckpoint()
+
+        # --- corpus publication first (staged dir + one atomic rename,
+        # keyed on the file-set so a replay finds it and skips) ---
+        batch_id = hashlib.md5("\n".join(new).encode()).hexdigest()[:12]
+        target = os.path.join(corpus_dir, f"batch={batch_id}")
+        if not os.path.isdir(target):
+            os.makedirs(corpus_dir, exist_ok=True)
+            stage = os.path.join(corpus_dir, f"_stage_{batch_id}")
+            (
+                staged.filter(F.col("disposition") == "kept")
+                .select("id", "source", "fp", "n_tokens")
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            os.rename(stage, target)
+
+        # --- census merge second (atomic swap + manifest) ---
+        delta = staged.groupBy("source", "disposition").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        stored = (
+            s.read.parquet(census_dir) if os.path.isdir(census_dir) else None
+        )
+        merged = (
+            delta
+            if stored is None
+            else stored.unionByName(delta)
+            .groupBy("source", "disposition")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        tmp, _old = _swap_paths(census_dir)
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_merged_files"), "w") as fh:
+            fh.write("\n".join(sorted(done.union(new))) + "\n")
+        _publish_swap(census_dir)
+
+    q = (
+        src.writeStream.foreachBatch(build)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sink_exists_tree(path: str) -> bool:
+    """Like _sink_exists but for a partitioned sink (batch=*/...)."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, fs in os.walk(path):
+        if any(f.endswith(".parquet") for f in fs):
+            return True
+    return False
+
+
+def corpus_build_conservation(spark: SparkSession, out_root: str) -> dict:
+    """Audit the cross-batch conservation identity of a
+    ``run_foreach_batch_corpus_build`` output tree: every landing row of
+    every manifest-listed source file is accounted for by exactly one
+    census disposition, and the kept census equals the corpus row count.
+    Returns the three counts plus ``holds``."""
+    from pyspark.sql import functions as F
+
+    census_dir = os.path.join(out_root, "census")
+    corpus_dir = os.path.join(out_root, "corpus")
+    merged = sorted(_read_manifest(census_dir))
+    landing_rows = (
+        spark.read.parquet(*merged).count() if merged else 0
+    )
+    census = spark.read.parquet(census_dir)
+    census_total = census.agg(F.sum("n")).first()[0] or 0
+    kept = (
+        census.filter(F.col("disposition") == "kept").agg(F.sum("n")).first()[0]
+        or 0
+    )
+    corpus_rows = (
+        spark.read.parquet(corpus_dir).count()
+        if _sink_exists_tree(corpus_dir)
+        else 0
+    )
+    return {
+        "landing_rows": landing_rows,
+        "census_total": int(census_total),
+        "census_kept": int(kept),
+        "corpus_rows": corpus_rows,
+        "holds": landing_rows == census_total and int(kept) == corpus_rows,
+    }
