@@ -184,3 +184,174 @@ def rank_biased_overlap(
         (F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(float(scale)))
         .alias(out_col),
     )
+
+
+def bm25_retrieval_eval(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, list[str]],
+    k: int,
+    *,
+    k1: float = 1.25,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+    rel_id_pred: Column | None = None,
+) -> DataFrame:
+    """End-to-end retrieval-quality evaluation: run BM25 for EVERY query
+    in one pass over the postings, derive relevance labels (a document
+    is relevant to a query iff it contains ALL the query's terms — the
+    deterministic qrel both engines can replay — optionally intersected
+    with ``rel_id_pred``, a boolean Column over ``id`` that models the
+    labeled-SUBSET reality of human qrels: most matching documents are
+    never judged, so rankings mix relevant and unjudged and the metrics
+    leave the degenerate 1.0 ceiling), and emit the IR metric row per
+    query: recall@k, MRR, and nDCG@k, all in exact integer ppm.
+
+    This is the eval loop a retrieval-backed data pipeline runs after
+    every index/scoring change — search without the eval harness is an
+    unmeasured component. Scale shape: ONE postings build serves both
+    the scoring and the labels (checkpointed — two consumers), the
+    query-term table broadcasts, per-(query, doc) scores rank inside a
+    per-query window (bounded by matched docs per query), and the
+    metric aggregation is one groupBy over ≤ |queries|·k rows.
+
+    Cross-engine exactness: BM25 contributions are micro-quantized
+    before summing (the bm25_topk discipline); the rank-discount table
+    ``w_i = round(1e6 / log2(1+i))`` and its prefix sums (the IDCG
+    ladder) are precomputed in PYTHON and embedded as literals in both
+    the Spark plan and the oracle SQL, so the only transcendentals
+    (ln in idf, log2 in the discounts) never cross engines — recall,
+    MRR and nDCG are pure integer arithmetic: ``recall_ppm =
+    1e6·hits div n_rel``, ``mrr_ppm = 1e6 div first_rel_rank``,
+    ``ndcg_ppm = 1e6·DCG div IDCG``.
+
+    Output: (query_id, n_rel, n_hits, recall_ppm, mrr_ppm, ndcg_ppm),
+    one row per query, zeros when a query has no relevant documents."""
+    import math
+
+    spark = docs.sparkSession
+    # rank-discount ladder + prefix sums, computed once driver-side so
+    # both engines consume identical integer literals
+    disc = [round(1_000_000 / math.log2(1 + i)) for i in range(1, k + 1)]
+    idcg = [sum(disc[: i + 1]) for i in range(k)]
+
+    post = postings(docs, id_col, text_col).localCheckpoint()
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id int, term string",
+    )
+    nterms = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in queries.items()],
+        "query_id int, n_terms int",
+    )
+    matched = post.join(F.broadcast(qterms), "term")
+    df_t = (
+        post.join(
+            F.broadcast(qterms.select("term").dropDuplicates(["term"])), "term"
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * _bm25_weight(
+        F.col("tf"), F.col("dl"), F.col("avgdl"), k1, b
+    )
+    per_doc = (
+        scored.select(
+            "query_id",
+            "id",
+            F.round(contrib * scale).cast("bigint").alias("c"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    # relevance label: the doc matched every term of the query (postings
+    # rows are unique per (term, id), so a plain count is the distinct
+    # term count)
+    rel = (
+        matched.groupBy("query_id", "id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
+        .join(F.broadcast(nterms), "query_id")
+        .filter(F.col("n_match") == F.col("n_terms"))
+    )
+    if rel_id_pred is not None:
+        rel = rel.filter(rel_id_pred)
+    rel = rel.select(
+        "query_id", "id", F.lit(True).alias("is_rel")
+    ).localCheckpoint()  # consumed by n_rel AND the ranked join
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("id")
+    )
+    ranked = (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(rel, ["query_id", "id"], "left")
+        .withColumn("is_rel", F.coalesce("is_rel", F.lit(False)))
+    )
+    disc_arr = F.array(*[F.lit(x).cast("bigint") for x in disc])
+    idcg_arr = F.array(*[F.lit(x).cast("bigint") for x in idcg])
+    n_rel_q = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    agg = (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(F.col("is_rel").cast("bigint")).alias("n_hits"),
+            F.min(F.when(F.col("is_rel"), F.col("rank"))).alias("first_rel"),
+            F.sum(
+                F.when(
+                    F.col("is_rel"), F.element_at(disc_arr, F.col("rank"))
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("dcg"),
+        )
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid in queries], "query_id int"
+    )
+    out = (
+        qids.join(n_rel_q, "query_id", "left")
+        .join(agg, "query_id", "left")
+        .na.fill({"n_rel": 0, "n_hits": 0, "dcg": 0})
+    )
+    idiv = lambda a, bb: F.call_function("div", a, bb)  # noqa: E731
+    return out.select(
+        "query_id",
+        F.col("n_rel").cast("bigint"),
+        F.col("n_hits").cast("bigint"),
+        F.when(F.col("n_rel") > 0, idiv(F.lit(1_000_000) * F.col("n_hits"), F.col("n_rel")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            idiv(F.lit(1_000_000), F.col("first_rel").cast("bigint")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mrr_ppm"),
+        F.when(
+            F.col("n_rel") > 0,
+            idiv(
+                F.lit(1_000_000) * F.col("dcg"),
+                F.element_at(idcg_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+    )

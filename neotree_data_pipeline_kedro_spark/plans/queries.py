@@ -23009,6 +23009,448 @@ def g17_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- retrieval-quality eval: rank-discount ladder + IDCG prefix sums are
+# -- computed ONCE here and embedded as integer literals in BOTH the Spark
+# -- plan and the oracle SQL, so the log2 discounts never cross engines.
+_IR1_K = 10
+_IR1_DISC = [round(1_000_000 / math.log2(1 + i)) for i in range(1, _IR1_K + 1)]
+_IR1_IDCG = [sum(_IR1_DISC[: i + 1]) for i in range(_IR1_K)]
+_IR1_QUERIES = {1: ["hash", "join"], 2: ["window", "scan"],
+                3: ["hash", "scan", "window"], 4: ["join"],
+                5: ["hash", "zqxjv"]}  # no doc has both: the n_rel=0 arm
+
+
+@_register(
+    "ir1_retrieval_eval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+      (2, 'scan'), (3, 'hash'), (3, 'scan'), (3, 'window'), (4, 'join'),
+      (5, 'hash'), (5, 'zqxjv')),
+    nt AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
+    dft AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+    ),
+    matched AS (
+      SELECT q.query_id, p.term, p.doc_id, p.tf
+      FROM post p JOIN q ON q.term = p.term
+    ),
+    contrib AS (
+      SELECT m.query_id, m.doc_id AS id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (CAST(m.tf AS DOUBLE) * 2.25)
+               / (CAST(m.tf AS DOUBLE)
+                  + 1.25 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE)) / s.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM matched m JOIN dft f USING (term)
+      JOIN dl d ON d.doc_id = m.doc_id
+      CROSS JOIN stats s
+    ),
+    scoredq AS (
+      SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT m.query_id, m.doc_id AS id
+      FROM matched m JOIN nt ON nt.query_id = m.query_id
+      WHERE m.doc_id % 3 = 0
+      GROUP BY m.query_id, m.doc_id, nt.n_terms
+      HAVING COUNT(*) = nt.n_terms
+    ),
+    ranked AS (
+      SELECT query_id, id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score_micro DESC, id ASC
+             ) AS rnk
+      FROM scoredq
+      QUALIFY rnk <= 10
+    ),
+    hits AS (
+      SELECT r.query_id,
+             CAST(COUNT(rel.id) AS BIGINT) AS n_hits,
+             MIN(CASE WHEN rel.id IS NOT NULL THEN r.rnk END) AS first_rel,
+             CAST(COALESCE(SUM(CASE WHEN rel.id IS NOT NULL
+                  THEN [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065][r.rnk] ELSE 0 END), 0) AS BIGINT) AS dcg
+      FROM ranked r
+      LEFT JOIN rel ON rel.query_id = r.query_id AND rel.id = r.id
+      GROUP BY 1
+    ),
+    nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT query_id FROM q)
+    SELECT CAST(b.query_id AS INTEGER) AS query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                THEN (1000000 * COALESCE(h.n_hits, 0)) // n.n_rel
+                ELSE 0 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN h.first_rel IS NOT NULL
+                THEN 1000000 // h.first_rel ELSE 0 END AS BIGINT) AS mrr_ppm,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                THEN (1000000 * COALESCE(h.dcg, 0))
+                     // [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560][CAST(LEAST(n.n_rel, 10) AS INTEGER)]
+                ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM base b
+    LEFT JOIN nrel n ON n.query_id = b.query_id
+    LEFT JOIN hits h ON h.query_id = b.query_id
+    """,
+)
+def ir1_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval harness (operators/search.
+    bm25_retrieval_eval): FOUR literal term queries run through BM25 in
+    ONE postings pass, relevance labels derived as "doc contains every
+    query term" (the deterministic qrel both engines replay), and per
+    query the integer-exact IR metric row — recall@10, MRR, nDCG@10 in
+    ppm. The eval loop a retrieval-backed pipeline runs after every
+    scoring change; composes the ta_bm25 machinery end to end instead
+    of stopping at the ranked list.
+
+    Cross-engine exactness: the micro-quantized contribution trick
+    (ta_bm25) plus a Python-precomputed rank-discount ladder and IDCG
+    prefix sums embedded as integer literals in BOTH plans — recall/
+    MRR/nDCG are then pure integer `div` arithmetic. Scale shape: one
+    postings build (checkpointed, two consumers), broadcast query
+    table, per-query rank windows bounded by matched docs, metric agg
+    over <= |queries| * k rows."""
+    from ..operators.search import bm25_retrieval_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_retrieval_eval(
+        docs,
+        "doc_id",
+        "text",
+        _IR1_QUERIES,
+        k=_IR1_K,
+        k1=1.25,
+        b=0.75,
+        # the labeled-subset gate: only every third matching doc is
+        # "judged", so rankings mix relevant and unjudged and every
+        # metric branch leaves the 1.0 ceiling (s11 fixture lesson)
+        rel_id_pred=F.col("id") % 3 == 0,
+    )
+
+
+
+@_register(
+    "er4_blocking_quality",
+    """
+    WITH recs AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000000,
+             substring(c_name, 1, length(c_name) - 1) || 'X'
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000000, replace(c_name, '#', '-')
+      FROM customer WHERE c_custkey % 10 = 0
+    ), keyed AS (
+      SELECT id, substring(name, 1, 17) AS k1,
+             substring(name, length(name) - 5, 6) AS k2
+      FROM recs
+    ), c1 AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.id < b.id
+    ), c2 AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.id < b.id
+    ), cu AS (
+      SELECT id_a, id_b FROM c1 UNION SELECT id_a, id_b FROM c2
+    ), truth AS (
+      SELECT c_custkey AS id_a, c_custkey + 1000000000 AS id_b
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_custkey + 2000000000
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000000, c_custkey + 2000000000
+      FROM customer WHERE c_custkey % 10 = 0
+    ), scal AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM recs) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth
+    ), per AS (
+      SELECT 'prefix17' AS pass,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1 JOIN truth
+                USING (id_a, id_b)) AS n_found
+      UNION ALL
+      SELECT 'suffix6',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2 JOIN truth
+                USING (id_a, id_b))
+      UNION ALL
+      SELECT 'union',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cu),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cu JOIN truth
+                USING (id_a, id_b))
+    )
+    SELECT p.pass, p.n_candidates, s.n_truth, p.n_found,
+           CAST((1000000 * p.n_found) // s.n_truth AS BIGINT)
+             AS completeness_ppm,
+           CAST(1000000 - (1000000 * p.n_candidates)
+                // ((s.n * (s.n - 1)) // 2) AS BIGINT) AS reduction_ppm
+    FROM per p CROSS JOIN scal s
+    """,
+)
+def er4_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage quality eval (the er1 pipeline's FIRST stage
+    measured on its own): for each blocking pass (prefix-17, suffix-6)
+    and their union, the candidate count, pair completeness against the
+    fixture's PLANTED ground truth (all intra-entity pairs of the
+    original + its corruption variants), and the reduction ratio vs the
+    n·(n−1)/2 all-pairs space — the recall/cost trade every production
+    blocking design is judged by BEFORE any matcher runs. The
+    variant↔variant truth pairs share NEITHER key (each corruption
+    breaks a different one), so union completeness sits strictly below
+    1.0 by construction — precisely the gap transitive closure exists
+    to recover, now measured instead of asserted. All ratios are ppm
+    via integral `div`. Scale shape: blocking passes are id-only
+    equi-joins (the multipass_block_pairs plan); truth is key
+    arithmetic on the customer scan; every metric is a 1-row aggregate
+    crossJoined back (broadcast scalars, no data-sized shuffle beyond
+    the pair dedups)."""
+    from ..operators.linkage import multipass_block_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    orig = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    var_a = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1_000_000_000).alias("id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+    )
+    var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 2_000_000_000).alias("id"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name"),
+    )
+    recs = orig.unionByName(var_a).unionByName(var_b).localCheckpoint()
+    passes = {
+        "prefix17": F.expr("substring(name, 1, 17)"),
+        "suffix6": F.expr("substring(name, length(name) - 5, 6)"),
+    }
+    cands = {
+        nm: multipass_block_pairs(recs, "id", [ex]).localCheckpoint()
+        for nm, ex in passes.items()
+    }
+    cands["union"] = (
+        cands["prefix17"].unionByName(cands["suffix6"]).distinct()
+    )
+    k5 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 1_000_000_000).alias("id_b"),
+    )
+    k10 = c.filter(F.col("c_custkey") % 10 == 0)
+    truth = (
+        k5.unionByName(
+            k10.select(
+                F.col("c_custkey").alias("id_a"),
+                (F.col("c_custkey") + 2_000_000_000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            k10.select(
+                (F.col("c_custkey") + 1_000_000_000).alias("id_a"),
+                (F.col("c_custkey") + 2_000_000_000).alias("id_b"),
+            )
+        )
+        .localCheckpoint()  # three consumers: one semi-join per pass
+    )
+    scal = (
+        recs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        )
+    )
+    rows = None
+    for nm, cd in cands.items():
+        one = (
+            cd.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                cd.join(truth, ["id_a", "id_b"], "left_semi").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_found")
+                )
+            )
+            .select(F.lit(nm).alias("pass"), "n_candidates", "n_found")
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    return rows.crossJoin(F.broadcast(scal)).select(
+        "pass",
+        "n_candidates",
+        "n_truth",
+        "n_found",
+        idiv(F.lit(1_000_000) * F.col("n_found"), F.col("n_truth"))
+        .cast("bigint")
+        .alias("completeness_ppm"),
+        (
+            F.lit(1_000_000)
+            - idiv(
+                F.lit(1_000_000) * F.col("n_candidates"),
+                idiv(F.col("n") * (F.col("n") - 1), F.lit(2)),
+            )
+        )
+        .cast("bigint")
+        .alias("reduction_ppm"),
+    )
+
+
+
+@_register(
+    "w39_session_funnel",
+    """
+    WITH sess AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CAST(SUM(CASE WHEN prev_u IS NULL OR u - prev_u > 86400
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS u,
+               lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS prev_u
+        FROM events
+      )
+    ), per_session AS (
+      SELECT user_id % 5 AS cohort, user_id, session_id,
+             list(struct_pack(t := t, e := event_id, y := event_type)
+                  ORDER BY t, event_id) AS steps
+      FROM sess GROUP BY 2, 3
+    ), walked AS (
+      SELECT cohort,
+             len(list_filter(steps, s -> s.y = 'view')) > 0 AS reach_v,
+             list_filter(steps, s -> s.y = 'view')[1].t AS v_t
+      , steps FROM per_session
+    ), walked2 AS (
+      SELECT cohort, reach_v, v_t,
+             list_filter(steps, s -> s.y = 'click' AND s.t > v_t)[1].t AS c_t,
+             steps
+      FROM walked
+    ), flags AS (
+      SELECT cohort, reach_v,
+             c_t IS NOT NULL AS reach_c,
+             len(list_filter(steps,
+                 s -> s.y = 'purchase' AND s.t > c_t)) > 0 AS reach_p
+      FROM walked2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN reach_v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN reach_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_path,
+           CAST(SUM(CASE WHEN reach_p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_path,
+           CAST((1000000 * SUM(CASE WHEN reach_p THEN 1 ELSE 0 END))
+                // GREATEST(SUM(CASE WHEN reach_v THEN 1 ELSE 0 END), 1)
+             AS BIGINT) AS view_to_purchase_ppm
+    FROM flags GROUP BY 1
+    """,
+)
+def w39_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel, end to end: 24-hour-gap
+    sessionization (operators/windows.gap_sessionize — w3b's machinery;
+    the horizon matches this eventstream's density so every funnel
+    stage is POPULATED at every SF — 30 min leaves one-event sessions
+    and a dead purchase branch, the s11 degenerate-fixture lesson) → within each session the ORDERED step walk view →
+    click-after-view → purchase-after-that-click (the order constraint
+    is what separates a funnel from three EXISTS checks) → per-cohort
+    census with an integer-ppm view→purchase conversion. The product
+    question every event pipeline answers weekly, composed from the
+    session + window machinery instead of stopping at session ids.
+
+    The step walk runs IN-ROW over each session's sorted (t, event_id,
+    type) struct list (collect_list + array_sort + higher-order filters
+    — per-session grain, bounded by a user's events per inactivity window,
+    the r8 ordered-list recipe with the DuckDB ``list(... ORDER BY)``
+    twin), so the whole funnel costs the sessionize window plus ONE
+    per-session groupBy — no self-joins, no per-step shuffles. NULL
+    step anchors propagate to false through the HOF predicate in both
+    engines (no view ⇒ no click-after-view ⇒ no conversion)."""
+    from ..operators.windows import gap_sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = gap_sessionize(
+        ev, ["user_id"], "ts", gap_seconds=86400, tiebreak=["event_id"]
+    )
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_session = (
+        sess.select(
+            (F.col("user_id") % 5).alias("cohort"),
+            "user_id",
+            "session_id",
+            F.struct(
+                t.alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("y"),
+            ).alias("s"),
+        )
+        .groupBy("cohort", "user_id", "session_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("steps"))
+    )
+    views = F.filter(F.col("steps"), lambda s: s.y == "view")
+    v_t = F.try_element_at(views, F.lit(1)).t
+    clicks = F.filter(
+        F.col("steps"), lambda s: (s.y == "click") & (s.t > v_t)
+    )
+    c_t = F.try_element_at(clicks, F.lit(1)).t
+    purch = F.filter(
+        F.col("steps"), lambda s: (s.y == "purchase") & (s.t > c_t)
+    )
+    flags = per_session.select(
+        "cohort",
+        (F.size(views) > 0).alias("reach_v"),
+        c_t.isNotNull().alias("reach_c"),
+        (F.size(purch) > 0).alias("reach_p"),
+    )
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    return (
+        flags.groupBy(F.col("cohort").cast("bigint").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.col("reach_v").cast("bigint")).alias("n_view"),
+            F.sum(F.col("reach_c").cast("bigint")).alias("n_click_path"),
+            F.sum(F.col("reach_p").cast("bigint")).alias("n_purchase_path"),
+        )
+        .select(
+            "cohort",
+            "n_sessions",
+            F.col("n_view").cast("bigint"),
+            F.col("n_click_path").cast("bigint"),
+            F.col("n_purchase_path").cast("bigint"),
+            idiv(
+                F.lit(1_000_000) * F.col("n_purchase_path"),
+                F.greatest(F.col("n_view"), F.lit(1)),
+            )
+            .cast("bigint")
+            .alias("view_to_purchase_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -23084,6 +23526,10 @@ _DRIVER_FRONT = [
     # non-negative operands, but the modules changed)
     "ta_gopher_rules",
     "g10_hyperball_reach",
+    # new r11 registry queries (never windowed by construction)
+    "ir1_retrieval_eval",
+    "er4_blocking_quality",
+    "w39_session_funnel",
 ]
 
 
