@@ -23451,6 +23451,61 @@ def w39_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "s23_compaction_plan",
+    """
+    WITH files AS (
+      SELECT l_orderkey // 100 AS filekey,
+             CAST(COUNT(*) * 1024 AS BIGINT) AS size_bytes
+      FROM lineitem GROUP BY 1
+    ), scanned AS (
+      SELECT filekey, size_bytes,
+             CAST(SUM(size_bytes) OVER (
+               ORDER BY filekey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - size_bytes AS BIGINT) AS before_b
+      FROM files
+    )
+    SELECT CAST(before_b // 1048576 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS bytes,
+           CAST(MIN(filekey) AS BIGINT) AS first_file,
+           CAST(MAX(filekey) AS BIGINT) AS last_file
+    FROM scanned GROUP BY 1
+    """,
+)
+def s23_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning census (sources/warehouse.compaction_bins —
+    the order-preserving next-fit bin packer behind the OPTIMIZE pass,
+    until now pytest-only): a synthetic file inventory (one "file" per
+    100-order run of lineitem, 1 KiB per row) packed into ~1 MiB bins,
+    reported as one row per bin with its file count, byte total, and
+    contiguous [first_file, last_file] range — contiguity is the
+    audit: order-preserving packing is what keeps min/max file stats
+    selective after the rewrite. Scale shape: the bin id is ONE
+    global_prefix_scan (range-partition + driver offsets, no global
+    sort) and everything downstream is a groupBy; the oracle replays
+    the exclusive prefix sum with a window and the same integral
+    division."""
+    from ..sources.warehouse import compaction_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    files = li.groupBy(
+        idiv(F.col("l_orderkey"), F.lit(100)).alias("filekey")
+    ).agg((F.count(F.lit(1)) * 1024).cast("bigint").alias("size_bytes"))
+    planned = compaction_bins(
+        files, ["filekey"], "size_bytes", target_bytes=1_048_576
+    )
+    return planned.groupBy(F.col("bin_id").cast("bigint").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("size_bytes").cast("bigint").alias("bytes"),
+        F.min("filekey").cast("bigint").alias("first_file"),
+        F.max("filekey").cast("bigint").alias("last_file"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -23530,6 +23585,7 @@ _DRIVER_FRONT = [
     "ir1_retrieval_eval",
     "er4_blocking_quality",
     "w39_session_funnel",
+    "s23_compaction_plan",
 ]
 
 
