@@ -826,16 +826,19 @@ def test_corpus_funnel_scale_shape(spark):
 
 
 def test_split_leak_guard_blocked_join_only(spark):
-    # near-dup candidates meet on the (bucket, id, nsh) metadata
-    # equi-join with payload re-join by id; the split assignment is a
-    # stateless expression — no cartesian, no BNLJ, no row-Python
+    # r11 shape (VERDICT r10 #2): MinHash-LSH candidates — the Arrow
+    # signature kernel (MapInPandas), banding as a Catalyst projection,
+    # candidates meeting on the (band, bhash) EQUI-join — then exact
+    # verification re-joining shingle payloads by id; the split
+    # assignment is a stateless expression. No cartesian, no BNLJ, no
+    # row-at-a-time Python, and no within-length-bucket all-pairs stage
+    # (the r10 plan this replaced).
     plan = plan_of(spark, "cb2_split_leak_guard")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
-    # the shingle subtree is persisted: candidate + verify sides read
-    # the in-memory relation, not three shingling passes
-    assert "InMemoryTableScan" in plan
+    # the vectorized signature/shingle kernels ride Arrow batches
+    assert "MapInPandas" in plan
 
 
 def test_golden_record_post_checkpoint_single_agg(spark):
