@@ -23506,6 +23506,249 @@ def s23_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "ir2_rrf_fusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    qt AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+      WHERE term IN ('merge', 'slow') GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id AS id,
+             CAST(SUM(CAST(round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (CAST(p.tf AS DOUBLE) * 2.25)
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.25 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE)) / s.avgdl))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM post p JOIN qt q USING (term)
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1
+    ),
+    rank_a AS (
+      SELECT id AS doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, id ASC) AS ra
+      FROM scored QUALIFY ra <= 50
+    ),
+    phr AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(t)),
+                  i -> t[i] = 'merge' AND t[i+1] = 'slow')) AS BIGINT)
+               AS n_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(list_filter(range(1, len(t)),
+                i -> t[i] = 'merge' AND t[i+1] = 'slow')) > 0
+    ),
+    rank_b AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_hits DESC, doc_id ASC) AS rb
+      FROM phr QUALIFY rb <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.ra, b.rb,
+             CAST(COALESCE(1000000 // (60 + a.ra), 0)
+                  + COALESCE(1000000 // (60 + b.rb), 0) AS BIGINT) AS rrf_ppm
+      FROM rank_a a FULL OUTER JOIN rank_b b ON b.doc_id = a.doc_id
+    )
+    SELECT doc_id, CAST(ra AS BIGINT) AS rank_lexical,
+           CAST(rb AS BIGINT) AS rank_phrase, rrf_ppm
+    FROM fused
+    ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20
+    """,
+)
+def ir2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    two independent rankers — BM25 over the query terms (the
+    ta_bm25_topk scoring, top-50) and exact-phrase occurrence count
+    (the ta_phrase_search positional-postings plan) — fused with the
+    classic ``score = Σ 1/(60 + rank)`` in integer ppm (``1e6 div
+    (60 + rank)``, absent-from-a-ranker contributes 0), top-20 by
+    fused score. The production hybrid-retrieval shape (lexical +
+    second signal, RRF because scores from different rankers are not
+    comparable but ranks are); with an ANN ranker in place of the
+    phrase ranker the plan is identical — that variant stays pytest
+    territory because LSH/IVF internals are not SQL-expressible.
+
+    Scale shape: each ranker is its own bounded pipeline (BM25 =
+    postings filtered to the literal query terms; phrase = two
+    postings slices joined on (doc, pos+1)), the fusion is a full
+    outer join of two <= 50-ish row frames, and the final top-20 is a
+    TakeOrdered. Integer-exact end to end: micro-quantized BM25,
+    integral-div reciprocal ranks."""
+    from ..operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("score_micro"), F.asc("id"))
+    rank_a = (
+        bm25_topk(docs, "doc_id", "text", ["merge", "slow"], k=50,
+                  k1=1.25, b=0.75)
+        .withColumn("ra", F.row_number().over(wa).cast("bigint"))
+        .select(F.col("id").alias("doc_id"), "ra")
+    )
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    t1 = postings.filter(F.col("term") == "merge").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = postings.filter(F.col("term") == "slow").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    phr = (
+        t1.join(t2, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    wb = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    rank_b = (
+        phr.withColumn("rb", F.row_number().over(wb).cast("bigint"))
+        # cap ranker B like ranker A: RRF depth is bounded, so a common
+        # phrase matching millions of docs still ranks only its head
+        .filter(F.col("rb") <= 50)
+        .select("doc_id", "rb")
+    )
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    fused = (
+        rank_a.join(rank_b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("ra").alias("rank_lexical"),
+            F.col("rb").alias("rank_phrase"),
+            (
+                F.coalesce(
+                    idiv(F.lit(1_000_000), F.lit(60) + F.col("ra")), F.lit(0)
+                )
+                + F.coalesce(
+                    idiv(F.lit(1_000_000), F.lit(60) + F.col("rb")), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_ppm"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(20)
+
+
+
+@_register(
+    "cb5_decontamination_plan",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    bm AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM sh c JOIN bm b ON c.doc_id <> b.doc_id
+      WHERE len(list_intersect(c.sh, b.sh)) / CAST(len(b.sh) AS DOUBLE)
+              >= 0.5
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CASE WHEN regexp_replace(coalesce(text, ''),
+                       '^\\s+|\\s+$', '', 'g') = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                         '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM documents
+    ),
+    flagged AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             c.doc_id IS NOT NULL AS removed
+      FROM toks t LEFT JOIN contaminated c ON c.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN removed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN removed THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS tokens_after,
+           CAST((1000000 * SUM(CASE WHEN removed THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS removal_ppm
+    FROM flagged GROUP BY 1
+    """,
+)
+def cb5_decontamination_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as an ACTION, not just a report
+    (composes dd_contamination_check into the removal it exists to
+    drive): flag every corpus doc whose shingle set CONTAINS >= 50% of
+    any benchmark doc's shingles (the doc_id%17 slice — the
+    dd_contamination fixture), mark it for removal, and emit the
+    per-source release census — docs and tokens before/after plus
+    removal ppm — with the conservation identity in the row itself
+    (n_before == n_removed + n_after, so a doc can neither vanish nor
+    dodge the flag). The step every training-corpus release runs
+    between contamination detection and shipping.
+
+    Scale shape: the benchmark's inverted shingle index BROADCASTS and
+    the corpus is probed map-side (the contamination_report plan); the
+    removal plan is one distinct on flagged corpus ids; the census is
+    one scan + groupBy with the flag as a left-semi-style NULL check —
+    corpus text never shuffles. Token counts ride the cb1 \\s-trim
+    expressions; ratios are integral div ppm."""
+    from ..operators.neardup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    contaminated = (
+        contamination_report(
+            docs.select("doc_id", "text"), bench, "doc_id", "text",
+            n=3, threshold=0.5,
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .withColumn("__rm", F.lit(True))
+    )
+    trimmed = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    n_tokens = F.when(trimmed == "", F.lit(0).cast("bigint")).otherwise(
+        F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint") + 1
+    )
+    flagged = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .join(contaminated, "doc_id", "left")
+        .withColumn("removed", F.coalesce(F.col("__rm"), F.lit(False)))
+    )
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.col("removed").cast("bigint")).cast("bigint").alias("n_removed"),
+        F.sum((~F.col("removed")).cast("bigint")).cast("bigint").alias("n_after"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(F.col("removed"), F.lit(0)).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("tokens_after"),
+        idiv(
+            F.lit(1_000_000) * F.sum(F.col("removed").cast("bigint")),
+            F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("removal_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -23586,6 +23829,8 @@ _DRIVER_FRONT = [
     "er4_blocking_quality",
     "w39_session_funnel",
     "s23_compaction_plan",
+    "ir2_rrf_fusion",
+    "cb5_decontamination_plan",
 ]
 
 
