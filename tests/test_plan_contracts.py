@@ -851,3 +851,63 @@ def test_golden_record_post_checkpoint_single_agg(spark):
     assert "Window" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") // 2 <= 5
+
+
+# ------------------------------------------------- round-11 query pins
+def test_retrieval_eval_one_postings_pass_no_cartesian(spark):
+    # ONE checkpointed postings build serves scoring AND labels; the
+    # query-term/df/stats tables ride broadcasts; no cartesian beyond
+    # the 1-row broadcast-scalar stats crossJoin; no row-Python
+    plan = plan_of(spark, "ir1_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the postings checkpoint shows as an RDD scan, not repeated
+    # tokenize/groupBy subtrees per consumer
+    assert "Scan ExistingRDD" in plan
+
+
+def test_rrf_fusion_bounded_and_takeordered(spark):
+    # both rankers are depth-capped; the final top-20 is a TakeOrdered,
+    # never a global Sort over the corpus
+    plan = plan_of(spark, "ir2_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_session_funnel_two_exchanges_one_scan(spark):
+    # sessionize window + per-session groupBy; the funnel walk is
+    # in-row over the sorted struct list — no per-step self-joins
+    plan = plan_of(spark, "w39_session_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 2  # tree + details of ONE scan
+    assert exchanges(plan) <= 3
+
+
+def test_blocking_quality_scalar_crossjoins_only(spark):
+    # metric assembly crossJoins 1-row aggregates (broadcast scalars);
+    # candidate generation is id-only equi-joins off the checkpointed
+    # record pool — no cartesian over data-sized frames, no row-Python
+    plan = plan_of(spark, "er4_blocking_quality")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_compaction_plan_no_global_sort(spark):
+    # the bin id comes from global_prefix_scan (range partition + local
+    # cumsum + driver offsets) — a single-partition global Sort of the
+    # inventory must never appear
+    plan = plan_of(spark, "s23_compaction_plan")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,200}?\bSort\b", plan)
+
+
+def test_decontamination_broadcasts_benchmark_index(spark):
+    # the benchmark's inverted shingle index broadcasts; corpus text
+    # never shuffles; the removal join is a broadcast probe
+    plan = plan_of(spark, "cb5_decontamination_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

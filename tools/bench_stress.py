@@ -101,6 +101,21 @@ QUERIES = [
     "er3_golden_record",
     "g17_pagerank_exact",
     "g4_kcore",
+    # round-11 new queries. Shift-invariance audit: ir1/ir2 query terms
+    # match shard copies identically (texts gain only a copyshardN
+    # suffix token), so postings volume grows K x while the ranked
+    # depth stays capped; w39 cohorts on user_id % 5 (5 | 10^7) over
+    # shard-disjoint user streams; er4 rides the er1 generator fix
+    # (custkey-embedded names keep blocks shard-local); s23's file keys
+    # are l_orderkey div 100 (shard key ranges disjoint, bins contiguous
+    # per shard). cb5 is EXCLUDED: its benchmark slice is doc_id % 17
+    # and 17 does not divide 10^7, so shard benchmark membership
+    # mutates under the shift and the census is not K-scalable.
+    "ir1_retrieval_eval",
+    "ir2_rrf_fusion",
+    "w39_session_funnel",
+    "er4_blocking_quality",
+    "s23_compaction_plan",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
