@@ -23749,6 +23749,232 @@ def cb5_decontamination_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "emb_silhouette",
+    f"""
+    WITH q AS ({_QVEC_DUCK}),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+      FROM q
+    ),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cqv, nq AS cnq
+      FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cid,
+             1.0 - CAST(CAST(list_sum(list_transform(
+                     range(1, len(v.qv) + 1), i -> v.qv[i] * c.cqv[i]))
+                   AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE)))
+               AS dist
+      FROM n v CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rnk
+      FROM dists QUALIFY rnk <= 2
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.cid AS cluster, a.dist AS da, b.dist AS db
+      FROM ranked a JOIN ranked b
+        ON b.vec_id = a.vec_id AND a.rnk = 1 AND b.rnk = 2
+    ),
+    s AS (
+      SELECT cluster,
+             CAST(round(CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+                             ELSE (db - da) / GREATEST(da, db) END
+                        * 1000000) AS BIGINT) AS s_ppm
+      FROM pairs
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm
+    FROM s GROUP BY 1
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: simplified silhouette over the
+    embedding corpus against 8 md5-picked centroids (the SQL-replayable
+    stand-in for a k-means fit — same role as ann_topk_ivf's fixture,
+    but deterministic in BOTH engines, which finally gives the IVF
+    assignment path an oracle-paired variant). Per vector: a = cosine
+    distance to its assigned (nearest) centroid, b = distance to the
+    runner-up; s = (b − a)/max(a, b) — the Hamerly/Elkan simplified
+    silhouette that replaces the O(n²) pairwise form with O(n·k), the
+    only silhouette anyone computes at corpus scale. Per-cluster
+    census: size, sum and mean silhouette in ppm.
+
+    Cross-engine exactness: the established integer-quantized cosine
+    (exact bigint dot/norms, one deterministic double division), a
+    per-vector round-to-ppm BEFORE summation (so the aggregate is
+    order-independent — the q1 decimal trick), integral-div mean.
+    Scale shape: centroids broadcast (k rows), assignment is one
+    corpus map pass + a per-vector rank over k candidates, census is
+    one groupBy — the exact cost profile of an IVF assignment pass."""
+    from ..operators.neardup import quantized_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    dists = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cents)
+    ).select(
+        "vec_id",
+        "cid",
+        (
+            F.lit(1.0) - quantized_cosine(F.col("embedding"), F.col("cvec"))
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    ranked = dists.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 2
+    )
+    a = ranked.filter(F.col("rnk") == 1).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("da")
+    )
+    b = ranked.filter(F.col("rnk") == 2).select(
+        "vec_id", F.col("dist").alias("db")
+    )
+    s_ppm = F.round(
+        F.when(F.greatest("da", "db") == 0, F.lit(0.0)).otherwise(
+            (F.col("db") - F.col("da")) / F.greatest("da", "db")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    idiv = lambda x, y: F.call_function("div", x, y)  # noqa: E731
+    return (
+        a.join(b, "vec_id")
+        .select(F.col("cluster").cast("bigint"), s_ppm.alias("s_ppm"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("s_ppm").cast("bigint").alias("sum_s_ppm"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "sum_s_ppm",
+            idiv(F.col("sum_s_ppm"), F.col("n_vecs"))
+            .cast("bigint")
+            .alias("mean_s_ppm"),
+        )
+    )
+
+
+
+@_register(
+    "ml1_pass_at_k",
+    """
+    WITH samples AS (
+      SELECT doc_id // 20 AS task,
+             md5(CAST(doc_id AS VARCHAR)) < '20000000' AS pass
+      FROM documents
+    ),
+    tasks AS (
+      SELECT task, CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM samples GROUP BY 1 HAVING COUNT(*) = 20
+    ),
+    arms AS (
+      SELECT 1 AS k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+             CAST(SUM(CASE WHEN 20 - c < 1 THEN 1000000
+                  ELSE 1000000 - (1000000 * ((20 - c - 0)))
+                       // CAST(20 AS BIGINT) END) AS BIGINT) AS sum_ppm
+      FROM tasks
+      UNION ALL
+      SELECT 5 AS k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+             CAST(SUM(CASE WHEN 20 - c < 5 THEN 1000000
+                  ELSE 1000000 - (1000000 * ((20 - c - 0) * (20 - c - 1) * (20 - c - 2) * (20 - c - 3) * (20 - c - 4)))
+                       // CAST(1860480 AS BIGINT) END) AS BIGINT) AS sum_ppm
+      FROM tasks
+      UNION ALL
+      SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+             CAST(SUM(CASE WHEN 20 - c < 10 THEN 1000000
+                  ELSE 1000000 - (1000000 * ((20 - c - 0) * (20 - c - 1) * (20 - c - 2) * (20 - c - 3) * (20 - c - 4) * (20 - c - 5) * (20 - c - 6) * (20 - c - 7) * (20 - c - 8) * (20 - c - 9)))
+                       // CAST(670442572800 AS BIGINT) END) AS BIGINT) AS sum_ppm
+      FROM tasks
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_tasks,
+           CAST(sum_ppm // n_tasks AS BIGINT) AS mean_pass_ppm
+    FROM arms
+    """,
+)
+def ml1_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pass@k estimator (Chen et al., "Evaluating Large Language
+    Models Trained on Code"): for each task with n samples of which c
+    pass, the unbiased estimate is 1 − C(n−c, k)/C(n, k), computed here
+    EXACTLY as falling-factorial integer arithmetic — 1e6 −
+    (1e6·ff(n−c, k)) div ff(n, k) with n = 20 fixed per task, so every
+    intermediate fits a bigint (20^10 ≈ 1e13) and no floating-point
+    combinatorics cross engines. The fixture derives 20 samples per
+    task from doc_id runs with a deterministic md5 pass draw (~1/8 pass
+    rate), keeping only complete groups; the mean over tasks is an
+    integral-div ppm. The eval statistic every code-model training run
+    reports, expressed as ONE grouped pass over the corpus — per-task
+    state is (n, c), never the samples.
+
+    Scale shape: one scan → one groupBy(task) → three constant-k arms
+    unioned over the tiny per-task frame → a 3-row result. The k arms
+    re-aggregate the same task frame; Catalyst's ReusedExchange
+    absorbs the replays (checkpointing a 3-reference aggregate this
+    small costs more than it saves — the r10 checkpoint-economics
+    note)."""
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    docs = _t(spark, sf_dir, "documents")
+    samples = docs.select(
+        idiv(F.col("doc_id"), F.lit(20)).alias("task"),
+        (F.md5(F.col("doc_id").cast("string")) < "20000000").alias("pass"),
+    )
+    tasks = (
+        samples.groupBy("task")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pass").cast("bigint")).cast("bigint").alias("c"),
+        )
+        .filter(F.col("n") == 20)
+    )
+
+    def ff(base, k):
+        out = None
+        for i in range(k):
+            term = base - F.lit(i)
+            out = term if out is None else out * term
+        return out
+
+    arms = None
+    for k in (1, 5, 10):
+        nc = F.lit(20).cast("bigint") - F.col("c")
+        ppm = F.when(nc < k, F.lit(1_000_000).cast("bigint")).otherwise(
+            F.lit(1_000_000)
+            - idiv(
+                F.lit(1_000_000).cast("bigint") * ff(nc, k),
+                ff(F.lit(20).cast("bigint"), k),
+            )
+        )
+        one = tasks.agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+            F.sum(ppm).cast("bigint").alias("sum_ppm"),
+        )
+        arms = one if arms is None else arms.unionByName(one)
+    return arms.select(
+        "k",
+        "n_tasks",
+        idiv(F.col("sum_ppm"), F.col("n_tasks"))
+        .cast("bigint")
+        .alias("mean_pass_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
