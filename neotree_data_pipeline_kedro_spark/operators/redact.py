@@ -108,3 +108,4 @@ def k_anonymity_groups(
         .agg(*aggs)
         .withColumn("suppressed", F.col("n_rows") < F.lit(k))
     )
+

@@ -117,6 +117,10 @@ ORACLE_SQL: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate registration would SILENTLY replace a verified
+        # query (a dict update) — fail the import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate registry name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -23972,6 +23976,170 @@ def ml1_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         idiv(F.col("sum_ppm"), F.col("n_tasks"))
         .cast("bigint")
         .alias("mean_pass_ppm"),
+    )
+
+
+
+@_register(
+    "ta_contrastive_triples",
+    f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    pj AS (
+      SELECT ida, idb, i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.ida
+      JOIN sz sb ON sb.doc_id = inter.idb
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cand AS (
+      SELECT p.ida AS anchor, p.idb AS positive, p.jaccard,
+             (p.ida % t.n) + 1 AS r1,
+             ((p.ida + 1) % t.n) + 1 AS r2,
+             ((p.ida + 2) % t.n) + 1 AS r3
+      FROM pj p CROSS JOIN nn t
+    ),
+    withneg AS (
+      SELECT c.anchor, c.positive, c.jaccard,
+             CASE WHEN d1.doc_id <> c.anchor AND d1.doc_id <> c.positive
+                    THEN d1.doc_id
+                  WHEN d2.doc_id <> c.anchor AND d2.doc_id <> c.positive
+                    THEN d2.doc_id
+                  ELSE d3.doc_id END AS negative
+      FROM cand c
+      JOIN ranked d1 ON d1.rnk = c.r1
+      JOIN ranked d2 ON d2.rnk = c.r2
+      JOIN ranked d3 ON d3.rnk = c.r3
+    )
+    SELECT w.anchor, w.positive, w.negative, w.jaccard AS pos_jaccard,
+           p2.ida IS NULL AS neg_clean
+    FROM withneg w
+    LEFT JOIN pj p2
+      ON p2.ida = LEAST(w.anchor, w.negative)
+     AND p2.idb = GREATEST(w.anchor, w.negative)
+    """,
+)
+def ta_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining, the composition an embedding
+    model's data pipeline runs: POSITIVES are the near-duplicate pairs
+    (MinHash-LSH candidates → exact Jaccard ≥ 0.5 verification — the
+    cb2 candidate machinery, same fixture-validity argument: every true
+    pair in this corpus sits at J ≥ 0.8, far above the banded S-curve
+    knee), and each anchor draws a deterministic pseudo-random NEGATIVE
+    from the md5-ranked corpus (rank = anchor mod n, with two collision
+    fallbacks so the negative is never the anchor or its positive).
+    ``neg_clean`` flags (rather than re-draws) the rare accidental
+    false negative — a drawn doc that is itself near-dup of the anchor
+    — by probing the verified pair set, the flag-don't-drop release
+    discipline. Output: (anchor, positive, negative, pos_jaccard,
+    neg_clean) — ready to feed a triplet-loss trainer.
+
+    Scale shape: candidates ride the LSH band shuffle; the md5 rank
+    comes from the two-phase global_prefix_scan (range partition +
+    driver offsets — never a single-partition sort); the negative draw
+    is three equi-joins against that ids-only table; the false-negative
+    probe is one more pair-keyed equi-join against the checkpointed
+    verified pairs."""
+    from ..operators.neardup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_on_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    pairs = (
+        ngram_jaccard_on_pairs(cand, docs, "doc_id", "text", n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        # consumed twice: as the positives and as the false-negative probe
+        .localCheckpoint()
+    )
+    # md5-ranked doc table via the TWO-PHASE global scan (range
+    # partition + driver offsets) — a plain row_number window here would
+    # be a single-partition global sort of the whole corpus
+    from ..operators.windows import global_prefix_scan
+
+    ranked = global_prefix_scan(
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+            F.lit(1).cast("bigint").alias("__one"),
+        ),
+        ["__h", "doc_id"],
+        "__one",
+        rn_col="rnk",
+        cum_col="__cum",
+    ).select("doc_id", F.col("rnk").cast("bigint").alias("rnk"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    triples = (
+        pairs.select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            "jaccard",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "anchor",
+            "positive",
+            "jaccard",
+            (F.col("anchor") % F.col("n") + 1).alias("r1"),
+            ((F.col("anchor") + 1) % F.col("n") + 1).alias("r2"),
+            ((F.col("anchor") + 2) % F.col("n") + 1).alias("r3"),
+        )
+    )
+    def rk(i):
+        return ranked.select(
+            F.col("rnk").alias(f"r{i}"), F.col("doc_id").alias(f"neg{i}")
+        )
+    withneg = (
+        triples.join(rk(1), "r1").join(rk(2), "r2").join(rk(3), "r3")
+        .select(
+            "anchor",
+            "positive",
+            "jaccard",
+            F.when(
+                (F.col("neg1") != F.col("anchor"))
+                & (F.col("neg1") != F.col("positive")),
+                F.col("neg1"),
+            )
+            .when(
+                (F.col("neg2") != F.col("anchor"))
+                & (F.col("neg2") != F.col("positive")),
+                F.col("neg2"),
+            )
+            .otherwise(F.col("neg3"))
+            .alias("negative"),
+        )
+    )
+    probe = pairs.select(
+        F.col("id_a").alias("__pa"), F.col("id_b").alias("__pb"),
+        F.lit(True).alias("__hit"),
+    )
+    return (
+        withneg.join(
+            probe,
+            (F.least("anchor", "negative") == F.col("__pa"))
+            & (F.greatest("anchor", "negative") == F.col("__pb")),
+            "left",
+        )
+        .select(
+            "anchor",
+            "positive",
+            "negative",
+            F.col("jaccard").alias("pos_jaccard"),
+            F.col("__hit").isNull().alias("neg_clean"),
+        )
     )
 
 
