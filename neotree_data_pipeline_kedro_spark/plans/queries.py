@@ -24225,6 +24225,13 @@ _DRIVER_FRONT = [
     "s23_compaction_plan",
     "ir2_rrf_fusion",
     "cb5_decontamination_plan",
+    # ---- beyond the ~50-query window: the r12 rotation queue, already
+    # ordered — the three late-r11 additions that missed the full window
+    # (each sweep-verified at 3 SFs this round; they take their first
+    # driver row next round).
+    "emb_silhouette",
+    "ml1_pass_at_k",
+    "ta_contrastive_triples",
 ]
 
 

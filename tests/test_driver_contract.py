@@ -22,6 +22,8 @@ from __future__ import annotations
 import pathlib
 import re
 
+import pytest
+
 PKG = pathlib.Path(__file__).resolve().parents[1] / (
     "neotree_data_pipeline_kedro_spark"
 )
@@ -66,9 +68,6 @@ def test_no_float_division_into_integral_cast():
         if pat.search(window) and "floor(" not in window and "//" not in window:
             bad.append(f"{p.relative_to(PKG.parent)}:{lineno}")
     assert not bad, f"float division cast to integral (use `div`): {bad}"
-
-
-import pytest
 
 
 @pytest.mark.parametrize(
@@ -132,3 +131,10 @@ def test_no_exact_multiple_division_via_slash():
         ) or re.search(r"-\s*[\w.]+\s*%\s*[\w.]+\s*\)\s*/(?!/)", window):
             bad.append(f"{p.relative_to(PKG.parent)}:{lineno}")
     assert not bad, f"exact-multiple division via `/` (use `div`): {bad}"
+
+
+def test_duplicate_registration_raises():
+    from neotree_data_pipeline_kedro_spark.plans.queries import _register
+
+    with pytest.raises(ValueError, match="duplicate registry name"):
+        _register("q1_pricing_summary")(lambda spark, sf: None)
