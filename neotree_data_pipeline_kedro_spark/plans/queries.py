@@ -24143,6 +24143,99 @@ def ta_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "ml2_auc_exact",
+    """
+    WITH t AS (
+      SELECT user_id % 4 AS seg,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ), g AS (
+      SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS n1v
+      FROM t GROUP BY seg, v
+    ), s AS (
+      SELECT seg, v, cnt, n1v,
+             CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY v)
+                  - cnt AS BIGINT) AS n_lt
+      FROM g
+    ), r AS (
+      SELECT seg,
+             CAST(SUM(n1v * (2 * n_lt + cnt + 1)) AS BIGINT) AS r2
+      FROM s GROUP BY seg
+    ), n AS (
+      SELECT seg,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      FROM t GROUP BY seg
+    )
+    SELECT n.seg AS seg, n.n_pos, n.n_neg,
+           CAST(r.r2 - n.n_pos * (n.n_pos + 1) AS BIGINT) AS u_2x,
+           CAST((1000000 * (r.r2 - n.n_pos * (n.n_pos + 1)))
+                // (2 * n.n_pos * n.n_neg) AS BIGINT) AS auc_ppm
+    FROM n JOIN r ON r.seg = n.seg
+    """,
+)
+def ml2_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC per cohort via the Mann-Whitney identity
+    AUC = U / (n_pos·n_neg) — the binary-classifier eval statistic,
+    computed WITHOUT per-row ranks: a80's doubled-midrank protocol
+    (midrank·2 = 2·n_lt + cnt + 1 at the DISTINCT-value grain, so ties
+    contribute the exact half-credit AUC gives them) yields U·2 in pure
+    bigint, and auc_ppm = 1e6·U2 div (2·n_pos·n_neg). The "score" is
+    the event value, the "label" is purchase-vs-rest — a propensity
+    model's offline eval shape. Magnitude bound: bigint holds while
+    n_pos·n_neg < 4.6e12 per cohort (~2e6 positives × 2e6 negatives);
+    past that, switch the two products to DECIMAL(38,0) exactly as a80
+    string-renders U — documented, not silently wrong, because ANSI
+    overflow raises.
+
+    Scale shape: everything aggregates at the (cohort, distinct value)
+    grain — two groupBys and one per-cohort running-sum window over the
+    distinct values, never a per-row rank."""
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.floor(F.col("value").cast("double") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    g = ev.groupBy("seg", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("n1v"),
+    )
+    w = Window.partitionBy("seg").orderBy("v")
+    s = g.withColumn(
+        "n_lt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint"),
+    )
+    r = s.groupBy("seg").agg(
+        F.sum(
+            F.col("n1v") * (F.lit(2) * F.col("n_lt") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2")
+    )
+    n = ev.groupBy("seg").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return n.join(r, "seg").select(
+        "seg",
+        "n_pos",
+        "n_neg",
+        u2.cast("bigint").alias("u_2x"),
+        idiv(
+            F.lit(1_000_000).cast("bigint") * u2,
+            F.lit(2).cast("bigint") * F.col("n_pos") * F.col("n_neg"),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -24232,6 +24325,7 @@ _DRIVER_FRONT = [
     "emb_silhouette",
     "ml1_pass_at_k",
     "ta_contrastive_triples",
+    "ml2_auc_exact",
 ]
 
 
