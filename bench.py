@@ -107,16 +107,28 @@ def main() -> None:
     # Default 2, not 4 (VERDICT r9 #3): the r9 driver run started at
     # loadavg 3.7 — "under the old threshold" — and still recorded a
     # median 2.6x inflation over the first 50 registry positions.
+    # Gate on BOTH the 1-minute and the 5-minute averages (VERDICT r11
+    # #3/#5): the r11 driver run started at load1 1.59 but load5 7.4 — a
+    # just-finished heavy job still draining page cache / GC shadow —
+    # and recorded 49 unstable entries with four fake >2x "regressions".
+    # load5/2 > threshold means the box was busy within the last few
+    # minutes even if the instantaneous load already dropped; wait for
+    # the drain too.
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
     waited = 0.0
+
+    def _gate(lv: list[float]) -> float:
+        return max(lv[0], lv[1] / 2.0)
+
     while (
         load_before is not None
-        and load_before[0] > max_load
+        and _gate(load_before) > max_load
         and waited < wait_budget
     ):
         print(
-            f"bench: loadavg {load_before[0]} > {max_load}, waiting 15s "
+            f"bench: loadavg {load_before[0]} (5m {load_before[1]}) gate "
+            f"{_gate(load_before):.2f} > {max_load}, waiting 15s "
             f"({waited:.0f}/{wait_budget:.0f}s used)",
             file=sys.stderr,
         )

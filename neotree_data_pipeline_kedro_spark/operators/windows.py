@@ -589,6 +589,8 @@ def running_distinct(
     all_t = df.select(time_col).distinct().join(per_t, [time_col], "left").select(
         time_col, F.coalesce("new_keys", F.lit(0)).alias("new_keys")
     )
+    # bounded-window: distinct time values (calendar-grained; see
+    # docstring for the unbounded-axis escape hatch)
     w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
     return all_t.withColumn("cum_distinct", F.sum("new_keys").over(w))
 

@@ -6337,6 +6337,7 @@ def a14_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # bounded-window: calendar months (<= ~90 rows at any SF)
     w = Window.orderBy(F.col("month").asc())
     prev = F.lag("revenue").over(w)
     return monthly.select(
@@ -7764,6 +7765,7 @@ def w22_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.col("x").alias("xb")
     )
     j = a.join(b, "d")
+    # bounded-window: calendar days (<= ~2.5k rows at any SF)
     win = Window.orderBy("d").rowsBetween(-27, 0)
     wsum = j.select(
         "d",
@@ -8514,6 +8516,7 @@ def a33_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = n.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    # bounded-window: nations (25 rows, fixed by the dim table)
     w = Window.orderBy(F.desc("rev_cents"), F.asc("c_nationkey"))
     return (
         n.crossJoin(F.broadcast(t))
@@ -14643,6 +14646,7 @@ def a41_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("responded").cast("bigint").alias("n_resp"),
     )
+    # bounded-window: deciles (10 rows by construction)
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -19569,10 +19573,33 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = q.crossJoin(F.broadcast(stats)).select(
         "vec_id", dist.alias("dist_micro")
     )
-    w = Window.orderBy(F.desc("dist_micro"), F.asc("vec_id"))
+    # Top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a global row_number window: an
+    # unpartitioned WindowExec funnels the whole scored corpus through
+    # one task — the exact single-partition sort this fleet bans at
+    # 100 TB. Rank is attached afterwards on the 20-row result by a
+    # broadcast self-join count (rows strictly ahead in the total
+    # order + 1), so the final plan carries zero Window operators
+    # (pinned in tests/test_plan_contracts.py). The 20-row frame is
+    # localCheckpointed because two consumers read it below.
+    top = scored.orderBy(
+        F.desc("dist_micro"), F.asc("vec_id")
+    ).limit(20).localCheckpoint(eager=False)
+    ahead = top.select(
+        F.col("vec_id").alias("b_id"), F.col("dist_micro").alias("b_d")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        top.join(
+            F.broadcast(ahead),
+            (F.col("b_d") > F.col("dist_micro"))
+            | (
+                (F.col("b_d") == F.col("dist_micro"))
+                & (F.col("b_id") < F.col("vec_id"))
+            ),
+            "left",
+        )
+        .groupBy("vec_id", "dist_micro")
+        .agg((F.count("b_id") + 1).cast("int").alias("rank"))
     )
 
 
@@ -19750,6 +19777,7 @@ def a61_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("bigint")
     zt = g.select("nation", "n0", "n1", z_micro.alias("z_micro"))
+    # bounded-window: nations (25 rows, fixed by the dim table)
     w = Window.orderBy(F.desc("z_micro"), F.asc("nation"))
     ranked = zt.withColumn("rank", F.row_number().over(w).cast("int"))
     thr = F.element_at(
@@ -19759,6 +19787,7 @@ def a61_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     holm = ranked.withColumn(
         "pass", F.when(F.col("z_micro") >= thr, 1).otherwise(0)
     )
+    # bounded-window: ranked nations (25 rows)
     wcum = Window.orderBy("rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -19895,11 +19924,14 @@ def u22_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0)).cast("bigint")  # noqa: E731
     per = v.groupBy("y").agg(cnt(0).alias("ca"), cnt(1).alias("cb"))
+    # bounded-window: distinct $1k price buckets (<= ~600 rows, fixed
+    # by the TPC-H price domain, not by SF)
     wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
         "y",
         F.sum("ca").over(wc).cast("bigint").alias("cum_a"),
         F.sum("cb").over(wc).cast("bigint").alias("cum_b"),
+        # bounded-window: distinct $1k price buckets (<= ~600 rows)
         F.lead("y").over(Window.orderBy("y")).alias("y_next"),
     )
     tot = per.agg(
@@ -21480,6 +21512,8 @@ def a74_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("llr").cast("bigint").alias("s"),
     )
+    # bounded-window: per-group offsets (groups = order-priority arms,
+    # <= 5 rows)
     wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
     goff = tot.select(
         "grp",
@@ -21584,6 +21618,7 @@ def g16_topo_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_layer = layered.groupBy("layer").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # bounded-window: DAG layers (<= graph diameter, tens of rows)
     wl = Window.orderBy("layer").rowsBetween(Window.unboundedPreceding, -1)
     loff = per_layer.select(
         "layer", F.coalesce(F.sum("n").over(wl), F.lit(0)).alias("off")
@@ -21952,6 +21987,7 @@ def a80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = global_prefix_scan(g, ["seg", "v"], "cnt",
                               rn_col="rn", cum_col="cum")
     seg_tot = g.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("nt"))
+    # bounded-window: per-segment offsets (segments = 5 market segments)
     wg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
     goff = seg_tot.select(
         "seg", F.coalesce(F.sum("nt").over(wg), F.lit(0)).alias("off")
@@ -23599,6 +23635,7 @@ def ir2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
+    # bounded-window: bm25_topk output (k=50 rows via TakeOrdered)
     wa = Window.orderBy(F.desc("score_micro"), F.asc("id"))
     rank_a = (
         bm25_topk(docs, "doc_id", "text", ["merge", "slow"], k=50,
@@ -23622,6 +23659,8 @@ def ir2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+    # bounded-window: docs containing the exact 2-token phrase (a
+    # fixed rare bigram; <= ~50 rows at sf0.1, corpus-fraction ~1e-4)
     wb = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
     rank_b = (
         phr.withColumn("rb", F.row_number().over(wb).cast("bigint"))
@@ -24248,84 +24287,84 @@ def ml2_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # round-11 rotation (VERDICT r10 #1): slots 1-36 are the entire
-    # never-driver-green backlog, pre-staged last round and promoted
-    # verbatim — after this window every oracle-paired registry query
-    # has a driver hash row. Slots 37-42 re-front the queries whose
-    # implementing code or oracle changed this round (file-level
-    # re-queue rule): cb1/cb3 oracles moved from DuckDB space-only
-    # trim() to the engine's \\s-class trim; cb2's candidate stage was
-    # reworked length-bucket-all-pairs -> LSH-then-verify; joins.py
-    # changed range_join (integral div bucket math -> j11/j26),
-    # interval_overlap_join (backtick-escaped names -> j34) and
-    # topk_join (enforced NULL-score sentinel -> j37); components.py's
-    # k_core one-action-per-round tidy rides g4_kcore in slot 3.
-    # New r11 registry queries (if any) are appended at the window tail
-    # as they land. v_column_profile is rows-only by design and stays
-    # OUT, as do the other 13 no-oracle queries (twins in
+    # round-12 rotation (VERDICT r11 #1): slots 1-4 are the staged r12
+    # queue — the four late-r11 additions taking their first driver
+    # hash row; after this window the oracle-paired never-driver-green
+    # backlog is 0. Slot 5 re-fronts emb_outlier_mahalanobis, whose
+    # top-20 was reworked this round from a global row_number window to
+    # TakeOrderedAndProject + a 20-row broadcast self-join rank
+    # (VERDICT r11 #2). New r12 registry queries land in the section
+    # right below so they ride THIS round's window (the r11 late-add
+    # leak must not recur). The remaining slots re-verify the stalest
+    # queries in the fleet — last driver-green in the r3/r4 windows —
+    # so every row's evidence stays fresh as modules evolve around it.
+    # The 14 no-oracle queries stay OUT (twins in
     # test_no_oracle_parity; list pinned by test_driver_contract).
-    "cb3_dataset_version_diff",
-    "g17_pagerank_exact",
-    "g4_kcore",
-    "f_ecdf_normalize",
-    "j33_temporal_fk_check",
-    "u17_zipf_fit",
-    "ta_unicode_fold",
-    "s16_snapshot_diff",
-    "ta_readability_scores",
-    "u18_bloom_calibration",
-    "f_luhn_checksum",
-    "ta_tokenizer_fertility",
-    "u22_wasserstein_drift",
-    "ta_ngram_entropy_rate",
-    "s18_late_arriving_dim",
-    "ta_template_mining",
-    "f_iso8601_duration",
-    "ta_dedup_impact",
-    "v_sequence_gaps",
-    "ta_shard_manifest",
-    "ta_dataset_card",
-    "ta_mojibake_detect",
-    "f_vector_ops",
-    "f_winsorize",
-    "ta_bigram_lm",
-    "ta_code_detect",
-    "ta_frequent_tokens",
-    "ta_unigram_logprob",
-    "ta_url_dedup_caps",
-    "v_calibration_bins",
-    "v_density_outliers",
-    "v_dp_noisy_counts",
-    "v_key_skew",
-    "v_t_closeness",
-    "v_type_conformance",
-    "w28_dtw_to_centroid",
-    "cb1_corpus_build_funnel",
-    "cb2_split_leak_guard",
-    "j11_range_join_attribution",
-    "j26_multitouch_attribution",
-    "j34_interval_overlap_join",
-    "j37_topk_join",
-    # functions/text.py gopher ratios and components.py hyperball geo
-    # moved floor-by-`/` -> integral div (value-identical for the
-    # non-negative operands, but the modules changed)
-    "ta_gopher_rules",
-    "g10_hyperball_reach",
-    # new r11 registry queries (never windowed by construction)
-    "ir1_retrieval_eval",
-    "er4_blocking_quality",
-    "w39_session_funnel",
-    "s23_compaction_plan",
-    "ir2_rrf_fusion",
-    "cb5_decontamination_plan",
-    # ---- beyond the ~50-query window: the r12 rotation queue, already
-    # ordered — the three late-r11 additions that missed the full window
-    # (each sweep-verified at 3 SFs this round; they take their first
-    # driver row next round).
     "emb_silhouette",
     "ml1_pass_at_k",
     "ta_contrastive_triples",
     "ml2_auc_exact",
+    "emb_outlier_mahalanobis",
+    # ---- new r12 registry queries (appended as they land) ----
+    # ---- stale re-verification: last green r3 ----
+    "d1_dedup_last_writer",
+    "d3_maternity_completeness_dedup",
+    "d4_review_numbering",
+    "d6_prefix_dedup",
+    "d9_key_regeneration",
+    "dd_embedding_cosine",
+    "dd_exact_fingerprint",
+    "dd_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "j10_values_probe",
+    "j1_j2_fuzzy_best_match",
+    "j3_asof_nearest",
+    "j4_anti_incremental",
+    "j5_semi_exists",
+    "j6_exists_null_outcome",
+    "j8_latest_record",
+    "j9_dim_broadcast_rollup",
+    "mm_audio_decode",
+    "mm_binary_plumbing",
+    "s1_json_file_scan",
+    "sm_all_lifecycle",
+    "sm_day_of_week_vitals",
+    "sm_maternal_completeness_sort",
+    "sm_maternal_outcomes_buckets",
+    "v_value_label_consistency",
+    "w3_sessionize_date_change",
+    "w3b_sessionize_gap",
+    "w4_episode_ordinal_labels",
+    # ---- stale re-verification: last green r4 ----
+    "a2_monthly_indicator_rollup",
+    "a4_census",
+    "a5_counts_existence",
+    "a6_null_rates",
+    "d2_neolab_dedup",
+    "d8_duplicate_uid_repair",
+    "e1_explode_tokens",
+    "e2_repeatables",
+    "e3_diagnoses_explode",
+    "f_bucketize_ladders",
+    "f_duration_numeric_extract",
+    "f_json_ops",
+    "f_maternal_age",
+    "f_nullify_boolmap",
+    "f_organism_canonical",
+    "f_timestamp_multiparse",
+    "j7_reconcile_lifecycle",
+    # ---- beyond the ~50-query window: r13 pre-stage (remaining r4
+    # stale set rotates forward next round) ----
+    "mm_image_decode",
+    "p1_p5_filter_map_tag",
+    "p2_p4_json_projection",
+    "p3_validity_filters",
+    "p6_redact",
+    "p7_p8_tidy_columns",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -911,3 +911,26 @@ def test_decontamination_broadcasts_benchmark_index(spark):
     plan = plan_of(spark, "cb5_decontamination_plan")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mahalanobis_topk_is_takeordered_no_window(spark):
+    # VERDICT r11 #1: the top-20 must be TakeOrderedAndProject (per-
+    # partition heaps + driver merge), never a global row_number window
+    # funnelling the scored corpus through one task. Rank attaches on
+    # the 20-row result via a broadcast self-join count, so the final
+    # plan carries ZERO Window operators. (localCheckpoint truncates
+    # lineage to ExistingRDD — the corpus-side shape is covered by the
+    # pre-checkpoint stage, which we re-derive by grepping the source
+    # for orderBy+limit instead of a Window rank.)
+    plan = plan_of(spark, "emb_outlier_mahalanobis")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    import inspect
+
+    from neotree_data_pipeline_kedro_spark.plans import queries as q
+
+    src = inspect.getsource(q.emb_outlier_mahalanobis)
+    assert ".limit(20)" in src
+    # the DuckDB oracle string legitimately ranks with row_number();
+    # the Spark body must not
+    assert "F.row_number" not in src
