@@ -24275,6 +24275,341 @@ def ml2_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ML3_THRESHOLDS = [1000, 5000, 10000, 20000, 40000]  # score cents
+
+
+@_register(
+    "ml3_eval_suite",
+    """
+    WITH t AS (
+      SELECT user_id % 4 AS seg,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ), g AS (
+      SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS n1v
+      FROM t GROUP BY seg, v
+    ), tot AS (
+      SELECT seg, CAST(SUM(cnt) AS BIGINT) AS sn,
+             CAST(SUM(n1v) AS BIGINT) AS sp
+      FROM g GROUP BY seg
+    ), s AS (
+      SELECT seg, v, cnt, n1v,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS cumn,
+             CAST(SUM(n1v) OVER w AS BIGINT) AS cum1,
+             CAST(SUM(cnt) OVER w - cnt AS BIGINT) AS n_lt
+      FROM g WINDOW w AS (PARTITION BY seg ORDER BY v)
+    ), auc AS (
+      SELECT seg, CAST(SUM(n1v * (2 * n_lt + cnt + 1)) AS BIGINT) AS r2
+      FROM s GROUP BY seg
+    ), ks AS (
+      SELECT s.seg,
+             CAST(MAX(abs(cum1 * (t2.sn - t2.sp)
+                          - (cumn - cum1) * t2.sp)) AS BIGINT) AS kmax
+      FROM s JOIN tot t2 ON t2.seg = s.seg GROUP BY s.seg
+    ), b AS (
+      SELECT seg, CAST(least(v // 5000, 9) AS BIGINT) AS k,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(n1v) AS BIGINT) AS np,
+             CAST(SUM(v * cnt) AS BIGINT) AS sv
+      FROM g GROUP BY 1, 2
+    ), thr AS (
+      SELECT g.seg, CAST(t2.k AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN v >= t2.k THEN cnt ELSE 0 END)
+                  AS BIGINT) AS pp,
+             CAST(SUM(CASE WHEN v >= t2.k THEN n1v ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM g CROSS JOIN (VALUES (1000), (5000), (10000), (20000),
+                                (40000)) t2(k)
+      GROUP BY 1, 2
+    )
+    SELECT tot.seg AS seg, 'auc' AS metric, CAST(0 AS BIGINT) AS k,
+           sn AS n, sp AS n_pos,
+           CASE WHEN sp > 0 AND sn > sp THEN
+             CAST((1000000 * (auc.r2 - sp * (sp + 1)))
+                  // (2 * sp * (sn - sp)) AS BIGINT)
+           ELSE NULL END AS value_ppm
+    FROM tot JOIN auc ON auc.seg = tot.seg
+    UNION ALL
+    SELECT tot.seg, 'ks', CAST(0 AS BIGINT), sn, sp,
+           CASE WHEN sp > 0 AND sn > sp THEN
+             CAST((1000000 * kmax) // (sp * (sn - sp)) AS BIGINT)
+           ELSE NULL END
+    FROM tot JOIN ks ON ks.seg = tot.seg
+    UNION ALL
+    SELECT seg, 'calib_rate', k, n, np,
+           CAST((1000000 * np) // n AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT seg, 'calib_conf', k, n, np,
+           CAST((sv * 10000) // n AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT b.seg, 'lift', b.k, n, np,
+           CASE WHEN sp > 0 THEN
+             CAST((np * 1000000 * sn) // (n * sp) AS BIGINT)
+           ELSE NULL END
+    FROM b JOIN tot ON tot.seg = b.seg
+    UNION ALL
+    SELECT thr.seg, 'thr_precision', thr.k, pp, tp,
+           CASE WHEN pp > 0 THEN
+             CAST((1000000 * tp) // pp AS BIGINT)
+           ELSE NULL END
+    FROM thr
+    UNION ALL
+    SELECT thr.seg, 'thr_recall', thr.k, pp, tp,
+           CASE WHEN sp > 0 THEN
+             CAST((1000000 * tp) // sp AS BIGINT)
+           ELSE NULL END
+    FROM thr JOIN tot ON tot.seg = thr.seg
+    UNION ALL
+    SELECT thr.seg, 'thr_f1', thr.k, pp, tp,
+           CASE WHEN pp + sp > 0 THEN
+             CAST((2000000 * tp) // (pp + sp) AS BIGINT)
+           ELSE NULL END
+    FROM thr JOIN tot ON tot.seg = thr.seg
+    """,
+)
+def ml3_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed offline-eval suite for a scored binary classifier — ONE
+    scored-predictions frame (score = event value in cents, label =
+    purchase-vs-rest, cohort = user_id%4) flowing through exact
+    tie-aware ROC AUC (ml2's doubled-midrank Mann-Whitney identity),
+    the KS statistic (max |cum_pos*N_neg - cum_neg*N_pos| over the
+    distinct-value CDF walk), 10 reliability bins (observed rate +
+    mean-confidence axes), per-bin lift vs the cohort base rate, and a
+    5-point threshold sweep (precision / recall / F1 per cut), emitted
+    long-format as (seg, metric, k, n, n_pos, value_ppm). The
+    production shape VERDICT r11 #6 asked for: the r11 pieces
+    (ml2_auc_exact, v_calibration_bins, a41_decile_lift) are isolated
+    statistics over separate fixtures; a real eval harness computes
+    every metric from the SAME scan in one job, so score/label skew
+    bugs show up once, consistently, in every panel.
+
+    Scale shape: the events scan collapses immediately to the
+    (cohort, distinct-score) histogram grain g (bounded by score
+    quantization x domain — ~224k rows max at ANY corpus size, not
+    corpus-sized), localCheckpointed once and fanned out to all five
+    panels; every downstream op is windows/aggregates over that bounded
+    frame, so the whole suite costs one corpus scan + epsilon.
+    Everything is integer-exact ppm via IntegralDivide; div-by-zero
+    arms are NULL-guarded identically in both engines. int64 bound:
+    sp*(sn-sp) and np*1e6*sn must stay under 2^63 (~3e6 positives per
+    cohort at micro scale); past that switch the products to
+    DECIMAL(38,0) string-rendered, as a80/v_table_checksum do."""
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    big = lambda x: F.lit(x).cast("bigint")  # noqa: E731
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    g = (
+        ev.groupBy("seg", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("pos").cast("bigint").alias("n1v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = (
+        g.groupBy("seg")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("sn"),
+            F.sum("n1v").cast("bigint").alias("sp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # bounded-window: distinct quantized scores per cohort (score
+    # domain x cents, not corpus-sized)
+    w = Window.partitionBy("seg").orderBy("v")
+    s = (
+        g.withColumn("cumn", F.sum("cnt").over(w).cast("bigint"))
+        .withColumn("cum1", F.sum("n1v").over(w).cast("bigint"))
+        .withColumn("n_lt", (F.col("cumn") - F.col("cnt")).cast("bigint"))
+    )
+    auc = s.groupBy("seg").agg(
+        F.sum(F.col("n1v") * (F.lit(2) * F.col("n_lt") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r2")
+    )
+    ks = (
+        s.join(F.broadcast(tot), "seg")
+        .groupBy("seg")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * (F.col("sn") - F.col("sp"))
+                    - (F.col("cumn") - F.col("cum1")) * F.col("sp")
+                )
+            )
+            .cast("bigint")
+            .alias("kmax")
+        )
+    )
+    lit0 = big(0)
+    pos_neg_ok = (F.col("sp") > 0) & (F.col("sn") > F.col("sp"))
+    auc_rows = tot.join(auc, "seg").select(
+        "seg",
+        F.lit("auc").alias("metric"),
+        lit0.alias("k"),
+        F.col("sn").alias("n"),
+        F.col("sp").alias("n_pos"),
+        F.when(
+            pos_neg_ok,
+            idiv(
+                big(1_000_000)
+                * (F.col("r2") - F.col("sp") * (F.col("sp") + 1)),
+                big(2) * F.col("sp") * (F.col("sn") - F.col("sp")),
+            ),
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    ks_rows = tot.join(ks, "seg").select(
+        "seg",
+        F.lit("ks").alias("metric"),
+        lit0.alias("k"),
+        F.col("sn").alias("n"),
+        F.col("sp").alias("n_pos"),
+        F.when(
+            pos_neg_ok,
+            idiv(
+                big(1_000_000) * F.col("kmax"),
+                F.col("sp") * (F.col("sn") - F.col("sp")),
+            ),
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    b = (
+        g.groupBy(
+            "seg",
+            F.least(idiv(F.col("v"), big(5000)), big(9)).alias("k"),
+        )
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("n1v").cast("bigint").alias("np"),
+            F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    calib_rate = b.select(
+        "seg",
+        F.lit("calib_rate").alias("metric"),
+        "k",
+        "n",
+        F.col("np").alias("n_pos"),
+        idiv(big(1_000_000) * F.col("np"), F.col("n"))
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    calib_conf = b.select(
+        "seg",
+        F.lit("calib_conf").alias("metric"),
+        "k",
+        "n",
+        F.col("np").alias("n_pos"),
+        idiv(F.col("sv") * big(10_000), F.col("n"))
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    lift = b.join(F.broadcast(tot), "seg").select(
+        "seg",
+        F.lit("lift").alias("metric"),
+        "k",
+        "n",
+        F.col("np").alias("n_pos"),
+        F.when(
+            F.col("sp") > 0,
+            idiv(
+                F.col("np") * big(1_000_000) * F.col("sn"),
+                F.col("n") * F.col("sp"),
+            ),
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    aggs = []
+    for t in _ML3_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("v") >= t, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"pp_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("v") >= t, F.col("n1v")).otherwise(0))
+            .cast("bigint")
+            .alias(f"tp_{t}")
+        )
+    ta = g.groupBy("seg").agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), pp_{t}, tp_{t}" for t in _ML3_THRESHOLDS
+    )
+    thr = (
+        ta.select(
+            "seg",
+            F.expr(
+                f"stack({len(_ML3_THRESHOLDS)}, {stack_args}) "
+                "AS (k, pp, tp)"
+            ),
+        )
+        .join(F.broadcast(tot), "seg")
+        .localCheckpoint(eager=False)
+    )
+    prec = thr.select(
+        "seg",
+        F.lit("thr_precision").alias("metric"),
+        "k",
+        F.col("pp").alias("n"),
+        F.col("tp").alias("n_pos"),
+        F.when(
+            F.col("pp") > 0, idiv(big(1_000_000) * F.col("tp"), F.col("pp"))
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    rec = thr.select(
+        "seg",
+        F.lit("thr_recall").alias("metric"),
+        "k",
+        F.col("pp").alias("n"),
+        F.col("tp").alias("n_pos"),
+        F.when(
+            F.col("sp") > 0, idiv(big(1_000_000) * F.col("tp"), F.col("sp"))
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    f1 = thr.select(
+        "seg",
+        F.lit("thr_f1").alias("metric"),
+        "k",
+        F.col("pp").alias("n"),
+        F.col("tp").alias("n_pos"),
+        F.when(
+            F.col("pp") + F.col("sp") > 0,
+            idiv(
+                big(2_000_000) * F.col("tp"), F.col("pp") + F.col("sp")
+            ),
+        )
+        .cast("bigint")
+        .alias("value_ppm"),
+    )
+    return (
+        auc_rows.unionByName(ks_rows)
+        .unionByName(calib_rate)
+        .unionByName(calib_conf)
+        .unionByName(lift)
+        .unionByName(prec)
+        .unionByName(rec)
+        .unionByName(f1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering: the correctness harness checks the first ~50 registry
 # entries. Deliberate rotation so every query re-earns a driver row within
@@ -24306,6 +24641,7 @@ _DRIVER_FRONT = [
     "ml2_auc_exact",
     "emb_outlier_mahalanobis",
     # ---- new r12 registry queries (appended as they land) ----
+    "ml3_eval_suite",
     # ---- stale re-verification: last green r3 ----
     "d1_dedup_last_writer",
     "d3_maternity_completeness_dedup",

@@ -934,3 +934,15 @@ def test_mahalanobis_topk_is_takeordered_no_window(spark):
     # the DuckDB oracle string legitimately ranks with row_number();
     # the Spark body must not
     assert "F.row_number" not in src
+
+
+def test_ml_eval_suite_one_scan_fanout(spark):
+    # VERDICT r11 #6: every panel (AUC, KS, calibration, lift,
+    # threshold sweep) derives from ONE events scan collapsed to the
+    # (cohort, distinct-score) histogram and localCheckpointed; the
+    # final union plan reads only ExistingRDD snapshots — zero parquet
+    # scans, zero cartesians
+    plan = plan_of(spark, "ml3_eval_suite")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
