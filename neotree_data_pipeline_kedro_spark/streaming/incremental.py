@@ -14,6 +14,7 @@ Spark mappings, both preserved here:
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable, Sequence
 
@@ -392,6 +393,9 @@ def run_foreach_batch_corpus_build(
     tok_lo: int = 5,
     tok_hi: int = 10_000,
     max_files_per_trigger: int | None = 1,
+    ann_path: str | None = None,
+    ann_vec_col: str = "embedding",
+    ann_skew_ratio: float = 4.0,
 ) -> None:
     """The cb1 corpus-build funnel as a CONTINUOUS ingest (VERDICT r10
     #7a): every micro-batch of landing documents runs quarantine →
@@ -425,12 +429,31 @@ def run_foreach_batch_corpus_build(
     (token count outside [tok_lo, tok_hi] or language not allowed),
     ``dup_in_batch`` (a smaller id in the same batch owns the
     fingerprint), ``dup_cross_batch`` (an earlier batch's kept row owns
-    it), ``kept``."""
+    it), ``kept``.
+
+    When ``ann_path`` names an existing IVFPQ index (VERDICT r11 #7:
+    the corpus must grow AND stay searchable in the same loop), each
+    batch's KEPT rows' ``ann_vec_col`` vectors flow through
+    ``maintain_ann_index`` between corpus publication and the census
+    commit: raw vectors land in the index's sidecar, codes are encoded
+    against the frozen quantizers, and the per-batch skew report is
+    written to ``ann_path/maintenance/<batch_id>.json`` for the
+    offline re-train scheduler. Exactly-once composes because every
+    leg is staged-rename idempotent on the SAME file-set batch_id and
+    the census manifest is the last commit: a crash at any seam
+    replays into skip-writes for the legs already published and a
+    fresh write for the rest, so after any replay corpus rows, index
+    codes/vectors, and census counts all agree (pinned in pytest with
+    an ivfpq_topk-vs-from-scratch equality over the final corpus)."""
     import hashlib
 
     from pyspark.sql import functions as F
 
-    for p, nm in ((source_path, "source_path"), (out_root, "out_root")):
+    for p, nm in (
+        (source_path, "source_path"),
+        (out_root, "out_root"),
+        *(((ann_path, "ann_path"),) if ann_path is not None else ()),
+    ):
         if "://" in p and not p.startswith("file:"):
             raise ValueError(
                 f"run_foreach_batch_corpus_build: {nm} must be a "
@@ -478,6 +501,9 @@ def run_foreach_batch_corpus_build(
             quar.alias("__quar"),
             gated.alias("__gated"),
             F.md5(F.col(text_col)).alias("fp"),
+            # the vector rides only when the index leg is on (bounded
+            # per-row state, unlike text — the cb1 discipline holds)
+            *((F.col(ann_vec_col).alias("__vec"),) if ann_path else ()),
         )
 
         from pyspark.sql import Window
@@ -506,7 +532,12 @@ def run_foreach_batch_corpus_build(
             .otherwise("kept")
         )
         staged = ranked.select(
-            "id", "source", "fp", "n_tokens", disp.alias("disposition")
+            "id",
+            "source",
+            "fp",
+            "n_tokens",
+            disp.alias("disposition"),
+            *(("__vec",) if ann_path else ()),
         ).localCheckpoint()
 
         # --- corpus publication first (staged dir + one atomic rename,
@@ -523,6 +554,32 @@ def run_foreach_batch_corpus_build(
                 .parquet(stage)
             )
             os.rename(stage, target)
+
+        # --- index maintenance between corpus publish and census
+        # commit: both its legs (vector sidecar, codes append) are
+        # staged-rename idempotent on this same batch_id, so any
+        # crash/replay ordering lands each component exactly once ---
+        if ann_path is not None:
+            from ..operators.similarity import maintain_ann_index
+
+            kept_vecs = staged.filter(
+                F.col("disposition") == "kept"
+            ).select("id", F.col("__vec").alias(ann_vec_col))
+            if kept_vecs.limit(1).count():
+                report = maintain_ann_index(
+                    kept_vecs,
+                    ann_path,
+                    "id",
+                    ann_vec_col,
+                    batch_id=batch_id,
+                    skew_ratio=ann_skew_ratio,
+                )
+                maint_dir = os.path.join(ann_path, "maintenance")
+                os.makedirs(maint_dir, exist_ok=True)
+                with open(
+                    os.path.join(maint_dir, f"{batch_id}.json"), "w"
+                ) as fh:
+                    json.dump(report, fh, sort_keys=True)
 
         # --- census merge second (atomic swap + manifest) ---
         delta = staged.groupBy("source", "disposition").agg(
