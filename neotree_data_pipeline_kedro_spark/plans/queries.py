@@ -23696,7 +23696,8 @@ def ir2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb5_decontamination_plan",
     f"""
     WITH sh AS ({_SHINGLE_DUCK}),
-    bm AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 = 0),
+    bm AS (SELECT doc_id, sh FROM sh
+           WHERE doc_id % 17 = 0 AND doc_id < 10000000),
     contaminated AS (
       SELECT DISTINCT c.doc_id
       FROM sh c JOIN bm b ON c.doc_id <> b.doc_id
@@ -23736,8 +23737,9 @@ def cb5_decontamination_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination as an ACTION, not just a report
     (composes dd_contamination_check into the removal it exists to
     drive): flag every corpus doc whose shingle set CONTAINS >= 50% of
-    any benchmark doc's shingles (the doc_id%17 slice — the
-    dd_contamination fixture), mark it for removal, and emit the
+    any benchmark doc's shingles (the doc_id%17 slice of the FROZEN
+    unshifted id range — a benchmark registry does not grow with the
+    corpus), mark it for removal, and emit the
     per-source release census — docs and tokens before/after plus
     removal ppm — with the conservation identity in the row itself
     (n_before == n_removed + n_after, so a doc can neither vanish nor
@@ -23753,7 +23755,17 @@ def cb5_decontamination_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import contamination_report
 
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    # The benchmark slice is FROZEN to the unshifted id range: a real
+    # decontamination benchmark (MMLU, GSM8K, ...) is a fixed registry
+    # that does NOT grow with the corpus. doc_id < 1e7 is a no-op at
+    # every normal SF (ids are sequential, well under 1e7) but keeps
+    # the benchmark constant under the stress shards' i*1e7 key shift,
+    # so the probe workload scales linearly in corpus volume — the
+    # production shape, and what lets cb5 join the stress fleet
+    # (VERDICT r11 #4).
+    bench = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 10_000_000)
+    ).select("doc_id", "text")
     contaminated = (
         contamination_report(
             docs.select("doc_id", "text"), bench, "doc_id", "text",
@@ -24640,8 +24652,10 @@ _DRIVER_FRONT = [
     "ta_contrastive_triples",
     "ml2_auc_exact",
     "emb_outlier_mahalanobis",
-    # ---- new r12 registry queries (appended as they land) ----
+    # ---- new r12 registry queries (appended as they land), plus
+    # cb5 whose benchmark slice froze to the unshifted id range ----
     "ml3_eval_suite",
+    "cb5_decontamination_plan",
     # ---- stale re-verification: last green r3 ----
     "d1_dedup_last_writer",
     "d3_maternity_completeness_dedup",

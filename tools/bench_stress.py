@@ -108,14 +108,32 @@ QUERIES = [
     # shard-disjoint user streams; er4 rides the er1 generator fix
     # (custkey-embedded names keep blocks shard-local); s23's file keys
     # are l_orderkey div 100 (shard key ranges disjoint, bins contiguous
-    # per shard). cb5 is EXCLUDED: its benchmark slice is doc_id % 17
-    # and 17 does not divide 10^7, so shard benchmark membership
-    # mutates under the shift and the census is not K-scalable.
+    # per shard).
     "ir1_retrieval_eval",
     "ir2_rrf_fusion",
     "w39_session_funnel",
     "er4_blocking_quality",
     "s23_compaction_plan",
+    # round-12 additions (VERDICT r11 #3/#4). Shift-invariance audit:
+    # cb5's benchmark slice is now FROZEN to the unshifted id range
+    # (doc_id % 17 AND doc_id < 10^7 — a benchmark registry does not
+    # grow with the corpus), so the broadcast index is constant and the
+    # corpus probe scales linearly in K; the former %17-mutates-
+    # under-shift exclusion no longer applies. ta_contrastive_triples
+    # shares cb2's caveat: the TRUE near-dup pair set grows ~K^2 by
+    # construction (each base doc's K copyshard variants are mutual
+    # near-dups), so judge its alpha against that output floor.
+    # emb_silhouette is O(n*k) with k=8 fixed centroids chosen by
+    # md5-order TakeOrdered — linear in corpus volume. ml2/ml3
+    # collapse events to the (user_id%4, distinct floor(value*100))
+    # grain; 4 | 10^7 keeps cohorts shard-stable and the value domain
+    # is shard-invariant, so post-scan state is constant while the
+    # scan grows K x.
+    "cb5_decontamination_plan",
+    "ta_contrastive_triples",
+    "emb_silhouette",
+    "ml2_auc_exact",
+    "ml3_eval_suite",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
