@@ -24287,6 +24287,558 @@ def ml2_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "emb_index_health",
+    f"""
+    WITH q AS ({_QVEC_DUCK}),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+      FROM q
+    ),
+    cents AS (
+      SELECT vec_id AS cid, qv AS cqv, nq AS cnq
+      FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cid,
+             1.0 - CAST(CAST(list_sum(list_transform(
+                     range(1, len(v.qv) + 1), i -> v.qv[i] * c.cqv[i]))
+                   AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE)))
+               AS dist
+      FROM n v CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cell,
+             CAST(round(dist * 1000000) AS BIGINT) AS dist_micro
+      FROM dists
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cid ASC) = 1
+    ),
+    cells AS (
+      SELECT CAST(cell AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(dist_micro) AS BIGINT) AS sum_dist_micro
+      FROM asg GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(MAX(n_vecs) AS BIGINT) AS max_n
+      FROM cells
+    )
+    SELECT c.cell, c.n_vecs,
+           CAST((1000000 * c.n_vecs) // t.total AS BIGINT)
+             AS occupancy_ppm,
+           c.sum_dist_micro,
+           CAST(c.sum_dist_micro // c.n_vecs AS BIGINT)
+             AS mean_dist_micro,
+           t.max_n, t.n_cells,
+           CAST((1000000 * t.max_n * t.n_cells) // t.total AS BIGINT)
+             AS skew_ppm
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def emb_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health census — the oracle-paired registry twin of the
+    maintenance loop's skew trigger (operators/similarity.py
+    maintain_ann_index): assign every vector to its nearest of 8
+    md5-picked centroids (the deterministic k-means stand-in shared
+    with emb_silhouette) and report, per cell, occupancy and mean
+    assignment distance, plus the fleet-wide skew statistic
+    max_cell * n_cells / total (in ppm — this is exactly the
+    max/mean ratio maintain_ann_index gates its re-train on, scaled
+    integer-exact). The report a vector-store operator reads to decide
+    whether assignment drift has degraded probe balance.
+
+    Cross-engine exactness: integer-quantized cosine for the distance,
+    per-vector micro-rounding BEFORE summation, arg-min assignment
+    with (dist, cid) tie order replayed as QUALIFY rank 1. Scale
+    shape: centroids broadcast, one corpus map pass, assignment via a
+    per-vector min-struct aggregate (no corpus-wide window), census is
+    one groupBy; the 1-row totals broadcast back."""
+    from ..operators.neardup import quantized_cosine
+
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    dists = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            (
+                F.lit(1.0)
+                - quantized_cosine(F.col("embedding"), F.col("cvec"))
+            ).alias("dist"),
+        )
+    )
+    asg = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+        .select(
+            F.col("m.cid").cast("bigint").alias("cell"),
+            F.round(F.col("m.dist") * 1_000_000)
+            .cast("bigint")
+            .alias("dist_micro"),
+        )
+    )
+    cells = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dist_micro").cast("bigint").alias("sum_dist_micro"),
+    )
+    tot = cells.agg(
+        F.sum("n_vecs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n_vecs").cast("bigint").alias("max_n"),
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        idiv(F.lit(1_000_000) * F.col("n_vecs"), F.col("total"))
+        .cast("bigint")
+        .alias("occupancy_ppm"),
+        "sum_dist_micro",
+        idiv(F.col("sum_dist_micro"), F.col("n_vecs"))
+        .cast("bigint")
+        .alias("mean_dist_micro"),
+        "max_n",
+        "n_cells",
+        idiv(
+            F.lit(1_000_000) * F.col("max_n") * F.col("n_cells"),
+            F.col("total"),
+        )
+        .cast("bigint")
+        .alias("skew_ppm"),
+    )
+
+
+@_register(
+    "ml4_slice_finder",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+             c.c_nationkey AS nation,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS defect
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT priority, segment, nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(defect) AS BIGINT) AS d
+      FROM j GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(d) AS BIGINT) AS dg
+      FROM cells
+    ),
+    slices AS (
+      SELECT 'priority' AS slice_dim, priority AS slice_value,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS d
+      FROM cells GROUP BY 2
+      UNION ALL
+      SELECT 'segment', segment, CAST(SUM(n) AS BIGINT),
+             CAST(SUM(d) AS BIGINT)
+      FROM cells GROUP BY 2
+      UNION ALL
+      SELECT 'nation', CAST(nation AS VARCHAR), CAST(SUM(n) AS BIGINT),
+             CAST(SUM(d) AS BIGINT)
+      FROM cells GROUP BY 2
+      UNION ALL
+      SELECT 'priority*segment',
+             priority || '|' || segment,
+             CAST(SUM(n) AS BIGINT), CAST(SUM(d) AS BIGINT)
+      FROM cells GROUP BY 2
+    ),
+    scored AS (
+      SELECT s.slice_dim, s.slice_value, s.n, s.d,
+             CAST((1000000 * s.d) // s.n AS BIGINT) AS rate_ppm,
+             CAST((1000000 * g.dg) // g.ng AS BIGINT) AS global_rate_ppm,
+             CAST((1000000 * (s.d * g.ng - g.dg * s.n)) // (s.n * g.ng)
+                  AS BIGINT) AS delta_ppm
+      FROM slices s CROSS JOIN g
+      WHERE s.n >= 50
+    )
+    SELECT slice_dim, slice_value, n, d AS n_defect, rate_ppm,
+           global_rate_ppm, delta_ppm
+    FROM scored
+    ORDER BY abs(delta_ppm) DESC, slice_dim, slice_value
+    LIMIT 20
+    """,
+)
+def ml4_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice finder (the SliceFinder / SliceLine model-debugging shape,
+    Chung et al. ICDE'19): surface the data slices where a quality
+    metric deviates most from the global rate — here the returned-item
+    rate (l_returnflag = 'R') over lineitem, sliced by order priority,
+    market segment, customer nation, and the priority x segment pair. Per
+    slice with support >= 50: exact ppm rate, global rate, and the
+    signed deviation delta_ppm computed on the common denominator
+    (1e6*(d*ng - dg*n)) div (n*ng) so both engines agree bit-for-bit;
+    top-20 by |delta|, deterministic ties by (dim, value).
+
+    Scale shape: ONE fact scan (lineitem with orders/customer
+    broadcast) collapses to the finest-grain cell frame (priority x
+    segment x nation — domain-bounded at ~625 rows at ANY corpus
+    size), localCheckpointed and fanned out to every slice rollup; the
+    global rate is a 1-row broadcast; the top-20 is a TakeOrdered over
+    the bounded slice table, never a global sort. int64 bound:
+    1e6*d*ng < 2^63 holds to ~3e6 defects x 3e6 rows per slice grain;
+    past that, lift the products to DECIMAL(38,0) as a80 does."""
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("defect"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cells = (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                    "o_orderkey",
+                    "o_orderpriority",
+                    "c_mktsegment",
+                    "c_nationkey",
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("defect").cast("bigint").alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = cells.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("d").cast("bigint").alias("dg"),
+    )
+
+    def roll(dim_name: str, value_expr):
+        return (
+            cells.groupBy(value_expr.alias("slice_value"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("d").cast("bigint").alias("d"),
+            )
+            .select(
+                F.lit(dim_name).alias("slice_dim"), "slice_value", "n", "d"
+            )
+        )
+
+    slices = (
+        roll("priority", F.col("priority"))
+        .unionByName(roll("segment", F.col("segment")))
+        .unionByName(roll("nation", F.col("nation").cast("string")))
+        .unionByName(
+            roll(
+                "priority*segment",
+                F.concat(F.col("priority"), F.lit("|"), F.col("segment")),
+            )
+        )
+    )
+    scored = (
+        slices.filter(F.col("n") >= 50)
+        .join(F.broadcast(g))
+        .select(
+            "slice_dim",
+            "slice_value",
+            "n",
+            F.col("d").alias("n_defect"),
+            idiv(F.lit(1_000_000) * F.col("d"), F.col("n"))
+            .cast("bigint")
+            .alias("rate_ppm"),
+            idiv(F.lit(1_000_000) * F.col("dg"), F.col("ng"))
+            .cast("bigint")
+            .alias("global_rate_ppm"),
+            idiv(
+                F.lit(1_000_000)
+                * (F.col("d") * F.col("ng") - F.col("dg") * F.col("n")),
+                F.col("n") * F.col("ng"),
+            )
+            .cast("bigint")
+            .alias("delta_ppm"),
+        )
+    )
+    # bounded TakeOrdered: the slice table is domain-bounded (~250 rows)
+    return scored.orderBy(
+        F.abs(F.col("delta_ppm")).desc(), "slice_dim", "slice_value"
+    ).limit(20)
+
+
+_SWEEP_THRESHOLDS = [(250000, 0.25), (500000, 0.5),
+                     (750000, 0.75), (875000, 0.875)]  # (ppm, exact double)
+
+_SWEEP_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(t.text), '[^a-z0-9\\s]', "
+    "'', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@_register(
+    "ta_dedup_threshold_sweep",
+    f"""
+    WITH wsrc AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000000, source,
+             text || ' sweeptail marker token'
+      FROM documents WHERE doc_id % 10 = 1 AND trim(coalesce(text,'')) <> ''
+      UNION ALL
+      SELECT doc_id + 3000000000, source,
+             array_to_string(list_slice(w, 1,
+               greatest(1, (3 * len(w)) // 5)), ' ')
+      FROM wsrc WHERE doc_id % 10 = 2 AND trim(coalesce(text,'')) <> ''
+      UNION ALL
+      SELECT doc_id + 4000000000, source,
+             array_to_string(list_slice(w, 1,
+               greatest(1, (3 * len(w)) // 10)), ' ')
+      FROM wsrc WHERE doc_id % 10 = 3 AND trim(coalesce(text,'')) <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split({_SWEEP_NORM}, ' ')) < 3
+                  THEN [{_SWEEP_NORM}]
+                  ELSE list_distinct(list_transform(
+                         range(1, len(string_split({_SWEEP_NORM}, ' ')) - 1),
+                         i -> array_to_string(
+                               list_slice(string_split({_SWEEP_NORM}, ' '),
+                                          i, i + 2), ' ')))
+             END AS s
+      FROM corpus t
+    ),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    mj AS (
+      SELECT idb AS doc_id,
+             MAX(i / CAST(sa.n + sb.n - i AS DOUBLE)) AS mj
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.ida
+      JOIN sz sb ON sb.doc_id = inter.idb
+      GROUP BY 1
+    ),
+    toks AS (
+      SELECT c.doc_id,
+             CASE WHEN regexp_replace(coalesce(c.text, ''),
+                       '^\\s+|\\s+$', '', 'g') = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(regexp_replace(
+                         regexp_replace(c.text, '^\\s+|\\s+$', '', 'g'),
+                         '\\S+', '', 'g'))
+                       AS BIGINT) + 1 END AS n_tokens
+      FROM corpus c
+    ),
+    flagged AS (
+      SELECT t.doc_id, t.n_tokens, m.mj
+      FROM toks t LEFT JOIN mj m ON m.doc_id = t.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN mj >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rm_250000,
+             CAST(SUM(CASE WHEN mj >= 0.25 THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tk_250000,
+             CAST(SUM(CASE WHEN mj >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rm_500000,
+             CAST(SUM(CASE WHEN mj >= 0.5 THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tk_500000,
+             CAST(SUM(CASE WHEN mj >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rm_750000,
+             CAST(SUM(CASE WHEN mj >= 0.75 THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tk_750000,
+             CAST(SUM(CASE WHEN mj >= 0.875 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rm_875000,
+             CAST(SUM(CASE WHEN mj >= 0.875 THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tk_875000
+      FROM flagged
+    )
+    SELECT CAST(250000 AS BIGINT) AS threshold_ppm, docs_total,
+           rm_250000 AS docs_removed, docs_total - rm_250000 AS docs_after,
+           tokens_total, tk_250000 AS tokens_removed,
+           CAST((1000000 * rm_250000) // docs_total AS BIGINT)
+             AS doc_removal_ppm,
+           CAST((1000000 * tk_250000) // tokens_total AS BIGINT)
+             AS token_removal_ppm
+    FROM agg
+    UNION ALL
+    SELECT CAST(500000 AS BIGINT), docs_total, rm_500000,
+           docs_total - rm_500000, tokens_total, tk_500000,
+           CAST((1000000 * rm_500000) // docs_total AS BIGINT),
+           CAST((1000000 * tk_500000) // tokens_total AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT CAST(750000 AS BIGINT), docs_total, rm_750000,
+           docs_total - rm_750000, tokens_total, tk_750000,
+           CAST((1000000 * rm_750000) // docs_total AS BIGINT),
+           CAST((1000000 * tk_750000) // tokens_total AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT CAST(875000 AS BIGINT), docs_total, rm_875000,
+           docs_total - rm_875000, tokens_total, tk_875000,
+           CAST((1000000 * rm_875000) // docs_total AS BIGINT),
+           CAST((1000000 * tk_875000) // tokens_total AS BIGINT)
+    FROM agg
+    """,
+)
+def ta_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep — the "how aggressive should dedup be"
+    tuning curve a corpus-curation run consults before committing to a
+    Jaccard cut: per candidate threshold (0.25 / 0.5 / 0.75 / 0.875,
+    exact binary doubles so both engines compare identically), how many
+    documents and tokens the standard remove-if-similar-to-a-smaller-id
+    rule would delete. The fixture plants variants at three distinct
+    similarity levels (full copy + suffix ~ J 0.95, 60%-prefix
+    truncation ~ J 0.6, 30%-prefix ~ J 0.3, ids at +2e9/+3e9/+4e9 per
+    the planted-id discipline) so every threshold step changes the
+    curve at every SF.
+
+    Scale shape: the pair graph comes from ngram_jaccard_pairs at the
+    LOWEST swept threshold — the length-bucket blocked EXACT join whose
+    bucket recall is 1.0 by the size-ratio bound — so one candidate
+    pass serves all thresholds; per-doc state collapses to max-J-to-a-
+    smaller-id (one groupBy over pairs), and the sweep itself is a
+    single conditional aggregate + 4-row stack. A 0.25 floor is
+    genuinely more expensive than a 0.8 one (bucket ranges widen as
+    (1-t)); sweeping lower floors at 100 TB should sample the corpus
+    first. Oracle: DuckDB replays the exact graph via the
+    postings-join (unnest -> equi-join -> per-pair intersection
+    counts), the ta_contrastive_triples twin pattern."""
+    from ..operators.neardup import ngram_jaccard_pairs
+
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    nonempty = docs.filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+
+    def trunc(num: int, den: int):
+        keep = F.greatest(
+            F.lit(1).cast("int"),
+            idiv(F.lit(num) * F.size(w), F.lit(den)).cast("int"),
+        )
+        return F.array_join(F.slice(w, F.lit(1), keep), " ")
+
+    corpus = (
+        docs.unionByName(
+            nonempty.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+                "source",
+                F.concat(F.col("text"), F.lit(" sweeptail marker token"))
+                .alias("text"),
+            )
+        )
+        .unionByName(
+            nonempty.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 3_000_000_000).alias("doc_id"),
+                "source",
+                trunc(3, 5).alias("text"),
+            )
+        )
+        .unionByName(
+            nonempty.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 4_000_000_000).alias("doc_id"),
+                "source",
+                trunc(3, 10).alias("text"),
+            )
+        )
+        # consumed twice (pair graph + token census): one scan, not two
+        .localCheckpoint(eager=False)
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.25
+    )
+    mj = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.max("jaccard").alias("mj")
+    )
+    trimmed = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    n_tokens = F.when(trimmed == "", F.lit(0).cast("bigint")).otherwise(
+        F.length(F.regexp_replace(trimmed, r"\S+", "")).cast("bigint") + 1
+    )
+    flagged = corpus.select("doc_id", n_tokens.alias("n_tokens")).join(
+        mj, "doc_id", "left"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    ]
+    for ppm, thr in _SWEEP_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("mj") >= thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"rm_{ppm}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("mj") >= thr, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"tk_{ppm}")
+        )
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({ppm} AS BIGINT), rm_{ppm}, tk_{ppm}"
+        for ppm, _ in _SWEEP_THRESHOLDS
+    )
+    long = one.select(
+        "docs_total",
+        "tokens_total",
+        F.expr(
+            f"stack({len(_SWEEP_THRESHOLDS)}, {stack_args}) "
+            "AS (threshold_ppm, docs_removed, tokens_removed)"
+        ),
+    )
+    return long.select(
+        "threshold_ppm",
+        "docs_total",
+        "docs_removed",
+        (F.col("docs_total") - F.col("docs_removed"))
+        .cast("bigint")
+        .alias("docs_after"),
+        "tokens_total",
+        "tokens_removed",
+        idiv(F.lit(1_000_000) * F.col("docs_removed"), F.col("docs_total"))
+        .cast("bigint")
+        .alias("doc_removal_ppm"),
+        idiv(
+            F.lit(1_000_000) * F.col("tokens_removed"),
+            F.col("tokens_total"),
+        )
+        .cast("bigint")
+        .alias("token_removal_ppm"),
+    )
+
+
 _ML3_THRESHOLDS = [1000, 5000, 10000, 20000, 40000]  # score cents
 
 
@@ -24656,6 +25208,9 @@ _DRIVER_FRONT = [
     # cb5 whose benchmark slice froze to the unshifted id range ----
     "ml3_eval_suite",
     "cb5_decontamination_plan",
+    "ta_dedup_threshold_sweep",
+    "ml4_slice_finder",
+    "emb_index_health",
     # ---- stale re-verification: last green r3 ----
     "d1_dedup_last_writer",
     "d3_maternity_completeness_dedup",
