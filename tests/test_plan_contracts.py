@@ -946,3 +946,44 @@ def test_ml_eval_suite_one_scan_fanout(spark):
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_threshold_sweep_single_candidate_pass(spark):
+    # one blocked exact-Jaccard pass at the lowest floor serves every
+    # threshold; the sweep itself is a conditional aggregate + stack —
+    # no per-threshold re-join, no cartesian, no Python eval
+    plan = plan_of(spark, "ta_dedup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_slice_finder_bounded_rollups_takeordered(spark):
+    # fact scan collapses to the checkpointed domain-bounded cell frame;
+    # slice rollups read ExistingRDD only; top-20 is TakeOrdered
+    plan = plan_of(spark, "ml4_slice_finder")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_index_health_one_assignment_pass(spark):
+    # the corpus assignment pass materializes the <= k-row cell census
+    # once; totals and the final join read the checkpoint — zero parquet
+    # scans in the final plan, no corpus-wide window
+    plan = plan_of(spark, "emb_index_health")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_plan_is_broadcast_algebra(spark):
+    # one corpus scan collapses to the 5-row language census; every
+    # later step is <= 5-row frames with 1-row broadcast crosses
+    plan = plan_of(spark, "cb6_mixture_plan")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
