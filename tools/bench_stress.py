@@ -134,6 +134,17 @@ QUERIES = [
     "emb_silhouette",
     "ml2_auc_exact",
     "ml3_eval_suite",
+    # ...and the other r12 queries. ta_dedup_threshold_sweep shares the
+    # cb2/triples caveat (K copyshard variants are mutual near-dups, so
+    # the true pair set grows ~K^2 by construction); its %10 plants
+    # divide 10^7 and planted ids sit at +2e9..+4e9, above every
+    # shifted key. ml4 slices on priority/segment/nation with no
+    # key-modulo predicate; emb_index_health is O(n*k), k=8 fixed;
+    # cb6 collapses to the 5-language census after one scan.
+    "ta_dedup_threshold_sweep",
+    "ml4_slice_finder",
+    "emb_index_health",
+    "cb6_mixture_plan",
 ]
 SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
