@@ -949,9 +949,10 @@ def test_ml_eval_suite_one_scan_fanout(spark):
 
 
 def test_dedup_threshold_sweep_single_candidate_pass(spark):
-    # one blocked exact-Jaccard pass at the lowest floor serves every
-    # threshold; the sweep itself is a conditional aggregate + stack —
-    # no per-threshold re-join, no cartesian, no Python eval
+    # one PPJoin (prefix-filtered exact) pass at the lowest floor
+    # serves every threshold; the sweep itself is a conditional
+    # aggregate + stack — no per-threshold re-join, no cartesian; the
+    # only Python is the shingle kernel upstream of the checkpoint
     plan = plan_of(spark, "ta_dedup_threshold_sweep")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
