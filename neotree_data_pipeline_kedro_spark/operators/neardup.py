@@ -1193,6 +1193,23 @@ def set_similarity_join(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(set_col)).alias("__s0"),
     ).localCheckpoint()
+    # Partition-count normalization (guide §2.2: fewer, larger partitions).
+    # Callers often hand in a union of K filtered variants of one scan:
+    # each branch gets its own minPartitionNum-floored split set, so the
+    # checkpoint can carry K*cores partitions of near-empty data, and the
+    # 5+ downstream passes over it (freq explode, postings join, prefix
+    # explode, both verify sides) each pay K*cores task launches for
+    # micro-partitions (measured: the r12 threshold-sweep corpus rode 160
+    # partitions for 7k docs; the `ordered` build alone dropped 4.2s ->
+    # 1.2s at sf0.1 once merged). Gate on the MEASURED row count so the
+    # merge only fires when the merged partitions stay small (<= 50k
+    # doc-rows each): a corpus-scale input keeps its layout untouched.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if (
+        arrs.rdd.getNumPartitions() > target
+        and arrs.count() <= 50_000 * target
+    ):
+        arrs = arrs.coalesce(target)
     tok = arrs.select("__id", F.explode("__s0").alias("__t"))
     freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
     enc = F.concat(
