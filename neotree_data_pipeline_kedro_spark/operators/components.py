@@ -302,11 +302,17 @@ def incremental_components(
         )
         .distinct()
     )
-    n_pairs = pairs.count()
-    if n_pairs > max_driver_pairs:
+    # ONE bounded execution of the pair subtree (r12): the former
+    # count()-gate-then-collect() ran the two label joins + distinct
+    # twice; limit(max+1) keeps the driver-memory bound (never more than
+    # max_driver_pairs+1 rows cross) while the gate and the union-find
+    # input come from the same single job.
+    pair_rows = pairs.limit(max_driver_pairs + 1).collect()
+    if len(pair_rows) > max_driver_pairs:
         raise ValueError(
-            f"incremental_components: {n_pairs} cross-component label "
-            f"pairs exceed max_driver_pairs={max_driver_pairs}; run "
+            f"incremental_components: over {max_driver_pairs} "
+            "cross-component label pairs exceed "
+            f"max_driver_pairs={max_driver_pairs}; run "
             "connected_components on the union graph instead"
         )
     parent: dict[int, int] = {}
@@ -317,7 +323,7 @@ def incremental_components(
             u = parent[u]
         return u
 
-    for r in pairs.collect():
+    for r in pair_rows:
         ra, rb = find(int(r["x"])), find(int(r["y"]))
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
