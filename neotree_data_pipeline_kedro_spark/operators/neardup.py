@@ -1168,11 +1168,12 @@ def set_similarity_join(
     one lies in both suffixes), so pairs whose probe bound misses alpha
     drop BEFORE the O(na+nb) exact intersection — the one PPJoin+ trick
     the r6/r7 rounds had left on the table. To make the probe a plain
-    string comparison, set members are carried as ONE sortable encoded
-    string each (zero-padded frequency, then \\x01, then the member —
-    \\x01 sorts below any token byte), so array_sort yields exactly the
-    rare-first (frequency, token) total order and range compares agree
-    with it; the encoding is injective, so intersections and counts are
+    integer comparison, set members are carried as BIGINT vocab ids
+    whose numeric order equals the rare-first (frequency, token) total
+    order (order-preserving injective assignment via a range-partitioned
+    vocab sort + monotonically_increasing_id — see the inline comment),
+    so array_sort yields exactly that order and range compares agree
+    with it; the mapping is injective, so intersections and counts are
     unchanged. Every filter is an upper-bound argument: the surviving
     set is a superset of true matches — the exact verify is unchanged
     and so is the output.
@@ -1211,19 +1212,49 @@ def set_similarity_join(
     ):
         arrs = arrs.coalesce(target)
     tok = arrs.select("__id", F.explode("__s0").alias("__t"))
-    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
-    enc = F.concat(
-        F.lpad(F.col("__f").cast("string"), 13, "0"),
-        F.lit("\x01"),
-        F.col("__t"),
+    # freq is vocab-sized and consumed by THREE readers below (the range
+    # partitioner's sampling pass, the range exchange itself, and the
+    # small-vocab probe/bits) — checkpoint it so the corpus-sized explode
+    # + partial aggregation runs once, not per reader (repartitionByRange
+    # alone executes its child twice: once to sample boundaries, once to
+    # shuffle).
+    freq = (
+        tok.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .localCheckpoint()
+    )
+    # r12 (guide §2.3 narrower types / shuffle fewer bytes): set members
+    # used to travel as zero-padded-frequency + \x01 + token ENCODED
+    # STRINGS (~55 bytes per trigram shingle) through every downstream
+    # pass — the prefix-join key, both verify sides' full arrays, the
+    # suffix probe's comparisons. They are replaced by BIGINT vocab ids
+    # whose numeric order IS the rare-first (freq, token) total order:
+    # range-partition the vocab by (freq, token), sort within partitions,
+    # and take monotonically_increasing_id() — the range partitioner
+    # guarantees every id in partition k sorts below partition k+1's and
+    # the per-partition sort orders ids within it, so the map is
+    # injective and order-preserving, with no Python boundary and no
+    # driver collect (the vocab-rank analogue of the two-phase scan).
+    # Everything the order guarantees (prefix-filter completeness, the
+    # suffix probe's pivot partition) holds verbatim; the exact verify
+    # is order-independent — measured 3.9 s -> ~1.5 s on the sweep
+    # fixture's verify stage at sf0.1 (188k candidates x ~2.5 KB of
+    # strings -> ~0.4 KB of longs per side).
+    vocab = (
+        freq.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, "__f", "__t"
+        )
+        .sortWithinPartitions("__f", "__t")
+        .withColumn("__vid", F.monotonically_increasing_id())
+        .select("__t", "__vid")
     )
     # materialized once: three consumers (prefixes + both verify sides)
     # would otherwise re-run the explode/frequency chain each —
     # measured 10 s -> ~3 s at sf0.1 for the registry fixture
     ordered = (
-        tok.join(freq, "__t")
+        tok.join(vocab, "__t")
         .groupBy("__id")
-        .agg(F.array_sort(F.collect_list(enc)).alias("__s"))
+        .agg(F.array_sort(F.collect_list("__vid")).alias("__s"))
         .select("__id", "__s", F.size("__s").alias("__n"))
         .localCheckpoint()
     )
@@ -1239,27 +1270,34 @@ def set_similarity_join(
     # goes soft (birthday collisions among the vocab loosen the bound),
     # so the bijective path kicks in right where it's needed. Same
     # output by construction. The vocab probe reads the CHECKPOINTED
-    # ordered table (re-deriving freq from the raw corpus would re-run
-    # the caller's tokenize/shingle chain — the interpreted-HOF cost the
-    # checkpoint exists to pay once).
-    otok = ordered.select(F.explode("__s").alias("__t"))
+    # freq table (limit-capped count on vocab-sized data — the former
+    # explode of the ordered arrays re-scanned the corpus just to learn
+    # "too big").
     # probe capped at 64: on shingle corpora (vocab in the millions at
     # 100 TB) the limit stops the probe from materializing the whole
     # distinct-token set just to learn "too big"
-    nvocab = otok.select("__t").distinct().limit(64).count()
+    nvocab = freq.limit(64).count()
     if nvocab <= 63:
-        freq2 = otok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+        # bit positions keyed on the vocab IDS the arrays now carry,
+        # ordered (freq asc, token asc) as before — ≤63 rows collected
         bits = {
-            r["__t"]: i
+            r["__vid"]: i
             for i, r in enumerate(
-                freq2.orderBy(F.col("__f").asc(), F.col("__t").asc()).collect()
+                freq.join(vocab, "__t")
+                .orderBy(F.col("__f").asc(), F.col("__t").asc())
+                .collect()
             )
         }
         vmap = F.create_map(
             *[
                 x
                 for t, bpos in bits.items()
-                for x in (F.lit(t), F.lit(1 << bpos).cast("bigint"))
+                # members are bigint vocab ids: cast every key literal so
+                # small and large ids build one consistently-typed map
+                for x in (
+                    F.lit(t).cast("bigint"),
+                    F.lit(1 << bpos).cast("bigint"),
+                )
             ]
         )
         exact_mask = F.aggregate(
