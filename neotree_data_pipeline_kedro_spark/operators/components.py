@@ -478,7 +478,10 @@ def pagerank(
     """
     # materialize the deduped edge list ONCE: it is referenced four times
     # below (both node projections, the degree rollup, the degree join) and
-    # each lazy reference would re-run the caller's upstream join
+    # each lazy reference would re-run the caller's upstream join.
+    # (r12 note: converting this function's checkpoints to lazy — the
+    # g14 trick — measured a wash on g1/g17: the loop has no duplicated
+    # subtree for laziness to deduplicate, so only job scheduling moved.)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint()
@@ -628,7 +631,14 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k).select("n").localCheckpoint()
+        # keep is NOT checkpointed (r12): both semi-join builds reference
+        # the identical deg subtree over the checkpointed e, so the
+        # planner reuses one exchange (ReusedExchange) inside the single
+        # kept_edges job — a second eager materialization per round paid
+        # a whole extra job's scheduling for data the join was about to
+        # rebuild anyway (measured ~0.9 s off g4_kcore's 8-round peel at
+        # sf0.1).
+        keep = deg.filter(F.col("degree") >= k).select("n")
         kept_edges = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
@@ -1205,13 +1215,24 @@ def random_walks(
     ).select(
         (F.col("node") * walks_per_seed + F.col("__j")).alias("walk_id"),
         "node",
-    )
+    ).localCheckpoint(eager=False)
+    # All checkpoints here are LAZY (r12, guide §2.4 remove per-round
+    # actions): walk_length is small and static, so no driver-side
+    # convergence check ever needs an eager materialization — the ONE
+    # final action computes every step, each lazy checkpoint persists on
+    # first use (the caller's edge/seed subtrees and each frontier still
+    # run exactly once per query), and the former one-job-per-step
+    # scheduling (5 extra jobs at walk_length=4, plus a re-run of the
+    # un-checkpointed seed subtree inside the final union job)
+    # disappears. ``state`` is checkpointed too: it feeds both the
+    # step-0 output branch and the t=1 join, which sit in different
+    # stages of the final job.
     e = edges.select(
         F.col(src).cast("bigint").alias("__s"),
         F.col(dst).cast("bigint").alias("__d"),
         # joined once per step: checkpoint so the caller's edge-builder
         # subtree runs once, not walk_length times
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = state.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
     frontier = state
     for t in range(1, walk_length + 1):
@@ -1232,7 +1253,7 @@ def random_walks(
                 ).alias("__m")
             )
             .select("walk_id", F.col("__m.d").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             frontier.select(

@@ -695,18 +695,21 @@ def _checkpoint_count(spark, monkeypatch, name: str) -> int:
         # the fixture => frontiers t=1,2 non-empty, t=3 empty => 3) +
         # final merged layer table (1)
         ("g15_dag_layers", 7),
-        # the edge-list base (1) + one frontier checkpoint per step,
-        # walk_length=4 (static)
-        ("g14_random_walks", 5),
+        # the seed state (1) + edge-list base (1) + one frontier
+        # checkpoint per step, walk_length=4 (static); all LAZY since
+        # r12 (persist-on-first-use inside the one final action)
+        ("g14_random_walks", 6),
         # edges + seed distances (2) + one (frontier, settled) pair per
         # hop; fixture reaches max_hops with non-empty frontiers => 2+3*2
         ("g8_bfs_hops", 8),
         # pagerank: edge base + per-iteration rank states on the fixture
         ("g1_pagerank", 6),
         # k=24 peels the sf0.001 fixture to EMPTY in 3 rounds (the r10
-        # non-degenerate fixture); edge base (1) + (keep, kept_edges)
-        # checkpoints per round (2*3)
-        ("g4_kcore", 7),
+        # non-degenerate fixture); edge base (1) + kept_edges checkpoint
+        # per round (3). keep is deliberately UNcheckpointed since r12:
+        # both semi-join builds share the deg subtree's exchange
+        # (ReusedExchange) inside the one kept_edges job.
+        ("g4_kcore", 4),
         # ppr: edge base + per-push round states
         ("g12_ppr", 4),
     ],
