@@ -89,19 +89,40 @@ def multipass_block_pairs(df, id_col, block_exprs):
 
     Output: (id_a, id_b) distinct.
     """
-    out = None
-    for i, expr in enumerate(block_exprs):
+    if not block_exprs:
+        raise ValueError("multipass_block_pairs: no blocking keys given")
+    if len(block_exprs) == 1:
+        # single pass: a plain equi-join, no explode and no string cast
         keyed = df.select(
-            F.col(id_col).alias("__id"), expr.alias("__blk")
+            F.col(id_col).alias("__id"), block_exprs[0].alias("__blk")
         ).filter(F.col("__blk").isNotNull())
-        a = keyed.select(F.col("__id").alias("id_a"), "__blk")
-        b = keyed.select(F.col("__id").alias("id_b"), "__blk")
-        pairs = (
-            a.join(b, "__blk")
+        return (
+            keyed.select(F.col("__id").alias("id_a"), "__blk")
+            .join(keyed.select(F.col("__id").alias("id_b"), "__blk"), "__blk")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
+            .distinct()
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    if out is None:
-        raise ValueError("multipass_block_pairs: no blocking keys given")
-    return out.distinct()
+    # ONE self-join for all passes (r12, guide §2.4): every record emits
+    # one (pass_idx, key) row per blocking key via posexplode and the
+    # passes meet in a single equi-join on (pass, key) — the former
+    # one-join-per-pass form paid a full shuffle pair + union branch per
+    # key for identical output (keys from different passes can never
+    # match because the pass index rides the join key). Keys are cast to
+    # string so heterogeneous key expressions share one array type;
+    # cast-to-string is injective for every atomic type Spark has, so
+    # key equality is unchanged.
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(*[e.cast("string") for e in block_exprs])
+        ).alias("__p", "__blk"),
+    ).filter(F.col("__blk").isNotNull())
+    a = keyed.select(F.col("__id").alias("id_a"), "__p", "__blk")
+    b = keyed.select(F.col("__id").alias("id_b"), "__p", "__blk")
+    return (
+        a.join(b, ["__p", "__blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
