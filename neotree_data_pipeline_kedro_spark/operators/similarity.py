@@ -1706,18 +1706,21 @@ def binary_quantize_words(
     (Charikar's hyperplane LSH with axis-aligned planes, the packed
     whole-vector form). Bits stay in the low 32 of each word so no
     sign-bit/overflow semantics are involved and any engine's int64
-    agrees. Pure codegen expression (64 conditional adds), scan-stage
-    at any corpus size; downstream retrieval is xor + bit_count on two
-    words instead of a d-dim float dot product.
+    agrees. A compact higher-order fold (one aggregate/transform pair
+    per word), scan-stage at any corpus size; downstream retrieval is
+    xor + bit_count on two words instead of a d-dim float dot product.
+    The fold replaces 64 unrolled conditional adds whose ~130-node
+    tree cost seconds of Catalyst re-optimization per execution plus a
+    ~55 s first janino compile of any join stage containing it (same
+    bigint sum, same >= 0 sign convention, bit-identical output).
     """
     def word(lo: int) -> Column:
-        acc = F.lit(0).cast("bigint")
-        for i in range(32):
-            acc = acc + F.when(
-                F.element_at(F.col(vec_col), lo + i + 1) >= 0,
-                F.lit(1 << i).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        return acc
+        return F.expr(
+            f"aggregate(transform(sequence(0, 31), i -> "
+            f"IF(element_at(`{vec_col}`, i + {lo} + 1) >= 0, "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
 
     assert dims == 64, "fixture embeddings are 64-dim; extend per 32 dims"
     return df.select(
