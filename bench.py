@@ -22,6 +22,7 @@ can (~27 chars/entry; r5's artifact "dropped" 170 entries), so:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -49,20 +50,37 @@ def emit_lines(payload: dict) -> list[str]:
     """
     lines = [json.dumps(payload)]
     items = list(payload["queries"].items())
+    # r13 (VERDICT r12 #1): the driver aligns the positional "t" array by
+    # name via the committed full payload; "reg" is the first 8 hex of
+    # md5(",".join(names)) so a consumer can PROVE its name list matches
+    # this run's registry order before zipping, and "cpus" disambiguates
+    # the 32c vs 8c runs (the full payloads are also written to
+    # non-clobbering BENCH_FULL_<cpus>c.json so consecutive runs at
+    # different core counts both survive).
+    reg = hashlib.md5(
+        ",".join(name for name, _ in items).encode()
+    ).hexdigest()[:8]
+    cpus = payload.get("cpus")
+    full_name = f"BENCH_FULL_{cpus}c.json" if cpus else "BENCH_FULL.json"
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
         "n_queries": len(items),
         "t": [round(sec, 2) for _, sec in items],
-        "names": "registry order; see BENCH_FULL.json queries",
+        "names": "registry order",
+        "reg": reg,
         "slowest": {},
         "unstable": len(payload.get("unstable", [])),
         "loadavg": payload.get("loadavg"),
         "loadavg_before": payload.get("loadavg_before"),
         "sf": payload["sf"],
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
+    if cpus is not None:
+        compact["cpus"] = cpus
+    if payload.get("load_flag_midrun"):
+        compact["load_flag_midrun"] = True
     if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
         # registry grew past what 2-decimal fits: 1 decimal still ranks
         compact["t"] = [round(sec, 1) for _, sec in items]
@@ -155,10 +173,26 @@ def main() -> None:
     # the second is the steady-state number a long-lived cluster would see.
     # We report min(first, second) per query and flag >30% swings so an
     # environmental hiccup can't masquerade as a code regression.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     runs: dict[str, list[float]] = {}
     n_extra_runs = 0
+    # Mid-run load samples (VERDICT r12 #8): the pre-run gate passed at
+    # load1 1.79 in r12 while a contaminated run was starting; sampling
+    # the 1-minute average every 25 queries lets the artifact
+    # self-identify contamination that arrives MID-run. A clean solo
+    # bench run on this box sits at load1 ~11 on local[32], so the flag
+    # threshold is cpus/2 above that own-load floor: flagged when any
+    # sample exceeds cpus/2 + 8 (own load) — conservative, the series
+    # itself is recorded for readers who want a different cut.
+    load_series: list[list[float]] = []
     for qi, (name, fn) in enumerate(QUERIES.items()):
         if qi % 25 == 24:
+            try:
+                load_series.append(
+                    [round(x, 2) for x in os.getloadavg()]
+                )
+            except OSError:
+                pass
             # ~300 queries in one JVM accumulate dropped-but-uncollected
             # RDD/broadcast state (localCheckpoint blocks release via
             # ContextCleaner weak refs only after a GC); an explicit
@@ -204,19 +238,29 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        "names": list(timings),
+        "cpus": cpus,
         "unstable": sorted(unstable),
         "loadavg": [load1, load5, load15],
         "loadavg_before": load_before,
+        "load_series": load_series,
+        "load_flag_midrun": any(
+            lv[0] > cpus / 2 + 8 for lv in load_series
+        ),
         "load_guard": {"threshold": max_load, "waited_sec": waited},
         "n_extra_runs": n_extra_runs,
         "sf": sf,
     }
-    try:
-        Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
-            json.dumps(payload, indent=1)
-        )
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
+    # Non-clobbering per-core-count artifact PLUS the legacy name
+    # (VERDICT r12 #1: the driver's 8-core run overwrote the 32-core
+    # run's per-query payload, leaving two rounds with no name-aligned
+    # perf comparison).
+    here = Path(__file__).resolve().parent
+    for fname in ("BENCH_FULL.json", f"BENCH_FULL_{cpus}c.json"):
+        try:
+            here.joinpath(fname).write_text(json.dumps(payload, indent=1))
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
     for line in emit_lines(payload):
         print(line)
 

@@ -1145,15 +1145,23 @@ def personalized_pagerank(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
     base = mass // n_seeds
-    outdeg = e.groupBy(F.col("s").alias("v")).agg(
-        F.count(F.lit(1)).alias("od")
+    # r13 (VERDICT r12 #5, guide §2.4): attach the out-degree to the edge
+    # list ONCE before the loop — pagerank() already worked this way, but
+    # this loop re-ran the degree aggregate over the edge table and an
+    # extra node-sized join EVERY iteration (outdeg was a lazy subtree
+    # inside the per-iteration plan). Per iteration is now ONE src-key
+    # join + ONE dst-key aggregate; `r DIV od` is unchanged because od
+    # rides the edge row.
+    eo = (
+        e.join(
+            e.groupBy("s").agg(F.count(F.lit(1)).alias("od")), "s"
+        ).transform(flat_checkpoint)
     )
     r = sd.select("v", F.lit(base).cast("long").alias("r"))
     keep = alpha_den - alpha_num
     for _ in range(iterations):
         inflow = (
-            r.join(outdeg, "v")
-            .join(e, F.col("v") == F.col("s"))
+            r.join(eo, F.col("v") == F.col("s"))
             .groupBy(F.col("d").alias("v"))
             .agg(F.sum(F.expr("r DIV od")).alias("infl"))
         )

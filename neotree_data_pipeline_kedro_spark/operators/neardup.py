@@ -1240,6 +1240,15 @@ def set_similarity_join(
     # is order-independent — measured 3.9 s -> ~1.5 s on the sweep
     # fixture's verify stage at sf0.1 (188k candidates x ~2.5 KB of
     # strings -> ~0.4 KB of longs per side).
+    # localCheckpoint (lazy) pins ONE id assignment (r13, VERDICT r12 #4
+    # hardening): vocab is executed by at least two consumers (the
+    # `ordered` build and the small-vocab `bits` collect), and its ids
+    # come from repartitionByRange (sampled boundaries) +
+    # monotonically_increasing_id — deterministic only while both
+    # executions see identical checkpointed `freq` partitions. Pinning
+    # the vocab itself (vocab-sized; lazy, so it materializes inside the
+    # `ordered` job rather than as an extra scheduled job) makes the id
+    # map a single materialized fact instead of a replayable coincidence.
     vocab = (
         freq.repartitionByRange(
             df.sparkSession.sparkContext.defaultParallelism, "__f", "__t"
@@ -1247,6 +1256,7 @@ def set_similarity_join(
         .sortWithinPartitions("__f", "__t")
         .withColumn("__vid", F.monotonically_increasing_id())
         .select("__t", "__vid")
+        .localCheckpoint(eager=False)
     )
     # materialized once: three consumers (prefixes + both verify sides)
     # would otherwise re-run the explode/frequency chain each —
@@ -1328,7 +1338,24 @@ def set_similarity_join(
         b = ordered.select(
             F.col("__id").alias("__idb"), F.col("__s").alias("__sb"), F.col("__n").alias("__nb")
         )
-        inter = F.size(F.array_intersect("__sa", "__sb"))
+        # r13 (guide §2.4 — don't recompute what the candidate stage
+        # already proved): total overlap = __cnt + |suffix_a ∩ suffix_b|
+        # EXACTLY (the same identity the suffix probe's bound relies on,
+        # see the PPJoin+ docstring paragraph: every shared token at or
+        # before the max-position shared prefix token is already counted
+        # in __cnt, every later one lies strictly inside both suffixes
+        # because the arrays share one total order). So the exact verify
+        # intersects only the suffixes PAST (__pamax, __pbmax) instead of
+        # the full arrays — at tau 0.5 the prefixes are up to half the
+        # set, so the hash-set build that dominates the O(candidates)
+        # verify shrinks accordingly. slice() with length 0 yields an
+        # empty array, so empty suffixes degrade to inter = __cnt.
+        inter = F.col("__cnt") + F.size(
+            F.array_intersect(
+                F.expr("slice(__sa, __pamax + 1, __na - __pamax)"),
+                F.expr("slice(__sb, __pbmax + 1, __nb - __pbmax)"),
+            )
+        )
     joined = cand.join(a, "__ida").join(b, "__idb")
     if nvocab > 63:
         # PPJoin+ one-probe suffix filter (see docstring): bound the

@@ -57,6 +57,38 @@ def test_huge_registry_degrades_to_one_decimal_not_truncation():
     assert parsed["t"] == [12.3] * 340  # 1-decimal fallback, still complete
 
 
+def test_compact_line_carries_alignment_contract():
+    """r13 (VERDICT r12 #1): the compact line must let a consumer align
+    the positional "t" array safely — "reg" is an 8-hex md5 of the
+    comma-joined registry names, "cpus" disambiguates runs, and "full"
+    names the non-clobbering per-core-count payload file."""
+    import hashlib
+
+    payload = _fake_payload(250)
+    payload["cpus"] = 32
+    parsed = json.loads(bench.emit_lines(payload)[-1])
+    want = hashlib.md5(
+        ",".join(payload["queries"]).encode()
+    ).hexdigest()[:8]
+    assert parsed["reg"] == want
+    assert parsed["cpus"] == 32
+    assert parsed["full"] == "BENCH_FULL_32c.json"
+    # a different registry order/name list must change the checksum
+    payload2 = _fake_payload(250)
+    payload2["cpus"] = 32
+    payload2["queries"] = dict(reversed(list(payload2["queries"].items())))
+    assert json.loads(bench.emit_lines(payload2)[-1])["reg"] != want
+
+
+def test_midrun_load_flag_surfaces_in_compact_line():
+    payload = _fake_payload(50)
+    payload["load_flag_midrun"] = True
+    parsed = json.loads(bench.emit_lines(payload)[-1])
+    assert parsed["load_flag_midrun"] is True
+    clean = _fake_payload(50)
+    assert "load_flag_midrun" not in json.loads(bench.emit_lines(clean)[-1])
+
+
 def test_full_line_printed_first():
     payload = _fake_payload(10)
     full = json.loads(bench.emit_lines(payload)[0])
