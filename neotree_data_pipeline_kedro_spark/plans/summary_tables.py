@@ -42,8 +42,7 @@ no UDF, fully codegen'd; at 100 TB they parallelize per input split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 _MONTHS = [
     "Jan", "Feb", "Mar", "Apr", "May", "Jun",
@@ -304,50 +303,6 @@ def _numguard_sources(manifest: list[tuple]) -> set[str]:
     return {e[2] for e in manifest if e[1] == "numguard"}
 
 
-def _synth_col(src: str, seed: int, kind: str, uid_prefix: str) -> Column:
-    """Spark synthesis of one source column (mirror of _synth_sql)."""
-    k = F.col("o_orderkey") + F.lit(seed)
-    if kind == "uid":
-        return F.concat(F.lit(uid_prefix), F.col("o_orderkey").cast("string"))
-    if kind == "facility":
-        return F.concat(F.lit("FAC-"), (k % 5).cast("string"))
-    if kind == "date":
-        day = (F.lit(1) + k % 28).cast("string")
-        yr = (F.lit(1995) + k % 6).cast("string")
-        mon_num = (F.lit(1) + k % 12).cast("int")
-        mon = F.element_at(F.array(*[F.lit(m) for m in _MONTHS]), mon_num)
-        cls = k % 5
-        return (
-            F.when(cls == 0, F.concat(day, F.lit(" "), mon, F.lit(","), yr))
-            .when(cls == 1, F.concat(yr, F.lit(" "), mon, F.lit(","), day))
-            .when(
-                cls == 2,
-                F.concat(
-                    yr,
-                    F.lit("-"),
-                    F.lpad(mon_num.cast("string"), 2, "0"),
-                    F.lit("-"),
-                    F.lpad(day, 2, "0"),
-                    F.lit(" 08:30:00"),
-                ),
-            )
-            .when(cls == 3, F.lit("n/a"))
-        )
-    if kind == "numguard":
-        cls = k % 5
-        return (
-            F.when(cls == 0, F.lit("97.5"))
-            .when(cls == 1, F.lit("88"))
-            .when(cls == 2, F.lit("abc"))
-            .when(cls == 3, F.lit("9e1"))
-        )
-    if kind == "numeric":
-        return F.when(k % 11 != 0, (k % 140).cast("string"))
-    return F.when(
-        k % 11 != 0, F.concat(F.lit(src + "#"), (k % 5).cast("string"))
-    )
-
-
 def _synth_sql(src: str, seed: int, kind: str, uid_prefix: str) -> str:
     """DuckDB synthesis of the same source column (mirror of _synth_col)."""
     k = f"(o_orderkey + {seed})"
@@ -388,6 +343,70 @@ def _synth_sql(src: str, seed: int, kind: str, uid_prefix: str) -> str:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal: double every backslash
+    (the default parser treats backslash as an escape inside literals)
+    and escape single quotes."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _synth_spark_sql(src: str, seed: int, kind: str, uid_prefix: str) -> str:
+    """Spark-SQL synthesis of one source column — the TEXT twin of
+    ``_synth_col``, expression-for-expression (r13, guide §7.3 avoid
+    generating gigantic expression trees driver-side: building the two
+    154-column projections as Column objects cost ~2.6 s of pure py4j
+    round-trips per query construction — one selectExpr string parses
+    JVM-side in milliseconds)."""
+    k = f"(o_orderkey + {seed})"
+    if kind == "uid":
+        return f"concat('{uid_prefix}', CAST(o_orderkey AS STRING))"
+    if kind == "facility":
+        return f"concat('FAC-', CAST({k} % 5 AS STRING))"
+    if kind == "date":
+        day = f"CAST(1 + {k} % 28 AS STRING)"
+        yr = f"CAST(1995 + {k} % 6 AS STRING)"
+        months = ", ".join(f"'{m}'" for m in _MONTHS)
+        mon = f"element_at(array({months}), CAST(1 + {k} % 12 AS INT))"
+        iso = (
+            f"concat({yr}, '-', lpad(CAST(CAST(1 + {k} % 12 AS INT) "
+            f"AS STRING), 2, '0'), '-', lpad({day}, 2, '0'), ' 08:30:00')"
+        )
+        return (
+            f"CASE WHEN {k} % 5 = 0 THEN concat({day}, ' ', {mon}, ',', {yr}) "
+            f"WHEN {k} % 5 = 1 THEN concat({yr}, ' ', {mon}, ',', {day}) "
+            f"WHEN {k} % 5 = 2 THEN {iso} "
+            f"WHEN {k} % 5 = 3 THEN 'n/a' END"
+        )
+    if kind == "numguard":
+        return (
+            f"CASE WHEN {k} % 5 = 0 THEN '97.5' WHEN {k} % 5 = 1 THEN '88' "
+            f"WHEN {k} % 5 = 2 THEN 'abc' WHEN {k} % 5 = 3 THEN '9e1' END"
+        )
+    if kind == "numeric":
+        return (
+            f"CASE WHEN {k} % 11 != 0 THEN CAST({k} % 140 AS STRING) END"
+        )
+    return (
+        f"CASE WHEN {k} % 11 != 0 "
+        f"THEN concat({_sql_str(src + '#')}, CAST({k} % 5 AS STRING)) END"
+    )
+
+
+def _parse_date_spark_sql(ref: str, else_cast: bool) -> str:
+    """Spark-SQL twin of ``_parse_date_col`` (same CASE structure; the
+    regex literals double their backslashes for the SQL parser)."""
+    tail = f"ELSE TRY_CAST({ref} AS TIMESTAMP) " if else_cast else ""
+    return (
+        f"CASE WHEN {ref} RLIKE {_sql_str(_RE_DMY)} "
+        f"THEN try_to_timestamp(concat({ref}, ' 00:00:00'), "
+        f"'d MMM,yyyy HH:mm:ss') "
+        f"WHEN {ref} RLIKE {_sql_str(_RE_YMD)} "
+        f"THEN try_to_timestamp(concat({ref}, ' 00:00:00'), "
+        f"'yyyy MMM,d HH:mm:ss') "
+        f"{tail}END"
+    )
+
+
 def _source_kind(src: str, manifest: list[tuple]) -> str:
     if src == "uid":
         return "uid"
@@ -409,25 +428,11 @@ def _q(name: str) -> str:
     return '"' + name + '"'
 
 
-def _bt(name: str) -> Column:
-    return F.col("`" + name + "`")
-
-
-def _parse_date_col(c: Column, else_cast: bool) -> Column:
-    parsed = F.when(
-        c.rlike(_RE_DMY),
-        F.try_to_timestamp(
-            F.concat(c, F.lit(" 00:00:00")), F.lit("d MMM,yyyy HH:mm:ss")
-        ),
-    ).when(
-        c.rlike(_RE_YMD),
-        F.try_to_timestamp(
-            F.concat(c, F.lit(" 00:00:00")), F.lit("yyyy MMM,d HH:mm:ss")
-        ),
-    )
-    if else_cast:
-        return parsed.otherwise(c.try_cast("timestamp"))
-    return parsed.otherwise(F.lit(None).cast("timestamp"))
+def _bq(name: str) -> str:
+    """Spark-SQL backquoted identifier (column names carry dots, spaces,
+    '?', '<', '/'; embedded backquotes would need doubling — none occur
+    in the manifests)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _parse_date_sql(ref: str, else_cast: bool) -> str:
@@ -451,42 +456,54 @@ def build_summary(
 ) -> DataFrame:
     """Spark twin: stage the synthesized source table (one narrow select,
     mirrors reading derived.admissions), then apply the full wide
-    projection. Both selects are stateless scan-stage expressions."""
+    projection. Both selects are stateless scan-stage expressions.
+
+    r13 (guide §7.3): both projections are built as SQL TEXT and handed
+    to ONE ``selectExpr`` each — the previous Column-object construction
+    made ~5 000 py4j round-trips per query build (~2.6 s per bench
+    execution, dominating the query); the text form parses JVM-side.
+    The expressions are the same, node for node (``_synth_spark_sql`` /
+    ``_parse_date_spark_sql`` mirror the manifest kinds exactly), so the
+    physical plan and output are unchanged."""
     seeds = _seed_map(manifest, missing)
-    staged = base.select(
+    staged = base.selectExpr(
         *[
-            _synth_col(s, i, _source_kind(s, manifest), uid_prefix).alias(s)
+            f"{_synth_spark_sql(s, i, _source_kind(s, manifest), uid_prefix)}"
+            f" AS {_bq(s)}"
             for s, i in seeds.items()
         ]
     )
 
-    def src_col(name: str) -> Column:
+    def ref(name: str) -> str:
         if name in missing:
-            return F.lit(None).cast("string")
-        return _bt(name)
+            return "CAST(NULL AS STRING)"
+        return _bq(name)
 
-    cols: list[Column] = []
+    exprs: list[str] = []
     for alias, kind, *srcs in manifest:
+        a = _bq(alias)
+        r = ref(srcs[0])
         if kind in ("facility", "uid", "plain"):
-            cols.append(src_col(srcs[0]).alias(alias))
+            exprs.append(f"{r} AS {a}")
         elif kind == "bw_case":
-            c = src_col(srcs[0])
-            cols.append(F.when(c.isNotNull(), c).alias(alias))
+            exprs.append(f"CASE WHEN {r} IS NOT NULL THEN {r} END AS {a}")
         elif kind == "date_null":
-            cols.append(_parse_date_col(src_col(srcs[0]), False).alias(alias))
+            exprs.append(f"{_parse_date_spark_sql(r, False)} AS {a}")
         elif kind == "date_cast":
-            cols.append(_parse_date_col(src_col(srcs[0]), True).alias(alias))
+            exprs.append(f"{_parse_date_spark_sql(r, True)} AS {a}")
         elif kind == "numguard":
-            c = src_col(srcs[0])
-            cols.append(
-                F.when(c.rlike(_RE_NUM), c.cast("double")).alias(alias)
+            exprs.append(
+                f"CASE WHEN {r} RLIKE {_sql_str(_RE_NUM)} "
+                f"THEN CAST({r} AS DOUBLE) END AS {a}"
             )
         elif kind == "fallback":
-            p, s = src_col(srcs[0]), src_col(srcs[1])
-            cols.append(F.when(p.isNull(), s).otherwise(p).alias(alias))
+            p, s = ref(srcs[0]), ref(srcs[1])
+            exprs.append(
+                f"CASE WHEN {p} IS NULL THEN {s} ELSE {p} END AS {a}"
+            )
         else:  # pragma: no cover - manifest typo guard
             raise ValueError(f"unknown manifest kind {kind!r}")
-    return staged.select(*cols)
+    return staged.selectExpr(*exprs)
 
 
 def build_summary_oracle(
