@@ -156,11 +156,28 @@ def main() -> None:
     spark = get_spark(app_name="neotree-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one untimed end-to-end execution absorbs JVM/codegen/Arrow warmup so it
-    # doesn't land on whichever query happens to run first
-    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Adaptive warmup (r13 measurement fix, declared in
+    # OPTIMIZATION_r13.md): one untimed execution was enough on earlier
+    # hosts, but a cold JVM on a slow box keeps C2-compiling through the
+    # first MINUTES of a run — the r13 baseline recorded the first
+    # registry query at 12.65 s in-bench vs 1.5 s in a warm session, and
+    # the per-query min-of-2 cannot absorb a tax that decays over ~20
+    # queries. Re-run the first registry query untimed until its wall
+    # time stabilizes (consecutive runs within 25%), capped at 6 runs;
+    # the warmup run count/times are recorded in the payload. The timed
+    # region, query set, sink and two-timed-runs methodology are
+    # unchanged.
+    warm_fn = next(iter(QUERIES.values()))
+    warmup_times: list[float] = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warmup_times.append(round(time.perf_counter() - t0, 3))
+        if (
+            len(warmup_times) >= 2
+            and warmup_times[-1] <= 1.25 * warmup_times[-2]
+        ):
+            break
     # ...and one partition-per-core pandas pass spins up the Python worker
     # pool, so daemon startup doesn't land on the first mapInPandas query
     # (steady-state clusters keep workers alive between jobs)
@@ -248,6 +265,7 @@ def main() -> None:
             lv[0] > cpus / 2 + 8 for lv in load_series
         ),
         "load_guard": {"threshold": max_load, "waited_sec": waited},
+        "warmup_times": warmup_times,
         "n_extra_runs": n_extra_runs,
         "sf": sf,
     }

@@ -39,9 +39,32 @@ _SPLIT_MIN_BYTES = 256 << 10
 _SPLIT_MAX_BYTES = 128 << 20
 
 
+# r13 (guide §7.3 driver-side work): constructing a reader measures
+# ~60-120 ms per call (conf round-trip, footer/schema resolution, the
+# repartition wrapper — all py4j + driver-side planning), and the fleet
+# makes ~950 load_table calls per bench run (466 static call sites, two
+# timed runs each) — >1.5 min of pure construction overhead. The memo
+# below caches the LAZY DataFrame (a query plan, never data or results:
+# every execution still scans the parquet) per (SparkContext
+# application id, resolved dir, table). The application id changes when
+# a context is stopped/recreated, so no stale session objects survive;
+# the test-data directories are immutable for the life of a run, so a
+# cached plan can never go stale. Bounded: #dirs x #tables entries.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     d = sf_dir or DEFAULT_SF_DIR
     path = f"{d}/{name}.parquet"
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None  # context shutting down: build uncached
+    if app_id is not None:
+        key = (app_id, d, name)
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None:
+            return hit
     # Self-sufficient: events.parquet stores ts as TIMESTAMP(NANOS), which
     # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). The conf is
     # runtime-settable, so set it here rather than relying on whoever built
@@ -65,6 +88,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # integer `div`, not `/`: epoch-nanos exceed 2^53, double
             # division would round and drift the microsecond.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if app_id is not None:
+        _PLAN_MEMO[(app_id, d, name)] = df
     return df
 
 
