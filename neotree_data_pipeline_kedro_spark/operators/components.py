@@ -279,8 +279,14 @@ def incremental_components(
         # here so dirty deltas keep the identical-to-batch contract.
         .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
         # consumed three times (both endpoint unions + the label join):
-        # checkpoint so the caller's delta subtree runs once
-        .localCheckpoint(eager=True)
+        # checkpoint so the caller's delta subtree runs once. LAZY
+        # (r13, guide §2.4): nothing driver-side needs e or base before
+        # the pairs collect below, so eager checkpoints here were two
+        # extra scheduled jobs — persist-on-first-use folds both
+        # materializations into the single pairs job (the limit-collect
+        # reads every pair when under the gate, so all partitions
+        # compute and persist in that one pass).
+        .localCheckpoint(eager=False)
     )
     new_nodes = (
         e.select(F.col("__a").alias("id"))
@@ -289,7 +295,7 @@ def incremental_components(
         .join(comp.select("id"), "id", "left_anti")
         .select("id", F.col("id").alias("comp"))
     )
-    base = comp.unionByName(new_nodes).localCheckpoint(eager=True)
+    base = comp.unionByName(new_nodes).localCheckpoint(eager=False)
     la = base.select(F.col("id").alias("__a"), F.col("comp").alias("__la"))
     lb = base.select(F.col("id").alias("__b"), F.col("comp").alias("__lb"))
     pairs = (

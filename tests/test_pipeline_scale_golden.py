@@ -22,6 +22,11 @@ import json
 
 import pandas as pd
 import pytest
+
+# r13 (VERDICT r12 #2): heavyweight integration tail — excluded from the
+# default driver-window run; executed by the builder via `-m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from neotree_data_pipeline_kedro_spark.plans.pipeline import Engine, EngineConfig

@@ -265,6 +265,7 @@ def test_q17_decorrelates_into_single_rollup_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_no_cartesian_product_fleet_wide(spark):
     """Registry-wide contract: NO query may plan a CartesianProduct. The
     broadcast nested-loop joins some queries use (tiny broadcast side:
@@ -710,8 +711,11 @@ def _checkpoint_count(spark, monkeypatch, name: str) -> int:
         # both semi-join builds share the deg subtree's exchange
         # (ReusedExchange) inside the one kept_edges job.
         ("g4_kcore", 4),
-        # ppr: edge base + per-push round states
-        ("g12_ppr", 4),
+        # ppr: edge base + degree-annotated edge list (r13: out-degrees
+        # attach ONCE before the loop instead of a per-iteration
+        # aggregate+join — one extra setup checkpoint buys two fewer
+        # subtrees per iteration) + per-push round states
+        ("g12_ppr", 5),
     ],
 )
 def test_iterative_round_counts_pinned(spark, monkeypatch, name, expected):

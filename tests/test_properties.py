@@ -422,6 +422,7 @@ def test_priority_sample_per_group(spark):
     )
 )
 @settings(max_examples=14, deadline=None)
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_ppjoin_property_matches_bruteforce(spark, sets):
     """set_similarity_join output == brute-force O(n^2) Jaccard twin on
     arbitrary generated set families (dup members, shared hot tokens,

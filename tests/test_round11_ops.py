@@ -8,6 +8,11 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# r13 (VERDICT r12 #2): heavyweight integration tail — excluded from the
+# default driver-window run; executed by the builder via `-m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 SCHEMA = "doc_id bigint, text string, source string, lang string"

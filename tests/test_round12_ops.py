@@ -6,6 +6,8 @@ seams cannot double-land rows in corpus, census, codes, or vectors."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -23,6 +25,7 @@ def _write(spark, path, rows):
     ).parquet(path)
 
 
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_streaming_corpus_build_maintains_ann_index(spark, tmp_path):
     from neotree_data_pipeline_kedro_spark.operators.similarity import (
         build_ivfpq_index,

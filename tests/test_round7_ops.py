@@ -947,6 +947,7 @@ def test_cdc_chunks_k_guard(spark):
 
 
 # ------------------------------------------------ strongly connected comps
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_scc_hand_graph(spark):
     """Known topology: two cycles bridged by a one-way path, a chain, an
     isolated 2-cycle, and a self-reaching diamond. Labels = max member;
@@ -990,6 +991,7 @@ def test_scc_hand_graph(spark):
         assert lab == expect, f"local_threshold={thr}"
 
 
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_scc_matches_bruteforce_random(spark):
     """Random sparse digraph vs driver-side mutual-reachability BFS."""
     import random

@@ -3,6 +3,8 @@ refusal/code-quality gates — unit semantics beyond the registry oracle
 rows."""
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -183,6 +185,7 @@ def test_seasonal_decompose_zero_remainder_on_pure_signal(spark):
 
 
 # --------------------------------------------- shot boundary detection
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_shot_boundaries_brightness_invariant_cut_only(spark):
     """One planted pattern flip must be the ONLY boundary even when every
     frame carries a different uniform brightness shift; a clip with no
@@ -245,6 +248,7 @@ def test_multipass_blocking_recall_union(spark):
 
 
 # --------------------------------------------- incremental ANN append
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_ann_index_append_delta_searchable(spark, tmp_path):
     """append_ann_index: delta vectors encoded against the FROZEN
     quantizers land in the cell-partitioned codes dir and are
@@ -307,6 +311,7 @@ def test_ann_index_append_delta_searchable(spark, tmp_path):
 
 
 # --------------------------------------------- incremental components
+@pytest.mark.slow  # r13: heavy tail, builder-run via -m slow
 def test_incremental_components_matches_batch(spark):
     """Incremental maintenance == batch recompute on the union graph,
     including new-node minting and the singleton/bridge/merge cases."""

@@ -9,6 +9,11 @@ import time
 
 import pandas as pd
 import pytest
+
+# r13 (VERDICT r12 #2): heavyweight integration tail — excluded from the
+# default driver-window run; executed by the builder via `-m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import types as T
 
 from neotree_data_pipeline_kedro_spark.streaming.cep import (

@@ -7,9 +7,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import pytest
+
 from neotree_data_pipeline_kedro_spark.streaming.joins import (
     enrich_stream_with_dim,
 )
+
+# r13 (VERDICT r12 #2): heavyweight integration tail — excluded from the
+# default driver-window run; executed by the builder via `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 def test_stream_static_enrich(spark, tmp_path):

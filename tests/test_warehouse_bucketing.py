@@ -7,6 +7,11 @@ import contextlib
 import io
 
 import pytest
+
+# r13 (VERDICT r12 #2): heavyweight integration tail — excluded from the
+# default driver-window run; executed by the builder via `-m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from neotree_data_pipeline_kedro_spark.sources.warehouse import (
