@@ -173,9 +173,13 @@ def main() -> None:
         t0 = time.perf_counter()
         warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warmup_times.append(round(time.perf_counter() - t0, 3))
+        # stabilized = the PREVIOUS run was not much slower than this
+        # one (a big drop means compilation is still burning off and the
+        # loop must continue; the first artifact's [23.2, 7.7] pair
+        # wrongly passed a current<=1.25*previous test)
         if (
             len(warmup_times) >= 2
-            and warmup_times[-1] <= 1.25 * warmup_times[-2]
+            and warmup_times[-2] <= 1.25 * warmup_times[-1]
         ):
             break
     # ...and one partition-per-core pandas pass spins up the Python worker

@@ -42,6 +42,10 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # full-registry sweeps at sf0.1 OOM the vanilla 1g driver heap
+        # around query ~265 (toPandas collects accumulate; the r8 note
+        # in the verify skill) — memory only, no query-semantics configs
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
